@@ -1,8 +1,11 @@
 """Testdata / warehouse catalog helpers.
 
 The driver-generated tables (TESTDATA.md) are one parquet file per
-table under an sf directory. ``table`` reads one; lazily cached
-per (session, path) so repeated query builds share the scan.
+table under an sf directory. ``table`` reads one; reads are cached
+per (session, path) so repeated query builds share one analyzed
+relation (Spark re-resolves parquet footers cheaply, but sharing the
+DataFrame keeps plans identical and lets Catalyst reuse exchange
+output where possible).
 
 Scans stay fully declarative: column pruning and predicate pushdown
 reach the parquet reader via Catalyst (verify with
@@ -30,13 +33,30 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem") -> DataFrame:
+    """Read one testdata table as a DataFrame (cached per session+path)."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    df = _CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            # events.parquet stores TIMESTAMP(NANOS); Spark reads it as
+            # int64 nanos (spark.sql.legacy.parquet.nanosAsLong=true in
+            # DEFAULT_CONF). Truncate to micros — same as DuckDB's
+            # ns→µs conversion — so both engines see identical values.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _CACHE[key] = df
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every testdata table as a temp view (SQL surface)."""
     for name in TESTDATA_TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

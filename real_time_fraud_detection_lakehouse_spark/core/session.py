@@ -20,6 +20,7 @@ Scale notes (100 TB / 1000-executor design intent):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
+    # testdata events.parquet uses TIMESTAMP(NANOS) which Spark cannot
+    # represent; read as int64 nanos and convert in the catalog reader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -45,19 +49,37 @@ def get_spark(
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or all
-    cores); in cluster deployments pass None and submit via
-    spark-submit so the cluster manager decides.
+    ``master=None`` (the default) sets ``local[$SPARK_GRAFT_CPUS]``
+    only when no master is already configured (e.g. via
+    ``spark-submit --master``), so cluster submission is never
+    silently overridden. Pass an explicit master string to force one.
     """
-    if master is None:
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_SUBMIT_OPTS") and "MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
-    builder = SparkSession.builder.master(master).appName(app_name)
+        builder = builder.config(
+            "spark.master",
+            SparkSession.getActiveSession().conf.get("spark.master")
+            if SparkSession.getActiveSession()
+            else f"local[{cpus}]",
+        )
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
     for key, value in conf.items():
         builder = builder.config(key, value)
+    active = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
+    if active is not None:
+        # getOrCreate() keeps the existing session's static confs; warn if a
+        # requested static conf (e.g. the serializer) could not be applied.
+        ser = spark.conf.get("spark.serializer", "")
+        if ser != conf.get("spark.serializer", ser):
+            warnings.warn(
+                "get_spark reused an existing SparkSession; static conf "
+                f"spark.serializer={ser!r} differs from requested", stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark
