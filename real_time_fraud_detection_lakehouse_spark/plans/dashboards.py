@@ -1,0 +1,602 @@
+"""Dashboard query surface (`/root/reference/sql/dashboard_charts.sql`)
+plus the in-engine scoring flow (rule-based score → predictions →
+model-accuracy join), all with DuckDB oracle twins.
+
+The reference scores per-row over HTTP (realtime_prediction_job.py:314-389,
+an anti-pattern at any scale); here the rule score (UD5,
+services/fraud-detection-api/app/main.py:603-621 semantics) is a pure
+column expression evaluated in whole-stage codegen, and the
+"model accuracy" join (J5, dashboard_charts.sql:140-144) joins the
+prediction output back to transactions on trans_num.
+
+Same registry shape as plans/views.py; builders receive the gold dict
+(fact / dim_customer / dim_time / silver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.functions.features import (
+    risk_level,
+    rule_fraud_score,
+)
+from real_time_fraud_detection_lakehouse_spark.plans.views import (
+    Builder,
+    _FRAUDS,
+    _frauds,
+    _r4,
+    _r4s,
+)
+
+DASHBOARDS: dict[str, tuple[Builder, str]] = {}
+
+_RATE100 = "CAST(SUM(CASE WHEN is_fraud = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100"
+
+
+def _rate100() -> F.Column:
+    return _frauds().cast("double") / F.count("*") * 100
+
+
+def _register(name: str, sql: str):
+    def deco(fn: Builder) -> Builder:
+        DASHBOARDS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+#: Rule score as DuckDB SQL — literal-for-literal, same addition order
+#: as functions.features.rule_fraud_score so doubles match bitwise.
+SCORE_SQL = """least(
+  CASE WHEN amt > 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+  + CASE WHEN amt > 500 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+  + CASE WHEN distance_km > 200 AND distance_km >= 0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+  + CASE WHEN hour >= 23 OR hour <= 5 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+  + CASE WHEN age >= 0 AND age < 25 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END,
+  1.0::DOUBLE)"""
+
+#: predictions CTE over silver (FIXTURES.md §4 shape).
+PREDICTIONS_CTE = f"""
+SELECT
+  trans_num,
+  is_fraud,
+  {SCORE_SQL} AS prediction_score,
+  CAST(CASE WHEN {SCORE_SQL} > 0.5 THEN 1 ELSE 0 END AS INTEGER) AS is_fraud_predicted,
+  CASE WHEN {SCORE_SQL} > 0.7 THEN 'HIGH'
+       WHEN {SCORE_SQL} > 0.4 THEN 'MEDIUM'
+       ELSE 'LOW' END AS risk_level
+FROM silver
+"""
+
+
+def predictions(silver: DataFrame) -> DataFrame:
+    """Rule-based prediction table: trans_num → score / flag / risk."""
+    score = rule_fraud_score(
+        F.col("amt"), F.col("distance_km"), F.col("hour"), F.col("age")
+    )
+    return silver.select(
+        "trans_num",
+        "is_fraud",
+        score.alias("prediction_score"),
+        F.when(score > 0.5, 1).otherwise(0).cast("int").alias("is_fraud_predicted"),
+        risk_level(score).alias("risk_level"),
+    )
+
+
+# --- 1. overview ------------------------------------------------------------
+@_register(
+    "dash_overview",
+    f"""
+    SELECT COUNT(*) AS total_transactions,
+           {_r4s('SUM(transaction_amount)')} AS total_amount,
+           {_r4s('AVG(transaction_amount)')} AS avg_amount
+    FROM fact_transactions
+    """,
+)
+def dash_overview(g):
+    return g["fact"].agg(
+        F.count("*").alias("total_transactions"),
+        _r4(F.sum("transaction_amount")).alias("total_amount"),
+        _r4(F.avg("transaction_amount")).alias("avg_amount"),
+    )
+
+
+# --- 1.2 overall fraud rate -------------------------------------------------
+@_register(
+    "dash_fraud_rate",
+    f"""
+    SELECT COUNT(*) AS total, {_FRAUDS} AS frauds,
+           {_RATE100} AS fraud_rate_percent
+    FROM fact_transactions
+    """,
+)
+def dash_fraud_rate(g):
+    return g["fact"].agg(
+        F.count("*").alias("total"),
+        _frauds().alias("frauds"),
+        _rate100().alias("fraud_rate_percent"),
+    )
+
+
+# --- 1.3 high risk ----------------------------------------------------------
+@_register(
+    "dash_high_risk",
+    f"""
+    SELECT COUNT(*) AS high_risk_count,
+           {_r4s('SUM(transaction_amount)')} AS high_risk_amount
+    FROM fact_transactions
+    WHERE is_fraud = 1
+      AND (transaction_amount > 1000 OR distance_km > 200 OR is_late_night = 1)
+    """,
+)
+def dash_high_risk(g):
+    return (
+        g["fact"]
+        .filter(
+            (F.col("is_fraud") == 1)
+            & (
+                (F.col("transaction_amount") > 1000)
+                | (F.col("distance_km") > 200)
+                | (F.col("is_late_night") == 1)
+            )
+        )
+        .agg(
+            F.count("*").alias("high_risk_count"),
+            _r4(F.sum("transaction_amount")).alias("high_risk_amount"),
+        )
+    )
+
+
+# --- 2.1 fraud rate by hour -------------------------------------------------
+@_register(
+    "dash_hourly_fraud",
+    f"""
+    SELECT transaction_hour AS hour, COUNT(*) AS total,
+           {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions GROUP BY transaction_hour
+    """,
+)
+def dash_hourly_fraud(g):
+    return g["fact"].groupBy(F.col("transaction_hour").alias("hour")).agg(
+        F.count("*").alias("total"),
+        _frauds().alias("frauds"),
+        _rate100().alias("fraud_rate"),
+    )
+
+
+# --- 2.2 monthly trend ------------------------------------------------------
+@_register(
+    "dash_monthly_trend",
+    f"""
+    SELECT CAST(year(transaction_timestamp) AS INTEGER) AS year,
+           CAST(month(transaction_timestamp) AS INTEGER) AS month,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions GROUP BY 1, 2
+    """,
+)
+def dash_monthly_trend(g):
+    ts = F.col("transaction_timestamp")
+    return g["fact"].groupBy(
+        F.year(ts).alias("year"), F.month(ts).alias("month")
+    ).agg(
+        F.count("*").alias("total"),
+        _frauds().alias("frauds"),
+        _rate100().alias("fraud_rate"),
+    )
+
+
+# --- 3.1 fraud by state top-20 (deterministic tiebreak added) ---------------
+@_register(
+    "dash_state_top20",
+    f"""
+    SELECT * FROM (
+      SELECT c.customer_state AS state, COUNT(*) AS total,
+             {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+      FROM fact_transactions f
+      JOIN dim_customer c ON f.customer_key = c.customer_key
+      GROUP BY c.customer_state
+    ) ORDER BY fraud_rate DESC, state ASC LIMIT 20
+    """,
+)
+def dash_state_top20(g):
+    return (
+        g["fact"]
+        .join(F.broadcast(g["dim_customer"]), "customer_key", "inner")
+        .groupBy(F.col("customer_state").alias("state"))
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+        .orderBy(F.desc("fraud_rate"), F.asc("state"))
+        .limit(20)
+    )
+
+
+_DIST_BUCKET = """CASE WHEN distance_km < 10 THEN '0-10km'
+       WHEN distance_km < 50 THEN '10-50km'
+       WHEN distance_km < 100 THEN '50-100km'
+       WHEN distance_km < 200 THEN '100-200km'
+       ELSE '200+km' END"""
+
+
+# --- 3.2 fraud by distance range (F14) --------------------------------------
+@_register(
+    "dash_distance_range",
+    f"""
+    SELECT {_DIST_BUCKET} AS distance_range,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions WHERE distance_km >= 0
+    GROUP BY 1
+    """,
+)
+def dash_distance_range(g):
+    d = F.col("distance_km")
+    bucket = (
+        F.when(d < 10, "0-10km")
+        .when(d < 50, "10-50km")
+        .when(d < 100, "50-100km")
+        .when(d < 200, "100-200km")
+        .otherwise("200+km")
+    )
+    return (
+        g["fact"]
+        .filter(d >= 0)
+        .groupBy(bucket.alias("distance_range"))
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+    )
+
+
+# --- 4.1 risky merchants (HAVING>50, tiebreak added) ------------------------
+@_register(
+    "dash_risky_merchants",
+    f"""
+    SELECT * FROM (
+      SELECT merchant, transaction_category, COUNT(*) AS total,
+             {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+      FROM fact_transactions
+      GROUP BY merchant, transaction_category HAVING COUNT(*) > 50
+    ) ORDER BY fraud_rate DESC, merchant ASC, transaction_category ASC LIMIT 20
+    """,
+)
+def dash_risky_merchants(g):
+    return (
+        g["fact"]
+        .groupBy("merchant", "transaction_category")
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+        .filter(F.col("total") > 50)
+        .orderBy(F.desc("fraud_rate"), F.asc("merchant"), F.asc("transaction_category"))
+        .limit(20)
+    )
+
+
+# --- 4.2 fraud by category --------------------------------------------------
+@_register(
+    "dash_category",
+    f"""
+    SELECT transaction_category, COUNT(*) AS total,
+           {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions GROUP BY transaction_category
+    """,
+)
+def dash_category(g):
+    return g["fact"].groupBy("transaction_category").agg(
+        F.count("*").alias("total"),
+        _frauds().alias("frauds"),
+        _rate100().alias("fraud_rate"),
+    )
+
+
+# --- 5.1 fraud by amount range (labels per dashboard_charts.sql:88-92) ------
+@_register(
+    "dash_amount_range",
+    f"""
+    SELECT CASE amount_bin WHEN 1 THEN '$0-$100' WHEN 2 THEN '$100-$300'
+                WHEN 3 THEN '$300-$500' WHEN 4 THEN '$500-$1000'
+                WHEN 5 THEN '$1000+' END AS amount_range,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions GROUP BY amount_bin
+    """,
+)
+def dash_amount_range(g):
+    bin_ = F.col("amount_bin")
+    label = (
+        F.when(bin_ == 1, "$0-$100")
+        .when(bin_ == 2, "$100-$300")
+        .when(bin_ == 3, "$300-$500")
+        .when(bin_ == 4, "$500-$1000")
+        .when(bin_ == 5, "$1000+")
+    )
+    return g["fact"].groupBy(bin_).agg(
+        F.count("*").alias("total"),
+        _frauds().alias("frauds"),
+        _rate100().alias("fraud_rate"),
+    ).select(label.alias("amount_range"), "total", "frauds", "fraud_rate")
+
+
+# --- 5.2 high-value transactions (top-k, tiebreak added) --------------------
+@_register(
+    "dash_high_value",
+    """
+    SELECT transaction_key, transaction_timestamp, transaction_amount, merchant, is_fraud
+    FROM fact_transactions WHERE transaction_amount > 1000
+    ORDER BY transaction_amount DESC, transaction_key ASC LIMIT 100
+    """,
+)
+def dash_high_value(g):
+    return (
+        g["fact"]
+        .filter(F.col("transaction_amount") > 1000)
+        .select(
+            "transaction_key",
+            "transaction_timestamp",
+            "transaction_amount",
+            "merchant",
+            "is_fraud",
+        )
+        .orderBy(F.desc("transaction_amount"), F.asc("transaction_key"))
+        .limit(100)
+    )
+
+
+# --- 6.1 weekend vs weekday -------------------------------------------------
+@_register(
+    "dash_weekend",
+    f"""
+    SELECT CASE WHEN is_weekend_transaction = 1 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions GROUP BY is_weekend_transaction
+    """,
+)
+def dash_weekend(g):
+    return (
+        g["fact"]
+        .groupBy("is_weekend_transaction")
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+        .select(
+            F.when(F.col("is_weekend_transaction") == 1, "Weekend")
+            .otherwise("Weekday")
+            .alias("day_type"),
+            "total",
+            "frauds",
+            "fraud_rate",
+        )
+    )
+
+
+# --- 6.2 late-night analysis ------------------------------------------------
+@_register(
+    "dash_late_night",
+    f"""
+    SELECT transaction_hour, COUNT(*) AS total,
+           {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions WHERE is_late_night = 1
+    GROUP BY transaction_hour
+    """,
+)
+def dash_late_night(g):
+    return (
+        g["fact"]
+        .filter(F.col("is_late_night") == 1)
+        .groupBy("transaction_hour")
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+    )
+
+
+_AGE_BUCKET = """CASE WHEN customer_age_at_transaction < 25 THEN '18-24'
+       WHEN customer_age_at_transaction < 35 THEN '25-34'
+       WHEN customer_age_at_transaction < 45 THEN '35-44'
+       WHEN customer_age_at_transaction < 55 THEN '45-54'
+       WHEN customer_age_at_transaction < 65 THEN '55-64'
+       ELSE '65+' END"""
+
+
+# --- 7.1 fraud by age group -------------------------------------------------
+@_register(
+    "dash_age_group",
+    f"""
+    SELECT {_AGE_BUCKET} AS age_group,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions WHERE customer_age_at_transaction > 0
+    GROUP BY 1
+    """,
+)
+def dash_age_group(g):
+    a = F.col("customer_age_at_transaction")
+    bucket = (
+        F.when(a < 25, "18-24")
+        .when(a < 35, "25-34")
+        .when(a < 45, "35-44")
+        .when(a < 55, "45-54")
+        .when(a < 65, "55-64")
+        .otherwise("65+")
+    )
+    return (
+        g["fact"]
+        .filter(a > 0)
+        .groupBy(bucket.alias("age_group"))
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+    )
+
+
+# --- 9.1 top high-risk frauds (severity CASE, tiebreak added) ---------------
+@_register(
+    "dash_severity",
+    """
+    SELECT transaction_key, transaction_timestamp, transaction_amount, merchant, distance_km,
+           CASE WHEN transaction_amount > 1000 AND distance_km > 200 THEN 'CRITICAL'
+                WHEN transaction_amount > 500 AND is_late_night = 1 THEN 'HIGH'
+                ELSE 'MEDIUM' END AS severity
+    FROM fact_transactions WHERE is_fraud = 1
+    ORDER BY transaction_amount DESC, transaction_key ASC LIMIT 100
+    """,
+)
+def dash_severity(g):
+    amt = F.col("transaction_amount")
+    return (
+        g["fact"]
+        .filter(F.col("is_fraud") == 1)
+        .select(
+            "transaction_key",
+            "transaction_timestamp",
+            "transaction_amount",
+            "merchant",
+            "distance_km",
+            F.when((amt > 1000) & (F.col("distance_km") > 200), "CRITICAL")
+            .when((amt > 500) & (F.col("is_late_night") == 1), "HIGH")
+            .otherwise("MEDIUM")
+            .alias("severity"),
+        )
+        .orderBy(F.desc("transaction_amount"), F.asc("transaction_key"))
+        .limit(100)
+    )
+
+
+# --- 10.1 multi-factor risk -------------------------------------------------
+@_register(
+    "dash_multi_factor",
+    f"""
+    SELECT CASE WHEN is_high_amount = 1 THEN 'High$' ELSE 'Normal$' END AS amt,
+           CASE WHEN is_distant_transaction = 1 THEN 'Distant' ELSE 'Local' END AS dist,
+           CASE WHEN is_late_night = 1 THEN 'Night' ELSE 'Day' END AS time,
+           COUNT(*) AS total, {_FRAUDS} AS frauds, {_RATE100} AS fraud_rate
+    FROM fact_transactions
+    GROUP BY is_high_amount, is_distant_transaction, is_late_night
+    """,
+)
+def dash_multi_factor(g):
+    return (
+        g["fact"]
+        .groupBy("is_high_amount", "is_distant_transaction", "is_late_night")
+        .agg(
+            F.count("*").alias("total"),
+            _frauds().alias("frauds"),
+            _rate100().alias("fraud_rate"),
+        )
+        .select(
+            F.when(F.col("is_high_amount") == 1, "High$").otherwise("Normal$").alias("amt"),
+            F.when(F.col("is_distant_transaction") == 1, "Distant").otherwise("Local").alias("dist"),
+            F.when(F.col("is_late_night") == 1, "Night").otherwise("Day").alias("time"),
+            "total",
+            "frauds",
+            "fraud_rate",
+        )
+    )
+
+
+# --- scoring flow: predictions + model accuracy + score distribution --------
+@_register(
+    "rule_predictions",
+    f"""
+    , predictions AS ({PREDICTIONS_CTE})
+    SELECT trans_num, prediction_score, is_fraud_predicted, risk_level FROM predictions
+    """,
+)
+def rule_predictions(g):
+    return predictions(g["silver"]).select(
+        "trans_num", "prediction_score", "is_fraud_predicted", "risk_level"
+    )
+
+
+@_register(
+    "dash_model_accuracy",
+    f"""
+    , predictions AS ({PREDICTIONS_CTE})
+    SELECT COUNT(*) AS total,
+           CAST(SUM(CASE WHEN t.is_fraud = p.is_fraud_predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+           CAST(SUM(CASE WHEN t.is_fraud = p.is_fraud_predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 100 AS accuracy
+    FROM predictions p
+    JOIN transactions t ON p.trans_num = t.trans_num
+    """,
+)
+def dash_model_accuracy(g):
+    p = predictions(g["silver"]).select("trans_num", "is_fraud_predicted")
+    t = g["transactions"].select("trans_num", "is_fraud")
+    j = p.join(t, "trans_num", "inner")
+    correct = F.sum(
+        F.when(F.col("is_fraud") == F.col("is_fraud_predicted"), 1).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        F.count("*").alias("total"),
+        correct.alias("correct"),
+        (correct.cast("double") / F.count("*") * 100).alias("accuracy"),
+    )
+
+
+@_register(
+    "dash_score_distribution",
+    f"""
+    , predictions AS ({PREDICTIONS_CTE})
+    SELECT CASE WHEN prediction_score < 0.2 THEN '0-20%'
+                WHEN prediction_score < 0.4 THEN '20-40%'
+                WHEN prediction_score < 0.6 THEN '40-60%'
+                WHEN prediction_score < 0.8 THEN '60-80%'
+                ELSE '80-100%' END AS score_range,
+           COUNT(*) AS count
+    FROM predictions GROUP BY 1
+    """,
+)
+def dash_score_distribution(g):
+    s = F.col("prediction_score")
+    bucket = (
+        F.when(s < 0.2, "0-20%")
+        .when(s < 0.4, "20-40%")
+        .when(s < 0.6, "40-60%")
+        .when(s < 0.8, "60-80%")
+        .otherwise("80-100%")
+    )
+    return (
+        predictions(g["silver"])
+        .groupBy(bucket.alias("score_range"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@_register(
+    "confusion_matrix",
+    f"""
+    , predictions AS ({PREDICTIONS_CTE})
+    SELECT is_fraud AS label, is_fraud_predicted AS prediction, COUNT(*) AS n
+    FROM predictions GROUP BY 1, 2
+    """,
+)
+def confusion_matrix(g):
+    return (
+        predictions(g["silver"])
+        .groupBy(
+            F.col("is_fraud").alias("label"),
+            F.col("is_fraud_predicted").alias("prediction"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "class_distribution",
+    "SELECT is_fraud, COUNT(*) AS count FROM silver GROUP BY is_fraud",
+)
+def class_distribution(g):
+    return g["silver"].groupBy("is_fraud").agg(F.count("*").alias("count"))
