@@ -1,0 +1,241 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle keyed on the
+  md5; map-side partial agg collapses most groups before shuffle.
+- **ngram-jaccard**: candidate pairs only *within* a prefix bucket
+  (never all-pairs): self-join keyed on a cheap bucket fingerprint,
+  then exact Jaccard on the candidates. Bucket key cardinality keeps
+  the join fan-out bounded.
+- **minhash-lsh**: shingles → K minhashes (xxhash64 with K seeds) →
+  B bands of R rows; documents sharing any band bucket become
+  candidate pairs (standard banding: P(candidate) ≈ 1-(1-j^R)^B).
+  The only shuffle is the band-bucket groupBy — never a cross join.
+- **simhash**: 64-bit signature via per-token hash bit-voting; near
+  dups = signatures within Hamming distance d, candidate-paired on
+  signature bands.
+
+MinHash/SimHash use engine-specific hash functions (xxhash64), so
+they register rows-only (no DuckDB oracle); their accuracy is
+validated in tests/test_dedup.py against exact Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
+
+Frames = dict[str, DataFrame]
+DEDUP_OPS: dict[str, tuple[Callable[[Frames], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        DEDUP_OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+# --- exact dedup on normalized fingerprint ----------------------------------
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS group_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dups_removed
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(t: Frames) -> DataFrame:
+    return (
+        t["documents"]
+        .groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("group_size"),
+            (F.count("*") - 1).cast("long").alias("dups_removed"),
+        )
+    )
+
+
+# --- n-gram Jaccard within prefix buckets (bounded candidate set) -----------
+_NGRAMS = f"list_distinct(list_transform(range(1, len({_TOKENS}) - 1), i -> array_to_string(list_slice({_TOKENS}, i, i + 2), ' ')))"
+_BUCKET = f"md5(array_to_string(list_slice({_TOKENS}, 1, 4), ' '))"
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_BUCKET} AS bucket, {_NGRAMS} AS grams FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {dround_sql(
+             "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+             " / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+           )} AS jaccard
+    FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(t: Frames) -> DataFrame:
+    toks = _tokens()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    docs = t["documents"].select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
+        grams.alias("grams"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dround(inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# --- MinHash + LSH banding (Spark-specific hashes → rows-only) --------------
+MINHASH_K = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → array<long> of K minhashes over word 3-shingles.
+
+    minhash_i = min over shingles of xxhash64(shingle, seed=i). Pure
+    column expressions: no UDF, no explode — the per-row transform
+    computes all K mins in one projection.
+    """
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+            for i in range(k)
+        ]
+    )
+    return docs.select("doc_id", shingles.alias("shingles")).select(
+        "doc_id", sig.alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + estimated Jaccard.
+
+    Explodes each signature into ``bands`` bucket keys, groups by
+    (band, bucket) — the single shuffle — and pairs documents within a
+    bucket. Estimated Jaccard = fraction of matching minhashes.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(docs, k)
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id", "a.signature", "b.signature")
+        .toDF("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", (matches / F.lit(float(k))).alias("est_jaccard")
+    )
+
+
+@_register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(t: Frames) -> DataFrame:
+    return minhash_lsh_candidates(t["documents"]).orderBy("doc_a", "doc_b")
+
+
+# --- SimHash (64-bit, bit-voting over token hashes) -------------------------
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit simhash. Bit b of the signature is 1 iff the
+    majority of token hashes have bit b set. Expressed with explode +
+    groupBy-sum (one shuffle on doc_id; at scale, salting is not
+    needed because doc_id is unique)."""
+    toks = _tokens()
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+@_register("dedup_simhash", None)
+def dedup_simhash(t: Frames) -> DataFrame:
+    return simhash_signatures(t["documents"]).orderBy("doc_id")

@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table (array<float> 64-d).
+
+Two paths:
+
+- **brute-force cosine top-k** (the correctness baseline, oracle
+  checked): query set × candidates via broadcast nested-loop join,
+  dot products as native higher-order-function expressions (zip_with +
+  aggregate — JVM-side, no Python), rank via row_number window.
+  At 100 TB this is only viable for small query sets — which is
+  exactly its role: ground truth for evaluating the scale path.
+- **IVF (inverted-file) top-k** (the scale path, rows-only): vectors
+  are assigned to coarse buckets by sign-quantizing the first
+  SIGN_BITS dimensions; queries probe only their own bucket. One
+  shuffle on bucket id; recall measured against brute force in
+  tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
+
+Frames = dict[str, DataFrame]
+SIMILARITY_OPS: dict[str, tuple[Callable[[Frames], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        SIMILARITY_OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+TOP_K = 5
+QUERY_MOD = 25  # vec_id % QUERY_MOD == 0 → query vector
+
+
+def _vec_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Brute-force cosine top-k: deterministic rank (rounded sim desc,
+    neighbor id asc)."""
+    base = emb.select("vec_id", _vec_double("embedding").alias("v")).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+_DOT_Q = "list_dot_product(a.v, b.v)"
+
+_COSINE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {dround_sql("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")}
+           AS cosine_sim
+  FROM base a JOIN base b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@_register("similarity_cosine_topk", _COSINE_ORACLE)
+def similarity_cosine_topk(t: Frames) -> DataFrame:
+    return cosine_topk(t["embeddings"])
+
+
+# --- embedding norms (plumbing check for array math, oracle-checked) --------
+@_register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           {dround_sql("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")}
+             AS l2_norm,
+           CAST(len(embedding) AS INTEGER) AS dims
+    FROM embeddings
+    """,
+)
+def embedding_norms(t: Frames) -> DataFrame:
+    v = _vec_double("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        "label",
+        dround(F.sqrt(_dot(v, v))).alias("l2_norm"),
+        F.size("embedding").alias("dims"),
+    )
+
+
+# --- IVF bucketed ANN (scale path, rows-only) -------------------------------
+SIGN_BITS = 4
+
+
+def ivf_bucket(col):
+    """Coarse quantization: bucket id from the sign pattern of the
+    first SIGN_BITS dimensions (16 buckets)."""
+    bucket = F.lit(0)
+    for i in range(SIGN_BITS):
+        bucket = bucket + F.when(col[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD, nprobe_hamming: int = 1
+) -> DataFrame:
+    """ANN top-k with multi-probe: each query probes its own sign
+    bucket plus all buckets within Hamming distance ``nprobe_hamming``
+    of it (standard IVF nprobe trade-off — at distance 1 that is
+    (1+SIGN_BITS)/2^SIGN_BITS ≈ 31% of candidates). Equi-join on
+    bucket → shuffle-hash join instead of a nested loop. Recall vs
+    brute force is measured in tests."""
+    base = emb.select(
+        "vec_id", _vec_double("embedding").alias("v")
+    ).withColumn("bucket", ivf_bucket(F.col("v"))).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    probe_offsets = [0] + ([1 << i for i in range(SIGN_BITS)] if nprobe_hamming >= 1 else [])
+    q = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(o)) for o in probe_offsets])
+            ).alias("bucket"),
+        )
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+@_register("similarity_ivf_topk", None)
+def similarity_ivf_topk(t: Frames) -> DataFrame:
+    return ivf_topk(t["embeddings"]).orderBy("query_id", "rank")

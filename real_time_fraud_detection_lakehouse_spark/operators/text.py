@@ -1,0 +1,172 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure column expressions (split / lambda higher-order functions /
+md5) — no Python UDFs, so they run inside whole-stage codegen and
+scale linearly with the scan. Each operator has a DuckDB oracle twin.
+
+At 100 TB these are narrow per-row transforms; the only aggregation
+(corpus stats) is a standard partial-agg groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
+
+Frames = dict[str, DataFrame]
+TEXT_OPS: dict[str, tuple[Callable[[Frames], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        TEXT_OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+#: Minimal per-language stopword markers for the heuristic language ID.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_EN_SET = "['the', 'a', 'and', 'of', 'to', 'in', 'is']"
+
+
+def _tokens_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# --- token/char statistics --------------------------------------------------
+@_register(
+    "text_stats",
+    f"""
+    SELECT
+      doc_id,
+      CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_computed,
+      {dround_sql(f"CAST(len(array_to_string({_TOKENS}, '')) AS DOUBLE) / len({_TOKENS})")} AS avg_token_len,
+      CAST(len(list_distinct({_TOKENS})) AS INTEGER) AS n_distinct_tokens,
+      {dround_sql(f"CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS})")} AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_stats(t: Frames) -> DataFrame:
+    toks = _tokens_col()
+    n = F.size(toks)
+    return t["documents"].select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        dround(F.length(F.array_join(toks, "")).cast("double") / n).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        dround(F.size(F.array_distinct(toks)).cast("double") / n).alias("type_token_ratio"),
+    )
+
+
+# --- quality scoring (length / repetition signals) --------------------------
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+      CAST(CASE WHEN len({_TOKENS}) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS INTEGER)
+        AS length_ok,
+      {dround_sql(f"CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS})")}
+        AS diversity,
+      CAST(CASE WHEN CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}) < 0.2
+           THEN 1 ELSE 0 END AS INTEGER) AS repetitive_flag,
+      {dround_sql(
+        f"0.5::DOUBLE * (CASE WHEN len({_TOKENS}) BETWEEN 20 AND 1000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)"
+        f" + 0.5::DOUBLE * (CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}))"
+      )} AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(t: Frames) -> DataFrame:
+    toks = _tokens_col()
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_ok = F.when(n.between(20, 1000), 1).otherwise(0)
+    return t["documents"].select(
+        "doc_id",
+        length_ok.cast("int").alias("length_ok"),
+        dround(diversity).alias("diversity"),
+        F.when(diversity < 0.2, 1).otherwise(0).cast("int").alias("repetitive_flag"),
+        dround(
+            F.lit(0.5) * length_ok.cast("double") + F.lit(0.5) * diversity
+        ).alias("quality_score"),
+    )
+
+
+# --- heuristic language ID --------------------------------------------------
+@_register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+      {dround_sql(f"CAST(len(list_filter({_TOKENS}, x -> list_contains({_EN_SET}, x))) AS DOUBLE) / len({_TOKENS})")}
+        AS en_marker_ratio,
+      CASE WHEN len(list_filter({_TOKENS}, x -> list_contains({_EN_SET}, x))) > 0
+           THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(t: Frames) -> DataFrame:
+    """N-gram/stopword-marker language ID. On this synthetic corpus the
+    vocabulary is English regardless of the ``lang`` label, so the
+    honest heuristic predicts 'en'/'unknown'; the operator's value is
+    the machinery (marker-set ratio scoring), which is oracle-checked."""
+    toks = _tokens_col()
+    en = F.lit(list(EN_STOPWORDS))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        dround(hits.cast("double") / F.size(toks)).alias("en_marker_ratio"),
+        F.when(hits > 0, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+# --- document fingerprint ---------------------------------------------------
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 16), ' '))
+             AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(t: Frames) -> DataFrame:
+    toks = _tokens_col()
+    return t["documents"].select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.md5(F.array_join(F.slice(toks, 1, 16), " ")).alias("prefix_fingerprint"),
+    )
+
+
+# --- corpus-level stats (grouped agg over computed columns) -----------------
+@_register(
+    "text_corpus_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens,
+           {dround_sql(f"AVG(CAST(len({_TOKENS}) AS DOUBLE))", 4)} AS avg_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_corpus_stats(t: Frames) -> DataFrame:
+    toks = _tokens_col()
+    return t["documents"].groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        dround(F.avg(F.size(toks).cast("double")), 4).alias("avg_tokens"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -1,0 +1,101 @@
+"""LLM-pipeline operators: oracle-checked entries vs DuckDB; hash-based
+entries (minhash/simhash/IVF) vs exact ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL, compare_frames, register_duck_views
+
+from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
+from real_time_fraud_detection_lakehouse_spark.operators import LLM_OPS
+from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+    TOP_K,
+    cosine_topk,
+    ivf_topk,
+)
+
+ORACLE_OPS = {k: v for k, v in LLM_OPS.items() if v[1] is not None}
+ROWS_ONLY_OPS = {k: v for k, v in LLM_OPS.items() if v[1] is None}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return {name: table(spark, SF_SMALL, name) for name in TESTDATA_TABLES}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_OPS))
+def test_llm_op_matches_oracle(name, spark, duck, frames):
+    register_duck_views(duck, SF_SMALL)
+    builder, oracle = LLM_OPS[name]
+    compare_frames(builder(frames), duck.sql(oracle))
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_OPS))
+def test_llm_op_runs(name, spark, frames):
+    builder, _ = LLM_OPS[name]
+    df = builder(frames)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash estimate tracks exact Jaccard on planted near-dups."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup → jaccard 1
+            (2, base.replace("lazy", "sleepy")),  # near dup
+            (3, "completely different words about spark query engines and shuffles everywhere now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, k=64, bands=16).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got.get((0, 2), 0) > 0.3
+    assert got.get((0, 3)) is None or got[(0, 3)] < 0.2
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("lazy", "sleepy")),
+            (2, "completely different words about spark query engines and shuffles everywhere now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+    assert hamming(sigs[0], sigs[1]) <= 12
+
+
+def test_ivf_recall_vs_bruteforce(spark, frames):
+    """IVF (1-bucket probe) keeps reasonable recall vs brute force."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(frames["embeddings"]).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(frames["embeddings"]).collect()
+    }
+    queries = {q for q, _ in exact}
+    recall = len(exact & approx) / len(exact)
+    assert len(queries) > 0
+    # multi-probe IVF examines ~31% of candidates; on random
+    # embeddings recall should comfortably beat that baseline
+    assert recall > 0.3, recall
