@@ -1,0 +1,163 @@
+"""ML training pipeline (ML1–ML8): median imputation, seeded 1:1
+undersampling, VectorAssembler → MinMaxScaler → RF/LR, evaluator
+block, and the metric promotion gate.
+
+Re-expresses `/root/reference/spark/app/ml_training_job.py:93-393`:
+same 15-feature contract (core/schemas.ML_FEATURES, exact order per
+main.py:359-376), same seed-42 sampling/split, same gate thresholds
+(accuracy≥0.90 ∧ f1≥0.85 ∧ auc≥0.90 → promote, ml_training_job.py:358).
+MLflow logging is out of engine scope; metrics computation is fully
+in-engine.
+
+Scale notes: approxQuantile is a single-pass Greenwald-Khanna sketch
+(one job over the column set); undersample+union is two narrow
+filters + a sample; the only heavy stages are tree training —
+RF numTrees/maxDepth are parameters, with the reference's 200×30 as
+``full`` config and a small fast config for CI-style runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.core.schemas import ML_FEATURES
+
+SEED = 42
+
+#: promotion gate per ml_training_job.py:358.
+GATE = {"accuracy": 0.90, "f1": 0.85, "auc": 0.90}
+
+
+def impute_median(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Median imputation via approxQuantile (ML1/A13,
+    ml_training_job.py:93-104): null/NaN → column median."""
+    cols = cols or [c for c in ML_FEATURES if c in df.columns]
+    medians = {}
+    for c in cols:
+        q = df.filter(~(F.col(c).isNull() | F.isnan(F.col(c)))).approxQuantile(c, [0.5], 0.01)
+        medians[c] = q[0] if q else 0.0
+    out = df
+    for c, m in medians.items():
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull() | F.isnan(F.col(c)), F.lit(m)).otherwise(F.col(c))
+        )
+    return out
+
+
+def rebalance(df: DataFrame, label: str = "is_fraud", seed: int = SEED) -> DataFrame:
+    """Seeded random undersample of the majority class to ~1:1
+    (M1/U1, ml_training_job.py:124-160)."""
+    fraud = df.filter(F.col(label) == 1)
+    normal = df.filter(F.col(label) == 0)
+    n_fraud = fraud.count()
+    n_normal = normal.count()
+    if n_normal == 0 or n_fraud == 0:
+        return df
+    frac = min(1.0, n_fraud / n_normal)
+    sampled = normal.sample(withReplacement=False, fraction=frac, seed=seed)
+    return fraud.union(sampled)
+
+
+def build_pipeline(model: str = "rf", fast: bool = False) -> Pipeline:
+    """assembler → scaler → classifier (ML2/ML3/ML4/ML5/ML6)."""
+    assembler = VectorAssembler(
+        inputCols=ML_FEATURES, outputCol="features_raw", handleInvalid="skip"
+    )
+    scaler = MinMaxScaler(inputCol="features_raw", outputCol="features")
+    if model == "rf":
+        clf = RandomForestClassifier(
+            featuresCol="features",
+            labelCol="is_fraud",
+            numTrees=20 if fast else 200,
+            maxDepth=8 if fast else 30,
+            seed=SEED,
+        )
+    elif model == "lr":
+        clf = LogisticRegression(
+            featuresCol="features", labelCol="is_fraud", maxIter=50 if fast else 1000,
+            regParam=0.0,
+        )
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    return Pipeline(stages=[assembler, scaler, clf])
+
+
+@dataclass
+class TrainResult:
+    metrics: dict[str, float]
+    promoted: bool
+    model: object
+
+
+def train_and_evaluate(
+    silver: DataFrame, model: str = "rf", fast: bool = False, seed: int = SEED
+) -> TrainResult:
+    """Full flow: impute → rebalance → 80/20 split (M2) → fit →
+    evaluate (ML7) → gate (ML8)."""
+    data = impute_median(silver.select("is_fraud", *ML_FEATURES))
+    data = rebalance(data).cache()
+    train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    fitted = build_pipeline(model, fast).fit(train)
+    pred = fitted.transform(test).cache()
+
+    auc = BinaryClassificationEvaluator(
+        labelCol="is_fraud", metricName="areaUnderROC"
+    ).evaluate(pred)
+    multi = MulticlassClassificationEvaluator(labelCol="is_fraud")
+    metrics = {
+        "auc": auc,
+        "accuracy": multi.setMetricName("accuracy").evaluate(pred),
+        "precision": multi.setMetricName("weightedPrecision").evaluate(pred),
+        "recall": multi.setMetricName("weightedRecall").evaluate(pred),
+        "f1": multi.setMetricName("f1").evaluate(pred),
+    }
+    promoted = all(metrics[k] >= v for k, v in GATE.items())
+    data.unpersist()
+    return TrainResult(metrics=metrics, promoted=promoted, model=fitted)
+
+
+def confusion_counts(pred: DataFrame) -> dict[str, int]:
+    """TP/TN/FP/FN filtered counts (A14, ml_training_job.py:309-313)."""
+    agg = pred.agg(
+        F.sum(F.when((F.col("is_fraud") == 1) & (F.col("prediction") == 1.0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("is_fraud") == 0) & (F.col("prediction") == 0.0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((F.col("is_fraud") == 0) & (F.col("prediction") == 1.0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("is_fraud") == 1) & (F.col("prediction") == 0.0), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    return {k: int(agg[k] or 0) for k in ("tp", "tn", "fp", "fn")}
+
+
+def ml_metrics_df(spark, sf_dir: str, model: str = "lr") -> DataFrame:
+    """Driver-facing entry: train the fast config on silver at sf_dir
+    and return one metrics row (rows-only correctness — training is
+    engine-specific, so no SQL oracle)."""
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    res = train_and_evaluate(build_silver(spark, sf_dir), model=model, fast=True)
+    rows = [
+        (
+            model,
+            float(res.metrics["auc"]),
+            float(res.metrics["accuracy"]),
+            float(res.metrics["precision"]),
+            float(res.metrics["recall"]),
+            float(res.metrics["f1"]),
+            bool(res.promoted),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "model string, auc double, accuracy double, precision double, recall double, f1 double, promoted boolean",
+    )

@@ -1,0 +1,65 @@
+"""Streaming bronze ingest: stream output ≡ batch parse of the same
+input; checkpoint restart is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from real_time_fraud_detection_lakehouse_spark.streaming.bronze import (
+    parse_cdc,
+    run_bronze_stream,
+    write_cdc_fixture,
+)
+
+
+def test_stream_equals_batch_parse(spark, tmp_path):
+    cdc = str(tmp_path / "cdc")
+    bronze_dir = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    n = write_cdc_fixture(spark, SF_SMALL, cdc)
+
+    bronze = run_bronze_stream(spark, cdc, bronze_dir, ckpt)
+    batch = parse_cdc(spark.read.schema("value string").text(cdc))
+
+    assert bronze.count() == n == batch.count()
+    cols = ["trans_num", "cc_num", "amt", "merchant", "trans_timestamp", "is_fraud"]
+    s = sorted([tuple(r) for r in bronze.select(cols).collect()])
+    b = sorted([tuple(r) for r in batch.select(cols).collect()])
+    assert s == b
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    cdc = str(tmp_path / "cdc")
+    bronze_dir = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    n = write_cdc_fixture(spark, SF_SMALL, cdc)
+
+    first = run_bronze_stream(spark, cdc, bronze_dir, ckpt).count()
+    # second run with same checkpoint: no new input → no new rows
+    second = run_bronze_stream(spark, cdc, bronze_dir, ckpt).count()
+    assert first == second == n
+
+
+def test_tombstones_filtered(spark, tmp_path):
+    cdc = str(tmp_path / "cdc")
+    write_cdc_fixture(spark, SF_SMALL, cdc)
+    raw = spark.read.schema("value string").text(cdc)
+    total = raw.count()
+    parsed = parse_cdc(raw)
+    kept = parsed.count()
+    assert kept < total  # tombstones dropped
+    assert parsed.filter(F.col("trans_num").isNull()).count() == 0
+
+
+def test_bronze_partitioned_layout(spark, tmp_path):
+    cdc = str(tmp_path / "cdc")
+    bronze_dir = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    write_cdc_fixture(spark, SF_SMALL, cdc)
+    run_bronze_stream(spark, cdc, bronze_dir, ckpt)
+    years = [d for d in os.listdir(bronze_dir) if d.startswith("year=")]
+    assert years, os.listdir(bronze_dir)
