@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship daily_summary over sf0.001 (smoke).
+- ``queries()``      — one entry per implemented operator family from
+  SURVEY.md §2 + the LLM-data-pipeline extensions. Callables take
+  (spark, sf_dir) and return a DataFrame.
+- ``oracle_sql()``   — DuckDB-dialect equivalents for every
+  SQL-expressible query (same column aliases). Entries absent here
+  (streaming, ML training, minhash/simhash/IVF, multimodal) are
+  engine-specific and get the driver's rows-only check; their
+  semantics are validated in tests/ against batch equivalence or
+  exact ground truth instead.
 """
 
 from __future__ import annotations
@@ -13,26 +18,115 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
+from real_time_fraud_detection_lakehouse_spark.operators import LLM_OPS
+from real_time_fraud_detection_lakehouse_spark.plans import gold as gold_mod
+from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+from real_time_fraud_detection_lakehouse_spark.plans.gold import gold_frames, gold_prelude
+from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver, silver_prelude
+from real_time_fraud_detection_lakehouse_spark.plans.views import VIEWS
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+    TRANSACTIONS_CTE,
+    transactions_df,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the daily_summary view over the full medallion
+    (transactions → silver features → gold fact → grouped conditional
+    aggregation) at sf0.001."""
+    frames = gold_frames(spark, "/root/testdata/sf0.001")
+    return VIEWS["daily_summary"][0](frames)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _domain_query(builder) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return builder(gold_frames(spark, sf_dir))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return run
+
+
+def _table_query(builder) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        frames = {name: table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+        return builder(frames)
+
+    return run
+
+
+def queries() -> dict[str, QueryFn]:
+    q: dict[str, QueryFn] = {}
+
+    # medallion core: source mapping, silver features, gold star schema
+    q["transactions_source"] = lambda spark, sf: transactions_df(spark, sf)
+    q["silver_features"] = lambda spark, sf: build_silver(spark, sf)
+    q["gold_fact_transactions"] = lambda spark, sf: gold_mod.fact_transactions(
+        build_silver(spark, sf)
+    )
+    q["gold_dim_customer"] = lambda spark, sf: gold_mod.dim_customer(build_silver(spark, sf))
+    q["gold_dim_merchant"] = lambda spark, sf: gold_mod.dim_merchant(build_silver(spark, sf))
+    q["gold_dim_time"] = lambda spark, sf: gold_mod.dim_time(build_silver(spark, sf))
+    q["gold_dim_location"] = lambda spark, sf: gold_mod.dim_location(build_silver(spark, sf))
+
+    # analytics views + dashboards + scoring flow
+    for name, (builder, _sql) in {**VIEWS, **DASHBOARDS}.items():
+        q[name] = _domain_query(builder)
+
+    # relational operator coverage on the TPC-H-ish tables
+    for name, (builder, _sql) in RELATIONAL.items():
+        q[name] = _table_query(builder)
+
+    # LLM-data-pipeline operators (dedup / similarity / text)
+    for name, (builder, _sql) in LLM_OPS.items():
+        q[name] = _table_query(builder)
+
+    # engine-specific, rows-only checked
+    def _streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.streaming.bronze import (
+            streaming_bronze_summary,
+        )
+
+        return streaming_bronze_summary(spark, sf_dir)
+
+    def _ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.ml.pipeline import ml_metrics_df
+
+        return ml_metrics_df(spark, sf_dir, model="lr")
+
+    def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+            multimodal_features,
+        )
+
+        return multimodal_features(spark, sf_dir)
+
+    q["streaming_bronze_ingest"] = _streaming
+    q["ml_train_metrics"] = _ml
+    q["multimodal_features"] = _multimodal
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["transactions_source"] = (
+        f"WITH transactions AS ({TRANSACTIONS_CTE}) SELECT * FROM transactions"
+    )
+    o["silver_features"] = f"{silver_prelude()} SELECT * FROM silver"
+    o["gold_fact_transactions"] = f"{silver_prelude()} {gold_mod.FACT_CTE}"
+    o["gold_dim_customer"] = f"{silver_prelude()} {gold_mod.DIM_CUSTOMER_CTE}"
+    o["gold_dim_merchant"] = f"{silver_prelude()} {gold_mod.DIM_MERCHANT_CTE}"
+    o["gold_dim_time"] = f"{silver_prelude()} {gold_mod.DIM_TIME_CTE}"
+    o["gold_dim_location"] = f"{silver_prelude()} {gold_mod.DIM_LOCATION_CTE}"
+
+    prelude = gold_prelude()
+    for name, (_builder, sql) in {**VIEWS, **DASHBOARDS}.items():
+        o[name] = f"{prelude} {sql}"
+    for name, (_builder, sql) in RELATIONAL.items():
+        o[name] = sql
+    for name, (_builder, sql) in LLM_OPS.items():
+        if sql is not None:
+            o[name] = sql
+    return o

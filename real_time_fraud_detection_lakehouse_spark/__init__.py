@@ -1,22 +1,22 @@
-"""real_time_fraud_detection_lakehouse_spark — a PySpark-native analytics engine.
+"""real_time_fraud_detection_lakehouse_spark — a PySpark-native
+analytics engine with the query and data-processing capabilities of
+the reference fraud-detection lakehouse (bin-bard/
+real-time-fraud-detection-lakehouse), re-expressed Spark-first.
 
-A from-scratch, Spark-first re-expression of the query and
-data-processing capabilities of the reference lakehouse
-(`bin-bard/real-time-fraud-detection-lakehouse`, studied read-only):
+Modules (all present):
 
-- medallion batch pipeline (bronze -> silver features -> gold star
-  schema) built as declarative DataFrame transforms (``plans/``),
-- the full SQL analytics surface (9 views + dashboard queries) as
-  catalog views and DataFrame builders (``plans/views.py``),
-- structured-streaming ingest + in-engine scoring (``streaming/``),
-- a feature library shared by batch and streaming (``functions/``),
-- large-scale training-data ops: dedup (exact/MinHash-LSH/SimHash),
-  ANN similarity search, text analysis (``operators/``),
-- an ML training pipeline on Spark ML (``ml/``).
-
-Everything is DataFrame/SQL-first so Catalyst handles pushdown,
-pruning, join strategy and AQE; Python touches rows only through
-Arrow-batched pandas UDFs where built-ins cannot express the op.
+- ``core``       — SparkSession factory, testdata catalog, declared schemas
+- ``functions``  — feature/scalar column-expression library (native
+  haversine, age, cyclic encodings, bins/flags, rule score)
+- ``sources``    — deterministic transactions source + DuckDB oracle twin
+- ``plans``      — silver/gold medallion, 9 analytics views, 14 dashboard
+  queries, scoring flow, relational operator coverage
+- ``operators``  — LLM-data-pipeline ops: dedup (exact / n-gram Jaccard /
+  MinHash-LSH / SimHash), similarity search (brute-force cosine +
+  multi-probe IVF), text analysis, multimodal column plumbing
+- ``streaming``  — CDC bronze ingest (Structured Streaming, checkpointed)
+- ``ml``         — impute → rebalance → assemble → scale → RF/LR →
+  evaluate → promotion gate
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

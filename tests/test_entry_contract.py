@@ -1,0 +1,44 @@
+"""Replicates the driver harness over __spark_entry__: every oracle
+query hash-matches DuckDB at sf0.001; rows-only queries run clean."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL, compare_frames, register_duck_views
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+#: rows-only entries that are slow (streaming/ML) — covered by their
+#: dedicated test modules; the cheap ones still run here.
+SLOW_ROWS_ONLY = {"streaming_bronze_ingest", "ml_train_metrics"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema.fieldNames()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(ORACLES) >= 50
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    register_duck_views(duck, SF_SMALL)
+    sdf = QUERIES[name](spark, SF_SMALL)
+    rel = duck.sql(ORACLES[name])
+    compare_frames(sdf, rel)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES) - SLOW_ROWS_ONLY)
+)
+def test_rows_only_query_runs(name, spark):
+    df = QUERIES[name](spark, SF_SMALL)
+    assert df.count() >= 0
