@@ -1,0 +1,142 @@
+"""Table sinks: partitioned append, overwrite-fallback, MERGE-style
+upsert, catalog registration, JDBC, webhook alerts.
+
+Re-expresses the reference's sink surface on plain parquet (Delta is
+not available in this environment; the call sites are annotated with
+the Delta equivalent so swapping ``format("parquet")`` for
+``format("delta")`` restores the reference's exact behavior):
+
+- S7  partitioned streaming/batch append        (streaming_job.py:98-115)
+- S8  append with schema-conflict overwrite     (silver_job.py:201-227)
+- S9  plain append                              (gold_job.py:95-222)
+- S10 catalog registration                      (register_tables_to_hive.py:44-89)
+- S11 upsert on key                             (main.py:134-145; Delta MERGE)
+- S12 webhook alert sink                        (realtime_prediction_job.py:115-209)
+- S6  JDBC sink                                 (producer.py:137-186)
+
+Scale notes: appends are append-only file commits (no read-side);
+the parquet "merge" rewrites only because vanilla parquet has no
+transaction log — on Delta this is a real MERGE INTO keyed join,
+shuffling only on the merge key with dynamic file pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """S7/S9: partitioned append (Delta: .format('delta'))."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def append_with_schema_fallback(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> str:
+    """S8: try append; on schema conflict, overwrite with the new
+    schema (silver_job.py:201-227 semantics). Returns the mode used."""
+    writer = df.write
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    try:
+        writer.mode("append").parquet(path)
+        return "append"
+    except Exception as err:  # schema merge conflict
+        if "schema" not in str(err).lower() and "merge" not in str(err).lower():
+            raise
+        writer2 = df.write.mode("overwrite").option("overwriteSchema", "true")
+        if partition_cols:
+            writer2 = writer2.partitionBy(*partition_cols)
+        writer2.parquet(path)
+        return "overwrite"
+
+
+def upsert_by_key(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> None:
+    """S11: MERGE-style upsert keyed on ``key`` — update matched rows,
+    insert new ones (INSERT ... ON CONFLICT DO UPDATE semantics,
+    main.py:134-145). On Delta:
+    DeltaTable.merge().whenMatchedUpdateAll().whenNotMatchedInsertAll().
+
+    Vanilla-parquet emulation: anti-join existing rows against the
+    update keys, union, rewrite. Correct but full-rewrite; the Delta
+    path touches only files containing matched keys.
+    """
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        updates.write.mode("overwrite").parquet(path)
+        return
+    keys = updates.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(updates)
+    # rewrite via an intermediate to avoid reading and overwriting the
+    # same files in one job
+    staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite").parquet(path)
+    staged.unpersist()
+
+
+def register_table(
+    spark: SparkSession, df: DataFrame, name: str, path: str | None = None
+) -> None:
+    """S10: make a table SQL-visible. With a path: external-location
+    style registration (CREATE TABLE ... USING parquet LOCATION);
+    without: a temp view (metadata-only, the single-engine analog of
+    the reference's Hive Metastore registration)."""
+    if path is not None:
+        df.write.mode("overwrite").parquet(path)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+    else:
+        df.createOrReplaceTempView(name)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """S6: JDBC sink (producer.py bulk-insert analog). No database is
+    available in this environment — thin passthrough, exercised only
+    when a JDBC URL exists."""
+    df.write.mode(mode).options(**options).jdbc(url, table)
+
+
+def post_webhook(payload: dict, url: str, transport: Callable[[str, bytes], int] | None = None) -> int:
+    """S12 transport: POST one JSON alert. ``transport`` is injectable
+    so tests (and air-gapped runs) capture instead of POSTing."""
+    body = json.dumps(payload).encode()
+    if transport is not None:
+        return transport(url, body)
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=5) as resp:  # noqa: S310
+        return resp.status
+
+
+def alert_sink(
+    alerts: DataFrame,
+    url: str,
+    transport: Callable[[str, bytes], int] | None = None,
+    max_alerts: int = 100,
+) -> int:
+    """S12: post one block-kit-style alert per fraud row
+    (realtime_prediction_job.py:115-209 semantics, engine-side).
+    Collects at most ``max_alerts`` rows (alerts are rare by
+    construction — the stream filters to HIGH risk first). Returns the
+    number posted."""
+    rows = alerts.limit(max_alerts).collect()
+    for row in rows:
+        payload = {
+            "text": (
+                f"Fraud alert: {row['trans_num']} "
+                f"amount=${row['amt']:.2f} risk={row['risk_level']}"
+            ),
+            "trans_num": row["trans_num"],
+            "risk_level": row["risk_level"],
+        }
+        post_webhook(payload, url, transport)
+    return len(rows)

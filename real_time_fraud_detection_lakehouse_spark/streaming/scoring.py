@@ -1,0 +1,101 @@
+"""Real-time scoring & alerting: in-engine, vectorized, no RPC.
+
+Replaces the reference's per-row driver loop → HTTP POST → FastAPI →
+sklearn flow (`/root/reference/spark/app/realtime_prediction_job.py:
+265-399`, entry point 4 in SURVEY §3.4) with the idiomatic pattern:
+
+  stream → silver features (shared module) → score IN the engine
+  (rule expression, or a fitted PipelineModel.transform — the model
+  rides to executors once via the task closure / broadcast, not once
+  per row over HTTP) → risk level CASE (main.py:409-414) → upsert
+  predictions (S11) → webhook alerts for HIGH risk (S12),
+  all inside foreachBatch (T2) with checkpointing (T4/S14).
+
+Per-event latency budget: one micro-batch (trigger-bound) instead of
+one HTTP round trip per row — at 100 TB/day rates the per-row RPC is
+~10^4× more driver/network work than a vectorized transform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.functions.features import (
+    risk_level,
+    rule_fraud_score,
+)
+from real_time_fraud_detection_lakehouse_spark.functions.features import (
+    with_silver_features,
+)
+from real_time_fraud_detection_lakehouse_spark.sources.sinks import alert_sink, upsert_by_key
+
+
+def score_batch(batch: DataFrame, model=None) -> DataFrame:
+    """Engineer features and score one (micro-)batch.
+
+    ``model=None`` → rule-based score (UD5). With a fitted Spark ML
+    PipelineModel, uses ``model.transform`` and the positive-class
+    probability (S13 — the model is shipped to executors by Spark's
+    closure/broadcast machinery, zero RPC).
+    """
+    feats = with_silver_features(batch)
+    if model is None:
+        score = rule_fraud_score(
+            F.col("amt"), F.col("distance_km"), F.col("hour"), F.col("age")
+        )
+        scored = feats.withColumn("prediction_score", score)
+    else:
+        from pyspark.ml.functions import vector_to_array
+
+        scored = model.transform(feats).withColumn(
+            "prediction_score", vector_to_array(F.col("probability"))[1]
+        )
+    return scored.select(
+        "trans_num",
+        "amt",
+        "trans_timestamp",
+        F.round(F.col("prediction_score"), 4).alias("prediction_score"),
+        F.when(F.col("prediction_score") > 0.5, 1).otherwise(0).cast("int").alias(
+            "is_fraud_predicted"
+        ),
+        risk_level(F.col("prediction_score")).alias("risk_level"),
+        F.current_timestamp().alias("prediction_time"),
+    )
+
+
+def run_scoring_stream(
+    spark: SparkSession,
+    source_path: str,
+    predictions_path: str,
+    checkpoint_dir: str,
+    model=None,
+    webhook_url: str | None = None,
+    transport: Callable[[str, bytes], int] | None = None,
+) -> DataFrame:
+    """Checkpointed AvailableNow scoring stream over a parquet source
+    of typed transactions: score → upsert → alert."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        scored = score_batch(batch, model=model).cache()
+        upsert_by_key(batch.sparkSession, scored, predictions_path, "trans_num")
+        if webhook_url is not None:
+            alerts = scored.filter(F.col("risk_level") == "HIGH").select(
+                "trans_num", "amt", "risk_level"
+            )
+            alert_sink(alerts, webhook_url, transport)
+        scored.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(predictions_path)

@@ -1,0 +1,135 @@
+"""Sinks, incremental HWM/watermark processing, streaming scorer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from real_time_fraud_detection_lakehouse_spark.plans.gold import dim_customer, dim_time
+from real_time_fraud_detection_lakehouse_spark.plans.incremental import (
+    incremental_silver_batch,
+    incremental_silver_stream,
+)
+from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+    alert_sink,
+    append_with_schema_fallback,
+    register_table,
+    upsert_by_key,
+)
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
+from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+    run_scoring_stream,
+    score_batch,
+)
+
+
+def test_upsert_by_key(spark, tmp_path):
+    path = str(tmp_path / "preds")
+    v1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    upsert_by_key(spark, v1, path, "k")
+    v2 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    upsert_by_key(spark, v2, path, "k")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_append_schema_fallback(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    assert append_with_schema_fallback(a, path) == "append"
+    assert append_with_schema_fallback(a, path) == "append"
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_register_table(spark, tmp_path):
+    df = transactions_df(spark, SF_SMALL).limit(10)
+    register_table(spark, df, "tx_view")
+    assert spark.sql("SELECT COUNT(*) AS n FROM tx_view").collect()[0]["n"] == 10
+
+
+def test_alert_sink_capture(spark):
+    captured = []
+
+    def transport(url, body):
+        captured.append((url, body))
+        return 200
+
+    silver = build_silver(spark, SF_SMALL)
+    scored = score_batch(transactions_df(spark, SF_SMALL))
+    alerts = scored.filter(F.col("risk_level") == "HIGH").select(
+        "trans_num", "amt", "risk_level"
+    )
+    n = alert_sink(alerts, "http://example.invalid/webhook", transport, max_alerts=5)
+    assert n == len(captured) <= 5
+    assert silver.count() > 0
+
+
+def test_gold_dims_idempotent_rerun(spark):
+    """Re-deriving dims twice yields identical results (fixes the
+    reference's append-duplicates bug, SURVEY §2.13 A16)."""
+    silver = build_silver(spark, SF_SMALL)
+    c1 = sorted(map(tuple, dim_customer(silver).collect()))
+    c2 = sorted(map(tuple, dim_customer(silver).collect()))
+    assert c1 == c2
+    t1 = dim_time(silver).count()
+    t2 = dim_time(silver).count()
+    assert t1 == t2
+
+
+def test_incremental_hwm_batch(spark, tmp_path):
+    bronze_path = str(tmp_path / "bronze")
+    silver_path = str(tmp_path / "silver")
+    tx = transactions_df(spark, SF_SMALL)
+    old = tx.filter(F.dayofmonth("trans_timestamp") <= 15)
+    new = tx.filter(F.dayofmonth("trans_timestamp") > 15)
+
+    old.write.mode("overwrite").parquet(bronze_path)
+    n1 = incremental_silver_batch(spark, bronze_path, silver_path)
+    assert n1 == old.count()
+    # no new data → nothing written
+    assert incremental_silver_batch(spark, bronze_path, silver_path) == 0
+    # append late-arriving newer rows → only they are processed
+    new.write.mode("append").parquet(bronze_path)
+    n2 = incremental_silver_batch(spark, bronze_path, silver_path)
+    assert n2 == new.count()
+    assert spark.read.parquet(silver_path).count() == tx.count()
+
+
+def test_incremental_watermark_stream(spark, tmp_path):
+    bronze_path = str(tmp_path / "bronze")
+    silver_path = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    tx = transactions_df(spark, SF_SMALL)
+    tx.write.mode("overwrite").parquet(bronze_path)
+    out = incremental_silver_stream(spark, bronze_path, silver_path, ckpt)
+    assert out.count() == tx.count()
+    # restart with checkpoint: no reprocessing
+    out2 = incremental_silver_stream(spark, bronze_path, silver_path, ckpt)
+    assert out2.count() == tx.count()
+
+
+def test_scoring_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "tx")
+    preds = str(tmp_path / "preds")
+    ckpt = str(tmp_path / "ckpt")
+    captured = []
+    tx = transactions_df(spark, SF_SMALL)
+    tx.write.mode("overwrite").parquet(src)
+    out = run_scoring_stream(
+        spark,
+        src,
+        preds,
+        ckpt,
+        webhook_url="http://example.invalid/hook",
+        transport=lambda u, b: captured.append(b) or 200,
+    )
+    assert out.count() == tx.count()
+    assert set(out.select("risk_level").distinct().toPandas()["risk_level"]) <= {
+        "HIGH",
+        "MEDIUM",
+        "LOW",
+    }
+    scores = out.select(F.min("prediction_score"), F.max("prediction_score")).collect()[0]
+    assert 0.0 <= scores[0] <= scores[1] <= 1.0
