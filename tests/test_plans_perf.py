@@ -1,0 +1,86 @@
+"""Physical-plan audits: pin the performance-critical plan shapes so
+regressions (lost broadcast, lost pushdown, lost partial agg) fail CI.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
+from real_time_fraud_detection_lakehouse_spark.plans.gold import gold_frames
+from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+from real_time_fraud_detection_lakehouse_spark.plans.views import VIEWS
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    g = gold_frames(spark, SF_SMALL)
+    for view in ("state_summary", "time_period_analysis"):
+        plan = _plan(VIEWS[view][0](g))
+        assert "BroadcastHashJoin" in plan, f"{view} lost its broadcast join"
+        assert "SortMergeJoin" not in plan, f"{view} degraded to sort-merge"
+
+
+def test_aggregates_have_partial_stage(spark):
+    g = gold_frames(spark, SF_SMALL)
+    plan = _plan(VIEWS["daily_summary"][0](g))
+    assert "partial_count" in plan or "partial_sum" in plan, "no map-side partial agg"
+
+
+def test_scan_prunes_columns(spark):
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_order_priority"][0](frames))
+    # only the two needed columns should reach the orders scan
+    scan = [l for l in plan.split("\n") if "FileScan" in l and "orders" in l][0]
+    assert "o_orderdate" in scan and "o_orderpriority" in scan
+    assert "o_totalprice" not in scan, "column pruning lost"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_order_priority"][0](frames))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan.replace(
+        "\n", " "
+    ), "predicate pushdown lost"
+
+
+def test_tpch_join_broadcasts_small_side(spark):
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_top_customers"][0](frames))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    g = gold_frames(spark, SF_SMALL)
+    plan = _plan(VIEWS["merchant_analysis"][0](g))
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT should not global-sort"
+
+
+def test_silver_is_shuffle_free(spark):
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    plan = _plan(build_silver(spark, SF_SMALL))
+    assert "Exchange" not in plan, "silver feature pipeline must not shuffle"
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, (
+        "silver features must stay JVM-side"
+    )
+
+
+def test_whole_stage_codegen_covers_silver(spark):
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    import io
+    from contextlib import redirect_stdout
+
+    df = build_silver(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    out = buf.getvalue()
+    # '*' operator prefix = inside a WholeStageCodegen stage; every
+    # projection/filter of the feature block must carry it
+    ops = [l for l in out.splitlines() if "Project" in l or "Filter" in l]
+    assert ops and all(l.lstrip("+- ").startswith("* ") for l in ops), out
