@@ -81,6 +81,8 @@ def test_whole_stage_codegen_covers_silver(spark):
         df.explain("formatted")
     out = buf.getvalue()
     # '*' operator prefix = inside a WholeStageCodegen stage; every
-    # projection/filter of the feature block must carry it
-    ops = [l for l in out.splitlines() if "Project" in l or "Filter" in l]
+    # projection/filter of the feature block must carry it. Only the
+    # plan-tree section (before the first blank line) uses the prefix.
+    tree = out.split("\n\n")[0].splitlines()
+    ops = [l for l in tree if "Project" in l or "Filter" in l]
     assert ops and all(l.lstrip("+- ").startswith("* ") for l in ops), out
