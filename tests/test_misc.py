@@ -1,0 +1,77 @@
+"""API-compat feature variants (SURVEY §2.13 conflicts), Arrow
+toPandas bridge (M4), faithful gold dims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from real_time_fraud_detection_lakehouse_spark.functions import features as feat
+from real_time_fraud_detection_lakehouse_spark.plans.gold import (
+    dim_customer_faithful,
+    dim_merchant_faithful,
+)
+from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+
+def test_amount_bin_api_compat(spark):
+    rows = (
+        spark.createDataFrame(
+            [(0.0,), (50.0,), (100.0,), (300.0,), (500.0,), (1000.0,), (1500.0,)],
+            "amt double",
+        )
+        .select("amt", feat.amount_bin(F.col("amt"), api_compat=True).alias("bin"))
+        .collect()
+    )
+    got = {r["amt"]: r["bin"] for r in rows}
+    # API shim bins per feature_engineering.py:58-69
+    assert got == {0.0: 0, 50.0: 1, 100.0: 1, 300.0: 2, 500.0: 3, 1000.0: 4, 1500.0: 5}
+
+
+def test_gender_encoding_both_conventions(spark):
+    df = spark.createDataFrame([("M",), ("F",), (None,)], "gender string")
+    rows = df.select(
+        feat.gender_encoded(F.col("gender")).alias("silver"),
+        feat.gender_encoded(F.col("gender"), api_compat=True).alias("api"),
+    ).collect()
+    assert [(r["silver"], r["api"]) for r in rows] == [(1, 0), (0, 1), (0, 1)]
+
+
+def test_distance_thresholds_both_conventions(spark):
+    df = spark.createDataFrame([(75.0,), (150.0,), (-1.0,)], "d double")
+    rows = df.select(
+        feat.is_distant_transaction(F.col("d")).alias("silver"),
+        feat.is_distant_transaction(F.col("d"), api_compat=True).alias("api"),
+    ).collect()
+    # silver: >100; API: >50; sentinel -1 never distant
+    assert [(r["silver"], r["api"]) for r in rows] == [(0, 1), (1, 1), (0, 0)]
+
+
+def test_haversine_api_null_default(spark):
+    df = spark.range(1).select(
+        feat.haversine_km(
+            F.lit(None).cast("double"), F.lit(0.0), F.lit(0.0), F.lit(0.0), null_default=10.0
+        ).alias("d")
+    )
+    assert df.collect()[0]["d"] == 10.0
+
+
+def test_topandas_arrow_bridge(spark):
+    pdf = build_silver(spark, SF_SMALL).select("trans_num", "amt", "distance_km").toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"trans_num", "amt", "distance_km"}
+    assert str(pdf["amt"].dtype) == "float64"
+
+
+def test_faithful_dims_shapes(spark):
+    silver = build_silver(spark, SF_SMALL)
+    dc = dim_customer_faithful(silver)
+    assert "age" in dc.columns and "last_updated" in dc.columns
+    assert dc.count() == dc.select("customer_key").distinct().count()
+    dm = dim_merchant_faithful(silver)
+    assert "merchant_key" in dm.columns
+    # Murmur3 surrogate keys are engine-internal but must be stable
+    a = sorted(r["merchant_key"] for r in dm.select("merchant_key").collect())
+    b = sorted(r["merchant_key"] for r in dim_merchant_faithful(silver).select("merchant_key").collect())
+    assert a == b
