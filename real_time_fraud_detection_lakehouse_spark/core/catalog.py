@@ -36,8 +36,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession safe for this engine.
+
+    The driver harness supplies its own session; two runtime-settable
+    confs are load-bearing for correctness: nanos timestamps in
+    events.parquet (unreadable without the legacy flag) and the UTC
+    session time zone (calendar functions must agree with the DuckDB
+    oracle, which reads naive timestamps). Both are plain SQLConfs —
+    settable after session creation.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+
+
 def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem") -> DataFrame:
     """Read one testdata table as a DataFrame (cached per session+path)."""
+    _ensure_session_conf(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (id(spark), path)
