@@ -54,6 +54,10 @@ def main() -> None:
         extra_conf={"spark.sql.shuffle.partitions": str(max(int(CPUS) if CPUS != "*" else 32, 8))},
     )
     qs = em.queries()
+    # warm the JVM + parquet footers so timings reflect steady state,
+    # not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["transactions_source"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name in HEADLINE:

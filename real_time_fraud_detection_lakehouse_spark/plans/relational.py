@@ -343,6 +343,155 @@ def q_parts_ordered(t: Frames) -> DataFrame:
     )
 
 
+# --- highly selective filter agg (TPC-H Q6 shape; pushdown showcase) --------
+@_register(
+    "q_selective_revenue",
+    f"""
+    SELECT {_r4s('SUM(l_extendedprice * l_discount)')} AS revenue,
+           COUNT(*) AS matched
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-02-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2024-05-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_selective_revenue(t: Frames) -> DataFrame:
+    l = t["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-05-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("matched"),
+        )
+    )
+
+
+# --- CUBE rollup (generalizes the reference's multi-factor grouping A10) ----
+@_register(
+    "q_cube_returnflag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {_r4s('SUM(l_quantity)')} AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_returnflag_status(t: Frames) -> DataFrame:
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r4(F.sum("l_quantity")).alias("qty"))
+    )
+
+
+# --- join + conditional-share agg (TPC-H Q14 shape) -------------------------
+_TYPED_REV = (
+    "SUM(CASE WHEN p.p_type LIKE '%a%' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)"
+)
+
+
+@_register(
+    "q_brand_revenue_share",
+    f"""
+    SELECT p.p_brand,
+           {_r4s(_TYPED_REV)} AS typed_revenue,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_revenue_share(t: Frames) -> DataFrame:
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    return j.groupBy("p_brand").agg(
+        _r4(F.sum(F.when(F.col("p_type").contains("a"), rev).otherwise(0.0))).alias(
+            "typed_revenue"
+        ),
+        _r4(F.sum(rev)).alias("total_revenue"),
+    )
+
+
+# --- sessionization (gap > 30 min starts a new session) ---------------------
+@_register(
+    "q_user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+             lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000, event_id) AS prev_sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS events_in_session
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_user_sessions(t: Frames) -> DataFrame:
+    # classic gap sessionization: lag → new-session flag → running sum
+    # as session id → per-session aggregate. Orders on (sec, event_id)
+    # so ties are deterministic. One shuffle on user_id.
+    ev = t["events"].withColumn("sec", F.expr("unix_micros(ts) div 1000000"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.when(
+            F.lag("sec").over(w).isNull() | ((F.col("sec") - F.lag("sec").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("events_in_session")
+    )
+
+
+# --- tumbling event-time window aggregate (batch twin of the streaming agg) -
+@_register(
+    "q_events_hourly_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_r4s('SUM(value)')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_window(t: Frames) -> DataFrame:
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _r4(F.sum("value")).alias("total_value"))
+    )
+
+
 # --- left join with null handling (J5 left variant) -------------------------
 @_register(
     "q_supplier_order_volume",
