@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: per-card running velocity via
+``applyInPandasWithState``.
+
+This is the operator class the reference has no equivalent for
+(SURVEY T5 — it has no stateful streaming at all): for every card
+(cc_num) we keep running state across micro-batches — lifetime
+transaction count and cumulative amount — and emit each transaction
+annotated with the state *as of that event*. Velocity-style features
+(``txn_seq``, ``cum_amount``, ``avg_amount_so_far``) are the classic
+realtime fraud inputs that a stateless pipeline cannot produce.
+
+Mechanics: Arrow-batched state function (one pandas DataFrame per
+card per micro-batch), state persisted in the streaming state store
+(checkpointed → exactly-once across restarts). At 100 TB/day the
+state is O(distinct cards), partitioned by the groupBy key; the state
+store shuffles each micro-batch once on cc_num.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "cc_num long, trans_num string, trans_timestamp timestamp, amt double, "
+    "txn_seq long, cum_amount double, avg_amount_so_far double"
+)
+STATE_SCHEMA = "count long, total double"
+
+
+def _track_velocity(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (cc_num,) = key
+    if state.exists:
+        count, total = state.get
+    else:
+        count, total = 0, 0.0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+        seqs, cums, avgs = [], [], []
+        for amt in pdf["amt"]:
+            count += 1
+            total += float(amt)
+            seqs.append(count)
+            cums.append(total)
+            avgs.append(total / count)
+        yield pd.DataFrame(
+            {
+                "cc_num": cc_num,
+                "trans_num": pdf["trans_num"],
+                "trans_timestamp": pdf["trans_timestamp"],
+                "amt": pdf["amt"],
+                "txn_seq": seqs,
+                "cum_amount": cums,
+                "avg_amount_so_far": avgs,
+            }
+        )
+    state.update((count, total))
+
+
+def velocity_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Run the stateful velocity tracker over a parquet-backed stream
+    (AvailableNow); state survives restarts via the checkpoint."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    tracked = (
+        stream.select("cc_num", "trans_num", "trans_timestamp", "amt")
+        .groupBy("cc_num")
+        .applyInPandasWithState(
+            _track_velocity,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

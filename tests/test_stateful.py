@@ -1,0 +1,62 @@
+"""applyInPandasWithState velocity tracker: per-card running counts,
+state persistence across restarted runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
+from real_time_fraud_detection_lakehouse_spark.streaming.stateful import velocity_stream
+
+
+def test_velocity_state_counts(spark, tmp_path):
+    src = str(tmp_path / "tx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tx = transactions_df(spark, SF_SMALL)
+    tx.write.mode("overwrite").parquet(src)
+
+    tracked = velocity_stream(spark, src, out, ckpt)
+    assert tracked.count() == tx.count()
+    # per-card max seq equals that card's transaction count
+    per_card = {
+        r["cc_num"]: r["m"]
+        for r in tracked.groupBy("cc_num").agg(F.max("txn_seq").alias("m")).collect()
+    }
+    expected = {
+        r["cc_num"]: r["n"]
+        for r in tx.groupBy("cc_num").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_card == expected
+    # running average is cumulative/seq for every row
+    sample = tracked.filter("txn_seq > 1").limit(20).collect()
+    for r in sample:
+        assert abs(r["avg_amount_so_far"] - r["cum_amount"] / r["txn_seq"]) < 1e-9
+
+
+def test_velocity_state_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "tx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tx = transactions_df(spark, SF_SMALL).cache()
+    first = tx.filter(F.dayofmonth("trans_timestamp") <= 15)
+    second = tx.filter(F.dayofmonth("trans_timestamp") > 15)
+
+    first.write.mode("overwrite").parquet(src)
+    velocity_stream(spark, src, out, ckpt)
+    second.write.mode("append").parquet(src)
+    tracked = velocity_stream(spark, src, out, ckpt)
+
+    # counts continue from checkpointed state, not restart at 1
+    per_card = {
+        r["cc_num"]: r["m"]
+        for r in tracked.groupBy("cc_num").agg(F.max("txn_seq").alias("m")).collect()
+    }
+    expected = {
+        r["cc_num"]: r["n"]
+        for r in tx.groupBy("cc_num").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_card == expected
+    tx.unpersist()
