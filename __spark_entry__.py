@@ -106,6 +106,67 @@ def queries() -> dict[str, QueryFn]:
     q["streaming_bronze_ingest"] = _streaming
     q["ml_train_metrics"] = _ml
     q["multimodal_features"] = _multimodal
+
+    # the user-facing SQL dialect surface: same daily_summary, but
+    # through CREATE TEMP VIEW + spark.sql (F12) — shares the
+    # daily_summary oracle
+    def _sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.plans.sql_views import (
+            register_analytics_views,
+        )
+
+        register_analytics_views(spark, sf_dir)
+        return spark.sql("SELECT * FROM daily_summary")
+
+    q["sql_daily_summary"] = _sql_view
+
+    # stateful streaming extensions (rows-only: state-store semantics)
+    def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile, os
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            hourly_metrics_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="win_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return hourly_metrics_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    def _velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile, os
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+            velocity_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="vel_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        tracked = velocity_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+        return (
+            tracked.groupBy("cc_num")
+            .agg(
+                F.max("txn_seq").alias("lifetime_txns"),
+                F.max("cum_amount").alias("lifetime_amount"),
+            )
+            .orderBy("cc_num")
+        )
+
+    q["streaming_hourly_windows"] = _windowed
+    q["stateful_velocity"] = _velocity
     return q
 
 
@@ -124,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
     prelude = gold_prelude()
     for name, (_builder, sql) in {**VIEWS, **DASHBOARDS}.items():
         o[name] = f"{prelude} {sql}"
+    # the spark.sql view path computes the same daily_summary
+    o["sql_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
     for name, (_builder, sql) in RELATIONAL.items():
         o[name] = sql
     for name, (_builder, sql) in LLM_OPS.items():

@@ -13,7 +13,12 @@ ORACLES = entrymod.oracle_sql()
 
 #: rows-only entries that are slow (streaming/ML) — covered by their
 #: dedicated test modules; the cheap ones still run here.
-SLOW_ROWS_ONLY = {"streaming_bronze_ingest", "ml_train_metrics"}
+SLOW_ROWS_ONLY = {
+    "streaming_bronze_ingest",
+    "ml_train_metrics",
+    "streaming_hourly_windows",
+    "stateful_velocity",
+}
 
 
 def test_entry_smoke(spark):
