@@ -33,7 +33,13 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+import weakref
+
+# per-session read cache; weak keys so a stopped session's entries
+# die with it (an id()-keyed dict could collide after GC reuse)
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:
@@ -62,8 +68,11 @@ def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem"
     _ensure_session_conf(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
-    df = _CACHE.get(key)
+    try:
+        per_session = _CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable → skip caching
+        per_session = {}
+    df = per_session.get(path)
     if df is None:
         df = spark.read.parquet(path)
         if name == "events":
@@ -74,7 +83,7 @@ def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem"
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        _CACHE[key] = df
+        per_session[path] = df
     return df
 
 
