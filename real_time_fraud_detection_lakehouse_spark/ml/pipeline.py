@@ -128,6 +128,21 @@ def train_and_evaluate(
     return TrainResult(metrics=metrics, promoted=promoted, model=fitted)
 
 
+def loggable_columns(df: DataFrame) -> DataFrame:
+    """P9: prune columns by dtype introspection — drop timestamps,
+    dates, and ML vector columns before persisting/logging a sample
+    (ml_training_job.py:336-343 semantics)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    drop = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (TimestampType, DateType)):
+            drop.append(field.name)
+        elif type(field.dataType).__name__ == "VectorUDT":
+            drop.append(field.name)
+    return df.drop(*drop)
+
+
 def confusion_counts(pred: DataFrame) -> dict[str, int]:
     """TP/TN/FP/FN filtered counts (A14, ml_training_job.py:309-313)."""
     agg = pred.agg(

@@ -164,7 +164,10 @@ def minhash_lsh_candidates(
     bucket. Estimated Jaccard = fraction of matching minhashes.
     """
     rows = k // bands
-    sigs = minhash_signatures(docs, k)
+    # materialize signatures once: the self-join would otherwise
+    # recompute the full shingle+hash pipeline for both sides
+    # (verified via executedPlan: 2 FileScans, no ReusedExchange)
+    sigs = minhash_signatures(docs, k).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "signature",

@@ -74,6 +74,17 @@ def test_confusion_counts(spark):
     assert c == {"tp": 2, "tn": 1, "fp": 1, "fn": 1}
 
 
+def test_loggable_columns_prunes_by_dtype(spark):
+    from pyspark.ml.feature import VectorAssembler
+
+    from real_time_fraud_detection_lakehouse_spark.ml.pipeline import loggable_columns
+
+    df = build_silver(spark, SF_SMALL).select("trans_num", "amt", "hour", "trans_timestamp", "dob")
+    df = VectorAssembler(inputCols=["amt", "hour"], outputCol="vec").transform(df)
+    out = loggable_columns(df)
+    assert set(out.columns) == {"trans_num", "amt", "hour"}
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media_table(spark, SF_SMALL)
     assert dict(media.dtypes)["content"] == "binary"
