@@ -150,6 +150,37 @@ def text_fingerprint(t: Frames) -> DataFrame:
     )
 
 
+# --- BPE-ish subword/token counting (regex classes, not whitespace) ---------
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@_register(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS bpe_tokens,
+           {dround_sql(f"CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE) / greatest(len({_TOKENS}), 1)")}
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_token_count_bpe(t: Frames) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digit runs / single punctuation — the usual
+    pre-tokenizer classes). Pure regexp_extract_all on both engines."""
+    toks = _tokens_col()
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)"))
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        dround(bpe.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 # --- corpus-level stats (grouped agg over computed columns) -----------------
 @_register(
     "text_corpus_stats",
