@@ -49,6 +49,12 @@ def test_train_evaluate_lr(spark):
     assert isinstance(res.promoted, bool)
 
 
+def test_train_evaluate_rf_fast(spark):
+    res = train_and_evaluate(build_silver(spark, SF_SMALL), model="rf", fast=True)
+    for k in ("auc", "accuracy", "f1"):
+        assert 0.0 <= res.metrics[k] <= 1.0
+
+
 def test_pipeline_learns_planted_signal(spark):
     """On a dataset where fraud is a deterministic function of the
     features, the pipeline must reach high AUC (validates the
