@@ -103,3 +103,54 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Driver-facing entry: synth table → extract → stable ordering."""
     return extract_media_features(synth_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+RESIZE_SCHEMA = "media_id long, out_width int, out_height int, content binary"
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: computes the target geometry from metadata
+    (aspect-preserving fit into ``max_side``) and passes payloads
+    through an Arrow batch. The pixel resample itself is the stubbed
+    decode step (:func:`decode_stub`) — with PIL present, swap the
+    passthrough for ``Image.resize``; the schema, batching, and
+    geometry math are the real, tested parts."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"])
+            h = pdf["meta"].map(lambda m: m["height"])
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": (w * scale).astype(int),
+                    "out_height": (h * scale).astype(int),
+                    "content": pdf["content"],  # decode_stub: real resample needs PIL
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_index int, frame_offset_ms int"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 10_000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: expands each video
+    row into one row per sampled frame offset (every ``every_ms``
+    within the metadata duration). The frame *decode* is the stubbed
+    step; the explode geometry — the part that controls output row
+    count and partition sizing at scale — is real and tested."""
+    video = media.filter(F.col("media_type") == "video")
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return video.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index", "_v"),
+    ).select(
+        "media_id",
+        F.col("frame_index").cast("int"),
+        (F.col("frame_index") * every_ms).cast("int").alias("frame_offset_ms"),
+    )

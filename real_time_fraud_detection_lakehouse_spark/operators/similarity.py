@@ -195,3 +195,51 @@ def ivf_topk(
 @_register("similarity_ivf_topk", None)
 def similarity_ivf_topk(t: Frames) -> DataFrame:
     return ivf_topk(t["embeddings"]).orderBy("query_id", "rank")
+
+
+# --- embedding-cosine near-dup detection (dedup by embedding) ---------------
+NEAR_DUP_THRESHOLD = 0.35  # ~99.9th pct of random-pair cosine in this corpus
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {dround_sql("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")}
+               AS cosine_sim
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM sims
+    WHERE cosine_sim > {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(t: Frames) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (threshold, not
+    top-k). This brute-force variant is the correctness baseline and
+    the DuckDB oracle; at scale, swap the pair source for the IVF
+    bucket join (ivf_topk's candidate stage) — the scoring expression
+    is identical."""
+    base = t["embeddings"].select(
+        "vec_id", _vec_double("embedding").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    sims = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            dround(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return sims.filter(F.col("cosine_sim") > NEAR_DUP_THRESHOLD)

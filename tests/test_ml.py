@@ -91,6 +91,34 @@ def test_loggable_columns_prunes_by_dtype(spark):
     assert set(out.columns) == {"trans_num", "amt", "hour"}
 
 
+def test_multimodal_resize_geometry(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import resize_images
+
+    media = synth_media_table(spark, SF_SMALL)
+    out = resize_images(media, max_side=256).collect()
+    assert out
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        assert r["out_width"] > 0 and r["out_height"] > 0
+
+
+def test_multimodal_frame_sampling(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import sample_frames
+
+    media = synth_media_table(spark, SF_SMALL)
+    frames = sample_frames(media, every_ms=10_000)
+    rows = frames.collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for media_id, fs in list(by_media.items())[:10]:
+        idxs = sorted(f["frame_index"] for f in fs)
+        assert idxs == list(range(len(idxs)))  # dense 0..n-1
+        for f in fs:
+            assert f["frame_offset_ms"] == f["frame_index"] * 10_000
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media_table(spark, SF_SMALL)
     assert dict(media.dtypes)["content"] == "binary"

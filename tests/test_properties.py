@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the feature library's
+algebraic invariants — driven through Spark so the JVM expressions
+themselves are under test, batched per property for speed."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.functions import features as feat
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround
+
+COORD = st.tuples(
+    st.floats(min_value=-85, max_value=85),
+    st.floats(min_value=-179, max_value=179),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(COORD, COORD), min_size=1, max_size=20))
+def test_haversine_symmetry_and_bounds(spark, pairs):
+    rows = [(a[0], a[1], b[0], b[1]) for a, b in pairs]
+    df = spark.createDataFrame(rows, "lat1 double, lon1 double, lat2 double, lon2 double")
+    out = df.select(
+        feat.haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("ab"),
+        feat.haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("ba"),
+    ).collect()
+    for r in out:
+        assert abs(r["ab"] - r["ba"]) < 1e-6          # symmetric
+        assert -1e-9 <= r["ab"] <= 6371 * math.pi + 1  # bounded by half circumference
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=10_000, allow_nan=False), min_size=1, max_size=50))
+def test_amount_bin_monotone(spark, amts):
+    df = spark.createDataFrame([(a,) for a in sorted(amts)], "amt double")
+    bins = [r["b"] for r in df.select(feat.amount_bin(F.col("amt")).alias("b")).collect()]
+    assert bins == sorted(bins)          # monotone in amount
+    assert all(1 <= b <= 5 for b in bins)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50))
+def test_dround_idempotent_and_close(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = df.select(
+        dround(F.col("x"), 6).alias("r1"),
+        dround(dround(F.col("x"), 6), 6).alias("r2"),
+        F.col("x"),
+    ).collect()
+    for r in out:
+        assert r["r1"] == r["r2"]                  # idempotent
+        assert abs(r["r1"] - r["x"]) <= 5.0e-7 + 1e-12  # within half step
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=23), min_size=1, max_size=24))
+def test_risk_level_total_and_ordered(spark, hours):
+    df = spark.createDataFrame([(float(h * 100), float(h)) for h in hours], "amt double, hour double")
+    score = feat.rule_fraud_score(F.col("amt"), F.lit(0.0), F.col("hour"), F.lit(40))
+    out = df.select(score.alias("s"), feat.risk_level(score).alias("lvl")).collect()
+    for r in out:
+        assert 0.0 <= r["s"] <= 1.0
+        expected = "HIGH" if r["s"] > 0.7 else ("MEDIUM" if r["s"] > 0.4 else "LOW")
+        assert r["lvl"] == expected
