@@ -263,15 +263,28 @@ SELECT DISTINCT city, state, zip, lat, long, city_pop FROM silver
 """
 
 
+_FRAMES_CACHE: dict[tuple[int, str | None], dict[str, DataFrame]] = {}
+
+
 def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Build the full medallion as a dict of DataFrames — the input
-    contract for plans.views / plans.dashboards builders."""
+    contract for plans.views / plans.dashboards builders.
+
+    Memoized per (session, sf_dir): the frames are lazy plans, so
+    sharing them across the driver's many per-query calls just reuses
+    the analyzed plan graph (and lets Catalyst reuse exchanges)
+    without materializing anything."""
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
     from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
 
+    key = (id(spark), sf_dir)
+    cached = _FRAMES_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
+
     tx = transactions_df(spark, sf_dir)
     silver = build_silver(spark, sf_dir, source=tx)
-    return {
+    frames = {
         "transactions": tx,
         "silver": silver,
         "fact": fact_transactions(silver),
@@ -280,6 +293,8 @@ def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
         "dim_time": dim_time(silver),
         "dim_location": dim_location(silver),
     }
+    _FRAMES_CACHE[key] = frames
+    return dict(frames)
 
 
 def gold_prelude() -> str:
