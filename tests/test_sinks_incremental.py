@@ -110,6 +110,25 @@ def test_incremental_watermark_stream(spark, tmp_path):
     assert out2.count() == tx.count()
 
 
+def test_scoring_stream_with_trained_model(spark, tmp_path):
+    """S13 model path: a fitted PipelineModel (assembler→scaler→LR)
+    scores the stream in-engine via transform + probability column."""
+    from real_time_fraud_detection_lakehouse_spark.ml.pipeline import train_and_evaluate
+
+    src = str(tmp_path / "tx")
+    preds = str(tmp_path / "preds")
+    ckpt = str(tmp_path / "ckpt")
+    silver = build_silver(spark, SF_SMALL)
+    fitted = train_and_evaluate(silver, model="lr", fast=True).model
+    tx = transactions_df(spark, SF_SMALL)
+    tx.write.mode("overwrite").parquet(src)
+    out = run_scoring_stream(spark, src, preds, ckpt, model=fitted)
+    assert out.count() == tx.count()
+    scores = out.select(F.min("prediction_score"), F.max("prediction_score")).collect()[0]
+    assert 0.0 <= scores[0] <= scores[1] <= 1.0
+    assert out.filter(F.col("prediction_score").isNull()).count() == 0
+
+
 def test_scoring_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "tx")
     preds = str(tmp_path / "preds")
