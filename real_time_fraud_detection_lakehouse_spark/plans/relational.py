@@ -492,6 +492,55 @@ def q_events_hourly_window(t: Frames) -> DataFrame:
     )
 
 
+# --- exact distinct counting (oracle) + HLL sketch (rows-only twin) ---------
+@_register(
+    "q_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           COUNT(*) AS events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users(t: Frames) -> DataFrame:
+    return t["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("events"),
+    )
+
+
+@_register("q_distinct_users_approx", None)
+def q_distinct_users_approx(t: Frames) -> DataFrame:
+    """HLL-sketch variant (approx_count_distinct, rsd 1%) — the scale
+    path when exact distinct's shuffle is too wide; accuracy vs the
+    exact count is asserted in tests/test_relational.py."""
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_distinct_users"),
+        F.count("*").alias("events"),
+    )
+
+
+# --- interpolated quantiles per group (A13 family, exact) -------------------
+@_register(
+    "q_quantity_quantiles",
+    f"""
+    SELECT l_linestatus,
+           {_r4s('quantile_cont(l_quantity, 0.25)')} AS q25,
+           {_r4s('quantile_cont(l_quantity, 0.50)')} AS q50,
+           {_r4s('quantile_cont(l_quantity, 0.75)')} AS q75
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_quantity_quantiles(t: Frames) -> DataFrame:
+    # Spark `percentile` = exact interpolated quantile ≡ DuckDB
+    # quantile_cont (both linear interpolation on the sorted set)
+    return t["lineitem"].groupBy("l_linestatus").agg(
+        _r4(F.percentile("l_quantity", 0.25)).alias("q25"),
+        _r4(F.percentile("l_quantity", 0.50)).alias("q50"),
+        _r4(F.percentile("l_quantity", 0.75)).alias("q75"),
+    )
+
+
 # --- left join with null handling (J5 left variant) -------------------------
 @_register(
     "q_supplier_order_volume",
