@@ -188,7 +188,8 @@ def oracle_sql() -> dict[str, str]:
     # the spark.sql view path computes the same daily_summary
     o["sql_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
     for name, (_builder, sql) in RELATIONAL.items():
-        o[name] = sql
+        if sql is not None:
+            o[name] = sql
     for name, (_builder, sql) in LLM_OPS.items():
         if sql is not None:
             o[name] = sql
