@@ -242,3 +242,61 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 @_register("dedup_simhash", None)
 def dedup_simhash(t: Frames) -> DataFrame:
     return simhash_signatures(t["documents"]).orderBy("doc_id")
+
+
+SIMHASH_BANDS = 4  # 4 × 16-bit bands
+SIMHASH_MAX_HAMMING = 12
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs from simhash signatures: candidates share at
+    least one of ``bands`` 16-bit signature bands (pigeonhole: any
+    pair within Hamming distance < bands*? must match a band for
+    d < bands when bits split evenly — standard simhash blocking),
+    then exact Hamming distance filters to ``max_hamming``.
+    One shuffle on (band, value); never all-pairs."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id", "a.simhash", "b.simhash")
+        .toDF("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+@_register("dedup_simhash_candidates", None)
+def dedup_simhash_candidates(t: Frames) -> DataFrame:
+    return simhash_candidates(t["documents"]).orderBy("doc_a", "doc_b")

@@ -83,6 +83,24 @@ def test_simhash_near_dup_small_hamming(spark):
     assert hamming(sigs[0], sigs[1]) <= 12
 
 
+def test_simhash_candidates_find_planted_dup(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("lazy", "sleepy")),
+            (2, "completely different words about spark query engines and shuffles everywhere now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_candidates(docs).collect()}
+    assert (0, 1) in pairs  # near-dup found
+    assert pairs[(0, 1)] <= 12
+    assert (0, 2) not in pairs or pairs[(0, 2)] > pairs[(0, 1)]
+
+
 def test_ivf_recall_vs_bruteforce(spark, frames):
     """IVF (1-bucket probe) keeps reasonable recall vs brute force."""
     exact = {
