@@ -69,6 +69,29 @@ def test_silver_is_shuffle_free(spark):
     )
 
 
+def test_cosine_topk_broadcasts_queries(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import cosine_topk
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    plan = _plan(cosine_topk(emb))
+    # small query set must broadcast; a CartesianProduct would be the
+    # all-pairs anti-pattern
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equi(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    plan = _plan(minhash_lsh_candidates(docs))
+    # banding must produce a keyed (hash/sort-merge) join on buckets,
+    # never a nested-loop over all pairs
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_silver(spark):
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
 
