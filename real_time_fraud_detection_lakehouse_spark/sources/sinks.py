@@ -74,12 +74,12 @@ def upsert_by_key(
     keys = updates.select(key).distinct()
     kept = existing.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(updates)
-    # rewrite via an intermediate to avoid reading and overwriting the
-    # same files in one job
-    staged = merged.cache()
-    staged.count()
+    # materialize BEFORE overwriting the files being read —
+    # localCheckpoint(eager) cuts lineage to stored blocks, so the
+    # rewrite can't consume its own output (cache() could still evict
+    # and recompute from the overwritten files)
+    staged = merged.localCheckpoint(eager=True)
     staged.write.mode("overwrite").parquet(path)
-    staged.unpersist()
 
 
 def register_table(
