@@ -197,6 +197,45 @@ def similarity_ivf_topk(t: Frames) -> DataFrame:
     return ivf_topk(t["embeddings"]).orderBy("query_id", "rank")
 
 
+# --- Spark-ML LSH variant: BucketedRandomProjectionLSH ----------------------
+def brp_lsh_neighbors(
+    emb: DataFrame, distance_threshold: float = 1.3, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """ANN via Spark ML's BucketedRandomProjectionLSH
+    ``approxSimilarityJoin`` (euclidean): hash vectors into random-
+    projection buckets, join within buckets, filter by true distance.
+    The library twin of the hand-rolled IVF path — same shuffle shape
+    (keyed join on bucket), library-managed hash tables. seed pinned
+    for determinism within Spark (no cross-engine oracle — LSH
+    internals are engine-specific)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(
+        "vec_id", array_to_vector(_vec_double("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(base)
+    queries = base.filter(F.col("vec_id") % query_mod == 0)
+    joined = model.approxSimilarityJoin(queries, base, distance_threshold, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            dround(F.col("dist")).alias("euclidean_dist"),
+        )
+        .orderBy("query_id", "euclidean_dist", "neighbor_id")
+    )
+
+
+@_register("similarity_brp_lsh", None)
+def similarity_brp_lsh(t: Frames) -> DataFrame:
+    return brp_lsh_neighbors(t["embeddings"])
+
+
 # --- embedding-cosine near-dup detection (dedup by embedding) ---------------
 NEAR_DUP_THRESHOLD = 0.35  # ~99.9th pct of random-pair cosine in this corpus
 

@@ -101,6 +101,23 @@ def test_simhash_candidates_find_planted_dup(spark):
     assert (0, 2) not in pairs or pairs[(0, 2)] > pairs[(0, 1)]
 
 
+def test_brp_lsh_recall_vs_bruteforce(spark, frames):
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        brp_lsh_neighbors,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(frames["embeddings"]).collect()
+    }
+    found = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brp_lsh_neighbors(frames["embeddings"]).collect()
+    }
+    recall = len(exact & found) / len(exact)
+    assert recall > 0.7, recall  # 0.98 at sf0.01; margin for small sf
+
+
 def test_ivf_recall_vs_bruteforce(spark, frames):
     """IVF (1-bucket probe) keeps reasonable recall vs brute force."""
     exact = {
