@@ -23,6 +23,8 @@ cardinality ≪ fact cardinality. The fact table is a pure projection
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,7 +265,10 @@ SELECT DISTINCT city, state, zip, lat, long, city_pop FROM silver
 """
 
 
-_FRAMES_CACHE: dict[tuple[int, str | None], dict[str, DataFrame]] = {}
+#: Keyed on the live session object (weakly, like core.catalog._CACHE) so a
+#: stopped+collected session's entries vanish instead of aliasing a reused
+#: id() — inner dict maps sf_dir → frames.
+_FRAMES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
@@ -277,8 +282,8 @@ def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
     from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
 
-    key = (id(spark), sf_dir)
-    cached = _FRAMES_CACHE.get(key)
+    per_session = _FRAMES_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return dict(cached)
 
@@ -293,7 +298,7 @@ def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
         "dim_time": dim_time(silver),
         "dim_location": dim_location(silver),
     }
-    _FRAMES_CACHE[key] = frames
+    per_session[sf_dir] = frames
     return dict(frames)
 
 
