@@ -57,14 +57,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_SUBMIT_OPTS") and "MASTER" not in os.environ:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        builder = builder.config(
-            "spark.master",
-            SparkSession.getActiveSession().conf.get("spark.master")
-            if SparkSession.getActiveSession()
-            else f"local[{cpus}]",
-        )
+    elif SparkSession.getActiveSession() is None:
+        # no active session to reuse: default a master unless one is
+        # being provided by spark-submit (SparkContext never reads the
+        # bare MASTER env var, so honor it explicitly if set)
+        env_master = os.environ.get("MASTER")
+        if env_master:
+            builder = builder.master(env_master)
+        elif not os.environ.get("SPARK_SUBMIT_OPTS"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            builder = builder.master(f"local[{cpus}]")
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)

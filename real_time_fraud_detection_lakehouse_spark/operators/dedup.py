@@ -91,16 +91,24 @@ _BUCKET = f"md5(array_to_string(list_slice({_TOKENS}, 1, 4), ' '))"
              " / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
            )} AS jaccard
     FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(a.grams) + len(b.grams) > 0
     """,
 )
 def dedup_ngram_jaccard(t: Frames) -> DataFrame:
     toks = _tokens()
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        )
-    )
+    # guard <3-token docs: sequence(1, size-2) would DESCEND (e.g.
+    # [1, 0]) and slice(toks, 0, 3) throws; the DuckDB twin's
+    # range(1, len-1) yields an empty list there, so mirror that with
+    # an explicit empty-grams branch
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     docs = t["documents"].select(
         "doc_id",
         F.md5(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
@@ -116,6 +124,9 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # two empty gram sets → 0/0 (ANSI divide-by-zero); such pairs
+        # carry no signal, drop them in both engines
+        .where(F.size(F.col("a.grams")) + F.size(F.col("b.grams")) > 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

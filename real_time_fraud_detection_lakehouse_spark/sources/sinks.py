@@ -35,43 +35,96 @@ def append_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> N
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
 
 
+def _schema_key(schema, partition_cols: list[str] | None) -> list[tuple[str, str]]:
+    """Order-insensitive (name, type) fingerprint. Partition columns
+    compare by name only: the directory-encoding round-trip legally
+    changes their position and inferred type."""
+    pset = set(partition_cols or [])
+    return sorted(
+        (f.name, "PARTITION" if f.name in pset else f.dataType.simpleString())
+        for f in schema.fields
+    )
+
+
 def append_with_schema_fallback(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> str:
-    """S8: try append; on schema conflict, overwrite with the new
-    schema (silver_job.py:201-227 semantics). Returns the mode used."""
-    writer = df.write
+    """S8: append; on schema conflict, overwrite with the new schema
+    (silver_job.py:201-227 semantics). Returns the mode used.
+
+    Vanilla parquet append does NOT raise on a schema conflict — it
+    silently commits files with the new schema and the divergence only
+    surfaces at read time — so the conflict must be detected up front
+    by comparing against the existing table's read schema. (On Delta
+    the append itself raises AnalysisException and
+    ``overwriteSchema=true`` handles it.)
+    """
+    try:
+        existing = df.sparkSession.read.parquet(path).schema
+    except Exception:
+        existing = None  # no table yet → plain append creates it
+    mode = "append"
+    if existing is not None and _schema_key(existing, partition_cols) != _schema_key(
+        df.schema, partition_cols
+    ):
+        mode = "overwrite"
+    writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    try:
-        writer.mode("append").parquet(path)
-        return "append"
-    except Exception as err:  # schema merge conflict
-        if "schema" not in str(err).lower() and "merge" not in str(err).lower():
-            raise
-        writer2 = df.write.mode("overwrite").option("overwriteSchema", "true")
-        if partition_cols:
-            writer2 = writer2.partitionBy(*partition_cols)
-        writer2.parquet(path)
-        return "overwrite"
+    writer.parquet(path)
+    return mode
 
 
 def upsert_by_key(
-    spark: SparkSession, updates: DataFrame, path: str, key: str
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str,
+    partition_col: str | None = None,
 ) -> None:
     """S11: MERGE-style upsert keyed on ``key`` — update matched rows,
     insert new ones (INSERT ... ON CONFLICT DO UPDATE semantics,
     main.py:134-145). On Delta:
     DeltaTable.merge().whenMatchedUpdateAll().whenNotMatchedInsertAll().
 
-    Vanilla-parquet emulation: anti-join existing rows against the
-    update keys, union, rewrite. Correct but full-rewrite; the Delta
-    path touches only files containing matched keys.
+    With ``partition_col`` (the scale path): the table is partitioned
+    on that column, the merge reads ONLY the partitions containing
+    update rows (directory pruning from the ``isin`` filter), and
+    dynamic partition overwrite rewrites only those partitions —
+    untouched partition files are not read or rewritten. At 100 TB with
+    daily partitions and updates touching the last day or two, a
+    micro-batch rewrites ~1/N of the table instead of all of it.
+
+    Without it: legacy full-table rewrite (kept for small unpartitioned
+    tables; annotated scale-weak).
+
+    Fault tolerance: the merged slice is materialized via eager
+    localCheckpoint before the overwrite so the rewrite can't consume
+    its own output, but checkpoint blocks live on executors — an
+    executor loss mid-overwrite can lose both lineage and originals.
+    Single-process local mode is safe; on a real cluster use the Delta
+    MERGE (transaction-logged) instead of this emulation.
     """
     try:
         existing = spark.read.parquet(path)
     except Exception:
-        updates.write.mode("overwrite").parquet(path)
+        writer = updates.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
         return
     keys = updates.select(key).distinct()
+    if partition_col is not None:
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        touched = existing.filter(F.col(partition_col).isin(parts))
+        kept = touched.join(F.broadcast(keys), key, "left_anti")
+        merged = kept.unionByName(updates.select(*kept.columns))
+        staged = merged.localCheckpoint(eager=True)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return
     kept = existing.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(updates)
     # materialize BEFORE overwriting the files being read —

@@ -57,6 +57,9 @@ def score_batch(batch: DataFrame, model=None) -> DataFrame:
         "trans_num",
         "amt",
         "trans_timestamp",
+        # partition key for the predictions table: daily partitions let
+        # the upsert read/rewrite only the days a micro-batch touches
+        F.to_date("trans_timestamp").alias("score_date"),
         F.round(F.col("prediction_score"), 4).alias("prediction_score"),
         F.when(F.col("prediction_score") > 0.5, 1).otherwise(0).cast("int").alias(
             "is_fraud_predicted"
@@ -82,7 +85,13 @@ def run_scoring_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         scored = score_batch(batch, model=model).cache()
-        upsert_by_key(batch.sparkSession, scored, predictions_path, "trans_num")
+        upsert_by_key(
+            batch.sparkSession,
+            scored,
+            predictions_path,
+            "trans_num",
+            partition_col="score_date",
+        )
         if webhook_url is not None:
             alerts = scored.filter(F.col("risk_level") == "HIGH").select(
                 "trans_num", "amt", "risk_level"

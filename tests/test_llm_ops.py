@@ -43,6 +43,34 @@ def test_llm_op_runs(name, spark, frames):
     assert len(df.schema.fields) > 0
 
 
+def test_ngram_jaccard_short_docs_no_crash(spark):
+    """Docs with <3 tokens get an empty gram set (mirroring DuckDB's
+    empty range(1, len-1)) instead of a descending sequence() feeding
+    slice() an index-0 runtime error."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two"),
+            (2, "one two"),
+            (3, "a"),
+            (4, "alpha beta gamma delta epsilon"),
+            (5, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup_ngram_jaccard({"documents": docs}).collect()
+    short = {1, 2, 3}
+    # pairs where BOTH gram sets are empty are dropped (0/0 carries no
+    # signal and would raise under ANSI divide-by-zero)
+    assert not [r for r in rows if r["doc_a"] in short and r["doc_b"] in short]
+    # the long near-dup pair still surfaces with a real jaccard
+    long_pairs = [r for r in rows if r["doc_a"] == 4 and r["doc_b"] == 5]
+    assert long_pairs and long_pairs[0]["jaccard"] > 0
+
+
 def test_minhash_estimates_jaccard(spark):
     """MinHash estimate tracks exact Jaccard on planted near-dups."""
     base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"

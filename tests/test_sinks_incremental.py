@@ -43,6 +43,50 @@ def test_append_schema_fallback(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+def test_append_schema_fallback_overwrite_on_conflict(spark, tmp_path):
+    """S8: a genuinely different schema must trigger the overwrite
+    branch (vanilla parquet append would silently commit mixed-schema
+    files, so the conflict is detected by upfront schema compare)."""
+    path = str(tmp_path / "t_conflict")
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    assert append_with_schema_fallback(a, path) == "append"
+    b = spark.createDataFrame([(2, "y", 1.5)], "id int, s string, extra double")
+    assert append_with_schema_fallback(b, path) == "overwrite"
+    got = spark.read.parquet(path)
+    assert got.count() == 1
+    assert set(got.columns) == {"id", "s", "extra"}
+
+
+def _partition_files(path: str, part: str) -> dict[str, bytes]:
+    import glob
+    import os
+
+    return {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(os.path.join(path, part, "*.parquet"))
+    }
+
+
+def test_upsert_partition_scoped(spark, tmp_path):
+    """Partitioned upsert rewrites only key-affected partitions:
+    untouched partition files stay byte-identical on disk."""
+    path = str(tmp_path / "preds_part")
+    v1 = spark.createDataFrame(
+        [("a", 1, "d1"), ("b", 2, "d1"), ("c", 3, "d2")],
+        "k string, v int, d string",
+    )
+    upsert_by_key(spark, v1, path, "k", partition_col="d")
+    before = _partition_files(path, "d=d1")
+    assert before, "expected parquet files in the d1 partition"
+    v2 = spark.createDataFrame(
+        [("c", 30, "d2"), ("e", 5, "d2")], "k string, v int, d string"
+    )
+    upsert_by_key(spark, v2, path, "k", partition_col="d")
+    assert _partition_files(path, "d=d1") == before
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 2, "c": 30, "e": 5}
+
+
 def test_register_table(spark, tmp_path):
     df = transactions_df(spark, SF_SMALL).limit(10)
     register_table(spark, df, "tx_view")
