@@ -240,6 +240,73 @@ def similarity_brp_lsh(t: Frames) -> DataFrame:
 NEAR_DUP_THRESHOLD = 0.35  # ~99.9th pct of random-pair cosine in this corpus
 
 
+#: probe a vector's home bucket plus every bucket at Hamming distance 1:
+#: a near-dup pair straddles a sign boundary only on dimensions near 0,
+#: so distance ≤1 covers almost all true near-dup pairs; candidates drop
+#: from n²/2 to Σ_bucket |a_bucket|·|b_bucket| — an equi-join, never a
+#: nested loop.
+_IVF_PROBE_OFFSETS = [0] + [1 << i for i in range(SIGN_BITS)]
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD, ivf: bool = False
+) -> DataFrame:
+    """Pairs with cosine similarity above ``threshold``.
+
+    ``ivf=False``: exact all-pairs (``vec_a < vec_b`` nested loop) —
+    the correctness baseline, only viable on small/broadcastable sides.
+    ``ivf=True``: candidates from an equi-join on coarse sign buckets
+    (home bucket + all Hamming-1 probes) — the scale path. Blocking is
+    deterministic, so this variant has exact, reproducible semantics of
+    its own (and a DuckDB twin); its recall vs the exact baseline
+    depends on the threshold: ≈1 for true near-dups (cosine ≥0.9 —
+    a perturbed copy flips a probed sign bit only where a dimension
+    sits near 0), but intentionally low for weak-similarity tails,
+    which LSH-style blocking exists to discard. Both properties are
+    pinned in tests/test_llm_ops.py."""
+    base = (
+        emb.select("vec_id", _vec_double("embedding").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    if ivf:
+        base = base.withColumn("bucket", ivf_bucket(F.col("v")))
+        a = base.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("norm").alias("na"),
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(o)) for o in _IVF_PROBE_OFFSETS]
+                )
+            ).alias("probe"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("norm").alias("nb"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        joined = a.join(
+            b, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+        )
+    else:
+        a = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+        )
+        b = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+        )
+        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sims = joined.select(
+        "vec_a",
+        "vec_b",
+        dround(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine_sim"
+        ),
+    )
+    return sims.filter(F.col("cosine_sim") > threshold)
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""
@@ -259,26 +326,44 @@ NEAR_DUP_THRESHOLD = 0.35  # ~99.9th pct of random-pair cosine in this corpus
 def dedup_embedding_cosine(t: Frames) -> DataFrame:
     """Near-duplicate pairs by embedding cosine (threshold, not
     top-k). This brute-force variant is the correctness baseline and
-    the DuckDB oracle; at scale, swap the pair source for the IVF
-    bucket join (ivf_topk's candidate stage) — the scoring expression
-    is identical."""
-    base = t["embeddings"].select(
-        "vec_id", _vec_double("embedding").alias("v")
-    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    sims = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            dround(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    return sims.filter(F.col("cosine_sim") > NEAR_DUP_THRESHOLD)
+    the DuckDB oracle; ``dedup_embedding_cosine_ivf`` is the
+    registered scale twin with bucketed candidates."""
+    return embedding_cosine_pairs(t["embeddings"], ivf=False)
+
+
+# --- IVF-bucketed embedding near-dup (the registered scale path) ------------
+_IVF_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v,
+         {" + ".join(f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIGN_BITS))}
+           AS bucket
+  FROM base
+),
+probed AS (
+  SELECT vec_id, v, unnest([{", ".join(f"xor(bucket, {o})" for o in _IVF_PROBE_OFFSETS)}]) AS probe
+  FROM bucketed
+),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dround_sql("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")}
+           AS cosine_sim
+  FROM probed a JOIN bucketed b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM sims
+WHERE cosine_sim > {NEAR_DUP_THRESHOLD}
+"""
+
+
+@_register("dedup_embedding_cosine_ivf", _IVF_DEDUP_ORACLE)
+def dedup_embedding_cosine_ivf(t: Frames) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine with IVF sign-bucket
+    blocking — the scale twin of ``dedup_embedding_cosine``: identical
+    scoring expression and threshold, but candidate pairs come from an
+    equi-join on coarse buckets (home + Hamming-1 probes) instead of
+    the all-pairs ``vec_a < vec_b`` nested loop. Deterministic bucket
+    function → full DuckDB oracle, not just rows-only; recall vs the
+    exact baseline is measured in tests/test_llm_ops.py."""
+    return embedding_cosine_pairs(t["embeddings"], ivf=True)

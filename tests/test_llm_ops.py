@@ -43,6 +43,73 @@ def test_llm_op_runs(name, spark, frames):
     assert len(df.schema.fields) > 0
 
 
+def test_ivf_dedup_subset_of_bruteforce(spark, frames):
+    """The IVF-blocked twin returns a subset of the exact baseline
+    (identical scoring + threshold; only candidates are blocked). At
+    the registered tail threshold (0.35 ≈ 99.9th pct of *random*-pair
+    cosine — the corpus holds no true near-dups, max pair cosine 0.48)
+    sign-blocking intentionally discards weakly-similar pairs, so we
+    pin only a regression floor here; the ≥0.95 recall contract for
+    real near-dups is proved on planted duplicates below."""
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_ivf,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(frames).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine_ivf(frames).collect()
+    }
+    assert exact, "baseline found no near-dup pairs — threshold drifted?"
+    assert ivf <= exact
+    assert len(ivf & exact) / len(exact) >= 0.4
+
+
+def test_ivf_dedup_recall_on_planted_near_dups(spark, frames):
+    """Plant perturbed twins (cosine ≈0.98 to their originals) and
+    verify the IVF-blocked variant recovers ≥0.95 of the exact
+    baseline's near-dup pairs at a true near-dup threshold (0.9) —
+    a perturbation flips a probed sign bit only where a dimension sits
+    near 0, so home+Hamming-1 probing covers almost all true pairs."""
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb = frames["embeddings"].select("vec_id", "embedding")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    avg_norm = emb.select(
+        F.avg(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b)))
+    ).first()[0]
+    amp = 0.2 * avg_norm / 8  # 64 dims → per-dim sd ≈ norm/8; 0.2σ noise
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + amp * F.sin((F.col("vec_id") * 7 + i).cast("double")),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(twins)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_pairs(corpus, threshold=0.9, ivf=False).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_pairs(corpus, threshold=0.9, ivf=True).collect()
+    }
+    n_twins = twins.count()
+    assert len(exact) >= 0.9 * n_twins, "perturbation too strong — plants not near-dups"
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.95
+
+
 def test_ngram_jaccard_short_docs_no_crash(spark):
     """Docs with <3 tokens get an empty gram set (mirroring DuckDB's
     empty range(1, len-1)) instead of a descending sequence() feeding

@@ -92,6 +92,18 @@ def test_minhash_band_join_is_equi(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_dedup_join_is_equi(spark):
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        dedup_embedding_cosine_ivf,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    plan = _plan(dedup_embedding_cosine_ivf({"embeddings": emb}))
+    # the whole point of the registered IVF twin: bucket candidates via
+    # a keyed join, never the baseline's all-pairs nested loop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_silver(spark):
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
 
