@@ -1,0 +1,59 @@
+"""Small-file compaction maintenance job (vanilla-parquet OPTIMIZE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.maintenance import (
+    compact_partitions,
+    partition_file_counts,
+    write_partitioned_compact,
+)
+from tests.test_sinks_incremental import _partition_files
+
+
+def _fragmented_table(spark, path: str) -> None:
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    # 8 tasks × 3 hive partitions → 8 files per partition (the fan-out
+    # write_partitioned_compact exists to prevent)
+    df.repartition(8).write.mode("overwrite").partitionBy("p").parquet(path)
+
+
+def test_compact_partitions_rewrites_only_crowded(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path)
+    # plant one already-compact partition that must stay byte-identical
+    extra = spark.range(10).select(
+        (F.col("id") + 90000).alias("id"), F.lit(9).alias("p"), F.lit(0).cast("long").alias("v")
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+
+    before_counts = partition_file_counts(path, ["p"])
+    assert before_counts["p=9"] == 1
+    assert all(n > 1 for part, n in before_counts.items() if part != "p=9")
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    untouched_before = _partition_files(path, "p=9")
+
+    rewritten = compact_partitions(spark, path, ["p"], max_files_per_partition=1)
+    assert set(rewritten) == set(before_counts) - {"p=9"}
+
+    after_counts = partition_file_counts(path, ["p"])
+    assert all(n == 1 for n in after_counts.values()), after_counts
+    assert _partition_files(path, "p=9") == untouched_before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, path, ["p"], max_files_per_partition=1) == {}
+
+
+def test_write_partitioned_compact_one_file_per_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    ).repartition(8)
+    write_partitioned_compact(df, path, ["p"])
+    counts = partition_file_counts(path, ["p"])
+    assert set(counts) == {"p=0", "p=1", "p=2"}
+    assert all(n == 1 for n in counts.values()), counts
+    assert spark.read.parquet(path).count() == 3000
