@@ -19,7 +19,7 @@ Scale design (the part that matters at 100 TB):
 
 MinHash/SimHash use engine-specific hash functions (xxhash64), so
 they register rows-only (no DuckDB oracle); their accuracy is
-validated in tests/test_dedup.py against exact Jaccard ground truth.
+validated in tests/test_llm_ops.py against exact Jaccard ground truth.
 """
 
 from __future__ import annotations

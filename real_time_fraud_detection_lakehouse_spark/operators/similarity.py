@@ -12,7 +12,7 @@ Two paths:
   are assigned to coarse buckets by sign-quantizing the first
   SIGN_BITS dimensions; queries probe only their own bucket. One
   shuffle on bucket id; recall measured against brute force in
-  tests/test_similarity.py.
+  tests/test_llm_ops.py.
 """
 
 from __future__ import annotations

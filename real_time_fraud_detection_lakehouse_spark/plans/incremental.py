@@ -61,6 +61,41 @@ def incremental_silver_batch(
     return n
 
 
+def incremental_gold_batch(
+    spark: SparkSession, silver_path: str, gold_dir: str
+) -> int:
+    """Faithful HWM silver→gold increment (gold_job.py:51-63): the
+    fact table appends only silver rows newer than the fact-side
+    high-water mark; dimensions are tiny and rebuilt from the full
+    silver with overwrite (idempotent — deliberately NOT the
+    reference's append, which accumulates duplicate dim rows on every
+    run, SURVEY §2.13 A16). Returns fact rows written; a re-run with
+    no new silver data writes 0 and leaves everything unchanged."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.plans import gold as gold_mod
+
+    silver = spark.read.parquet(silver_path)
+    fact_path = os.path.join(gold_dir, "fact_transactions")
+    try:
+        hwm = high_water_mark(spark.read.parquet(fact_path), "transaction_timestamp")
+    except Exception:
+        hwm = None
+    fresh = filter_after(silver, "trans_timestamp", hwm)
+    n = fresh.count()
+    if n:
+        gold_mod.fact_transactions(fresh).write.mode("append").parquet(fact_path)
+    dims = {
+        "dim_customer": gold_mod.dim_customer,
+        "dim_merchant": gold_mod.dim_merchant,
+        "dim_time": gold_mod.dim_time,
+        "dim_location": gold_mod.dim_location,
+    }
+    for name, build in dims.items():
+        build(silver).write.mode("overwrite").parquet(os.path.join(gold_dir, name))
+    return n
+
+
 def incremental_silver_stream(
     spark: SparkSession,
     bronze_path: str,

@@ -275,10 +275,13 @@ def amount_summary(g: dict[str, DataFrame]) -> DataFrame:
 def latest_metrics(g: dict[str, DataFrame]) -> DataFrame:
     f = g["fact"]
     ts = F.col("transaction_timestamp")
-    today = f.agg(F.max(F.to_date(ts))).collect()[0][0]
+    # scalar-subquery shape (like the oracle SQL): broadcast the
+    # one-row max-date aggregate instead of a driver-side collect —
+    # keeps the view builder lazy and single-pipeline
+    max_date = f.agg(F.max(F.to_date(ts)).alias("_max_date"))
     dist = F.col("distance_km")
     rate = _fraud_rate()
-    return f.filter(F.to_date(ts) == F.lit(today)).agg(
+    return f.join(F.broadcast(max_date), F.to_date(ts) == F.col("_max_date")).agg(
         F.count("*").alias("total_transactions_today"),
         _frauds().alias("fraud_detected_today"),
         _r4(F.avg("transaction_amount")).alias("avg_amount_today"),

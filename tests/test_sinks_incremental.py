@@ -141,6 +141,38 @@ def test_incremental_hwm_batch(spark, tmp_path):
     assert spark.read.parquet(silver_path).count() == tx.count()
 
 
+def test_incremental_gold_batch(spark, tmp_path):
+    """Gold-side HWM: fact appends only rows above the fact HWM, dims
+    stay idempotent full-rebuilds; a no-new-data rerun writes 0."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import (
+        incremental_gold_batch,
+    )
+
+    silver_path = str(tmp_path / "silver")
+    gold_dir = str(tmp_path / "gold")
+    silver = build_silver(spark, SF_SMALL)
+    old = silver.filter(F.dayofmonth("trans_timestamp") <= 15)
+    new = silver.filter(F.dayofmonth("trans_timestamp") > 15)
+
+    old.write.mode("overwrite").parquet(silver_path)
+    n1 = incremental_gold_batch(spark, silver_path, gold_dir)
+    assert n1 == old.count()
+    # rerun with no new data → 0 fact rows, fact unchanged
+    assert incremental_gold_batch(spark, silver_path, gold_dir) == 0
+    fact_path = os.path.join(gold_dir, "fact_transactions")
+    assert spark.read.parquet(fact_path).count() == old.count()
+    # late-arriving newer silver rows → only they are appended
+    new.write.mode("append").parquet(silver_path)
+    n2 = incremental_gold_batch(spark, silver_path, gold_dir)
+    assert n2 == new.count()
+    assert spark.read.parquet(fact_path).count() == silver.count()
+    # dims remain dedup'd full rebuilds (no append-duplicates bug)
+    dim = spark.read.parquet(os.path.join(gold_dir, "dim_customer"))
+    assert dim.count() == dim.dropDuplicates().count()
+
+
 def test_incremental_watermark_stream(spark, tmp_path):
     bronze_path = str(tmp_path / "bronze")
     silver_path = str(tmp_path / "silver")
