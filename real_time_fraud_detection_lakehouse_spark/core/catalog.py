@@ -75,11 +75,13 @@ def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem"
     df = per_session.get(path)
     if df is None:
         df = spark.read.parquet(path)
-        if name == "events":
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # events.parquet stores TIMESTAMP(NANOS); Spark reads it as
             # int64 nanos (spark.sql.legacy.parquet.nanosAsLong=true in
             # DEFAULT_CONF). Truncate to micros — same as DuckDB's
             # ns→µs conversion — so both engines see identical values.
+            # (dtype-gated: re-materialized events tables already carry
+            # a real timestamp column and need no shim)
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,132 @@
+"""Scaling demonstration: headline queries at sf0.1 and at a locally
+synthesized 10x replica (sf1-equivalent), to measure how close the
+engine's plans are to linear scaling on local[32].
+
+The replica is built by key-shifted union of the sf0.1 tables: join
+keys (orderkey, custkey, suppkey, user/doc/vec ids) are offset per
+copy so joins keep their selectivity and dedup finds real (planted)
+cross-copy duplicates. Writes to a temp dir; prints one JSON line:
+
+  {"metric": "scaleup_ratio", ... "queries": {name: {"sf0.1": s,
+   "sf1": s, "ratio": r}}}
+
+ratio ≈ 10 → perfectly linear; < 10 → sublinear (fixed overheads
+amortized); >> 10 → a plan that degrades superlinearly (bad).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
+from real_time_fraud_detection_lakehouse_spark.core.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+#: per-table key columns to offset per copy (keeps joins consistent)
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],   # dims: kept as-is (copies would break FK arity)
+    "region": [],
+}
+
+QUERIES = [
+    "q_pricing_summary",   # wide agg over lineitem
+    "q_top_customers",     # 3-way join + top-k
+    "q_user_velocity",     # window function over events
+    "dedup_exact",         # hash-agg dedup over documents
+    "text_stats",          # pure-projection text ops
+]
+
+
+def build_replica(spark, out_dir: str) -> None:
+    for name in TESTDATA_TABLES:
+        src = table(spark, SF_DIR, name)
+        shifts = KEY_SHIFTS.get(name, [])
+        if not shifts:
+            df = src
+        else:
+            offsets = {c: src.agg(F.max(c)).first()[0] + 1 for c in shifts}
+            copies = []
+            for i in range(COPIES):
+                c = src
+                for col, off in offsets.items():
+                    c = c.withColumn(col, F.col(col) + F.lit(i * off))
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def main() -> None:
+    from real_time_fraud_detection_lakehouse_spark.operators import LLM_OPS
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    spark = get_spark(
+        "bench-scale",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(CPUS), 8))},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    big_dir = tempfile.mkdtemp(prefix="sfscale_")
+    try:
+        t0 = time.time()
+        build_replica(spark, big_dir)
+        build_secs = round(time.time() - t0, 1)
+
+        ops = {**RELATIONAL, **LLM_OPS}
+        results = {}
+        for name in QUERIES:
+            builder, _ = ops[name]
+            per_sf = {}
+            for label, sf_dir in (("sf0.1", SF_DIR), ("sf1", big_dir)):
+                frames = {t: table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+                q = builder(frames)
+                q.write.format("noop").mode("overwrite").save()  # warm-up
+                t0 = time.time()
+                q.write.format("noop").mode("overwrite").save()
+                per_sf[label] = round(time.time() - t0, 3)
+            per_sf["ratio"] = round(per_sf["sf1"] / per_sf["sf0.1"], 2)
+            results[name] = per_sf
+            print(f"# {name}: {per_sf}", file=sys.stderr, flush=True)
+
+        ratios = [r["ratio"] for r in results.values()]
+        print(
+            json.dumps(
+                {
+                    "metric": "scaleup_ratio",
+                    "value": round(sum(ratios) / len(ratios), 2),
+                    "unit": "x time at 10x rows",
+                    "copies": COPIES,
+                    "replica_build_sec": build_secs,
+                    "queries": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
