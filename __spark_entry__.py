@@ -69,6 +69,11 @@ _DRIVER_FRONT = [
     "similarity_brp_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
+    # new in round 3 — no driver row yet
+    "text_tfidf_topk",
+    "corpus_sample_hash",
+    "docs_clean_pipeline",
+    "q_asof_click_purchase",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",

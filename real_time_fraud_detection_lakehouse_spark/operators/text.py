@@ -181,6 +181,149 @@ def text_token_count_bpe(t: Frames) -> DataFrame:
     )
 
 
+# --- TF-IDF top terms per document ------------------------------------------
+TFIDF_TOP_K = 3
+
+
+@_register(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             {dround_sql("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)")} AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, tfidf, rank
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_topk(t: Frames) -> DataFrame:
+    """Top-K TF-IDF terms per document. Shuffle profile at 100 TB:
+    explode → two keyed aggregations (doc_id,term / term) with
+    map-side partial agg, a term-keyed join, and one doc-keyed window
+    for the top-k — never a corpus-wide sort. The corpus size joins in
+    as a broadcast one-row aggregate (no driver collect). Ranking
+    sorts on the ROUNDED score (then term) so the order is identical
+    across engines."""
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    terms = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            dround(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "tfidf", "rank")
+    )
+
+
+# --- deterministic hash sampling --------------------------------------------
+@_register(
+    "corpus_sample_hash",
+    """
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+    """,
+)
+def corpus_sample_hash(t: Frames) -> DataFrame:
+    """Deterministic ~1/8 corpus sample: keep docs whose md5(doc_id)
+    hex digest sorts below '2'. Unlike seeded RNG sampling (engine-
+    specific, rows-only at best) the hash cut is reproducible across
+    engines AND across runs/partitionings — the property a training-
+    data pipeline needs for holdout splits that survive re-sharding.
+    Pure projection+filter: no shuffle, fully pushed into the scan
+    stage."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        t["documents"]
+        .select("doc_id", "source", key.alias("sample_key"))
+        .filter(F.col("sample_key") < "2")
+    )
+
+
+# --- corpus cleaning pipeline (quality ∧ lang ∧ dedup-keeper) ---------------
+_QUALITY_SQL = (
+    f"0.5::DOUBLE * (CASE WHEN len({_TOKENS}) BETWEEN 20 AND 1000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)"
+    f" + 0.5::DOUBLE * (CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}))"
+)
+
+
+@_register(
+    "docs_clean_pipeline",
+    f"""
+    WITH keepers AS (
+      SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+             {dround_sql(_QUALITY_SQL)} AS quality_score,
+             len(list_filter({_TOKENS}, x -> list_contains({_EN_SET}, x))) AS en_hits
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_tokens, s.quality_score
+    FROM scored s JOIN keepers k ON s.doc_id = k.keeper
+    WHERE s.quality_score >= 0.5 AND s.en_hits > 0
+    """,
+)
+def docs_clean_pipeline(t: Frames) -> DataFrame:
+    """The composed cleaning pass a pre-training pipeline runs end to
+    end: keep each exact-dup group's keeper (min doc_id per
+    fingerprint), require quality_score ≥ 0.5 and at least one English
+    marker token. One fingerprint-keyed aggregation + one equi-join;
+    all scoring stays in the scan-side projection."""
+    docs = t["documents"]
+    toks = _tokens_col()
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
+    quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
+    en = F.lit(list(EN_STOPWORDS))
+    en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    scored = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        quality.alias("quality_score"),
+        en_hits.alias("en_hits"),
+    )
+    keepers = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    ).agg(F.min("doc_id").alias("keeper"))
+    return (
+        scored.join(keepers, scored["doc_id"] == keepers["keeper"])
+        .filter((F.col("quality_score") >= 0.5) & (F.col("en_hits") > 0))
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
 # --- corpus-level stats (grouped agg over computed columns) -----------------
 @_register(
     "text_corpus_stats",

@@ -563,3 +563,74 @@ def q_supplier_order_volume(t: Frames) -> DataFrame:
             _r4(F.coalesce(F.sum("l_quantity"), F.lit(0.0))).alias("total_qty"),
         )
     )
+
+
+# --- as-of join (point-in-time join, SURVEY custom-operator family) ---------
+@_register(
+    "q_asof_click_purchase",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS last_click_ts,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click,
+           p.value AS purchase_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_click_purchase(t: Frames) -> DataFrame:
+    """As-of (point-in-time) join: each purchase matched to that
+    user's latest click at-or-before the purchase. Spark has no ASOF
+    JOIN operator, so this is the idiomatic re-expression: union both
+    sides tagged, one shuffle on user_id, and a running
+    last(click_ts, ignorenulls) window — O(n log n) per user instead
+    of the naive ts-inequality join's per-user cross product. Clicks
+    are pre-deduped to one row per (user_id, ts) so equal-timestamp
+    ties are deterministic in both engines (DuckDB ASOF takes the
+    greatest ts <= purchase ts; clicks sort before purchases at equal
+    ts here, matching the inclusive bound). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c_tag = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    p_tag = purchases.select("user_id", "ts", F.lit(1).alias("kind"), "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        c_tag.unionByName(p_tag)
+        .withColumn("last_click_ts", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"))
+            .cast("long")
+            .alias("secs_since_click"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
