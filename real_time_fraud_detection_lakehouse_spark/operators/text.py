@@ -221,7 +221,9 @@ def text_tfidf_topk(t: Frames) -> DataFrame:
     docs = t["documents"]
     terms = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    # tf already holds one row per (doc, term): document frequency is a
+    # plain count over it — no second explode, no distinct shuffle
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
