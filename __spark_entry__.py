@@ -74,6 +74,7 @@ _DRIVER_FRONT = [
     "corpus_sample_hash",
     "docs_clean_pipeline",
     "q_asof_click_purchase",
+    "streaming_dedup",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",
@@ -235,8 +236,29 @@ def queries() -> dict[str, QueryFn]:
             .orderBy("cc_num")
         )
 
+    def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            dedup_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+        src = os.path.join(tmp, "src")
+        tx = transactions_df(spark, sf_dir)
+        tx.write.mode("overwrite").parquet(src)
+        tx.write.mode("append").parquet(src)  # at-least-once replay
+        return dedup_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
     q["streaming_hourly_windows"] = _windowed
     q["stateful_velocity"] = _velocity
+    q["streaming_dedup"] = _stream_dedup
     return _driver_order(q)
 
 

@@ -106,3 +106,39 @@ def user_sessions_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+def dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    key: str = "trans_num",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once streaming deduplication:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and drops replays/late duplicates whose event time falls inside
+    the watermark horizon. Unlike plain ``dropDuplicates`` on a
+    stream (state grows with ALL keys ever seen — unbounded on a
+    100 TB/day feed), the within-watermark variant evicts key state
+    once the watermark passes, so state is O(keys per horizon). This
+    is the streaming twin of the CDC replay policy: an at-least-once
+    upstream (Kafka redelivery, file re-drop) becomes exactly-once
+    downstream."""
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withWatermark("trans_timestamp", watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

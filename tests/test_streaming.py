@@ -63,3 +63,25 @@ def test_bronze_partitioned_layout(spark, tmp_path):
     run_bronze_stream(spark, cdc, bronze_dir, ckpt)
     years = [d for d in os.listdir(bronze_dir) if d.startswith("year=")]
     assert years, os.listdir(bronze_dir)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """An at-least-once source (every row delivered twice) becomes
+    exactly-once after dropDuplicatesWithinWatermark on the key."""
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import dedup_stream
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "replayed")
+    tx = transactions_df(spark, SF_SMALL).limit(500)
+    tx.write.mode("overwrite").parquet(src)
+    tx.write.mode("append").parquet(src)  # replay: every row twice
+    assert spark.read.parquet(src).count() == 1000
+
+    out = dedup_stream(
+        spark, src, str(tmp_path / "deduped"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 500
+    assert out.select("trans_num").distinct().count() == 500
