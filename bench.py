@@ -49,8 +49,11 @@ DIRECT = [
     "q_user_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_ivf",
     "similarity_cosine_topk",
     "text_stats",
+    "text_tfidf_topk",
+    "q_asof_click_purchase",
 ]
 
 

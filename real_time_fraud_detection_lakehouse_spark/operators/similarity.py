@@ -132,11 +132,13 @@ def embedding_norms(t: Frames) -> DataFrame:
 SIGN_BITS = 4
 
 
-def ivf_bucket(col):
+def ivf_bucket(col, bits: int = SIGN_BITS):
     """Coarse quantization: bucket id from the sign pattern of the
-    first SIGN_BITS dimensions (16 buckets)."""
+    first ``bits`` dimensions (2^bits buckets). Bucket count should
+    track corpus size — mean bucket occupancy n/2^bits drives the
+    candidate-join fan-out."""
     bucket = F.lit(0)
-    for i in range(SIGN_BITS):
+    for i in range(bits):
         bucket = bucket + F.when(col[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -244,8 +246,11 @@ NEAR_DUP_THRESHOLD = 0.35  # ~99.9th pct of random-pair cosine in this corpus
 #: a near-dup pair straddles a sign boundary only on dimensions near 0,
 #: so distance ≤1 covers almost all true near-dup pairs; candidates drop
 #: from n²/2 to Σ_bucket |a_bucket|·|b_bucket| — an equi-join, never a
-#: nested loop.
-_IVF_PROBE_OFFSETS = [0] + [1 << i for i in range(SIGN_BITS)]
+#: nested loop. Dedup blocks on more bits than the top-k ANN path (64
+#: buckets vs 16): near-dup candidates only need to survive within
+#: Hamming 1, and the planted-dup recall test pins that ≥0.95 holds.
+DEDUP_SIGN_BITS = 6
+_IVF_PROBE_OFFSETS = [0] + [1 << i for i in range(DEDUP_SIGN_BITS)]
 
 
 def embedding_cosine_pairs(
@@ -269,7 +274,7 @@ def embedding_cosine_pairs(
         .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     if ivf:
-        base = base.withColumn("bucket", ivf_bucket(F.col("v")))
+        base = base.withColumn("bucket", ivf_bucket(F.col("v"), DEDUP_SIGN_BITS))
         a = base.select(
             F.col("vec_id").alias("vec_a"),
             F.col("v").alias("va"),
@@ -338,7 +343,7 @@ WITH base AS (
 ),
 bucketed AS (
   SELECT vec_id, v,
-         {" + ".join(f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIGN_BITS))}
+         {" + ".join(f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(DEDUP_SIGN_BITS))}
            AS bucket
   FROM base
 ),

@@ -49,7 +49,9 @@ def test_ivf_dedup_subset_of_bruteforce(spark, frames):
     the registered tail threshold (0.35 ≈ 99.9th pct of *random*-pair
     cosine — the corpus holds no true near-dups, max pair cosine 0.48)
     sign-blocking intentionally discards weakly-similar pairs, so we
-    pin only a regression floor here; the ≥0.95 recall contract for
+    pin only a regression floor here (~0.29 measured at 6 blocking
+    bits; theory for cosine 0.35: P(agree)/dim ≈ 1-θ/π ≈ 0.61, so
+    P(Hamming≤1 over 6 dims) ≈ 0.25); the ≥0.95 recall contract for
     real near-dups is proved on planted duplicates below."""
     from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
         dedup_embedding_cosine,
@@ -65,7 +67,7 @@ def test_ivf_dedup_subset_of_bruteforce(spark, frames):
     }
     assert exact, "baseline found no near-dup pairs — threshold drifted?"
     assert ivf <= exact
-    assert len(ivf & exact) / len(exact) >= 0.4
+    assert len(ivf & exact) / len(exact) >= 0.25
 
 
 def test_ivf_dedup_recall_on_planted_near_dups(spark, frames):
