@@ -75,6 +75,7 @@ _DRIVER_FRONT = [
     "docs_clean_pipeline",
     "q_asof_click_purchase",
     "streaming_dedup",
+    "q_grouping_sets_priority",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",
@@ -95,7 +96,7 @@ _DRIVER_FRONT = [
     "q_top_customers",
     "q_regional_revenue",
     "rule_predictions",
-    "confusion_matrix",
+    # confusion_matrix: green in r02, unchanged — falls past the cutoff
 ]
 
 

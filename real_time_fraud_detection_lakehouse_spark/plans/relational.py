@@ -634,3 +634,37 @@ def q_asof_click_purchase(t: Frames) -> DataFrame:
             F.col("value").alias("purchase_value"),
         )
     )
+
+
+# --- explicit GROUPING SETS (the cube/rollup generalization) ----------------
+@_register(
+    "q_grouping_sets_priority",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS big_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_priority(t: Frames) -> DataFrame:
+    """Explicit GROUPING SETS via Spark 4's DataFrame.groupingSets —
+    one pass computes the detail level, the per-priority subtotals and
+    the grand total (vs three scans + union). Physically one Expand +
+    hash aggregate: partial aggregation still collapses rows map-side,
+    so shuffle volume is O(groups × sets), not O(rows)."""
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+            .cast("long")
+            .alias("big_orders"),
+        )
+    )
