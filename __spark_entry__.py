@@ -76,6 +76,8 @@ _DRIVER_FRONT = [
     "q_asof_click_purchase",
     "streaming_dedup",
     "q_grouping_sets_priority",
+    "q_customer_order_gaps",
+    "q_pivot_status_by_priority",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",
@@ -94,9 +96,8 @@ _DRIVER_FRONT = [
     "daily_summary",
     "q_pricing_summary",
     "q_top_customers",
-    "q_regional_revenue",
-    "rule_predictions",
-    # confusion_matrix: green in r02, unchanged — falls past the cutoff
+    # q_regional_revenue / rule_predictions / confusion_matrix: green in
+    # r02 and unchanged — they cede their slots to round-3 operators
 ]
 
 

@@ -668,3 +668,76 @@ def q_grouping_sets_priority(t: Frames) -> DataFrame:
             .alias("big_orders"),
         )
     )
+
+
+# --- lag/lead/ntile window family (§2.6 breadth) ----------------------------
+@_register(
+    "q_customer_order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER w AS prev_date,
+             lead(o_orderdate) OVER w AS next_date,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+               AS price_quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, prev_date, next_date,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev,
+           price_quartile
+    FROM seq
+    """,
+)
+def q_customer_order_gaps(t: Frames) -> DataFrame:
+    """lag/lead/ntile over per-customer order history — one shuffle on
+    o_custkey shared by all three window functions (same partition
+    key), sort reused. Tie-breaks on o_orderkey make every window
+    deterministic cross-engine."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    prev_d = F.lag("o_orderdate").over(w)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev_d.alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.datediff(F.col("o_orderdate"), prev_d).cast("long").alias("days_since_prev"),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )
+
+
+# --- pivot (wide conditional aggregation) -----------------------------------
+_ORDER_STATUSES = ["F", "O", "P"]
+
+
+@_register(
+    "q_pivot_status_by_priority",
+    f"""
+    SELECT o_orderpriority,
+           {", ".join(f'''CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS status_{s}''' for s in _ORDER_STATUSES)},
+           {_r4s('SUM(o_totalprice)')} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(t: Frames) -> DataFrame:
+    """`groupBy().pivot(values=...).count()` with the value list given
+    explicitly — skipping the distinct-scan pivot inference pass AND
+    keeping the output schema static (a 100 TB job can't let data
+    content decide its schema). Compiles to one pass of conditional
+    aggregation, same as the SQL twin."""
+    piv = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _ORDER_STATUSES)
+        .count()
+    )
+    renamed = piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}") for s in _ORDER_STATUSES],
+    )
+    totals = t["orders"].groupBy("o_orderpriority").agg(
+        _r4(F.sum("o_totalprice")).alias("total_price")
+    )
+    return renamed.join(totals, "o_orderpriority")
