@@ -75,3 +75,31 @@ def test_faithful_dims_shapes(spark):
     a = sorted(r["merchant_key"] for r in dm.select("merchant_key").collect())
     b = sorted(r["merchant_key"] for r in dim_merchant_faithful(silver).select("merchant_key").collect())
     assert a == b
+
+
+def test_observe_silver_quality(spark, tmp_path):
+    """Quality counters ride the write action (no second scan) and
+    agree with directly-aggregated values."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.quality import (
+        observe_silver_quality,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from tests.conftest import SF_SMALL
+
+    silver = build_silver(spark, SF_SMALL)
+    observed, obs = observe_silver_quality(silver)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "silver"))
+    m = obs.get
+    direct = silver.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("amt").isNull(), 1).otherwise(0)).alias("null_amt"),
+        F.min("trans_timestamp").alias("min_ts"),
+        F.max("trans_timestamp").alias("max_ts"),
+    ).collect()[0]
+    assert m["rows"] == direct["rows"] > 0
+    assert m["null_amt"] == direct["null_amt"]
+    assert m["min_ts"] == direct["min_ts"]
+    assert m["max_ts"] == direct["max_ts"]
+    assert m["null_ts"] == 0
