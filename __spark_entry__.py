@@ -78,6 +78,8 @@ _DRIVER_FRONT = [
     "q_grouping_sets_priority",
     "q_customer_order_gaps",
     "q_pivot_status_by_priority",
+    "q_order_count_distribution",
+    "q_price_histogram",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",
@@ -94,10 +96,9 @@ _DRIVER_FRONT = [
     "gold_dim_time",
     "gold_dim_location",
     "daily_summary",
-    "q_pricing_summary",
-    "q_top_customers",
-    # q_regional_revenue / rule_predictions / confusion_matrix: green in
-    # r02 and unchanged — they cede their slots to round-3 operators
+    # q_pricing_summary / q_top_customers / q_regional_revenue /
+    # rule_predictions / confusion_matrix: green in r02 and unchanged —
+    # they cede their slots to round-3 operators
 ]
 
 

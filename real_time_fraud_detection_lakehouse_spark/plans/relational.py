@@ -741,3 +741,68 @@ def q_pivot_status_by_priority(t: Frames) -> DataFrame:
         _r4(F.sum("o_totalprice")).alias("total_price")
     )
     return renamed.join(totals, "o_orderpriority")
+
+
+# --- distribution of counts (TPC-H Q13 shape: left join → histogram) --------
+@_register(
+    "q_order_count_distribution",
+    """
+    WITH per_customer AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS customers
+    FROM per_customer GROUP BY n_orders
+    """,
+)
+def q_order_count_distribution(t: Frames) -> DataFrame:
+    """Two-level aggregation (count per key, then distribution of the
+    counts — TPC-H Q13): the left join keeps zero-order customers in
+    the histogram. First agg shuffles on custkey (partial agg
+    map-side), second on the tiny n_orders domain."""
+    per_customer = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count("*").alias("customers")
+    )
+
+
+# --- width_bucket histogram -------------------------------------------------
+@_register(
+    "q_price_histogram",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 400000 THEN 21
+                     ELSE CAST(FLOOR(o_totalprice / 20000) AS INTEGER) + 1
+                END AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_histogram(t: Frames) -> DataFrame:
+    """Fixed-bin histogram via width_bucket — the single-pass scalable
+    histogram (each row maps to a bucket id in the scan projection;
+    one partial-agg shuffle over ≤22 groups). DuckDB has no
+    width_bucket, so the oracle spells out the same SQL-standard
+    semantics arithmetically (out-of-range → 0 / nbuckets+1; bucket i
+    covers [lo+(i-1)·w, lo+i·w))."""
+    return (
+        t["orders"]
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
