@@ -80,6 +80,9 @@ _DRIVER_FRONT = [
     "q_pivot_status_by_priority",
     "q_order_count_distribution",
     "q_price_histogram",
+    "q_repeat_engagers",
+    "q_clickers_not_purchasers",
+    "q_unpivot_lineitem_stats",
     "streaming_bronze_ingest",
     "ml_train_metrics",
     "multimodal_features",
@@ -92,13 +95,10 @@ _DRIVER_FRONT = [
     "silver_features",
     "gold_fact_transactions",
     "gold_dim_customer",
-    "gold_dim_merchant",
-    "gold_dim_time",
-    "gold_dim_location",
     "daily_summary",
-    # q_pricing_summary / q_top_customers / q_regional_revenue /
-    # rule_predictions / confusion_matrix: green in r02 and unchanged —
-    # they cede their slots to round-3 operators
+    # gold_dim_merchant/time/location, q_pricing_summary, q_top_customers,
+    # q_regional_revenue, rule_predictions, confusion_matrix: green in r02
+    # and unchanged — they cede their slots to round-3 operators
 ]
 
 

@@ -806,3 +806,90 @@ def q_price_histogram(t: Frames) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+# --- set operations (INTERSECT / EXCEPT) ------------------------------------
+@_register(
+    "q_repeat_engagers",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_repeat_engagers(t: Frames) -> DataFrame:
+    """INTERSECT (distinct set semantics): (user, day) pairs with both
+    a click and a purchase. Compiles to a left-semi hash join over the
+    two deduped sides — one shuffle each on the pair key."""
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    return clicks.intersect(buys)
+
+
+@_register(
+    "q_clickers_not_purchasers",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_clickers_not_purchasers(t: Frames) -> DataFrame:
+    """EXCEPT (distinct set semantics): (user, day) pairs that clicked
+    but did not purchase that day — the funnel-drop-off set.
+    ``subtract`` is Spark's EXCEPT DISTINCT: a left-anti hash join
+    over deduped sides (exceptAll would keep left-side duplicate
+    multiplicity — wrong for set semantics)."""
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    return clicks.subtract(buys)
+
+
+# --- unpivot / melt ---------------------------------------------------------
+_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_register(
+    "q_unpivot_lineitem_stats",
+    f"""
+    WITH melted AS (
+      {" UNION ALL ".join(f"SELECT l_linestatus, '{c}' AS measure, CAST({c} AS DOUBLE) AS value FROM lineitem" for c in _MELT_COLS)}
+    )
+    SELECT l_linestatus, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_r4s('AVG(value)')} AS avg_value,
+           {_r4s('MAX(value)')} AS max_value
+    FROM melted GROUP BY l_linestatus, measure
+    """,
+)
+def q_unpivot_lineitem_stats(t: Frames) -> DataFrame:
+    """Wide→long reshape via the native unpivot operator (Spark 3.4
+    ``DataFrame.unpivot``), then per-measure stats. unpivot is a
+    zero-shuffle row expansion (like Expand), so the only shuffle is
+    the final small-domain aggregation; the oracle spells the reshape
+    as UNION ALL, the standard SQL equivalent."""
+    melted = t["lineitem"].unpivot(
+        ids=["l_linestatus"],
+        values=_MELT_COLS,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        melted.withColumn("value", F.col("value").cast("double"))
+        .groupBy("l_linestatus", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.avg("value")).alias("avg_value"),
+            _r4(F.max("value")).alias("max_value"),
+        )
+    )
