@@ -893,3 +893,70 @@ def q_unpivot_lineitem_stats(t: Frames) -> DataFrame:
             _r4(F.max("value")).alias("max_value"),
         )
     )
+
+
+# --- bucketed interval (range) join (SURVEY custom-operator family) ---------
+_RANGE_W_US = 30 * 60 * 1_000_000  # 30-minute window, µs
+
+
+@_register(
+    "q_range_join_clicks",
+    f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CAST(COUNT(c.ts) AS BIGINT) AS clicks_30m
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - {_RANGE_W_US}
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_range_join_clicks(t: Frames) -> DataFrame:
+    """Interval (range) join: per purchase, count that user's clicks in
+    the preceding 30 minutes. Spark plans a raw ts-inequality join as a
+    per-user cross product (BNLJ at worst), so the scale path is
+    time-bucket blocking: clicks land in one floor(ts/W) bucket, each
+    purchase probes its own bucket and the previous one (a window of
+    width W spans at most two), and the pair becomes an equi-join on
+    (user_id, bucket) followed by the exact half-open range filter.
+    Each click matches a probe row at most once (one bucket per click,
+    distinct probe buckets), so counts need no dedup; a final left
+    join restores zero-click purchases. Shuffle volume is O(events),
+    never O(pairs). Bounds are half-open [p - 30min, p) in exact µs on
+    both engines, so boundary events can't flip. Oracle: DuckDB's
+    native inequality join (its IEJoin optimizer handles the range
+    predicate directly)."""
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.expr("unix_micros(ts)").alias("p_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.expr("unix_micros(ts)").alias("c_us"))
+        .withColumn("bucket", F.expr(f"c_us div {_RANGE_W_US}"))
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"p_us div {_RANGE_W_US}"),
+                F.expr(f"p_us div {_RANGE_W_US} - 1"),
+            )
+        ),
+    )
+    matched = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_us") >= F.col("p_us") - _RANGE_W_US) & (F.col("c_us") < F.col("p_us"))
+    )
+    counts = matched.groupBy("event_id").agg(F.count("*").alias("clicks_30m"))
+    return purchases.join(counts, "event_id", "left").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce(F.col("clicks_30m"), F.lit(0).cast("long")).alias("clicks_30m"),
+    )

@@ -121,3 +121,11 @@ def test_whole_stage_codegen_covers_silver(spark):
     tree = out.split("\n\n")[0].splitlines()
     ops = [l for l in tree if "Project" in l or "Filter" in l]
     assert ops and all(l.lstrip("+- ").startswith("* ") for l in ops), out
+
+
+def test_range_join_is_bucketed_equi(spark):
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_range_join_clicks"][0](frames))
+    # the 30-min interval join must block on (user_id, time-bucket)
+    # equi-keys, never plan the raw ts-inequality as a nested loop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
