@@ -100,6 +100,32 @@ class TrainResult:
     model: object
 
 
+def _strip_training_summaries(pipeline_model) -> None:
+    """Drop per-stage training summaries from the fitted Java models.
+
+    Spark 4.1: a classification model's trainingSummary holds its
+    SparkSession, and the session's lazy ``observationManager`` field —
+    once ANY ``DataFrame.observe`` has initialized it — is not
+    serializable.  ``model.transform`` captures the whole model (summary
+    included) into its UDF closure, so every post-observe transform dies
+    with ``NotSerializableException: ObservationManager``.  We never read
+    the training summary (metrics come from held-out evaluators), so
+    dropping it right after fit severs the session reference and keeps
+    models usable in any session state.  ``setSummary`` is
+    package-private in Scala but public in bytecode, hence callable."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    stages = getattr(pipeline_model, "stages", [pipeline_model])
+    for stage in stages:
+        jm = getattr(stage, "_java_obj", None)
+        try:
+            if jm is not None and jm.hasSummary():
+                jm.setSummary(jvm.scala.Option.empty())
+        except Exception:
+            continue  # stage without a summary surface — nothing to strip
+
+
 def train_and_evaluate(
     silver: DataFrame, model: str = "rf", fast: bool = False, seed: int = SEED
 ) -> TrainResult:
@@ -111,6 +137,7 @@ def train_and_evaluate(
     train = train.cache()
     test = test.cache()
     fitted = build_pipeline(model, fast).fit(train)
+    _strip_training_summaries(fitted)
     pred = fitted.transform(test).cache()
 
     auc = BinaryClassificationEvaluator(

@@ -103,3 +103,52 @@ def test_observe_silver_quality(spark, tmp_path):
     assert m["min_ts"] == direct["min_ts"]
     assert m["max_ts"] == direct["max_ts"]
     assert m["null_ts"] == 0
+    # regression guard: QualityObservation.get must leave no
+    # ObservationManager listener on the session (Spark 4.1 leaks it and
+    # later Spark-ML transforms die with Task-not-serializable)
+    from real_time_fraud_detection_lakehouse_spark.plans.quality import (
+        _listener_entries,
+    )
+
+    assert _listener_entries(spark) == []
+
+
+def test_observe_then_ml_transform_same_session(spark):
+    """Observe → metric read → Spark-ML fit/transform in ONE session.
+
+    Spark 4.1's ObservationManager leaves its QueryExecutionListener
+    registered forever after the first Observation completes; that
+    listener then gets captured into ML task closures and every
+    transform fails with NotSerializableException: ObservationManager.
+    QualityObservation.get detaches it — this test locks the cure in,
+    and also proves a SECOND observation still completes after the
+    detach (the re-attach path)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.quality import (
+        observe_silver_quality,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from tests.conftest import SF_SMALL
+
+    silver = build_silver(spark, SF_SMALL)
+    observed, obs = observe_silver_quality(silver)
+    observed.count()
+    first = obs.get
+    assert first["rows"] > 0
+
+    # the poisoned path: ML fit + transform on the same session
+    data = spark.range(200).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    features = VectorAssembler(inputCols=["x"], outputCol="features").transform(data)
+    model = LogisticRegression(maxIter=2).fit(features)
+    assert model.transform(features).count() == 200
+
+    # second observation round-trips after the detach (re-attach works)
+    observed2, obs2 = observe_silver_quality(silver)
+    observed2.count()
+    assert obs2.get["rows"] == first["rows"]
