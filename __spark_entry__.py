@@ -38,67 +38,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: entries 0..49 of round 2's ordering. To get every registered operator a
 #: driver-verified row across rounds, each round fronts the entries that do
 #: NOT yet have a green driver row (union of rounds covers the full set).
-#: Round 3 fronts: all LLM-pipeline ops, the 8 relational queries past the
-#: r2 cutoff, the rows-only streaming/ML entries, sql_daily_summary, plus
-#: this round's new operators; the remaining slots re-verify the medallion
-#: core and queries whose implementation changed this round.
+#: Round 4 fronts: the never-driver-checked q_range_join_clicks, this
+#: round's new introspection queries, then every entry whose last green
+#: row is from round 2 (r2∖r3 = 44 names) so no green goes stale beyond
+#: one round, and finally the queries whose implementation changed this
+#: round (ml_train_metrics: summary-strip; multimodal_features: PNG
+#: decode) plus the flagship.
 _DRIVER_FRONT = [
-    # unchecked in CORRECTNESS_r02.json (r2 indices 50-79)
-    "q_cube_returnflag_status",
-    "q_brand_revenue_share",
-    "q_user_sessions",
-    "q_events_hourly_window",
-    "q_distinct_users",
-    "q_distinct_users_approx",
-    "q_quantity_quantiles",
-    "q_supplier_order_volume",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "text_corpus_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_candidates",
-    "similarity_cosine_topk",
-    "embedding_norms",
-    "similarity_ivf_topk",
-    "similarity_brp_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_ivf",
-    # new in round 3 — no driver row yet
-    "text_tfidf_topk",
-    "corpus_sample_hash",
-    "docs_clean_pipeline",
-    "q_asof_click_purchase",
-    "streaming_dedup",
-    "q_grouping_sets_priority",
-    "q_customer_order_gaps",
-    "q_pivot_status_by_priority",
-    "q_order_count_distribution",
-    "q_price_histogram",
-    "q_repeat_engagers",
-    "q_clickers_not_purchasers",
-    "q_unpivot_lineitem_stats",
-    "streaming_bronze_ingest",
+    # never driver-checked (committed after the r3 driver run)
+    "q_range_join_clicks",
+    # new in round 4
+    "sql_show_tables",
+    "sql_describe_fact",
+    # green in r2 only — refresh before they go stale
+    "gold_dim_merchant",
+    "gold_dim_time",
+    "gold_dim_location",
+    "hourly_summary",
+    "state_summary",
+    "category_summary",
+    "amount_summary",
+    "fraud_patterns",
+    "merchant_analysis",
+    "time_period_analysis",
+    "dash_overview",
+    "dash_fraud_rate",
+    "dash_high_risk",
+    "dash_hourly_fraud",
+    "dash_monthly_trend",
+    "dash_state_top20",
+    "dash_distance_range",
+    "dash_risky_merchants",
+    "dash_category",
+    "dash_amount_range",
+    "dash_high_value",
+    "dash_weekend",
+    "dash_late_night",
+    "dash_age_group",
+    "dash_severity",
+    "dash_multi_factor",
+    "rule_predictions",
+    "dash_model_accuracy",
+    "dash_score_distribution",
+    "confusion_matrix",
+    "class_distribution",
+    "q_pricing_summary",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_order_priority",
+    "q_union_rebalance",
+    "q_distinct_pairs",
+    "q_median_quantity",
+    "q_events_json",
+    "q_epoch_roundtrip",
+    "q_user_velocity",
+    "q_customers_without_orders",
+    "q_parts_ordered",
+    "q_selective_revenue",
+    # re-verify: implementation changed this round + flagship
     "ml_train_metrics",
     "multimodal_features",
-    "sql_daily_summary",
-    "streaming_hourly_windows",
-    "stateful_velocity",
-    # re-verify: changed this round or medallion-core flagships
-    "latest_metrics",
-    "transactions_source",
-    "silver_features",
-    "gold_fact_transactions",
-    "gold_dim_customer",
     "daily_summary",
-    # gold_dim_merchant/time/location, q_pricing_summary, q_top_customers,
-    # q_regional_revenue, rule_predictions, confusion_matrix: green in r02
-    # and unchanged — they cede their slots to round-3 operators
+    # everything else was driver-green in r3 and unchanged — cedes its
+    # slot this round
 ]
 
 
@@ -194,6 +196,26 @@ def queries() -> dict[str, QueryFn]:
 
     q["sql_daily_summary"] = _sql_view
 
+    # catalog introspection (SHOW TABLES / DESCRIBE — the chatbot's
+    # schema-discovery surface, SURVEY §3.3); metadata-only, constant
+    # oracles
+    def _show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
+            sql_show_tables,
+        )
+
+        return sql_show_tables(spark, sf_dir)
+
+    def _describe_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
+            sql_describe_fact,
+        )
+
+        return sql_describe_fact(spark, sf_dir)
+
+    q["sql_show_tables"] = _show_tables
+    q["sql_describe_fact"] = _describe_fact
+
     # stateful streaming extensions (rows-only: state-store semantics)
     def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile, os
@@ -282,6 +304,13 @@ def oracle_sql() -> dict[str, str]:
         o[name] = f"{prelude} {sql}"
     # the spark.sql view path computes the same daily_summary
     o["sql_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
+    from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
+        DESCRIBE_FACT_SQL,
+        SHOW_TABLES_SQL,
+    )
+
+    o["sql_show_tables"] = SHOW_TABLES_SQL
+    o["sql_describe_fact"] = DESCRIBE_FACT_SQL
     for name, (_builder, sql) in RELATIONAL.items():
         if sql is not None:
             o[name] = sql

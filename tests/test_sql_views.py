@@ -38,3 +38,39 @@ def test_sql_surface_is_queryable(spark, registered):
     assert len(top) == 5
     tables = {r["viewName"] for r in spark.sql("SHOW VIEWS").collect()}
     assert {"daily_summary", "state_summary", "fact_transactions"} <= tables
+
+
+def test_show_tables_surface(spark, duck):
+    """SHOW TABLES scoped to the engine surface matches the declared
+    SQL_SURFACE constant (and its DuckDB oracle)."""
+    from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
+        SHOW_TABLES_SQL,
+        SQL_SURFACE,
+        sql_show_tables,
+    )
+    from tests.conftest import compare_frames
+
+    got = sql_show_tables(spark, SF_SMALL)
+    assert sorted(r["table_name"] for r in got.collect()) == SQL_SURFACE
+    compare_frames(got, duck.sql(SHOW_TABLES_SQL), check_types=False)
+
+
+def test_describe_fact_matches_runtime_schema(spark, duck):
+    """DESCRIBE output == the fact DataFrame's actual dtypes == the
+    pinned FACT_CONTRACT (schema-drift tripwire), and the catalog's
+    listColumns metadata agrees."""
+    from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
+        DESCRIBE_FACT_SQL,
+        FACT_CONTRACT,
+        sql_describe_fact,
+    )
+    from tests.conftest import compare_frames
+
+    desc = sql_describe_fact(spark, SF_SMALL)
+    rows = [(r["column_name"], r["data_type"]) for r in desc.collect()]
+    assert rows == FACT_CONTRACT
+    fact = gold_frames(spark, SF_SMALL)["fact"]
+    assert fact.dtypes == FACT_CONTRACT
+    cat_cols = [c.name for c in spark.catalog.listColumns("fact_transactions")]
+    assert cat_cols == [c for c, _ in FACT_CONTRACT]
+    compare_frames(desc, duck.sql(DESCRIBE_FACT_SQL), check_types=False)
