@@ -265,9 +265,13 @@ SELECT DISTINCT city, state, zip, lat, long, city_pop FROM silver
 """
 
 
-#: Keyed on the live session object (weakly, like core.catalog._CACHE) so a
-#: stopped+collected session's entries vanish instead of aliasing a reused
-#: id() — inner dict maps sf_dir → frames.
+#: Keyed on the session OBJECT (not id()) so a stopped session's entry can
+#: never alias a new session that reuses the same id() — that was the real
+#: bug. Note the weak key does NOT free entries in practice: the cached
+#: DataFrames hold a strong reference back to their SparkSession
+#: (value→key cycle keeps the key alive), so entries live until process
+#: exit — bounded, since a process creates a handful of sessions and each
+#: entry is a few lazy plan graphs. Inner dict maps sf_dir → frames.
 _FRAMES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 

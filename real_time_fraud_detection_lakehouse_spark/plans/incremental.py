@@ -21,6 +21,7 @@ for parquet sources).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,7 +51,10 @@ def incremental_silver_batch(
     try:
         target = spark.read.parquet(silver_path)
         hwm = high_water_mark(target, "trans_timestamp")
-    except Exception:
+    except AnalysisException:
+        # no table yet (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) -> full
+        # load. Anything else (IO error, corrupt footer) must PROPAGATE:
+        # swallowing it would silently re-append the whole history.
         hwm = None
     fresh = filter_after(bronze, "trans_timestamp", hwm)
     n = fresh.count()
@@ -79,7 +83,10 @@ def incremental_gold_batch(
     fact_path = os.path.join(gold_dir, "fact_transactions")
     try:
         hwm = high_water_mark(spark.read.parquet(fact_path), "transaction_timestamp")
-    except Exception:
+    except AnalysisException:
+        # same contract as the silver side: only "no table yet" means
+        # hwm=None; transient read failures propagate instead of
+        # duplicating the entire silver history into the fact table
         hwm = None
     fresh = filter_after(silver, "trans_timestamp", hwm)
     n = fresh.count()

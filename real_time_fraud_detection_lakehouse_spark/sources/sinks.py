@@ -26,6 +26,7 @@ import json
 import urllib.request
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,8 +60,10 @@ def append_with_schema_fallback(df: DataFrame, path: str, partition_cols: list[s
     """
     try:
         existing = df.sparkSession.read.parquet(path).schema
-    except Exception:
+    except AnalysisException:
         existing = None  # no table yet → plain append creates it
+        # (narrowed: a transient IO failure must raise, not masquerade
+        # as a fresh table and skip conflict detection)
     mode = "append"
     if existing is not None and _schema_key(existing, partition_cols) != _schema_key(
         df.schema, partition_cols
@@ -96,6 +99,16 @@ def upsert_by_key(
     Without it: legacy full-table rewrite (kept for small unpartitioned
     tables; annotated scale-weak).
 
+    CONTRACT (partition-scoped path): a key's ``partition_col`` value is
+    immutable — matched keys are anti-joined only within the partitions
+    the updates touch, so an update that MOVED a key to a different
+    partition would leave the stale row alive in the old partition.
+    This holds for the lakehouse tables by construction
+    (``score_date`` is derived from the immutable ``trans_timestamp``;
+    dim tables key on the partition value itself). For mutable
+    partition columns, pass ``partition_col=None`` (full-table merge)
+    or use Delta MERGE.
+
     Fault tolerance: the merged slice is materialized via eager
     localCheckpoint before the overwrite so the rewrite can't consume
     its own output, but checkpoint blocks live on executors — an
@@ -105,7 +118,7 @@ def upsert_by_key(
     """
     try:
         existing = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:  # only "no table yet" -> initial write
         writer = updates.write.mode("overwrite")
         if partition_col is not None:
             writer = writer.partitionBy(partition_col)
