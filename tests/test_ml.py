@@ -130,3 +130,42 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = {x["media_id"]: x["content_sha1"] for x in multimodal_features(spark, SF_SMALL).collect()}
     assert again[r["media_id"]] == r["content_sha1"]
+
+
+def test_png_encode_decode_roundtrip():
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_png_header,
+        decode_stub,
+        encode_png,
+    )
+
+    png = encode_png(40, 9, seed=7)
+    assert decode_png_header(png) == (40, 9)
+    assert decode_stub(png, "image") == {"format": "png", "width": 40, "height": 9}
+    # identical inputs -> identical bytes (fixture determinism)
+    assert png == encode_png(40, 9, seed=7)
+    # non-PNG content: header parse declines, stub raises for the caller's fallback
+    assert decode_png_header(b"not a png at all, definitely") is None
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"riff-wave-bytes", "audio")
+
+
+def test_multimodal_png_decode_real_dims(spark):
+    """The working PNG path: image rows decode to the IHDR dimensions
+    (== meta dims by construction); audio/video rows have no codec and
+    surface null dims."""
+    media = synth_media_table(spark, SF_SMALL)
+    feats = extract_media_features(media).join(
+        media.select("media_id", "meta"), "media_id"
+    )
+    rows = feats.collect()
+    images = [r for r in rows if r["media_type"] == "image"]
+    others = [r for r in rows if r["media_type"] != "image"]
+    assert images and others
+    for r in images:
+        assert r["decoded_width"] == r["meta"]["width"]
+        assert r["decoded_height"] == r["meta"]["height"]
+    for r in others:
+        assert r["decoded_width"] is None and r["decoded_height"] is None
