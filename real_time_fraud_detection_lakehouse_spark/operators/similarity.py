@@ -104,6 +104,10 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 @_register("similarity_cosine_topk", _COSINE_ORACLE)
 def similarity_cosine_topk(t: Frames) -> DataFrame:
+    """BASELINE-ONLY (see operators.BASELINE_ONLY): broadcast
+    nested-loop all-candidates scoring — the oracle ground truth for
+    recall measurement. At scale use ``similarity_ivf_topk`` or
+    ``similarity_brp_lsh``; this plan is O(queries x corpus)."""
     return cosine_topk(t["embeddings"])
 
 
@@ -329,10 +333,11 @@ def embedding_cosine_pairs(
     """,
 )
 def dedup_embedding_cosine(t: Frames) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine (threshold, not
-    top-k). This brute-force variant is the correctness baseline and
-    the DuckDB oracle; ``dedup_embedding_cosine_ivf`` is the
-    registered scale twin with bucketed candidates."""
+    """BASELINE-ONLY (see operators.BASELINE_ONLY): near-duplicate
+    pairs by embedding cosine via the all-pairs ``vec_a < vec_b``
+    nested loop — the correctness baseline and DuckDB oracle. At
+    scale use ``dedup_embedding_cosine_ivf`` (identical scoring,
+    bucketed equi-join candidates); this plan is O(n^2)."""
     return embedding_cosine_pairs(t["embeddings"], ivf=False)
 
 

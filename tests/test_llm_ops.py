@@ -231,3 +231,14 @@ def test_ivf_recall_vs_bruteforce(spark, frames):
     # multi-probe IVF examines ~31% of candidates; on random
     # embeddings recall should comfortably beat that baseline
     assert recall > 0.3, recall
+
+
+def test_baseline_quarantine_registry():
+    """Every quarantined baseline and its scale twin are registered,
+    and the quarantine is marked in both the registry map and the
+    baseline's own docstring."""
+    from real_time_fraud_detection_lakehouse_spark.operators import BASELINE_ONLY, LLM_OPS
+
+    for baseline, twin in BASELINE_ONLY.items():
+        assert baseline in LLM_OPS and twin in LLM_OPS
+        assert "BASELINE-ONLY" in (LLM_OPS[baseline][0].__doc__ or "")
