@@ -54,7 +54,22 @@ DIRECT = [
     "text_stats",
     "text_tfidf_topk",
     "q_asof_click_purchase",
+    "q_grouping_sets_priority",
+    "q_pivot_status_by_priority",
+    "q_range_join_clicks",
 ]
+
+#: queries re-timed (warm) at sf0.1 and at the key-shifted replica to
+#: produce the standing scaling block; SPARK_GRAFT_SCALING=0 skips it
+SCALING_QUERIES = [
+    "q_pricing_summary",
+    "q_top_customers",
+    "q_user_velocity",
+    "dedup_exact",
+    "text_stats",
+]
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 
 
 def main() -> None:
@@ -76,7 +91,11 @@ def main() -> None:
         "bench",
         master=f"local[{CPUS}]",
         extra_conf={
-            "spark.sql.shuffle.partitions": str(max(int(CPUS) if CPUS != "*" else 32, 8))
+            "spark.sql.shuffle.partitions": str(max(int(CPUS) if CPUS != "*" else 32, 8)),
+            # first get_spark launches the JVM, so driver memory applies
+            # here (local mode: executors live in the driver JVM). The
+            # default 1g heap makes late-suite timings GC-bound.
+            "spark.driver.memory": "16g",
         },
     )
     # warm the JVM so timings reflect steady state, not session startup
@@ -140,22 +159,99 @@ def main() -> None:
             t0 = time.time()
             builder(frames).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+
+        # --- phase 4: streaming exactly-once dedup micro-bench
+        # (source setup excluded; timed part = the AvailableNow stream
+        # run incl. dropDuplicatesWithinWatermark state)
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            dedup_stream,
+        )
+
+        sdir = os.path.join(warehouse, "dedup_src")
+        tx = transactions_df(spark, SF_DIR)
+        tx.write.mode("overwrite").parquet(sdir)
+        tx.write.mode("append").parquet(sdir)  # at-least-once replay
+        t0 = time.time()
+        dedup_stream(
+            spark,
+            sdir,
+            os.path.join(warehouse, "dedup_out"),
+            os.path.join(warehouse, "dedup_ckpt"),
+        )
+        timings["streaming_dedup"] = round(time.time() - t0, 3)
+
+        # --- phase 5: standing scaling block (10x key-shifted replica;
+        # warm-vs-warm so the ratio measures plan scaling, not codegen).
+        # Runs in a FRESH session: measured in-session ratios are
+        # inflated up to 3x by heap/state left over from the 24
+        # preceding queries (q_top_customers: 6.1x polluted vs 2.2x
+        # clean), and the block exists to track plan regressions, not
+        # session wear.
+        scaling = None
+        if SCALING:
+            from real_time_fraud_detection_lakehouse_spark.sources.replica import (
+                build_replica,
+            )
+
+            spark.stop()
+            spark = get_spark(
+                "bench-scaling",
+                master=f"local[{CPUS}]",
+                extra_conf={
+                    "spark.sql.shuffle.partitions": str(
+                        max(int(CPUS) if CPUS != "*" else 32, 8)
+                    )
+                },
+            )
+            spark.range(1_000_000).selectExpr("sum(id)").collect()
+            big_dir = os.path.join(warehouse, "replica")
+            t0 = time.time()
+            build_replica(spark, SF_DIR, big_dir, copies=SCALE_COPIES)
+            build_secs = round(time.time() - t0, 1)
+            results: dict[str, dict[str, float]] = {}
+            for name in SCALING_QUERIES:
+                builder, _ = ops[name]
+                per_sf: dict[str, float] = {}
+                for label, d in (("base", SF_DIR), ("scaled", big_dir)):
+                    fr = {t: table(spark, d, t) for t in TESTDATA_TABLES}
+                    qdf = builder(fr)
+                    qdf.write.format("noop").mode("overwrite").save()  # warm-up
+                    # min of 2 timed runs: single local[32] samples at
+                    # sub-second scale jitter by several x; min is the
+                    # standard noise-robust micro-bench statistic
+                    samples = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        qdf.write.format("noop").mode("overwrite").save()
+                        samples.append(time.time() - t0)
+                    per_sf[label] = round(min(samples), 3)
+                per_sf["ratio"] = round(per_sf["scaled"] / per_sf["base"], 2)
+                results[name] = per_sf
+            ratios = [r["ratio"] for r in results.values()]
+            scaling = {
+                "copies": SCALE_COPIES,
+                "replica_build_sec": build_secs,
+                "mean_time_ratio": round(sum(ratios) / len(ratios), 2),
+                "queries": results,
+            }
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(time.time() - t_suite, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()
 

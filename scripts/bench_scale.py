@@ -25,8 +25,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
 from real_time_fraud_detection_lakehouse_spark.core.session import get_spark
 
@@ -34,19 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 
-#: per-table key columns to offset per copy (keeps joins consistent)
-KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "events": ["user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "nation": [],   # dims: kept as-is (copies would break FK arity)
-    "region": [],
-}
+from real_time_fraud_detection_lakehouse_spark.sources.replica import build_replica  # noqa: E402
 
 QUERIES = [
     "q_pricing_summary",   # wide agg over lineitem
@@ -55,26 +41,6 @@ QUERIES = [
     "dedup_exact",         # hash-agg dedup over documents
     "text_stats",          # pure-projection text ops
 ]
-
-
-def build_replica(spark, out_dir: str) -> None:
-    for name in TESTDATA_TABLES:
-        src = table(spark, SF_DIR, name)
-        shifts = KEY_SHIFTS.get(name, [])
-        if not shifts:
-            df = src
-        else:
-            offsets = {c: src.agg(F.max(c)).first()[0] + 1 for c in shifts}
-            copies = []
-            for i in range(COPIES):
-                c = src
-                for col, off in offsets.items():
-                    c = c.withColumn(col, F.col(col) + F.lit(i * off))
-                copies.append(c)
-            df = copies[0]
-            for c in copies[1:]:
-                df = df.unionByName(c)
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
 def main() -> None:
@@ -91,7 +57,7 @@ def main() -> None:
     big_dir = tempfile.mkdtemp(prefix="sfscale_")
     try:
         t0 = time.time()
-        build_replica(spark, big_dir)
+        build_replica(spark, SF_DIR, big_dir, copies=COPIES)
         build_secs = round(time.time() - t0, 1)
 
         ops = {**RELATIONAL, **LLM_OPS}
