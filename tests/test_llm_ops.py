@@ -242,3 +242,20 @@ def test_baseline_quarantine_registry():
     for baseline, twin in BASELINE_ONLY.items():
         assert baseline in LLM_OPS and twin in LLM_OPS
         assert "BASELINE-ONLY" in (LLM_OPS[baseline][0].__doc__ or "")
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B-C-D chain collapses to one component labeled by its min
+    node even though A and D share no edge; disjoint pair keeps its
+    own label; convergence needs diameter rounds, not size rounds."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
