@@ -39,17 +39,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: driver-verified row across rounds, each round fronts the entries that do
 #: NOT yet have a green driver row (union of rounds covers the full set).
 #: Round 4 fronts: the never-driver-checked q_range_join_clicks, this
-#: round's new introspection queries, then every entry whose last green
-#: row is from round 2 (r2∖r3 = 44 names) so no green goes stale beyond
-#: one round, and finally the queries whose implementation changed this
-#: round (ml_train_metrics: summary-strip; multimodal_features: PNG
-#: decode) plus the flagship.
+#: round's new queries (introspection, dedup_clusters,
+#: streaming_interval_join), then entries whose last green row is from
+#: round 2 so no green goes stale beyond one round (q_parts_ordered,
+#: q_selective_revenue and q_distinct_pairs ceded their slots to the
+#: new ops — they rotate back in round 5), and finally the queries whose implementation
+#: changed this round (ml_train_metrics: summary-strip;
+#: multimodal_features: PNG decode) plus the flagship.
 _DRIVER_FRONT = [
     # never driver-checked (committed after the r3 driver run)
     "q_range_join_clicks",
     # new in round 4
     "sql_show_tables",
     "sql_describe_fact",
+    "dedup_clusters",
+    "streaming_interval_join",
+    "text_chunks",
     # green in r2 only — refresh before they go stale
     "gold_dim_merchant",
     "gold_dim_time",
@@ -87,14 +92,11 @@ _DRIVER_FRONT = [
     "q_regional_revenue",
     "q_order_priority",
     "q_union_rebalance",
-    "q_distinct_pairs",
     "q_median_quantity",
     "q_events_json",
     "q_epoch_roundtrip",
     "q_user_velocity",
     "q_customers_without_orders",
-    "q_parts_ordered",
-    "q_selective_revenue",
     # re-verify: implementation changed this round + flagship
     "ml_train_metrics",
     "multimodal_features",
@@ -281,9 +283,26 @@ def queries() -> dict[str, QueryFn]:
             spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
         )
 
+    def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            clicks_before_purchase_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="ssjoin_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        return clicks_before_purchase_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
     q["streaming_hourly_windows"] = _windowed
     q["stateful_velocity"] = _velocity
     q["streaming_dedup"] = _stream_dedup
+    q["streaming_interval_join"] = _stream_interval_join
     return _driver_order(q)
 
 

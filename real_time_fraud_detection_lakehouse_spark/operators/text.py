@@ -346,3 +346,57 @@ def text_corpus_stats(t: Frames) -> DataFrame:
         dround(F.avg(F.size(toks).cast("double")), 4).alias("avg_tokens"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# --- sliding-window document chunking (training-data prep) ------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@_register(
+    "text_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t, len({_TOKENS}) AS n FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                  ELSE CAST(ceil((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INTEGER) + 1
+             END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_index,
+           CAST(len(list_slice(t, i * {CHUNK_STRIDE} + 1, i * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS INTEGER)
+             AS chunk_tokens,
+           array_to_string(list_slice(t, i * {CHUNK_STRIDE} + 1, i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM sized, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def text_chunks(t: Frames) -> DataFrame:
+    """Sliding-window chunking: each document becomes overlapping
+    CHUNK_TOKENS-token windows advanced by CHUNK_STRIDE (the standard
+    LLM-training prep that keeps context across chunk boundaries).
+    Chunk count = 1 for short docs, else ceil((n-chunk)/stride)+1 so
+    the final partial window is always emitted.
+
+    Scale design: pure column expressions — tokenize once, posexplode
+    over a computed index range; no UDF, no shuffle (narrow transform);
+    output row count is sum(n_chunks), controlled by stride. At 100 TB
+    chunking is scan-bound, exactly as it should be."""
+    toks = _tokens_col()
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int") + 1
+    )
+    sized = t["documents"].select("doc_id", toks.alias("t"), n_chunks.alias("n_chunks"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i")
+    chunk = F.slice(F.col("t"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return sized.select("doc_id", "t", idx).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_index"),
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

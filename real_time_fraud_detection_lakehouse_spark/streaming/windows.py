@@ -142,3 +142,61 @@ def dedup_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def clicks_before_purchase_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: the streaming twin of the batch
+    ``q_range_join_clicks`` operator. Two watermarked streams over the
+    same events source — clicks and purchases — joined on user_id with
+    the half-open event-time bound [purchase - window, purchase);
+    append mode emits each matched pair exactly once.
+
+    Scale design: the time-range predicate in the join condition is
+    what lets Spark BOUND the join state — each side buffers only rows
+    within watermark+window of the stream clock, so state is
+    O(rate x horizon), not O(history). Without the range condition a
+    stream-stream join must keep every row forever. The watermark also
+    defines correctness: clicks later than ``watermark`` behind the
+    max event time may be dropped (documented lossy-late semantics,
+    same contract as the reference's HWM filter)."""
+    schema = spark.read.parquet(source_path).schema
+    events = lambda: spark.readStream.schema(schema).parquet(source_path)  # noqa: E731
+    purchases = (
+        events()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

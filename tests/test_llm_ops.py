@@ -259,3 +259,27 @@ def test_connected_components_transitive_chain(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_text_chunks_overlap_invariant(spark):
+    """Consecutive chunks of a long doc overlap by chunk-stride tokens
+    and reconstruct the original token sequence."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunks,
+    )
+
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    rows = sorted(
+        text_chunks({"documents": docs}).collect(), key=lambda r: r["chunk_index"]
+    )
+    assert len(rows) == 3  # ceil((150-64)/48)+1
+    assert [r["chunk_tokens"] for r in rows] == [64, 64, 150 - 2 * CHUNK_STRIDE]
+    toks = [r["chunk_text"].split(" ") for r in rows]
+    for a, b in zip(toks, toks[1:]):
+        assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]  # overlap
+    # stitching non-overlapping prefixes reconstructs the doc
+    stitched = toks[0] + [w for c in toks[1:] for w in c[CHUNK_TOKENS - CHUNK_STRIDE:]]
+    assert stitched == words.split(" ")

@@ -60,3 +60,43 @@ def test_session_window_stream_closes_sessions(spark, tmp_path):
     assert total_events <= tx.count()
     for r in rows[:50]:
         assert r["session_end"] > r["session_start"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Every pair the stream-stream join emits must exist in the batch
+    interval join over the same events, and coverage must be near-total
+    (append mode withholds only pairs still inside the watermark at
+    end-of-stream)."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        clicks_before_purchase_stream,
+    )
+
+    src = str(tmp_path / "events")
+    ev = table(spark, SF_SMALL, "events")
+    ev.write.mode("overwrite").parquet(src)
+
+    streamed = clicks_before_purchase_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    batch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_ts")
+
+    s_pairs = {tuple(r) for r in streamed.collect()}
+    b_pairs = {tuple(r) for r in batch.collect()}
+    assert s_pairs  # sf0.001 has thousands of matched pairs
+    assert s_pairs <= b_pairs  # no spurious emissions, exactly-once
+    assert len(s_pairs) >= len(b_pairs) * 0.9  # only watermark tail withheld
