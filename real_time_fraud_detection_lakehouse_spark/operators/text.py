@@ -400,3 +400,41 @@ def text_chunks(t: Frames) -> DataFrame:
         F.size(chunk).cast("int").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --- stratified deterministic sampling (per-language rebalancing) -----------
+#: per-stratum md5-hex-prefix cut: 'en' downsampled to 4/16, the rare
+#: languages kept whole ('g' > 'f' ≥ every hex digest ⇒ keep-all)
+STRATA_THRESHOLDS = {"en": "4", "_default": "g"}
+
+
+@_register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'en' THEN '{STRATA_THRESHOLDS["en"]}'
+               ELSE '{STRATA_THRESHOLDS["_default"]}' END
+    """,
+)
+def docs_stratified_sample(t: Frames) -> DataFrame:
+    """Stratified deterministic sampling: each language stratum gets
+    its own md5-hex-prefix cut — the dominant 'en' stratum is
+    downsampled to 4/16 while rare languages are kept whole, the
+    class-rebalancing move a multilingual training mix needs. The hex
+    cut (not seeded RNG) makes membership a pure function of doc_id:
+    reproducible across engines, runs, AND re-partitionings, so
+    train/holdout splits survive re-sharding. Rate granularity is
+    1/16 per threshold hex char (use longer prefixes for finer
+    rates). Pure projection+filter — no shuffle, pushed to the scan."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    thr = F.when(
+        F.col("lang") == "en", F.lit(STRATA_THRESHOLDS["en"])
+    ).otherwise(F.lit(STRATA_THRESHOLDS["_default"]))
+    return (
+        t["documents"]
+        .select("doc_id", "lang", key.alias("sample_key"), thr.alias("thr"))
+        .filter(F.col("sample_key") < F.col("thr"))
+        .drop("thr")
+    )

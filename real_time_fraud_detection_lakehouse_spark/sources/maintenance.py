@@ -1,8 +1,11 @@
 """Table maintenance: small-file compaction for hive-partitioned
 parquet tables — the vanilla-parquet analog of Delta ``OPTIMIZE``
-(reference `docs/DEVELOPER_GUIDE.md:1038-1054`; Delta also gets
-ZORDER/VACUUM, which have no parquet equivalent — annotated here the
-same way sinks.py annotates MERGE).
+(reference `docs/DEVELOPER_GUIDE.md:1038-1054`) and a Z-order
+clustered write — the parquet analog of Delta ``OPTIMIZE ZORDER``
+(min/max footer stats do the data skipping a Delta log would).
+VACUUM alone has no parquet equivalent (no transaction log to know
+which files are dead) — annotated here the same way sinks.py
+annotates MERGE.
 
 Why this matters at 100 TB: a partitioned write from a T-task stage
 fans out into up to T files *per hive partition* (every task holds a
@@ -99,3 +102,64 @@ def compact_partitions(
         .parquet(path)
     )
     return crowded
+
+
+# --- Z-order clustered write (Delta OPTIMIZE ZORDER analog) -----------------
+Z_BITS = 16  # per-column bucket resolution (2 cols -> 32-bit z-values)
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = Z_BITS):
+    """Morton (Z-order) value over ``cols`` as a pure column expression.
+
+    Each column is min-max bucketed to ``bits`` bits (one tiny agg for
+    the bounds — two scalars per column), then the bucket bits are
+    interleaved so rows close in EVERY dimension get close z-values.
+    Min-max bucketing assumes roughly uniform values; for heavily
+    skewed columns substitute approxQuantile boundaries (same
+    interleave, equi-depth buckets).
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1
+        bucket = F.least(
+            F.lit(top),
+            ((F.col(c) - F.lit(mn)) * top / F.lit(span)).cast("long"),
+        )
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Z-order clustered write — the vanilla-parquet analog of Delta
+    ``OPTIMIZE ... ZORDER BY (cols)``.
+
+    Rows are range-partitioned and sorted by their interleaved-bit
+    z-value, so each output file covers a tight hyper-rectangle in
+    ALL ``cols`` at once and parquet min/max footer stats become
+    selective for conjunctive point/range predicates on any subset of
+    them — single-column sorting only achieves that for a prefix
+    column. Readers (Spark parquet scans, and any engine that does
+    row-group skipping) then prune most files without opening them.
+    At 100 TB this is the difference between a needle query touching
+    ~1/files and touching all of them. Data-skipping win is asserted
+    quantitatively in tests/test_maintenance.py.
+    """
+    zdf = df.withColumn("_z", zorder_column(df, cols))
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

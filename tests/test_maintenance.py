@@ -57,3 +57,64 @@ def test_write_partitioned_compact_one_file_per_partition(spark, tmp_path):
     assert set(counts) == {"p=0", "p=1", "p=2"}
     assert all(n == 1 for n in counts.values()), counts
     assert spark.read.parquet(path).count() == 3000
+
+
+def test_zorder_write_improves_data_skipping(spark, tmp_path):
+    """A conjunctive point-range predicate on (l_partkey, l_suppkey)
+    must be answerable from a strict subset of z-ordered files (parquet
+    footer min/max), while a round-robin layout leaves every file a
+    candidate — and z-order must beat single-column sort on the
+    NON-prefix dimension."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.sources.maintenance import (
+        write_zordered,
+    )
+    from tests.conftest import SF_SMALL
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+    write_zordered(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
+
+    def candidate_files(path, p_lo, p_hi, s_lo, s_hi):
+        hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            overlaps = False
+            for rg in range(md.num_row_groups):
+                st_p = md.row_group(rg).column(cols["l_partkey"]).statistics
+                st_s = md.row_group(rg).column(cols["l_suppkey"]).statistics
+                if (
+                    st_p.min <= p_hi
+                    and st_p.max >= p_lo
+                    and st_s.min <= s_hi
+                    and st_s.max >= s_lo
+                ):
+                    overlaps = True
+            hits += overlaps
+        return hits
+
+    # a small box in the middle of both key domains
+    pk = li.agg(F.expr("percentile_approx(l_partkey, 0.5)")).first()[0]
+    sk = li.agg(F.expr("percentile_approx(l_suppkey, 0.5)")).first()[0]
+    box = (pk, pk + 2, sk, sk + 0)
+
+    plain_hits = candidate_files(plain, *box)
+    z_hits = candidate_files(zord, *box)
+    assert plain_hits == len(glob.glob(f"{plain}/*.parquet"))  # no skipping
+    assert z_hits < plain_hits  # footer stats prune z-ordered files
+    assert z_hits <= plain_hits // 2
+    # correctness: the clustered table still returns identical data
+    assert (
+        spark.read.parquet(zord).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+        == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    )
