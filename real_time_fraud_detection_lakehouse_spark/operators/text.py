@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
@@ -437,4 +437,42 @@ def docs_stratified_sample(t: Frames) -> DataFrame:
         .select("doc_id", "lang", key.alias("sample_key"), thr.alias("thr"))
         .filter(F.col("sample_key") < F.col("thr"))
         .drop("thr")
+    )
+
+
+# --- deterministic per-source cap (reservoir-style group sampling) ----------
+SOURCE_CAP = 15  # max documents kept per source
+
+
+@_register(
+    "docs_per_source_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def docs_per_source_cap(t: Frames) -> DataFrame:
+    """Deterministic reservoir-style cap: keep at most SOURCE_CAP docs
+    per source, chosen by md5(doc_id) rank — an unbiased, reproducible
+    'uniform sample without replacement' per group (the per-domain cap
+    every pre-training mix applies so no single crawl dominates).
+
+    Scale design: one hash-partitioned window per source with
+    WindowGroupLimit — Spark pushes the rn<=K filter to the map side,
+    so each partition keeps only K rows before the shuffle; never a
+    global sort, never a collect. Skewed sources cost O(K) post-limit.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .drop("rn")
     )

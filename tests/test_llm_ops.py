@@ -283,3 +283,18 @@ def test_text_chunks_overlap_invariant(spark):
     # stitching non-overlapping prefixes reconstructs the doc
     stitched = toks[0] + [w for c in toks[1:] for w in c[CHUNK_TOKENS - CHUNK_STRIDE:]]
     assert stitched == words.split(" ")
+
+
+def test_per_source_cap_plan_and_invariants(spark, frames):
+    """Cap respected per group, and the rn<=K filter runs as a
+    map-side WindowGroupLimit (no full window materialization)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        SOURCE_CAP,
+        docs_per_source_cap,
+    )
+
+    df = docs_per_source_cap(frames)
+    sizes = df.groupBy("source").count().collect()
+    assert sizes and all(r["count"] <= SOURCE_CAP for r in sizes)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
