@@ -206,3 +206,88 @@ def alert_sink(
         }
         post_webhook(payload, url, transport)
     return len(rows)
+
+
+def upsert_with_changelog(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str,
+    changelog_path: str,
+    partition_col: str | None = None,
+) -> int:
+    """MERGE upsert that also emits a Change Data Feed — the parquet
+    analog of Delta's ``delta.enableChangeDataFeed`` on a MERGE
+    (reference silver job's Delta surface, docs/DEVELOPER_GUIDE.md
+    Delta notes). Returns the commit version written.
+
+    Change rows carry the table schema plus ``_change_type``
+    ('insert' | 'update_preimage' | 'update_postimage' — Delta's own
+    vocabulary) and ``_commit_version`` (monotonic per upsert call).
+    Downstream incremental consumers read ONLY the changelog
+    (``read_changes``) instead of diffing snapshots — at 100 TB the
+    difference between scanning a delta of a micro-batch and scanning
+    two full table versions.
+
+    Scale notes: change rows are computed with one broadcast-key join
+    against the (partition-pruned, when ``partition_col`` is set)
+    existing slice — the same read the upsert itself does; the
+    changelog append is partitioned by ``_commit_version`` so version
+    range reads prune directories.
+    """
+    try:
+        existing = spark.read.parquet(path)
+        if partition_col is not None:
+            parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+            existing = existing.filter(F.col(partition_col).isin(parts))
+    except AnalysisException:
+        existing = None
+    try:
+        version = (
+            spark.read.parquet(changelog_path)
+            .agg(F.max("_commit_version"))
+            .first()[0]
+            + 1
+        )
+    except AnalysisException:
+        version = 1
+
+    cols = updates.columns
+    if existing is None:
+        changes = updates.withColumn("_change_type", F.lit("insert"))
+    else:
+        keys = existing.select(key).distinct()
+        inserts = updates.join(F.broadcast(keys), key, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        upd_keys = updates.select(key).distinct()
+        pre = (
+            existing.join(F.broadcast(upd_keys), key, "left_semi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        post = updates.join(F.broadcast(keys), key, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        changes = inserts.unionByName(pre).unionByName(post)
+    (
+        changes.withColumn("_commit_version", F.lit(version))
+        .write.mode("append")
+        .partitionBy("_commit_version")
+        .parquet(changelog_path)
+    )
+    upsert_by_key(spark, updates, path, key, partition_col=partition_col)
+    return version
+
+
+def read_changes(
+    spark: SparkSession, changelog_path: str, starting_version: int = 1
+) -> DataFrame:
+    """CDF reader: change rows with ``_commit_version >=
+    starting_version`` (Delta's ``readChangeFeed`` +
+    ``startingVersion``). The version filter prunes changelog
+    directories — an incremental consumer never scans history it has
+    already applied."""
+    return spark.read.parquet(changelog_path).filter(
+        F.col("_commit_version") >= F.lit(starting_version)
+    )

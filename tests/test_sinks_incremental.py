@@ -228,3 +228,45 @@ def test_scoring_stream_end_to_end(spark, tmp_path):
     }
     scores = out.select(F.min("prediction_score"), F.max("prediction_score")).collect()[0]
     assert 0.0 <= scores[0] <= scores[1] <= 1.0
+
+
+def test_upsert_changelog_cdf_semantics(spark, tmp_path):
+    """Change Data Feed analog: inserts at v1; pre+post images at v2
+    for matched keys; replaying the feed onto the v1 snapshot
+    reconstructs the final table exactly."""
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        read_changes,
+        upsert_with_changelog,
+    )
+
+    path, log = str(tmp_path / "t"), str(tmp_path / "log")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "amount"]
+    )
+    v1 = upsert_with_changelog(spark, base, path, "id", log)
+    upd = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], ["id", "name", "amount"]
+    )
+    v2 = upsert_with_changelog(spark, upd, path, "id", log)
+    assert (v1, v2) == (1, 2)
+
+    ch = {
+        (r["_commit_version"], r["_change_type"], r["id"]): (r["name"], r["amount"])
+        for r in read_changes(spark, log).collect()
+    }
+    assert ch[(1, "insert", 1)] == ("a", 10.0)
+    assert ch[(1, "insert", 2)] == ("b", 20.0)
+    assert ch[(2, "insert", 3)] == ("c", 30.0)
+    assert ch[(2, "update_preimage", 2)] == ("b", 20.0)
+    assert ch[(2, "update_postimage", 2)] == ("b2", 25.0)
+    assert len(ch) == 5
+
+    # incremental consumer: apply v2 changes to the v1 state
+    v1_state = {1: ("a", 10.0), 2: ("b", 20.0)}
+    for r in read_changes(spark, log, starting_version=2).collect():
+        if r["_change_type"] in ("insert", "update_postimage"):
+            v1_state[r["id"]] = (r["name"], r["amount"])
+    final = {
+        r["id"]: (r["name"], r["amount"]) for r in spark.read.parquet(path).collect()
+    }
+    assert v1_state == final
