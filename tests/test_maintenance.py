@@ -118,3 +118,37 @@ def test_zorder_write_improves_data_skipping(spark, tmp_path):
         spark.read.parquet(zord).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
         == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
     )
+
+
+def test_snapshot_time_travel_rollback_vacuum(spark, tmp_path):
+    """Versioned snapshot store: VERSION AS OF reads, append-only
+    rollback, and retention VACUUM that keeps newest versions readable
+    while pinned-old readers fail fast."""
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        rollback,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df2 = spark.createDataFrame([(1, "b"), (2, "c")], ["id", "v"])
+    assert snapshot_write(df1, path) == 1
+    assert snapshot_write(df2, path) == 2
+
+    assert read_snapshot(spark, path).count() == 2  # latest = v2
+    assert read_snapshot(spark, path, version=1).collect() == df1.collect()
+
+    # rollback appends v3 == v1; v2 still readable (history immutable)
+    assert rollback(spark, path, to_version=1) == 3
+    assert read_snapshot(spark, path).collect() == df1.collect()
+    assert read_snapshot(spark, path, version=2).count() == 2
+
+    assert vacuum_snapshots(path, keep=2) == [1]
+    assert read_snapshot(spark, path, version=2).count() == 2
+    assert read_snapshot(spark, path).collect() == df1.collect()
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_snapshot(spark, path, version=1)
