@@ -960,3 +960,90 @@ def q_range_join_clicks(t: Frames) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.coalesce(F.col("clicks_30m"), F.lit(0).cast("long")).alias("clicks_30m"),
     )
+
+
+# --- distribution drift monitoring: Population Stability Index --------------
+PSI_BINS = 10
+PSI_EPS = 1e-6  # floor for empty-bin proportions (keeps ln defined)
+
+
+@_register(
+    "q_psi_price_drift",
+    f"""
+    WITH stats AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+      SELECT least({PSI_BINS - 1},
+                   CAST(floor((o_totalprice - mn) / (mx - mn) * {PSI_BINS}) AS INTEGER))
+               AS bucket,
+             year(o_orderdate) % 2 AS slice
+      FROM orders, stats
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY bucket
+    ),
+    props AS (
+      SELECT bucket, n_a, n_b,
+             greatest(CAST(n_a AS DOUBLE) / sum(n_a) OVER (), {PSI_EPS}) AS p_a,
+             greatest(CAST(n_b AS DOUBLE) / sum(n_b) OVER (), {PSI_EPS}) AS p_b
+      FROM counts
+    )
+    SELECT bucket, n_a, n_b,
+           {dround_sql("p_a")} AS p_a,
+           {dround_sql("p_b")} AS p_b,
+           {dround_sql("(p_a - p_b) * ln(p_a / p_b)")} AS psi_term
+    FROM props
+    """,
+)
+def q_psi_price_drift(t: Frames) -> DataFrame:
+    """Population Stability Index between even- and odd-year order
+    price distributions — the standard drift monitor a production
+    scoring pipeline runs before trusting a model on this week's
+    traffic (PSI > 0.25 ⇒ retrain). Emitted per-bin so the drifting
+    bins are identifiable; total PSI = sum(psi_term).
+
+    Scale design: one scan computes global min/max (one-row agg,
+    broadcast), a second bins and counts — two keyed partial aggs and
+    a 10-row window; no UDF, no per-row Python. The same shape
+    monitors any numeric feature at 100 TB for the cost of a scan."""
+    orders = t["orders"]
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * PSI_BINS
+            ).cast("int"),
+        ).alias("bucket"),
+        (F.year("o_orderdate") % 2).alias("slice"),
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy()
+    p_a = F.greatest(
+        F.col("n_a").cast("double") / F.sum("n_a").over(w), F.lit(PSI_EPS)
+    )
+    p_b = F.greatest(
+        F.col("n_b").cast("double") / F.sum("n_b").over(w), F.lit(PSI_EPS)
+    )
+    props = counts.select("bucket", "n_a", "n_b", p_a.alias("p_a"), p_b.alias("p_b"))
+    return props.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        dround(F.col("p_a")).alias("p_a"),
+        dround(F.col("p_b")).alias("p_b"),
+        dround((F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))).alias(
+            "psi_term"
+        ),
+    )
