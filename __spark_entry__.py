@@ -42,8 +42,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: round's new queries (introspection, dedup_clusters,
 #: streaming_interval_join), then entries whose last green row is from
 #: round 2 so no green goes stale beyond one round (q_parts_ordered,
-#: q_selective_revenue, q_distinct_pairs, q_median_quantity and
-#: q_epoch_roundtrip ceded
+#: q_selective_revenue, q_distinct_pairs, q_median_quantity,
+#: q_epoch_roundtrip and q_events_json ceded
 #: their slots to the new ops — they rotate back in round 5), and finally the queries whose implementation
 #: changed this round (ml_train_metrics: summary-strip;
 #: multimodal_features: PNG decode) plus the flagship.
@@ -58,6 +58,7 @@ _DRIVER_FRONT = [
     "text_chunks",
     "docs_stratified_sample",
     "docs_per_source_cap",
+    "q_psi_price_drift",
     # green in r2 only — refresh before they go stale
     "gold_dim_merchant",
     "gold_dim_time",
@@ -95,7 +96,6 @@ _DRIVER_FRONT = [
     "q_regional_revenue",
     "q_order_priority",
     "q_union_rebalance",
-    "q_events_json",
     "q_user_velocity",
     "q_customers_without_orders",
     # re-verify: implementation changed this round + flagship
