@@ -66,3 +66,40 @@ def test_risk_level_total_and_ordered(spark, hours):
         assert 0.0 <= r["s"] <= 1.0
         expected = "HIGH" if r["s"] > 0.7 else ("MEDIUM" if r["s"] > 0.4 else "LOW")
         assert r["lvl"] == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation ≡ sequential union-find on
+    arbitrary random graphs (self-loops and parallel edges included)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # min-label propagation labels by the minimum node id; path-halving
+    # union-find with min-root union does the same
+    assert got == expected
