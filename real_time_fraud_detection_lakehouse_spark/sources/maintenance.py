@@ -108,23 +108,42 @@ def compact_partitions(
 Z_BITS = 16  # per-column bucket resolution (2 cols -> 32-bit z-values)
 
 
-def zorder_column(df: DataFrame, cols: list[str], bits: int = Z_BITS):
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = Z_BITS, equi_depth: bool = False
+):
     """Morton (Z-order) value over ``cols`` as a pure column expression.
 
-    Each column is min-max bucketed to ``bits`` bits (one tiny agg for
-    the bounds — two scalars per column), then the bucket bits are
+    Each column is bucketed to ``bits`` bits, then the bucket bits are
     interleaved so rows close in EVERY dimension get close z-values.
-    Min-max bucketing assumes roughly uniform values; for heavily
-    skewed columns substitute approxQuantile boundaries (same
-    interleave, equi-depth buckets).
+
+    Bucketing strategies:
+    - default: min-max linear (one tiny agg for the bounds — two
+      scalars per column). Right for roughly uniform values.
+    - ``equi_depth=True``: approxQuantile boundaries (equi-depth
+      buckets, Delta's own ZORDER strategy). Right for skewed columns,
+      where min-max would dump most rows into one bucket and the
+      z-curve degenerates to a single-column sort. Mapping is a
+      boundary-array rank (``size(filter(boundaries, b -> b <= x))``)
+      — vectorized JVM higher-order function, no UDF; use ≤8 bits so
+      the boundary array stays ≤256 entries per column.
     """
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    top = (1 << bits) - 1
+    if equi_depth:
+        probs = [i / (top + 1) for i in range(1, top + 1)]
+        all_bnds = df.approxQuantile(cols, probs, 0.001)
+        for i, c in enumerate(cols):
+            bnds = F.array(*[F.lit(b) for b in all_bnds[i]])
+            bucket = F.size(F.filter(bnds, lambda b: b <= F.col(c))).cast("long")
+            for b in range(bits):
+                bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+        return z
     bounds = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    top = (1 << bits) - 1
     for i, c in enumerate(cols):
         mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
         span = (mx - mn) or 1

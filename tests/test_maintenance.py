@@ -152,3 +152,37 @@ def test_snapshot_time_travel_rollback_vacuum(spark, tmp_path):
     assert read_snapshot(spark, path).collect() == df1.collect()
     with pytest.raises(ValueError, match="vacuumed"):
         read_snapshot(spark, path, version=1)
+
+
+def test_zorder_equi_depth_handles_skew(spark):
+    """On a heavily skewed column min-max bucketing collapses (most
+    rows land in bucket 0 and the z-curve degenerates); equi-depth
+    quantile buckets stay balanced."""
+    from real_time_fraud_detection_lakehouse_spark.sources.maintenance import (
+        zorder_column,
+    )
+
+    # 95% of mass in [0,10), a 5% tail out to 10_000
+    rows = [(float(i % 10), float(i)) for i in range(950)] + [
+        (float(10_000 - i * 10), float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "skewed double, uniform double")
+
+    def bucket_spread(z_expr, bits, ncols=2):
+        zs = df.select(z_expr.alias("z")).collect()
+        # de-interleave the skewed column's bits (col index 0)
+        buckets = [
+            sum(((r["z"] >> (b * ncols)) & 1) << b for b in range(bits)) for r in zs
+        ]
+        import collections
+
+        return collections.Counter(buckets)
+
+    minmax = bucket_spread(zorder_column(df, ["skewed", "uniform"], bits=4), 4)
+    equi = bucket_spread(
+        zorder_column(df, ["skewed", "uniform"], bits=4, equi_depth=True), 4
+    )
+    # min-max: the 95% head all hashes to bucket 0 of 16
+    assert minmax.most_common(1)[0][1] >= 900
+    # equi-depth: no bucket hoards more than ~3x its fair share
+    assert equi.most_common(1)[0][1] <= 3 * (1000 // 16)
