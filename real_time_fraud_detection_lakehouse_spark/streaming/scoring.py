@@ -108,3 +108,38 @@ def run_scoring_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(predictions_path)
+
+
+def enrich_stream(
+    spark: SparkSession,
+    source_path: str,
+    dim: DataFrame,
+    on: list[str],
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-static dimension enrichment: the micro-batch analog of
+    the gold fact⋈dim joins, applied in-flight (each transaction
+    leaves the stream already carrying its dimension attributes —
+    what the scoring path needs before feature assembly).
+
+    Scale semantics worth knowing: Spark re-binds the STATIC side on
+    every micro-batch, so a slowly-changing dimension refreshed on
+    disk is picked up at the next trigger without restarting the
+    stream — no state is kept for the static side at all (unlike a
+    stream-stream join). The broadcast hint keeps the per-batch join
+    shuffle-free; dims here are small by design (SURVEY star schema).
+    """
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    enriched = stream.join(F.broadcast(dim), on, "left")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

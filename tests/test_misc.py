@@ -152,3 +152,19 @@ def test_observe_then_ml_transform_same_session(spark):
     observed2, obs2 = observe_silver_quality(silver)
     observed2.count()
     assert obs2.get["rows"] == first["rows"]
+
+
+def test_df_to_markdown_truncates_and_plans_limit(spark):
+    from real_time_fraud_detection_lakehouse_spark.functions.present import (
+        df_to_markdown,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS double_id")
+    md = df_to_markdown(df, max_rows=5)
+    lines = md.splitlines()
+    assert lines[0] == "| id | double_id |"
+    assert lines[1].startswith("| ---")
+    assert len([l for l in lines if l.startswith("| ") and "---" not in l and "id |" not in l or l.startswith("| 0")]) >= 5
+    assert "_Showing first 5 rows._" in md
+    # small results are not annotated
+    assert "_Showing" not in df_to_markdown(df.limit(3), max_rows=5)

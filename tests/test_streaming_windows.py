@@ -100,3 +100,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert s_pairs  # sf0.001 has thousands of matched pairs
     assert s_pairs <= b_pairs  # no spurious emissions, exactly-once
     assert len(s_pairs) >= len(b_pairs) * 0.9  # only watermark tail withheld
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join ≡ the batch left join, row for
+    row; the static dim keeps no stream state."""
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import dim_merchant
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        enrich_stream,
+    )
+
+    silver = build_silver(spark, SF_SMALL).select(
+        "trans_num", "merchant", "amt", "trans_timestamp"
+    )
+    # one dim row per join key (dim_merchant is grained on
+    # merchant+geo; enrichment wants the merchant grain)
+    dim = dim_merchant(build_silver(spark, SF_SMALL)).dropDuplicates(["merchant"])
+    src = str(tmp_path / "src")
+    silver.write.mode("overwrite").parquet(src)
+
+    streamed = enrich_stream(
+        spark, src, dim, ["merchant"], str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    batch = silver.join(dim, ["merchant"], "left")
+
+    assert streamed.count() == batch.count() == silver.count()
+    key = lambda r: r["trans_num"]  # noqa: E731
+    s = sorted(
+        streamed.select("trans_num", "merchant", "merchant_category").collect(), key=key
+    )
+    b = sorted(
+        batch.select("trans_num", "merchant", "merchant_category").collect(), key=key
+    )
+    assert s == b
