@@ -3,9 +3,10 @@ parquet tables — the vanilla-parquet analog of Delta ``OPTIMIZE``
 (reference `docs/DEVELOPER_GUIDE.md:1038-1054`) and a Z-order
 clustered write — the parquet analog of Delta ``OPTIMIZE ZORDER``
 (min/max footer stats do the data skipping a Delta log would).
-VACUUM alone has no parquet equivalent (no transaction log to know
-which files are dead) — annotated here the same way sinks.py
-annotates MERGE.
+VACUUM and time travel live in sources/snapshots.py (immutable
+version directories make "which files are dead" decidable); bloom
+filters (write_with_bloom) cover point-lookup skipping where min/max
+stats cannot.
 
 Why this matters at 100 TB: a partitioned write from a T-task stage
 fans out into up to T files *per hive partition* (every task holds a
@@ -182,3 +183,27 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame, path: str, bloom_cols: list[str], ndv: int = 1_000_000
+) -> None:
+    """Parquet write with per-column bloom filters — footer-level
+    point-lookup skipping for high-cardinality columns where min/max
+    stats are useless (uuid-like keys such as trans_num: every file's
+    [min,max] spans the whole keyspace, so range stats prune nothing,
+    but a bloom filter answers "definitely not in this row group" in
+    one footer read).
+
+    This is the lookup-side complement of :func:`write_zordered`:
+    z-order serves range/box predicates on low-cardinality-ish dims;
+    blooms serve needle-in-haystack equality on keys. Delta/Iceberg
+    expose the same via their table properties; vanilla parquet has
+    supported it since format 2.9 — Spark just needs the options.
+    """
+    writer = df.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    writer.parquet(path)

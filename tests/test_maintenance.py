@@ -186,3 +186,32 @@ def test_zorder_equi_depth_handles_skew(spark):
     assert minmax.most_common(1)[0][1] >= 900
     # equi-depth: no bucket hoards more than ~3x its fair share
     assert equi.most_common(1)[0][1] <= 3 * (1000 // 16)
+
+
+def test_bloom_filter_write(spark, tmp_path):
+    """Bloom-enabled files carry the filter payload (size delta — the
+    installed pyarrow doesn't expose bloom offsets) and equality
+    lookups read back identically."""
+    import glob
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.sources.maintenance import (
+        write_with_bloom,
+    )
+    from tests.conftest import SF_SMALL
+
+    tx = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    tx.coalesce(1).write.mode("overwrite").parquet(plain)
+    write_with_bloom(tx.coalesce(1), bloom, ["o_orderkey"], ndv=100_000)
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    assert size(bloom) > size(plain) + 50_000  # filter payload present
+
+    key = tx.first()["o_orderkey"]
+    got = spark.read.parquet(bloom).filter(F.col("o_orderkey") == key).collect()
+    want = tx.filter(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
