@@ -57,6 +57,11 @@ DIRECT = [
     "q_grouping_sets_priority",
     "q_pivot_status_by_priority",
     "q_range_join_clicks",
+    "text_chunks",
+    "docs_stratified_sample",
+    "docs_per_source_cap",
+    "q_psi_price_drift",
+    "dedup_clusters",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -362,10 +362,12 @@ def connected_components(
         roots = propagated.select(
             F.col("node").alias("component"), F.col("component").alias("root")
         )
+        # lazy checkpoint: materialized by the convergence count below,
+        # so each round costs ONE action (eager=True would make it two)
         new_labels = (
             propagated.join(roots, "component")
             .select("node", F.col("root").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
