@@ -134,3 +134,76 @@ def incremental_silver_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(silver_path)
+
+
+def incremental_agg_refresh(
+    spark: SparkSession,
+    changelog_path: str,
+    mat_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    since_version: int,
+) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    refresh an additive aggregate (COUNT/SUM family) by applying only
+    the CDF rows since ``since_version`` — preimages subtract,
+    postimages and inserts add — instead of recomputing from the full
+    fact table. This is what Delta's CDF exists for downstream
+    (and the gap between a 5-minute dashboard cadence that rescans
+    100 TB versus one that reads a micro-batch of changes).
+
+    The merged aggregate is written back to ``mat_path`` (overwrite:
+    an aggregate over group_cols is small by construction — its
+    cardinality is the group space, not the fact row count). Returns
+    the refreshed aggregate DataFrame.
+
+    Correctness contract: additive measures only (sum/count); for
+    min/max or distinct-count measures a changelog refresh needs
+    per-group recompute of affected groups instead (join the touched
+    keys back to the fact table) — same machinery, different delta.
+    """
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import read_changes
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    ch = read_changes(spark, changelog_path, since_version)
+    delta = ch.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("_cnt_delta"),
+        *[F.sum(F.col(c) * sign).alias(f"_{c}_delta") for c in sum_cols],
+    )
+    mat = spark.read.parquet(mat_path)
+    merged = (
+        mat.join(delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_cnt_delta"), F.lit(0))
+            ).alias("cnt"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"_{c}_delta"), F.lit(0.0))
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col("cnt") > 0)  # groups whose rows all departed vanish
+    )
+    staged = merged.localCheckpoint(eager=True)  # reads mat_path, then overwrites it
+    staged.write.mode("overwrite").parquet(mat_path)
+    return spark.read.parquet(mat_path)
+
+
+def materialize_agg(
+    df: DataFrame, mat_path: str, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Initial full materialization of the additive aggregate that
+    :func:`incremental_agg_refresh` maintains (cnt + sum_<col> schema)."""
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    agg.write.mode("overwrite").parquet(mat_path)
+    return df.sparkSession.read.parquet(mat_path)

@@ -270,3 +270,45 @@ def test_upsert_changelog_cdf_semantics(spark, tmp_path):
         r["id"]: (r["name"], r["amount"]) for r in spark.read.parquet(path).collect()
     }
     assert v1_state == final
+
+
+def test_incremental_agg_refresh_equals_recompute(spark, tmp_path):
+    """Materialized additive aggregate maintained from the CDF equals
+    a from-scratch recompute after an upsert touches some groups —
+    including a group whose rows all departed."""
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import (
+        incremental_agg_refresh,
+        materialize_agg,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        upsert_with_changelog,
+    )
+
+    path, log, mat = str(tmp_path / "t"), str(tmp_path / "log"), str(tmp_path / "mat")
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "x", 20.0), (3, "y", 5.0), (4, "z", 7.0)],
+        ["id", "grp", "amount"],
+    )
+    v1 = upsert_with_changelog(spark, base, path, "id", log)
+    materialize_agg(spark.read.parquet(path), mat, ["grp"], ["amount"])
+
+    # update moves id=3 from y to... same key new amount; id=4 amount
+    # changes; id=5 is new in x — group y keeps its row, z updated
+    upd = spark.createDataFrame(
+        [(3, "y", 6.0), (4, "z", 9.0), (5, "x", 1.0)], ["id", "grp", "amount"]
+    )
+    upsert_with_changelog(spark, upd, path, "id", log)
+
+    refreshed = incremental_agg_refresh(
+        spark, log, mat, ["grp"], ["amount"], since_version=v1 + 1
+    )
+    recomputed = (
+        spark.read.parquet(path)
+        .groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.sum("amount").alias("sum_amount"))
+    )
+    got = {r["grp"]: (r["cnt"], round(r["sum_amount"], 6)) for r in refreshed.collect()}
+    want = {
+        r["grp"]: (r["cnt"], round(r["sum_amount"], 6)) for r in recomputed.collect()
+    }
+    assert got == want
