@@ -43,7 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: streaming_interval_join), then entries whose last green row is from
 #: round 2 so no green goes stale beyond one round (q_parts_ordered,
 #: q_selective_revenue, q_distinct_pairs, q_median_quantity,
-#: q_epoch_roundtrip and q_events_json ceded
+#: q_epoch_roundtrip, q_events_json and q_customers_without_orders ceded
 #: their slots to the new ops — they rotate back in round 5), and finally the queries whose implementation
 #: changed this round (ml_train_metrics: summary-strip;
 #: multimodal_features: PNG decode) plus the flagship.
@@ -59,6 +59,7 @@ _DRIVER_FRONT = [
     "docs_stratified_sample",
     "docs_per_source_cap",
     "q_psi_price_drift",
+    "dedup_clusters_lsh",
     # green in r2 only — refresh before they go stale
     "gold_dim_merchant",
     "gold_dim_time",
@@ -97,7 +98,6 @@ _DRIVER_FRONT = [
     "q_order_priority",
     "q_union_rebalance",
     "q_user_velocity",
-    "q_customers_without_orders",
     # re-verify: implementation changed this round + flagship
     "ml_train_metrics",
     "multimodal_features",

@@ -103,3 +103,39 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-label propagation labels by the minimum node id; path-halving
     # union-find with min-root union does the same
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_text_chunks_cover_and_bound(spark, texts):
+    """For arbitrary documents: every chunk holds <= CHUNK_TOKENS
+    tokens, chunk indexes are dense from 0, and stitching
+    non-overlapping prefixes reconstructs each document's tokens."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    by_doc: dict[int, list] = {}
+    for r in text_chunks({"documents": docs}).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        rows = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+        assert rows, "every doc emits at least one (possibly empty) chunk"
+        for r in rows:
+            assert r["chunk_tokens"] <= CHUNK_TOKENS
+        chunks = [r["chunk_text"].split(" ") if r["chunk_text"] else [] for r in rows]
+        stitched = chunks[0] + [
+            w for c in chunks[1:] for w in c[CHUNK_TOKENS - CHUNK_STRIDE :]
+        ]
+        assert stitched == toks
