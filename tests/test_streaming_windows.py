@@ -134,3 +134,24 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         batch.select("trans_num", "merchant", "merchant_category").collect(), key=key
     )
     assert s == b
+
+
+def test_stream_stream_join_restart_is_exactly_once(spark, tmp_path):
+    """Re-running the stream-stream join against the same checkpoint
+    emits nothing new — replayed micro-batches cannot duplicate
+    pairs."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        clicks_before_purchase_stream,
+    )
+
+    src, out, ckpt = (
+        str(tmp_path / "events"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    table(spark, SF_SMALL, "events").write.mode("overwrite").parquet(src)
+    first = clicks_before_purchase_stream(spark, src, out, ckpt).count()
+    again = clicks_before_purchase_stream(spark, src, out, ckpt).count()
+    assert first > 0
+    assert again == first  # checkpoint: no reprocessing, no duplicates
