@@ -159,7 +159,11 @@ def zorder_column(
 
 
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    equi_depth: bool = False,
 ) -> None:
     """Z-order clustered write — the vanilla-parquet analog of Delta
     ``OPTIMIZE ... ZORDER BY (cols)``.
@@ -175,7 +179,8 @@ def write_zordered(
     ~1/files and touching all of them. Data-skipping win is asserted
     quantitatively in tests/test_maintenance.py.
     """
-    zdf = df.withColumn("_z", zorder_column(df, cols))
+    bits = 8 if equi_depth else Z_BITS  # bounded boundary arrays
+    zdf = df.withColumn("_z", zorder_column(df, cols, bits=bits, equi_depth=equi_depth))
     (
         zdf.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
