@@ -72,6 +72,7 @@ SCALING_QUERIES = [
     "q_user_velocity",
     "dedup_exact",
     "text_stats",
+    "text_tfidf_topk",
 ]
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
