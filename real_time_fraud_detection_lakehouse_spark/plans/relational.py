@@ -1047,3 +1047,59 @@ def q_psi_price_drift(t: Frames) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+# --- rolling event-time window (RANGE BETWEEN interval) ---------------------
+ROLL_DAYS = 7
+_ROLL_SECS = ROLL_DAYS * 86_400
+
+
+@_register(
+    "q_rolling_7d_spend",
+    f"""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           {dround_sql(
+             f"SUM(o_totalprice) OVER ("
+             f"PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+             f"RANGE BETWEEN {_ROLL_SECS} PRECEDING AND CURRENT ROW)"
+           )} AS spend_7d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN {_ROLL_SECS} PRECEDING AND CURRENT ROW) AS BIGINT
+           ) AS orders_7d
+    FROM orders
+    """,
+)
+def q_rolling_7d_spend(t: Frames) -> DataFrame:
+    """Rolling 7-day spend per customer — the RANGE-BETWEEN-interval
+    window (event-time sliding aggregate, the velocity feature a fraud
+    model wants: 'how much did this account spend in the trailing
+    week as of each order'). RANGE frames (value-based) differ from
+    ROWS frames under same-timestamp ties: all orders sharing an
+    order date see the same trailing total — both engines agree on
+    that semantic, which is why the oracle hashes match.
+
+    Scale design: one shuffle on o_custkey; within each partition the
+    frame slides monotonically over the sorted epoch (O(n) per
+    customer, no re-scan). The epoch cast keeps the frame numeric —
+    Spark's rangeBetween needs a numeric ordering key."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_epoch"))
+        .rangeBetween(-_ROLL_SECS, 0)
+    )
+    base = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "o_totalprice",
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_epoch",
+        dround(F.sum("o_totalprice").over(w)).alias("spend_7d"),
+        F.count("*").over(w).cast("long").alias("orders_7d"),
+    )
