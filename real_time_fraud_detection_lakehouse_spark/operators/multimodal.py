@@ -1,12 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, with Arrow-batched feature extraction via ``mapInPandas``.
 
-PNG is a fully WORKING decode path: image payloads in the synth table
-are real (pure-Python-encoded, spec-valid) PNG files, and
-:func:`decode_png_header` parses the signature + IHDR chunk to
-recover authoritative width/height — no external libraries.
-Audio/video (and non-PNG image formats) remain STUBBED:
-:func:`decode_stub` raises NotImplementedError for them and the
+WORKING pure-Python decode paths (no external libraries): PNG and
+GIF headers for images (authoritative width/height) and RIFF/WAV
+headers for audio (sample rate, channels, data-chunk duration); the
+synth table plants real spec-valid PNG and WAV payloads so both run
+end-to-end. Video (and compressed formats — JPEG, mp3, mp4) remain
+STUBBED: :func:`decode_stub` raises NotImplementedError and the
 pipeline falls back to :func:`fake_features` — a deterministic
 featurizer over the raw bytes — so the Spark-side plumbing (schema,
 Arrow batch shape, partitioning) is real and tested for every
@@ -40,7 +40,8 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes int, "
     "byte_mean double, byte_std double, content_sha1 string, "
-    "decoded_width int, decoded_height int"
+    "decoded_width int, decoded_height int, "
+    "decoded_sample_rate int, decoded_duration_ms int"
 )
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -92,11 +93,64 @@ def decode_png_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def decode_gif_header(content: bytes) -> tuple[int, int] | None:
+    """GIF87a/GIF89a logical-screen width/height (little-endian uint16
+    at bytes 6..10)."""
+    if len(content) >= 10 and bytes(content[:6]) in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", bytes(content[6:10]))
+        return int(w), int(h)
+    return None
+
+
+def encode_wav(duration_ms: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Minimal spec-valid PCM WAV encoder (RIFF/fmt/data, 8-bit mono)
+    with a deterministic byte ramp — real audio payloads for the
+    decode path without any codec library."""
+    n_samples = max(1, sample_rate * duration_ms // 1000)
+    data = bytes((seed + i) % 256 for i in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(content: bytes) -> dict | None:
+    """Parse a RIFF/WAVE header: sample rate, channels, and duration
+    derived from the data-chunk byte count — the audio-metadata pass
+    (sample-rate filters, duration caps) that a 100 TB pipeline runs
+    without ever decoding samples."""
+    b = bytes(content[:64])
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
+        return None
+    fmt_len = struct.unpack("<I", b[16:20])[0]
+    _, channels, sample_rate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", b[20:36]
+    )
+    data_off = 20 + fmt_len
+    if len(content) < data_off + 8 or bytes(content[data_off : data_off + 4]) != b"data":
+        return None
+    data_len = struct.unpack("<I", bytes(content[data_off + 4 : data_off + 8]))[0]
+    bytes_per_sec = sample_rate * channels * (bits // 8)
+    return {
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "duration_ms": int(data_len * 1000 // bytes_per_sec) if bytes_per_sec else 0,
+    }
+
+
 def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Deterministic fake media table. Image rows carry REAL PNG
-    payloads (tiny rasters encoded by :func:`encode_png`, IHDR dims ==
-    meta dims) so the decode path is exercised end-to-end; audio/video
-    rows carry the document's text bytes as an opaque stand-in."""
+    payloads (IHDR dims == meta dims) and audio rows REAL PCM WAV
+    payloads (data-chunk duration == meta duration), so both decode
+    paths run end-to-end; video rows carry the document's text bytes
+    as an opaque stand-in (no containerless pure-Python parse)."""
     from real_time_fraud_detection_lakehouse_spark.core.catalog import table
 
     docs = table(spark, sf_dir, "documents")
@@ -125,6 +179,11 @@ def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFra
             ):
                 if mtyp == "image":
                     content.append(encode_png(meta["width"], meta["height"], seed=int(mid)))
+                elif mtyp == "audio":
+                    # 1 kHz keeps payloads ~duration_ms bytes
+                    content.append(
+                        encode_wav(meta["duration_ms"], sample_rate=1000, seed=int(mid))
+                    )
                 else:
                     content.append(c)
             pdf = pdf.copy()
@@ -135,19 +194,27 @@ def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFra
 
 
 def decode_stub(content: bytes, media_type: str) -> dict:
-    """Decode entry point. PNG is a WORKING path (pure-Python IHDR
-    parse → authoritative width/height); every other format raises
-    NotImplementedError because the codecs (torchaudio / pyav /
-    non-PNG PIL) are not present in this container — callers fall
-    back to :func:`fake_features` for those."""
+    """Decode entry point. WORKING pure-Python paths: PNG + GIF
+    headers (images → width/height) and RIFF/WAV headers (audio →
+    sample rate / channels / duration). Everything else (video
+    containers, compressed audio, JPEG, ...) raises
+    NotImplementedError because those need codec libraries absent in
+    this container — callers fall back to :func:`fake_features`."""
     if media_type == "image":
         dims = decode_png_header(content)
         if dims is not None:
             return {"format": "png", "width": dims[0], "height": dims[1]}
+        dims = decode_gif_header(content)
+        if dims is not None:
+            return {"format": "gif", "width": dims[0], "height": dims[1]}
+    if media_type == "audio":
+        wav = decode_wav_header(content)
+        if wav is not None:
+            return {"format": "wav", **wav}
     raise NotImplementedError(
-        f"real {media_type} decoding (beyond PNG headers) requires media "
-        "libraries not present in this environment; use fake_features "
-        "for plumbing tests"
+        f"real {media_type} decoding (beyond PNG/GIF/WAV headers) requires "
+        "media libraries not present in this environment; use "
+        "fake_features for plumbing tests"
     )
 
 
@@ -171,9 +238,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             for c, mtyp in zip(pdf["content"], pdf["media_type"]):
                 try:
                     d = decode_stub(c, mtyp)
-                    dims.append((d["width"], d["height"]))
+                    dims.append(
+                        (
+                            d.get("width"),
+                            d.get("height"),
+                            d.get("sample_rate"),
+                            d.get("duration_ms"),
+                        )
+                    )
                 except NotImplementedError:
-                    dims.append((None, None))  # codec absent -> bytes-only features
+                    dims.append((None, None, None, None))  # codec absent
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -184,6 +258,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "content_sha1": [f[3] for f in feats],
                     "decoded_width": pd.array([d[0] for d in dims], dtype="Int32"),
                     "decoded_height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "decoded_sample_rate": pd.array([d[2] for d in dims], dtype="Int32"),
+                    "decoded_duration_ms": pd.array([d[3] for d in dims], dtype="Int32"),
                 }
             )
 

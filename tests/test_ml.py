@@ -169,3 +169,41 @@ def test_multimodal_png_decode_real_dims(spark):
         assert r["decoded_height"] == r["meta"]["height"]
     for r in others:
         assert r["decoded_width"] is None and r["decoded_height"] is None
+
+
+def test_wav_gif_decode_paths():
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_gif_header,
+        decode_stub,
+        decode_wav_header,
+        encode_wav,
+    )
+
+    wav = encode_wav(2500, sample_rate=1000, seed=3)
+    assert decode_wav_header(wav) == {
+        "sample_rate": 1000,
+        "channels": 1,
+        "duration_ms": 2500,
+    }
+    assert decode_stub(wav, "audio")["format"] == "wav"
+    # GIF89a, 320x200 little-endian
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert decode_gif_header(gif) == (320, 200)
+    assert decode_stub(gif, "image") == {"format": "gif", "width": 320, "height": 200}
+    assert decode_wav_header(b"RIFFnope") is None
+
+
+def test_multimodal_audio_decode_real_duration(spark):
+    media = synth_media_table(spark, SF_SMALL)
+    feats = extract_media_features(media).join(
+        media.select("media_id", "meta"), "media_id"
+    )
+    rows = feats.collect()
+    audio = [r for r in rows if r["media_type"] == "audio"]
+    video = [r for r in rows if r["media_type"] == "video"]
+    assert audio and video
+    for r in audio:
+        assert r["decoded_sample_rate"] == 1000
+        assert r["decoded_duration_ms"] == r["meta"]["duration_ms"]
+    for r in video:  # no pure-Python container parse -> nulls
+        assert r["decoded_duration_ms"] is None
