@@ -1103,3 +1103,89 @@ def q_rolling_7d_spend(t: Frames) -> DataFrame:
         dround(F.sum("o_totalprice").over(w)).alias("spend_7d"),
         F.count("*").over(w).cast("long").alias("orders_7d"),
     )
+
+
+# --- rank distributions (cume_dist / percent_rank) --------------------------
+@_register(
+    "q_price_rank_distribution",
+    f"""
+    SELECT o_orderkey,
+           o_orderpriority,
+           {dround_sql("percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)")}
+             AS price_percentile,
+           {dround_sql("cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)")}
+             AS price_cume
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_price_rank_distribution(t: Frames) -> DataFrame:
+    """Within-priority price percentile + cumulative distribution —
+    the 'where does this order sit in its class' feature
+    (percent_rank for percentile scoring, cume_dist for threshold
+    alerting). Deterministic tie-break on o_orderkey so both engines
+    rank identically. One shuffle on the partition key; the
+    o_orderkey%10 filter is pushed below the window (predicate on the
+    partition-invariant key column would NOT push — this one is row
+    local, so Catalyst moves it into the scan)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            dround(F.percent_rank().over(w)).alias("price_percentile"),
+            dround(F.cume_dist().over(w)).alias("price_cume"),
+        )
+    )
+
+
+# --- weekly retention cohorts over the events stream ------------------------
+@_register(
+    "q_user_retention_cohorts",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.week) AS INTEGER) AS weeks_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention_cohorts(t: Frames) -> DataFrame:
+    """Weekly retention cohorts: users are grouped by first-active
+    week; each (cohort, weeks-since) cell counts the cohort's users
+    still active that week — the standard retention triangle. Two
+    keyed aggregations plus one user_id join; the distinct-activity
+    projection collapses the event volume FIRST, so the join input is
+    O(users x weeks), not O(events). At 100 TB that ordering is the
+    difference between joining billions of raw events and joining
+    millions of (user, week) pairs."""
+    ev = t["events"]
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"), F.col("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
