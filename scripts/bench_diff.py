@@ -19,8 +19,13 @@ def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    def load(path):
+        d = json.load(open(path))
+        # the driver wraps bench output as {"parsed": {...}, "tail": ...}
+        return d.get("parsed", d) or {}
+
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
