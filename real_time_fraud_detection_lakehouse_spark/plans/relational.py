@@ -1189,3 +1189,71 @@ def q_user_retention_cohorts(t: Frames) -> DataFrame:
         .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"), F.col("weeks_since"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# --- ordered funnel conversion (view -> click -> purchase) ------------------
+@_register(
+    "q_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(v.user_id) FILTER (WHERE v.first_view IS NOT NULL) AS BIGINT) AS viewed,
+           CAST(count(c.user_id) AS BIGINT) AS clicked_after_view,
+           CAST(count(p.user_id) AS BIGINT) AS purchased_after_click
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel_conversion(t: Frames) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that click — the
+    event-ORDER-aware conversion count (a user who purchases before
+    ever clicking does not convert), which is what distinguishes a
+    funnel from three independent counts.
+
+    Scale design: three keyed min-aggregations chained by user_id
+    joins — each stage collapses to one row per user BEFORE the next
+    join, so join inputs are O(users). The per-stage time predicate
+    (ts > previous stage's ts) rides the join, not a window over raw
+    events."""
+    ev = t["events"]
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "first_click"), "user_id", "left")
+        .join(p.select("user_id", "first_purchase"), "user_id", "left")
+        .agg(
+            F.count(F.when(F.col("first_view").isNotNull(), 1)).cast("long").alias("viewed"),
+            F.count("first_click").cast("long").alias("clicked_after_view"),
+            F.count("first_purchase").cast("long").alias("purchased_after_click"),
+        )
+    )
