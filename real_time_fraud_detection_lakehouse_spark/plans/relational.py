@@ -1257,3 +1257,72 @@ def q_funnel_conversion(t: Frames) -> DataFrame:
             F.count("first_purchase").cast("long").alias("purchased_after_click"),
         )
     )
+
+
+# --- trailing z-score anomaly detection -------------------------------------
+ZSCORE_TRAIL = 30  # trailing days in the baseline window
+
+
+@_register(
+    "q_revenue_anomaly_zscore",
+    f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT priority, day, revenue,
+             avg(revenue) OVER w AS mu,
+             stddev_samp(revenue) OVER w AS sigma,
+             count(*) OVER w AS n_base
+      FROM daily
+      WINDOW w AS (PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN {ZSCORE_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT priority, day,
+           {dround_sql("revenue")} AS revenue,
+           {dround_sql("(revenue - mu) / sigma")} AS zscore
+    FROM scored
+    WHERE n_base >= 10 AND sigma > 0 AND abs((revenue - mu) / sigma) > 2
+    """,
+)
+def q_revenue_anomaly_zscore(t: Frames) -> DataFrame:
+    """Trailing z-score anomaly detection: each (priority, day)
+    revenue is scored against the mean/stddev of its own trailing
+    {ZSCORE_TRAIL}-day window (ROWS ... 1 PRECEDING — the baseline
+    excludes the scored day, so a spike cannot mask itself), and days
+    beyond |z| > 2 with >= 10 baseline days surface. The daily
+    pre-aggregation collapses order volume before the window, so the
+    window operates on O(priorities x days) rows, not O(orders) —
+    same collapse-first discipline as the retention cohorts."""
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(-ZSCORE_TRAIL, -1)
+    )
+    scored = daily.select(
+        "priority",
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return scored.filter(
+        (F.col("n_base") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2)
+    ).select(
+        "priority",
+        "day",
+        dround(F.col("revenue")).alias("revenue"),
+        dround(z).alias("zscore"),
+    )
