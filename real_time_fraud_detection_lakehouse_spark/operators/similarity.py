@@ -377,3 +377,47 @@ def dedup_embedding_cosine_ivf(t: Frames) -> DataFrame:
     function → full DuckDB oracle, not just rows-only; recall vs the
     exact baseline is measured in tests/test_llm_ops.py."""
     return embedding_cosine_pairs(t["embeddings"], ivf=True)
+
+
+# --- per-label embedding centroids (vector aggregation) ---------------------
+_CENTROID_ORACLE = f"""
+WITH vecs AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+exploded AS (
+  SELECT label, i AS pos, v[i] AS val
+  FROM vecs, unnest(range(1, len(v) + 1)) AS t(i)
+),
+means AS (
+  SELECT label, pos, avg(val) AS m FROM exploded GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS dims,
+       {dround_sql("sum(m * m)")} AS centroid_sqnorm,
+       {dround_sql("avg(m)")} AS centroid_mean
+FROM means GROUP BY label
+"""
+
+
+@_register("embedding_label_centroids", _CENTROID_ORACLE)
+def embedding_label_centroids(t: Frames) -> DataFrame:
+    """Element-wise mean embedding per label — the vector-aggregation
+    primitive under k-means/IVF training (a Lloyd iteration is exactly
+    this groupBy). Summarized to scalars (dims, squared norm, mean of
+    components) for the cross-engine hash compare; the full centroid
+    vector is the intermediate ``means`` table.
+
+    Scale design: posexplode → (label, pos) keyed avg — partial aggs
+    collapse map-side, the shuffle carries O(labels x dims) cells, and
+    no vector ever rides through a Python UDF. Explode-then-agg beats
+    aggregating whole arrays because Spark's partial aggregation works
+    per cell."""
+    emb = t["embeddings"].select(
+        "label", F.posexplode(_vec_double("embedding")).alias("pos", "val")
+    )
+    means = emb.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return means.groupBy("label").agg(
+        F.count("*").cast("long").alias("dims"),
+        dround(F.sum(F.col("m") * F.col("m"))).alias("centroid_sqnorm"),
+        dround(F.avg("m")).alias("centroid_mean"),
+    )
