@@ -300,10 +300,32 @@ def queries() -> dict[str, QueryFn]:
             spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
         )
 
+    def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.plans.gold import dim_merchant
+        from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            enrich_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="enrich_stream_")
+        src = os.path.join(tmp, "src")
+        silver = build_silver(spark, sf_dir).select(
+            "trans_num", "merchant", "amt", "trans_timestamp"
+        )
+        silver.write.mode("overwrite").parquet(src)
+        dim = dim_merchant(build_silver(spark, sf_dir)).dropDuplicates(["merchant"])
+        return enrich_stream(
+            spark, src, dim, ["merchant"], os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
     q["streaming_hourly_windows"] = _windowed
     q["stateful_velocity"] = _velocity
     q["streaming_dedup"] = _stream_dedup
     q["streaming_interval_join"] = _stream_interval_join
+    q["streaming_enrichment"] = _stream_enrich
     return _driver_order(q)
 
 
