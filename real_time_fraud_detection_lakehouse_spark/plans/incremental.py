@@ -207,3 +207,44 @@ def materialize_agg(
     )
     agg.write.mode("overwrite").parquet(mat_path)
     return df.sparkSession.read.parquet(mat_path)
+
+
+def backfill_silver_range(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    start_date: str,
+    end_date: str,
+) -> int:
+    """Partition-scoped backfill: re-derive silver for
+    [start_date, end_date] (inclusive, by trans_timestamp date) from
+    bronze and dynamic-partition-overwrite ONLY the affected
+    year/month/day partitions — the reprocessing tool for 'we fixed a
+    feature bug, re-run last week' that neither touches partitions
+    outside the range nor duplicates rows inside it (overwrite, not
+    append — rerunning is idempotent).
+
+    Scale design: the bronze scan prunes on the date predicate, the
+    rewrite prunes on dynamic partition overwrite; cost is
+    O(range), never O(table). This is the HWM pipeline's complement:
+    HWM moves forward, backfill repairs backward. Returns rows
+    written.
+    """
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    bronze = spark.read.parquet(bronze_path)
+    sliced = bronze.filter(
+        (F.col("trans_timestamp").cast("date") >= F.lit(start_date))
+        & (F.col("trans_timestamp").cast("date") <= F.lit(end_date))
+    )
+    n = sliced.count()
+    if n == 0:
+        return 0
+    silver = build_silver(spark, source=sliced)
+    (
+        silver.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month", "day")
+        .parquet(silver_path)
+    )
+    return n

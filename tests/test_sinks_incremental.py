@@ -312,3 +312,50 @@ def test_incremental_agg_refresh_equals_recompute(spark, tmp_path):
         r["grp"]: (r["cnt"], round(r["sum_amount"], 6)) for r in recomputed.collect()
     }
     assert got == want
+
+
+def test_backfill_silver_range_repairs_only_the_range(spark, tmp_path):
+    """Backfilling a date slice restores exactly those partitions;
+    partitions outside the range stay byte-identical; rerunning the
+    backfill is idempotent (no duplicate rows)."""
+    import glob
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import (
+        backfill_silver_range,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from tests.conftest import SF_SMALL
+
+    bronze, silver = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    transactions_df(spark, SF_SMALL).write.mode("overwrite").parquet(bronze)
+    full = build_silver(spark, source=spark.read.parquet(bronze))
+    full.write.mode("overwrite").partitionBy("year", "month", "day").parquet(silver)
+    want_total = spark.read.parquet(silver).count()
+
+    # pick a real day, then vandalize its partition
+    d = spark.read.parquet(silver).selectExpr("min(to_date(trans_timestamp)) d").first()["d"]
+    day_dir = os.path.join(silver, f"year={d.year}", f"month={d.month}", f"day={d.day}")
+    assert os.path.isdir(day_dir)
+    for f in glob.glob(os.path.join(day_dir, "*.parquet")):
+        os.remove(f)
+    assert spark.read.parquet(silver).count() < want_total
+
+    def fingerprint(skip_dir):
+        out = {}
+        for f in glob.glob(os.path.join(silver, "**", "*.parquet"), recursive=True):
+            if not f.startswith(skip_dir):
+                out[f] = os.path.getsize(f)
+        return out
+
+    before = fingerprint(day_dir)
+    iso = d.isoformat()
+    n1 = backfill_silver_range(spark, bronze, silver, iso, iso)
+    assert n1 > 0
+    assert spark.read.parquet(silver).count() == want_total  # repaired
+    assert fingerprint(day_dir) == before  # other partitions untouched
+    backfill_silver_range(spark, bronze, silver, iso, iso)  # idempotent
+    assert spark.read.parquet(silver).count() == want_total
