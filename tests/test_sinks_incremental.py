@@ -359,3 +359,37 @@ def test_backfill_silver_range_repairs_only_the_range(spark, tmp_path):
     assert fingerprint(day_dir) == before  # other partitions untouched
     backfill_silver_range(spark, bronze, silver, iso, iso)  # idempotent
     assert spark.read.parquet(silver).count() == want_total
+
+
+def test_corrupt_fact_table_raises_instead_of_reappending(spark, tmp_path):
+    """Round-4 ADVICE regression: a transient/corrupt read of the
+    existing fact table must PROPAGATE, not masquerade as 'no table
+    yet' and silently re-append the whole silver history (duplicating
+    the fact table)."""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import (
+        incremental_gold_batch,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from tests.conftest import SF_SMALL
+
+    silver_path, gold = str(tmp_path / "silver"), str(tmp_path / "gold")
+    build_silver(spark, SF_SMALL).write.mode("overwrite").parquet(silver_path)
+    n1 = incremental_gold_batch(spark, silver_path, gold)
+    assert n1 > 0
+
+    # corrupt every fact file: readable listing, unreadable footer
+    fact = os.path.join(gold, "fact_transactions")
+    for f in os.listdir(fact):
+        if f.endswith(".parquet"):
+            with open(os.path.join(fact, f), "wb") as fh:
+                fh.write(b"this is not a parquet file")
+
+    with pytest.raises(Exception) as exc:
+        incremental_gold_batch(spark, silver_path, gold)
+    # the point: it raised; it did NOT append n1 rows again. And the
+    # failure is a real read error, not the benign PATH_NOT_FOUND.
+    assert "PATH_NOT_FOUND" not in str(exc.value)
