@@ -38,72 +38,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: entries 0..49 of round 2's ordering. To get every registered operator a
 #: driver-verified row across rounds, each round fronts the entries that do
 #: NOT yet have a green driver row (union of rounds covers the full set).
-#: Round 4 fronts: the never-driver-checked q_range_join_clicks, this
-#: round's new queries (introspection, dedup_clusters,
-#: streaming_interval_join), then entries whose last green row is from
-#: round 2 so no green goes stale beyond one round (q_parts_ordered,
-#: q_selective_revenue, q_distinct_pairs, q_median_quantity,
-#: q_epoch_roundtrip, q_events_json and q_customers_without_orders ceded
-#: their slots to the new ops — they rotate back in round 5), and finally the queries whose implementation
-#: changed this round (ml_train_metrics: summary-strip;
-#: multimodal_features: PNG decode) plus the flagship.
+#: Round 5 fronts, in priority order: (a) the 7 entries that have NEVER
+#: had a driver row (6 late-r4 oracled queries + rows-only
+#: streaming_enrichment) — after this round the union of driver-green
+#: rows covers all 96 oracled queries; (b) queries newly added in round
+#: 5 (landed BEFORE the driver run this time); (c) the 7 entries whose
+#: last green is round 2 (they ceded their r4 slots); (d) entries whose
+#: implementation changed in round 5 and must re-verify
+#: (text_tfidf_topk: map-side combine; dedup_clusters(_lsh): batched
+#: convergence; multimodal_features: JPEG/MP4 decode); (e) r3-green
+#: entries to refresh, oldest-risk first (core medallion, then the
+#: relational/text/dedup tail). r3-greens that don't fit rotate in r6.
 _DRIVER_FRONT = [
-    # never driver-checked (committed after the r3 driver run)
-    "q_range_join_clicks",
-    # new in round 4
-    "sql_show_tables",
-    "sql_describe_fact",
+    # (a) never driver-checked
+    "q_rolling_7d_spend",
+    "q_price_rank_distribution",
+    "q_user_retention_cohorts",
+    "q_funnel_conversion",
+    "q_revenue_anomaly_zscore",
+    "embedding_label_centroids",
+    "streaming_enrichment",
+    # (b) new in round 5
+    "q_salted_skew_join",
+    "text_top_ngrams",
+    "embedding_kmeans",
+    "q_sessionize_gap",
+    "docs_minhash_dupes_removed",
+    "q_weighted_sample",
+    # (c) green in r2 only — two rounds stale, refresh now
+    "q_parts_ordered",
+    "q_selective_revenue",
+    "q_distinct_pairs",
+    "q_median_quantity",
+    "q_epoch_roundtrip",
+    "q_events_json",
+    "q_customers_without_orders",
+    # (d) implementation changed in round 5 — re-verify
+    "text_tfidf_topk",
     "dedup_clusters",
-    "streaming_interval_join",
-    "text_chunks",
-    "docs_stratified_sample",
-    "docs_per_source_cap",
-    "q_psi_price_drift",
     "dedup_clusters_lsh",
-    # green in r2 only — refresh before they go stale
-    "gold_dim_merchant",
-    "gold_dim_time",
-    "gold_dim_location",
-    "hourly_summary",
-    "state_summary",
-    "category_summary",
-    "amount_summary",
-    "fraud_patterns",
-    "merchant_analysis",
-    "time_period_analysis",
-    "dash_overview",
-    "dash_fraud_rate",
-    "dash_high_risk",
-    "dash_hourly_fraud",
-    "dash_monthly_trend",
-    "dash_state_top20",
-    "dash_distance_range",
-    "dash_risky_merchants",
-    "dash_category",
-    "dash_amount_range",
-    "dash_high_value",
-    "dash_weekend",
-    "dash_late_night",
-    "dash_age_group",
-    "dash_severity",
-    "dash_multi_factor",
-    "rule_predictions",
-    "dash_model_accuracy",
-    "dash_score_distribution",
-    "confusion_matrix",
-    "class_distribution",
-    "q_pricing_summary",
-    "q_top_customers",
-    "q_regional_revenue",
-    "q_order_priority",
-    "q_union_rebalance",
-    "q_user_velocity",
-    # re-verify: implementation changed this round + flagship
-    "ml_train_metrics",
     "multimodal_features",
-    "daily_summary",
-    # everything else was driver-green in r3 and unchanged — cedes its
-    # slot this round
+    # (e) r3-green refresh fill (remaining slots up to the 50 cap)
+    "transactions_source",
+    "silver_features",
+    "gold_fact_transactions",
+    "gold_dim_customer",
+    "latest_metrics",
+    "sql_daily_summary",
+    "streaming_bronze_ingest",
+    "streaming_hourly_windows",
+    "stateful_velocity",
+    "streaming_dedup",
+    "q_cube_returnflag_status",
+    "q_brand_revenue_share",
+    "q_user_sessions",
+    "q_events_hourly_window",
+    "q_distinct_users",
+    "q_distinct_users_approx",
+    "q_quantity_quantiles",
+    "q_supplier_order_volume",
+    "q_asof_click_purchase",
+    "q_grouping_sets_priority",
+    "q_customer_order_gaps",
+    "q_pivot_status_by_priority",
+    "q_order_count_distribution",
+    "q_price_histogram",
+    "q_repeat_engagers",
+    "q_clickers_not_purchasers",
+    # past the 50 cap from here; remaining r3-greens rotate in round 6
 ]
 
 

@@ -74,17 +74,27 @@ def table(spark: SparkSession, sf_dir: str | None = None, name: str = "lineitem"
         per_session = {}
     df = per_session.get(path)
     if df is None:
+        from pyspark.sql import functions as F
+
         df = spark.read.parquet(path)
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # events.parquet stores TIMESTAMP(NANOS); Spark reads it as
-            # int64 nanos (spark.sql.legacy.parquet.nanosAsLong=true in
+            # legacy testdata: events.parquet stored TIMESTAMP(NANOS);
+            # Spark reads it as int64 nanos
+            # (spark.sql.legacy.parquet.nanosAsLong=true in
             # DEFAULT_CONF). Truncate to micros — same as DuckDB's
             # ns→µs conversion — so both engines see identical values.
-            # (dtype-gated: re-materialized events tables already carry
-            # a real timestamp column and need no shim)
-            from pyspark.sql import functions as F
-
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # current testdata stores naive micros (TIMESTAMP_NTZ in Spark,
+        # naive TIMESTAMP in DuckDB). Re-type as session-TZ instants —
+        # the session TZ is pinned to UTC (_ensure_session_conf), so
+        # the wall-clock values are preserved and epoch/calendar
+        # functions (unix_micros, date_trunc, RANGE frames) behave
+        # identically to the oracle, which reads the same naive values
+        # under TimeZone=UTC. dtype-gated: already-LTZ columns pass
+        # through untouched.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         per_session[path] = df
     return df
 

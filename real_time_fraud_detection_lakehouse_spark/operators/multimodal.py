@@ -1,16 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, with Arrow-batched feature extraction via ``mapInPandas``.
 
-WORKING pure-Python decode paths (no external libraries): PNG and
-GIF headers for images (authoritative width/height) and RIFF/WAV
-headers for audio (sample rate, channels, data-chunk duration); the
-synth table plants real spec-valid PNG and WAV payloads so both run
-end-to-end. Video (and compressed formats — JPEG, mp3, mp4) remain
-STUBBED: :func:`decode_stub` raises NotImplementedError and the
-pipeline falls back to :func:`fake_features` — a deterministic
-featurizer over the raw bytes — so the Spark-side plumbing (schema,
-Arrow batch shape, partitioning) is real and tested for every
-modality even where the codec is absent.
+WORKING pure-Python decode paths (no external libraries): PNG, GIF
+and JPEG (SOF frame header) for images — authoritative
+width/height; RIFF/WAV headers for audio (sample rate, channels,
+data-chunk duration); MP4 ``moov/mvhd`` for video (timescale →
+duration). The synth table plants real spec-valid PNG, JPEG, WAV
+and MP4 payloads so all four run end-to-end. Exotic codecs (mp3,
+webm, TIFF, ...) remain STUBBED: :func:`decode_stub` raises
+NotImplementedError and the pipeline falls back to
+:func:`fake_features` — a deterministic featurizer over the raw
+bytes — so the Spark-side plumbing (schema, Arrow batch shape,
+partitioning) is real and tested for every modality even where a
+codec is absent.
 
 Scale notes: binary payloads ride in parquet as BINARY columns;
 ``mapInPandas`` streams Arrow batches so executor memory is bounded
@@ -102,6 +104,119 @@ def decode_gif_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal structurally-valid baseline JPEG (pure stdlib): SOI,
+    JFIF APP0, DQT, SOF0 carrying the authoritative dimensions, DHT,
+    SOS, a deterministic entropy-coded filler (no unstuffed 0xFF
+    bytes), EOI. Enough spec conformance that any marker-walking
+    header parser — including :func:`decode_jpeg_header` — reads the
+    true dimensions without a codec library."""
+    out = b"\xff\xd8"  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    dqt = b"\x00" + bytes([1] * 64)  # flat luminance table, id 0
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    # SOF0: 8-bit precision, height BEFORE width per spec, 1 component
+    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    dht = b"\x00" + bytes([1] + [0] * 15) + b"\x00"  # one 1-bit DC code
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes((seed + i) % 255 for i in range(8))  # % 255 ⇒ never 0xFF
+    return out + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg_header(content: bytes) -> tuple[int, int] | None:
+    """Walk JPEG markers to the first SOF frame header (0xC0–0xCF
+    excluding DHT 0xC4 / JPG 0xC8 / DAC 0xCC) and return
+    (width, height) from its big-endian height/width fields — the
+    standard dimensions-without-decode path; pixel data is never
+    touched."""
+    b = bytes(content)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: give up
+            return None
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                return None
+            _prec, h, w = struct.unpack(">BHH", b[i + 4 : i + 9])
+            return int(w), int(h)
+        i += 2 + seglen
+    return None
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4(duration_ms: int, timescale: int = 1000, seed: int = 0) -> bytes:
+    """Minimal spec-valid MP4 (ISO BMFF) container: ``ftyp`` +
+    ``moov`` holding a version-0 ``mvhd`` (timescale, duration,
+    unity matrix) + a small deterministic ``mdat``. Gives the synth
+    table REAL video payloads for the mvhd duration decode path."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = struct.pack(">I", 0)  # version 0 + flags
+    mvhd += struct.pack(
+        ">IIII", 0, 0, timescale, duration_ms * timescale // 1000
+    )  # creation, modification, timescale, duration
+    mvhd += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)  # rate, volume
+    mvhd += b"\x00" * 10  # reserved
+    mvhd += struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )  # unity matrix
+    mvhd += b"\x00" * 24 + struct.pack(">I", 2)  # pre_defined, next_track_ID
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd))
+    mdat = _mp4_box(b"mdat", bytes((seed + i) % 256 for i in range(16)))
+    return ftyp + moov + mdat
+
+
+def decode_mp4_mvhd(content: bytes) -> dict | None:
+    """Walk top-level ISO BMFF boxes to ``moov``, then its children to
+    ``mvhd``; handle version 0 (32-bit times) and version 1 (64-bit)
+    and return {timescale, duration_ms}. Header-only — ``mdat`` (the
+    ~100% of a real video's bytes) is skipped via the box length, the
+    exact pattern a 100 TB duration-filter pass needs."""
+    b = bytes(content)
+    i = 0
+    while i + 8 <= len(b):
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        if size < 8:
+            return None
+        if b[i + 4 : i + 8] == b"moov":
+            j, end = i + 8, min(i + size, len(b))
+            while j + 8 <= end:
+                csize = struct.unpack(">I", b[j : j + 4])[0]
+                if csize < 8:
+                    return None
+                if b[j + 4 : j + 8] == b"mvhd" and j + 40 <= end:
+                    if b[j + 8] == 0:  # version 0: 32-bit times
+                        timescale, duration = struct.unpack(">II", b[j + 20 : j + 28])
+                    else:  # version 1: 64-bit creation/modification/duration
+                        timescale = struct.unpack(">I", b[j + 28 : j + 32])[0]
+                        duration = struct.unpack(">Q", b[j + 32 : j + 40])[0]
+                    return {
+                        "timescale": int(timescale),
+                        "duration_ms": int(duration * 1000 // timescale)
+                        if timescale
+                        else 0,
+                    }
+                j += csize
+            return None
+        i += size
+    return None
+
+
 def encode_wav(duration_ms: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
     """Minimal spec-valid PCM WAV encoder (RIFF/fmt/data, 8-bit mono)
     with a deterministic byte ramp — real audio payloads for the
@@ -146,11 +261,12 @@ def decode_wav_header(content: bytes) -> dict | None:
 
 
 def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """Deterministic fake media table. Image rows carry REAL PNG
-    payloads (IHDR dims == meta dims) and audio rows REAL PCM WAV
-    payloads (data-chunk duration == meta duration), so both decode
-    paths run end-to-end; video rows carry the document's text bytes
-    as an opaque stand-in (no containerless pure-Python parse)."""
+    """Deterministic fake media table. Image rows alternate REAL PNG
+    and REAL JPEG payloads (header dims == meta dims), audio rows
+    carry REAL PCM WAV payloads (data-chunk duration == meta
+    duration), and video rows REAL minimal MP4 containers (mvhd
+    duration == meta duration) — every decode path runs
+    end-to-end."""
     from real_time_fraud_detection_lakehouse_spark.core.catalog import table
 
     docs = table(spark, sf_dir, "documents")
@@ -178,14 +294,17 @@ def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFra
                 pdf["media_id"], pdf["media_type"], pdf["content"], pdf["meta"]
             ):
                 if mtyp == "image":
-                    content.append(encode_png(meta["width"], meta["height"], seed=int(mid)))
+                    # image media_ids are ≡0 (mod 3), so mid % 2
+                    # alternates PNG/JPEG across them
+                    enc = encode_png if int(mid) % 2 == 0 else encode_jpeg
+                    content.append(enc(meta["width"], meta["height"], seed=int(mid)))
                 elif mtyp == "audio":
                     # 1 kHz keeps payloads ~duration_ms bytes
                     content.append(
                         encode_wav(meta["duration_ms"], sample_rate=1000, seed=int(mid))
                     )
                 else:
-                    content.append(c)
+                    content.append(encode_mp4(meta["duration_ms"], seed=int(mid)))
             pdf = pdf.copy()
             pdf["content"] = content
             yield pdf
@@ -194,10 +313,10 @@ def synth_media_table(spark: SparkSession, sf_dir: str | None = None) -> DataFra
 
 
 def decode_stub(content: bytes, media_type: str) -> dict:
-    """Decode entry point. WORKING pure-Python paths: PNG + GIF
-    headers (images → width/height) and RIFF/WAV headers (audio →
-    sample rate / channels / duration). Everything else (video
-    containers, compressed audio, JPEG, ...) raises
+    """Decode entry point. WORKING pure-Python paths: PNG + GIF +
+    JPEG-SOF headers (images → width/height), RIFF/WAV headers
+    (audio → sample rate / channels / duration), and MP4 moov/mvhd
+    (video → duration). Exotic codecs (mp3, webm, TIFF, ...) raise
     NotImplementedError because those need codec libraries absent in
     this container — callers fall back to :func:`fake_features`."""
     if media_type == "image":
@@ -207,13 +326,20 @@ def decode_stub(content: bytes, media_type: str) -> dict:
         dims = decode_gif_header(content)
         if dims is not None:
             return {"format": "gif", "width": dims[0], "height": dims[1]}
+        dims = decode_jpeg_header(content)
+        if dims is not None:
+            return {"format": "jpeg", "width": dims[0], "height": dims[1]}
     if media_type == "audio":
         wav = decode_wav_header(content)
         if wav is not None:
             return {"format": "wav", **wav}
+    if media_type == "video":
+        mv = decode_mp4_mvhd(content)
+        if mv is not None:
+            return {"format": "mp4", **mv}
     raise NotImplementedError(
-        f"real {media_type} decoding (beyond PNG/GIF/WAV headers) requires "
-        "media libraries not present in this environment; use "
+        f"real {media_type} decoding (beyond PNG/GIF/JPEG/WAV/MP4 headers) "
+        "requires media libraries not present in this environment; use "
         "fake_features for plumbing tests"
     )
 

@@ -205,5 +205,51 @@ def test_multimodal_audio_decode_real_duration(spark):
     for r in audio:
         assert r["decoded_sample_rate"] == 1000
         assert r["decoded_duration_ms"] == r["meta"]["duration_ms"]
-    for r in video:  # no pure-Python container parse -> nulls
-        assert r["decoded_duration_ms"] is None
+    for r in video:  # mvhd parse of the real MP4 payload
+        assert r["decoded_duration_ms"] == r["meta"]["duration_ms"]
+
+
+def test_jpeg_encode_decode_roundtrip():
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_jpeg_header,
+        decode_stub,
+        encode_jpeg,
+    )
+
+    jpg = encode_jpeg(640, 480, seed=11)
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    assert decode_jpeg_header(jpg) == (640, 480)
+    assert decode_stub(jpg, "image") == {"format": "jpeg", "width": 640, "height": 480}
+    assert jpg == encode_jpeg(640, 480, seed=11)  # fixture determinism
+    assert decode_jpeg_header(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert decode_jpeg_header(b"not a jpeg") is None
+
+
+def test_mp4_encode_decode_roundtrip():
+    import pytest as _pytest
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_mp4_mvhd,
+        decode_stub,
+        encode_mp4,
+    )
+
+    mp4 = encode_mp4(93_000, seed=5)
+    got = decode_mp4_mvhd(mp4)
+    assert got == {"timescale": 1000, "duration_ms": 93_000}
+    assert decode_stub(mp4, "video")["format"] == "mp4"
+    # version-1 mvhd (64-bit times): splice one together
+    import struct as _struct
+
+    mvhd_v1 = (
+        _struct.pack(">I", 1 << 24)  # version 1 + flags
+        + b"\x00" * 16  # creation + modification (64-bit each)
+        + _struct.pack(">I", 600)  # timescale
+        + _struct.pack(">Q", 1200)  # duration -> 2000 ms
+    ) + b"\x00" * 80
+    box = _struct.pack(">I", len(mvhd_v1) + 8) + b"mvhd" + mvhd_v1
+    moov = _struct.pack(">I", len(box) + 8) + b"moov" + box
+    assert decode_mp4_mvhd(moov) == {"timescale": 600, "duration_ms": 2000}
+    assert decode_mp4_mvhd(b"\x00\x00\x00\x04free") is None
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"not an mp4 container", "video")
