@@ -23,7 +23,10 @@ shuffling only on the merge key with dynamic file pruning.
 from __future__ import annotations
 
 import json
+import os
+import re
 import urllib.request
+import uuid
 from collections.abc import Callable
 
 from pyspark.errors import AnalysisException
@@ -231,9 +234,23 @@ def upsert_with_changelog(
 
     Scale notes: change rows are computed with one broadcast-key join
     against the (partition-pruned, when ``partition_col`` is set)
-    existing slice — the same read the upsert itself does; the
-    changelog append is partitioned by ``_commit_version`` so version
-    range reads prune directories.
+    existing slice — the same read the upsert itself does; each commit
+    is its own ``_commit_version=N`` directory so version range reads
+    prune directories, and version discovery is one directory listing
+    (not a changelog scan).
+
+    Commit protocol (same as ``sources.snapshots``): the change rows
+    are staged into a dot-prefixed directory (invisible to Spark's
+    file index), then published with one atomic ``os.rename`` to
+    ``_commit_version=N`` — the rename fails if N exists, so racing
+    writers serialize and a reader can never observe a partially
+    written commit. A crash before the rename leaves only invisible
+    stage debris. The table upsert happens AFTER the changelog commit;
+    a crash between the two means the changelog leads the table until
+    the upsert is retried — consumers see at-least-once change
+    delivery, never a torn commit (the same ordering Delta's log
+    resolves with a single unified commit, which plain parquet cannot
+    express).
     """
     try:
         existing = spark.read.parquet(path)
@@ -242,15 +259,6 @@ def upsert_with_changelog(
             existing = existing.filter(F.col(partition_col).isin(parts))
     except AnalysisException:
         existing = None
-    try:
-        version = (
-            spark.read.parquet(changelog_path)
-            .agg(F.max("_commit_version"))
-            .first()[0]
-            + 1
-        )
-    except AnalysisException:
-        version = 1
 
     cols = updates.columns
     if existing is None:
@@ -270,14 +278,35 @@ def upsert_with_changelog(
             "_change_type", F.lit("update_postimage")
         )
         changes = inserts.unionByName(pre).unionByName(post)
-    (
-        changes.withColumn("_commit_version", F.lit(version))
-        .write.mode("append")
-        .partitionBy("_commit_version")
-        .parquet(changelog_path)
-    )
+    version = _commit_changelog(changes, changelog_path)
     upsert_by_key(spark, updates, path, key, partition_col=partition_col)
     return version
+
+
+_CHANGELOG_V_RE = re.compile(r"^_commit_version=(\d+)$")
+
+
+def _commit_changelog(changes: DataFrame, changelog_path: str) -> int:
+    """Stage change rows, then publish them as ``_commit_version=N``
+    with one atomic rename (the commit point). Returns N. The layout
+    is identical to a ``partitionBy("_commit_version")`` append, so
+    readers get the version back as a partition column — but no
+    reader can ever list a half-written commit."""
+    os.makedirs(changelog_path, exist_ok=True)
+    stage = os.path.join(changelog_path, f".stage-{uuid.uuid4().hex}")
+    changes.write.mode("errorifexists").parquet(stage)
+    while True:
+        taken = [
+            int(m.group(1))
+            for name in os.listdir(changelog_path)
+            if (m := _CHANGELOG_V_RE.match(name))
+        ]
+        version = (max(taken) + 1) if taken else 1
+        try:
+            os.rename(stage, os.path.join(changelog_path, f"_commit_version={version}"))
+            return version
+        except OSError:
+            continue  # claim race lost → re-list and retry with next N
 
 
 def read_changes(

@@ -215,3 +215,129 @@ def test_bloom_filter_write(spark, tmp_path):
     got = spark.read.parquet(bloom).filter(F.col("o_orderkey") == key).collect()
     want = tx.filter(F.col("o_orderkey") == key).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_snapshot_torn_write_invisible(spark, tmp_path):
+    """Crash between the version-claim rename and the marker commit
+    leaves a torn _v=N dir: readers must never resolve it, a later
+    writer must skip past it, and vacuum must collect it."""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        COMMIT_MARKER,
+        read_snapshot,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert snapshot_write(df1, path) == 1
+
+    # simulate the crash: full data for v2 exists but the marker never
+    # landed (delete it from a real write — same observable state)
+    v2 = snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), path)
+    os.remove(os.path.join(path, f"_v={v2}", COMMIT_MARKER))
+
+    # readers: latest resolves to v1, pinning the torn version fails fast
+    assert read_snapshot(spark, path).collect() == df1.collect()
+    with pytest.raises(ValueError, match="torn"):
+        read_snapshot(spark, path, version=v2)
+
+    # a later writer never re-claims the torn slot
+    df3 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    assert snapshot_write(df3, path) == v2 + 1
+    assert read_snapshot(spark, path).collect() == df3.collect()
+
+    # vacuum collects the torn dir (and only reports committed removals)
+    assert vacuum_snapshots(path, keep=2) == []
+    assert not os.path.isdir(os.path.join(path, f"_v={v2}"))
+    assert read_snapshot(spark, path, version=1).collect() == df1.collect()
+
+
+def test_snapshot_stage_crash_invisible(spark, tmp_path):
+    """Crash BEFORE the claim rename leaves only a dot-stage dir:
+    invisible to readers and next-version numbering, collected by
+    vacuum."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert snapshot_write(df1, path) == 1
+    # orphaned stage dir with real parquet inside
+    df1.write.parquet(os.path.join(path, ".stage-deadbeef"))
+
+    assert read_snapshot(spark, path).collect() == df1.collect()
+    assert snapshot_write(df1, path) == 2  # numbering unaffected
+    vacuum_snapshots(path, keep=2)
+    assert not os.path.isdir(os.path.join(path, ".stage-deadbeef"))
+
+
+def test_snapshot_two_writers_race(spark, tmp_path):
+    """Two writers publishing concurrently: the version claim is an
+    atomic rename, so they serialize onto distinct versions and both
+    commits are readable. (Simulated interleaving: writer B claims the
+    version writer A computed, before A's rename.)"""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "snap")
+    a = spark.createDataFrame([(1, "a")], ["id", "v"])
+    b = spark.createDataFrame([(2, "b")], ["id", "v"])
+    assert snap.snapshot_write(a, path) == 1
+
+    # interleave: while A stages, B completes a full commit of v2; A's
+    # first rename attempt targets the now-taken v2 and must retry to v3
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def racy_rename(src, dst):
+        if dst.endswith("_v=2") and not state["fired"]:
+            state["fired"] = True
+            snap.snapshot_write(b, path)  # B wins v2 first
+        return real_rename(src, dst)
+
+    snap.os.rename = racy_rename
+    try:
+        got = snap.snapshot_write(a, path)
+    finally:
+        snap.os.rename = real_rename
+    assert got == 3
+    assert snap.read_snapshot(spark, path, version=2).collect() == b.collect()
+    assert snap.read_snapshot(spark, path, version=3).collect() == a.collect()
+    assert snap._versions(path) == [1, 2, 3]
+
+
+def test_changelog_torn_commit_invisible(spark, tmp_path):
+    """A changelog stage dir that never got renamed (crash before the
+    commit point) is invisible to read_changes and to version
+    numbering — consumers can never observe a half-written commit."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        read_changes,
+        upsert_with_changelog,
+    )
+
+    path, log = str(tmp_path / "t"), str(tmp_path / "log")
+    base = spark.createDataFrame([(1, "a", 10.0)], ["id", "name", "amount"])
+    assert upsert_with_changelog(spark, base, path, "id", log) == 1
+
+    # crash-before-rename debris: staged change rows, never published
+    base.write.parquet(os.path.join(log, ".stage-torn"))
+
+    changes = read_changes(spark, log).collect()
+    assert {r["_commit_version"] for r in changes} == {1}
+    # next commit numbers past the committed set only
+    upd = spark.createDataFrame([(1, "a2", 11.0)], ["id", "name", "amount"])
+    assert upsert_with_changelog(spark, upd, path, "id", log) == 2
+    assert {r["_commit_version"] for r in read_changes(spark, log).collect()} == {1, 2}
