@@ -151,20 +151,32 @@ def main() -> None:
         }
         mat["transactions"] = mat["silver"]
         registry = {**VIEWS, **DASHBOARDS}
+
+        def _timed(build) -> float:
+            # min-of-2 (same protocol as the scaling block): single
+            # warm samples at sub-second scale flapped ±50% round over
+            # round in a shared session; min is the standard
+            # noise-robust micro-bench statistic. The first run doubles
+            # as the warm-up. The builder call stays INSIDE the timed
+            # region: iterative operators (dedup_clusters) run driver
+            # actions at build time.
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                build().write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            return round(min(samples), 3)
+
         for name in DOMAIN:
             builder, _ = registry[name]
-            t0 = time.time()
-            builder(mat).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = _timed(lambda: builder(mat))
 
         # --- phase 3: relational + LLM operators over raw testdata
         frames = {name: table(spark, SF_DIR, name) for name in TESTDATA_TABLES}
         ops = {**RELATIONAL, **LLM_OPS}
         for name in DIRECT:
             builder, _ = ops[name]
-            t0 = time.time()
-            builder(frames).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = _timed(lambda: builder(frames))
 
         # --- phase 4: streaming exactly-once dedup micro-bench
         # (source setup excluded; timed part = the AvailableNow stream

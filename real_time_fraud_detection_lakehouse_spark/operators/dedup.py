@@ -318,7 +318,11 @@ CLUSTER_JACCARD = 0.5  # pair-edge threshold for cluster membership
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     every node's label starts as its own id; each round a node adopts
@@ -330,24 +334,32 @@ def connected_components(
     + POINTER JUMPING — every node also adopts its current label's
     label, the path-halving trick), so convergence is O(log diameter)
     rounds, not O(diameter): a 1000-link chain resolves in ~10 rounds.
-    Labels are eagerly localCheckpoint-ed so lineage stays O(1)
-    across rounds. The large-star/small-star rewrite (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") is the further
-    upgrade when edge lists themselves need rewriting at 100 TB; for
-    dedup graphs (small diameter, edges fit a shuffle) propagation +
-    jumping is cheaper per round.
+    Two round-trip economies on top (round 5): the FIRST propagation
+    is fused into initialization — when every label is still its own
+    id, "min of my neighbors' labels" is just ``min(b) GROUP BY a``,
+    one shuffle instead of join+union+agg — and the convergence count
+    runs every ``check_every`` rounds (labels stay lazily
+    checkpointed in between), so toy-scale latency is bounded by
+    ~rounds/check_every driver actions, not one per round. Labels are
+    localCheckpoint-ed so lineage stays O(rounds-between-checks). The
+    large-star/small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is the further upgrade when
+    edge lists themselves need rewriting at 100 TB; for dedup graphs
+    (small diameter, edges fit a shuffle) propagation + jumping is
+    cheaper per round.
     """
     und = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
     und = und.localCheckpoint(eager=True)
+    # round 1 fused into init: with identity labels, adopting the min
+    # neighbor label is a bare keyed min over the edge list
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(2, max_iter + 1):
         # neighbor's current label, keyed to the receiving node
         nbr = und.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -362,27 +374,30 @@ def connected_components(
         roots = propagated.select(
             F.col("node").alias("component"), F.col("component").alias("root")
         )
-        # lazy checkpoint: materialized by the convergence count below,
-        # so each round costs ONE action (eager=True would make it two)
+        # lazy checkpoint: materialized by the next convergence count,
+        # so a round costs a driver action only on check rounds
         new_labels = (
             propagated.join(roots, "component")
             .select("node", F.col("root").alias("component"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if i % check_every == 0 or i == max_iter:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 
-_CLUSTER_ORACLE = f"""
+_CLUSTER_COMP_CTE = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({{ngram_pairs}}) WHERE jaccard >= {CLUSTER_JACCARD}
 ),
@@ -398,11 +413,17 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
 ),
 comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n)
+"""
+
+_CLUSTER_ORACLE = (
+    _CLUSTER_COMP_CTE
+    + """
 SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
        doc_id = component_id AS is_keeper
 FROM comp
 """
+)
 
 
 @_register("dedup_clusters", None)  # real SQL bound below (needs ngram oracle text)
@@ -462,3 +483,49 @@ def dedup_clusters_lsh(t: Frames) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+# --- apply the dedup decision: the cleaned corpus itself --------------------
+_DEDUP_APPLY_ORACLE = (
+    _CLUSTER_COMP_CTE
+    + """
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+"""
+)
+
+
+@_register("docs_dedup_apply", None)  # real SQL bound below (needs ngram oracle text)
+def docs_dedup_apply(t: Frames) -> DataFrame:
+    """The operator users actually run: the DEDUPLICATED corpus.
+    Near-dup clusters (n-gram Jaccard >= CLUSTER_JACCARD, transitive)
+    elect min-doc_id keepers; every non-keeper is dropped, singletons
+    pass through untouched. Output = documents metadata minus the
+    drops — the table a pre-training run reads next.
+
+    Scale design: the drop list (cluster members that are not the
+    keeper) is a tiny fraction of the corpus, so the subtraction is a
+    broadcast LEFT ANTI join against it — the full corpus never
+    shuffles. Cluster construction cost is dedup_clusters itself
+    (banded equi-joins + O(log d) component rounds); this operator
+    adds one scan.
+
+    Oracle: same recursive-CTE transitive closure, applied as a NOT IN
+    over the documents table."""
+    drops = (
+        dedup_clusters(t)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return (
+        t["documents"]
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+DEDUP_OPS["docs_dedup_apply"] = (
+    docs_dedup_apply,
+    _DEDUP_APPLY_ORACLE.format(ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1]),
+)

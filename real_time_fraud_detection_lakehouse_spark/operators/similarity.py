@@ -421,3 +421,103 @@ def embedding_label_centroids(t: Frames) -> DataFrame:
         dround(F.sum(F.col("m") * F.col("m"))).alias("centroid_sqnorm"),
         dround(F.avg("m")).alias("centroid_mean"),
     )
+
+
+# --- Lloyd k-means over the embedding column (IVF training step) ------------
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd k-means over (vec_id, v: array<double>).
+    Init: centroids = the vectors of the k smallest vec_ids (pure
+    function of the data — reproducible across runs/partitionings,
+    unlike random init). Each iteration: assign every vector to its
+    nearest centroid (squared L2), then recompute centroids as
+    element-wise means. Returns the final assignment
+    (vec_id, cluster_id, sq_dist).
+
+    Scale design (this IS the IVF coarse-quantizer trainer):
+    - assignment joins the corpus against a BROADCAST k-row centroid
+      table (k is small by definition) — the big side never shuffles;
+      argmin via min(struct(dist, cluster)) so ties break
+      deterministically toward the lower cluster id;
+    - the update step is the posexplode → (cluster, pos) keyed avg
+      from embedding_label_centroids — partial aggs collapse map-side,
+      the shuffle carries O(k x dims) cells;
+    - per-iteration centroids are localCheckpoint-ed: O(1) lineage,
+      and each iteration is exactly one pass over the data.
+    """
+    emb = emb.localCheckpoint(eager=False)
+    dim = F.size("v")
+    # deterministic seed: k lowest-id vectors (collect k rows, tiny)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cluster_id"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iters):
+        sq = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cluster_id", sq.alias("sq_dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("sq_dist", "cluster_id", "v")).alias("m"),
+            )
+            .select(
+                "vec_id",
+                F.col("m.cluster_id").alias("cluster_id"),
+                F.col("m.sq_dist").alias("sq_dist"),
+                F.col("m.v").alias("v"),
+            )
+        )
+        assigned = best.localCheckpoint(eager=False)
+        # update step: element-wise mean per cluster (the
+        # embedding_label_centroids primitive keyed by cluster_id)
+        means = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        cents = (
+            means.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select("vec_id", "cluster_id", "sq_dist")
+
+
+@_register("embedding_kmeans", None)
+def embedding_kmeans(t: Frames) -> DataFrame:
+    """K-means cluster profile over the embeddings table: per-cluster
+    size and (rounded) inertia after KMEANS_ITERS deterministic Lloyd
+    iterations. Rows-only for the driver (iterative + float summation
+    order varies); determinism and planted-cluster recovery are
+    asserted in tests/test_llm_ops.py."""
+    emb = t["embeddings"].select("vec_id", _vec_double("embedding").alias("v"))
+    assigned = kmeans_lloyd(emb)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            dround(F.sum("sq_dist"), 2).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

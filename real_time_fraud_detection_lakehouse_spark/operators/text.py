@@ -476,3 +476,51 @@ def docs_per_source_cap(t: Frames) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .drop("rn")
     )
+
+
+# --- corpus-level n-gram frequency (the vocabulary/phrase-mining pass) ------
+TOP_NGRAMS_K = 20
+
+
+@_register(
+    "text_top_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_zip(t[1:length(t)-1], t[2:length(t)])) AS z
+      FROM toks WHERE length(t) >= 2
+    )
+    SELECT z[1] || ' ' || z[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY 1
+    ORDER BY n DESC, bigram ASC
+    LIMIT {TOP_NGRAMS_K}
+    """,
+)
+def text_top_ngrams(t: Frames) -> DataFrame:
+    """Corpus-wide top-K bigram frequencies — the phrase-mining /
+    vocabulary-induction pass (BPE merges, stop-phrase lists, boilerplate
+    detection all start here).
+
+    Scale design: bigrams come from zip_with over two array slices —
+    a narrow per-row transform, no self-join of token positions — then
+    one explode feeding a keyed count whose partial aggregation
+    collapses each map partition to its distinct-bigram counts before
+    the shuffle. The top-K is TakeOrderedAndProject (heap per
+    partition), never a global sort. Ties break on the bigram string so
+    the cut is deterministic across engines."""
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    return (
+        t["documents"]
+        .select(_tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_NGRAMS_K)
+    )

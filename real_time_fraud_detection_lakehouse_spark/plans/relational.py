@@ -1326,3 +1326,94 @@ def q_revenue_anomaly_zscore(t: Frames) -> DataFrame:
         dround(F.col("revenue")).alias("revenue"),
         dround(z).alias("zscore"),
     )
+
+
+# --- salted two-phase aggregation (hot-key mitigation, SURVEY scale notes) --
+SALT_BUCKETS = 16
+
+
+@_register(
+    "q_salted_skew_agg",
+    f"""
+    SELECT l_returnflag,
+           {_r4s('SUM(l_quantity)')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_r4s('SUM(l_extendedprice) / COUNT(*)')} AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_skew_agg(t: Frames) -> DataFrame:
+    """Two-phase SALTED aggregation over a deliberately hot grouping
+    key (l_returnflag: 3 values over the whole table — exactly the
+    cardinality where one reducer would own a third of 100 TB). Phase
+    1 aggregates by (key, salt) so each hot key fans out over
+    SALT_BUCKETS reducers; phase 2 merges the bucket partials — sums
+    and counts re-aggregate losslessly, and the average is derived
+    from merged sums, never averaged across buckets. Oracle = the
+    plain single-phase GROUP BY: salting must be invisible in the
+    result.
+
+    At real scale this is the manual fallback when AQE skew handling
+    can't help (aggregation skew, not join skew — AQE only splits
+    skewed JOIN partitions). Salt = hash of a high-cardinality column,
+    deterministic per row."""
+    li = t["lineitem"]
+    partial = (
+        li.withColumn("_salt", (F.abs(F.hash("l_orderkey")) % SALT_BUCKETS).cast("int"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum("l_quantity").alias("p_qty"),
+            F.count("*").alias("p_n"),
+            F.sum("l_extendedprice").alias("p_price"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        dround(F.sum("p_qty"), 4).alias("sum_qty"),
+        F.sum("p_n").cast("long").alias("n_rows"),
+        dround(F.sum("p_price") / F.sum("p_n"), 4).alias("avg_price"),
+    )
+
+
+# --- deterministic weighted sampling (importance-weighted data mixing) ------
+@_register(
+    "q_weighted_sample",
+    f"""
+    WITH mx AS (SELECT MAX(o_totalprice) AS m FROM orders)
+    SELECT o_orderkey, o_custkey,
+           {_r4s('o_totalprice')} AS totalprice,
+           {_r4s("CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0")}
+             AS sample_u
+    FROM orders, mx
+    WHERE CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0
+          < o_totalprice / mx.m
+    """,
+)
+def q_weighted_sample(t: Frames) -> DataFrame:
+    """Weighted Bernoulli sample with inclusion probability
+    proportional to o_totalprice — the importance-weighted mixing step
+    of a training-data pipeline (sample high-value sources harder),
+    made DETERMINISTIC: the uniform draw is the first 8 hex digits of
+    md5(key) scaled to [0,1), so membership is a pure row function —
+    identical across engines, runs, partitionings, and replays (same
+    property as the hash holdout split, corpus_sample_hash).
+
+    Scale design: the max weight joins in as a broadcast one-row
+    aggregate (no driver collect); everything else is a scan-side
+    projection + filter. One exact 32-bit hash fraction — dyadic, so
+    the double compare is exact on both engines."""
+    orders = t["orders"]
+    u = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    mx = orders.agg(F.max("o_totalprice").alias("m"))
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .withColumn("sample_u", u)
+        .filter(F.col("sample_u") < F.col("o_totalprice") / F.col("m"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            dround(F.col("o_totalprice"), 4).alias("totalprice"),
+            dround(F.col("sample_u"), 4).alias("sample_u"),
+        )
+    )
