@@ -59,12 +59,11 @@ _DRIVER_FRONT = [
     "embedding_label_centroids",
     "streaming_enrichment",
     # (b) new in round 5
-    "q_salted_skew_join",
     "text_top_ngrams",
-    "embedding_kmeans",
-    "q_sessionize_gap",
-    "docs_minhash_dupes_removed",
+    "q_salted_skew_agg",
     "q_weighted_sample",
+    "docs_dedup_apply",
+    "embedding_kmeans",
     # (c) green in r2 only — two rounds stale, refresh now
     "q_parts_ordered",
     "q_selective_revenue",
@@ -105,6 +104,7 @@ _DRIVER_FRONT = [
     "q_price_histogram",
     "q_repeat_engagers",
     "q_clickers_not_purchasers",
+    "q_unpivot_lineitem_stats",
     # past the 50 cap from here; remaining r3-greens rotate in round 6
 ]
 

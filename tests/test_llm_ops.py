@@ -326,3 +326,57 @@ def test_lsh_clusters_agree_with_exact_clusters(spark, frames):
         1 for c in exact if any(c <= l for l in lsh) or not (c & lsh_docs)
     )
     assert recovered >= 0.8 * len(exact)
+
+
+def test_kmeans_planted_blobs_recovered(spark):
+    """Three tight blobs, vec_ids interleaved so the deterministic
+    min-id seeding lands one centroid per blob: 3 Lloyd iterations
+    recover the planted partition with full purity."""
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import kmeans_lloyd
+
+    centers = [(0.0, 0.0, 10.0), (10.0, 0.0, 0.0), (0.0, 10.0, 0.0)]
+    pts = []
+    for i in range(60):
+        blob = i % 3
+        x, y, z = centers[blob]
+        eps = ((i // 3) % 5 - 2) * 0.05
+        pts.append((i, [x + eps, y - eps, z + eps]))
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+
+    out = kmeans_lloyd(df, k=3, iters=3).collect()
+    assert len(out) == 60
+    blob_to_clusters: dict[int, set] = {}
+    for r in out:
+        blob_to_clusters.setdefault(r["vec_id"] % 3, set()).add(r["cluster_id"])
+    # purity: every blob maps to exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in blob_to_clusters.values())
+    assert len({next(iter(s)) for s in blob_to_clusters.values()}) == 3
+    # near-zero inertia on tight blobs
+    assert all(r["sq_dist"] < 0.1 for r in out)
+
+
+def test_kmeans_deterministic_and_registered(spark, frames):
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        embedding_kmeans,
+    )
+
+    a = embedding_kmeans(frames).collect()
+    b = embedding_kmeans(frames).collect()
+    assert a == b  # hash init + struct-min ties -> fully deterministic
+    assert sum(r["n_points"] for r in a) == frames["embeddings"].count()
+
+
+def test_dedup_apply_consistent_with_clusters(spark, frames):
+    """docs_dedup_apply = documents minus non-keepers: row count and
+    membership must agree with dedup_clusters' keeper election."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_clusters,
+        docs_dedup_apply,
+    )
+
+    clusters = dedup_clusters(frames).collect()
+    drops = {r["doc_id"] for r in clusters if not r["is_keeper"]}
+    kept = {r["doc_id"] for r in docs_dedup_apply(frames).collect()}
+    total = frames["documents"].count()
+    assert len(kept) == total - len(drops)
+    assert kept.isdisjoint(drops)
