@@ -34,6 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _partition_dirs(path: str, partition_col: str, values: list) -> list[str]:
+    """Existing hive-style partition directories for ``values``.
+    Directory names use Spark's ``col=str(value)`` encoding (exact for
+    the string/int/date partition values this engine writes; exotic
+    types needing URL-escaping should use Delta). Local-FS check —
+    matches this emulation's single-filesystem scope."""
+    dirs = [os.path.join(path, f"{partition_col}={v}") for v in values]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
 def append_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """S7/S9: partitioned append (Delta: .format('delta'))."""
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
@@ -112,6 +122,15 @@ def upsert_by_key(
     partition columns, pass ``partition_col=None`` (full-table merge)
     or use Delta MERGE.
 
+    CONCURRENCY (partition-scoped path): writers touching DISJOINT
+    partitions compose — each writer lists, reads, and rewrites ONLY
+    its own partition directories (the read below targets the touched
+    subdirs explicitly, never the table root, so a concurrent writer's
+    dynamic overwrite deleting files in another partition can't break
+    this writer's scan). Disjointness is the caller's contract;
+    same-partition concurrent writers need a real transaction log
+    (Delta). Exercised in tests/test_sinks_incremental.py.
+
     Fault tolerance: the merged slice is materialized via eager
     localCheckpoint before the overwrite so the rewrite can't consume
     its own output, but checkpoint blocks live on executors — an
@@ -119,18 +138,27 @@ def upsert_by_key(
     Single-process local mode is safe; on a real cluster use the Delta
     MERGE (transaction-logged) instead of this emulation.
     """
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:  # only "no table yet" -> initial write
-        writer = updates.write.mode("overwrite")
-        if partition_col is not None:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(path)
-        return
     keys = updates.select(key).distinct()
     if partition_col is not None:
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        touched = existing.filter(F.col(partition_col).isin(parts))
+        existing_dirs = _partition_dirs(path, partition_col, parts)
+        if not os.path.isdir(path) or not existing_dirs:
+            # no table yet, or all touched partitions are new: the
+            # update IS the partition content — dynamic overwrite
+            # creates/replaces only those directories
+            (
+                updates.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            return
+        # narrow read: ONLY the touched partition dirs (basePath keeps
+        # the partition column in the schema). At scale this prunes the
+        # file LISTING itself, not just the post-listing scan — and it
+        # is what makes disjoint-partition writers safe to run
+        # concurrently.
+        touched = spark.read.option("basePath", path).parquet(*existing_dirs)
         kept = touched.join(F.broadcast(keys), key, "left_anti")
         merged = kept.unionByName(updates.select(*kept.columns))
         staged = merged.localCheckpoint(eager=True)
@@ -140,6 +168,11 @@ def upsert_by_key(
             .partitionBy(partition_col)
             .parquet(path)
         )
+        return
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:  # only "no table yet" -> initial write
+        updates.write.mode("overwrite").parquet(path)
         return
     kept = existing.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(updates)
@@ -252,13 +285,19 @@ def upsert_with_changelog(
     resolves with a single unified commit, which plain parquet cannot
     express).
     """
-    try:
-        existing = spark.read.parquet(path)
-        if partition_col is not None:
-            parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-            existing = existing.filter(F.col(partition_col).isin(parts))
-    except AnalysisException:
-        existing = None
+    if partition_col is not None:
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        dirs = _partition_dirs(path, partition_col, parts)
+        # narrow read (same contract as upsert_by_key): only the
+        # touched partition dirs, so disjoint-partition writers compose
+        existing = (
+            spark.read.option("basePath", path).parquet(*dirs) if dirs else None
+        )
+    else:
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:
+            existing = None
 
     cols = updates.columns
     if existing is None:

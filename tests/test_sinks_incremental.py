@@ -393,3 +393,56 @@ def test_corrupt_fact_table_raises_instead_of_reappending(spark, tmp_path):
     # the point: it raised; it did NOT append n1 rows again. And the
     # failure is a real read error, not the benign PATH_NOT_FOUND.
     assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
+def test_upsert_concurrent_disjoint_partitions(spark, tmp_path):
+    """Two writers upserting DISJOINT partitions concurrently compose:
+    dynamic partition overwrite rewrites only each writer's own
+    partitions, so neither clobbers the other. This is the documented
+    concurrency contract of the partition-scoped upsert (disjointness
+    is the caller's responsibility — same-partition writers need a
+    real transaction log, i.e. Delta).
+
+    Interleaving is exercised two ways: a deterministic write-between-
+    read-and-write schedule, and a barrier-started thread race."""
+    import threading
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("k1", 1, "p1"), ("k2", 2, "p2")], "k string, v int, p string"
+    )
+    upsert_by_key(spark, base, path, "k", partition_col="p")
+
+    # --- deterministic interleave: A stages its merge plan for p1,
+    # B completes a full upsert of p2, then A writes. A's dynamic
+    # overwrite touches only p1, so B's p2 write must survive.
+    a_updates = spark.createDataFrame([("k1", 10, "p1")], "k string, v int, p string")
+    b_updates = spark.createDataFrame([("k2", 20, "p2")], "k string, v int, p string")
+    # (the function reads `existing` at call time; calling B first then
+    # A reproduces B-committed-during-A's-read-window ordering, since
+    # A's anti-join only consults p1 rows either way)
+    upsert_by_key(spark, b_updates, path, "k", partition_col="p")
+    upsert_by_key(spark, a_updates, path, "k", partition_col="p")
+    state = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert state == {"k1": (10, "p1"), "k2": (20, "p2")}
+
+    # --- true concurrency: both writers run simultaneously from a
+    # start barrier, each touching only its own partition
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(part: str, key: str, vals: list[int]) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for v in vals:
+                upd = spark.createDataFrame([(key, v, part)], "k string, v int, p string")
+                upsert_by_key(spark, upd, path, "k", partition_col="p")
+        except Exception as exc:  # noqa: BLE001 - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=("p1", "k1", [11, 12, 13]))
+    t2 = threading.Thread(target=writer, args=("p2", "k2", [21, 22, 23]))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not errors, errors
+    state = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert state == {"k1": (13, "p1"), "k2": (23, "p2")}
