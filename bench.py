@@ -77,6 +77,12 @@ SCALING_QUERIES = [
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 
+#: the 100x block grounds the 100 TB dedup claims with one real
+#: two-decade datapoint on the composed scale path (documents-only
+#: replica; SPARK_GRAFT_SCALING_100X=0 skips it)
+SCALING_100X = os.environ.get("SPARK_GRAFT_SCALING_100X", "1") != "0"
+SCALING_100X_QUERIES = ["dedup_exact", "dedup_clusters_lsh"]
+
 
 def main() -> None:
     from real_time_fraud_detection_lakehouse_spark.core.catalog import (
@@ -102,6 +108,10 @@ def main() -> None:
             # here (local mode: executors live in the driver JVM). The
             # default 1g heap makes late-suite timings GC-bound.
             "spark.driver.memory": "16g",
+            # JVM unified-logging warnings (e.g. gc,alloc GCLocker
+            # retries) default to STDOUT and would pollute the one-
+            # JSON-line contract; route them to stderr.
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
         },
     )
     # warm the JVM so timings reflect steady state, not session startup
@@ -255,6 +265,54 @@ def main() -> None:
                 "mean_time_ratio": round(sum(ratios) / len(ratios), 2),
                 "queries": results,
             }
+
+        # --- phase 6: 100x documents-only block on the dedup path.
+        # dedup_exact and the composed LSH->clusters->keepers pipeline
+        # read only `documents`, so the replica build stays cheap while
+        # the datapoint covers two decades of corpus growth. The
+        # replica is token-perturbed per copy (perturb_text): the
+        # default key-shift replica leaves text identical, which makes
+        # every copy a near-dup of its original and candidate pairs
+        # quadratic in copies (~27M pairs, a ~100%-dup corpus, 480 s) —
+        # a dedup stress test, not corpus growth. Perturbed, pairs grow
+        # linearly (~41k) and the datapoint measures honest 100x scale.
+        # Single timed sample per side: the scaled run is tens of
+        # seconds, far above timer noise.
+        scaling_100x = None
+        if SCALING and SCALING_100X:
+            huge_dir = os.path.join(warehouse, "replica100")
+            t0 = time.time()
+            build_replica(
+                spark,
+                SF_DIR,
+                huge_dir,
+                copies=100,
+                tables=("documents",),
+                perturb_text=True,
+            )
+            build100 = round(time.time() - t0, 1)
+            results100: dict[str, dict[str, float]] = {}
+            base_frames = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
+            for name in SCALING_100X_QUERIES:
+                builder, _ = ops[name]
+                per: dict[str, float] = {}
+                for label, fr in (
+                    ("base", base_frames),
+                    (
+                        "scaled",
+                        {**base_frames, "documents": table(spark, huge_dir, "documents")},
+                    ),
+                ):
+                    t0 = time.time()
+                    builder(fr).write.format("noop").mode("overwrite").save()
+                    per[label] = round(time.time() - t0, 3)
+                per["ratio"] = round(per["scaled"] / per["base"], 2)
+                results100[name] = per
+            scaling_100x = {
+                "copies": 100,
+                "replica_build_sec": build100,
+                "queries": results100,
+            }
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -269,6 +327,8 @@ def main() -> None:
     }
     if scaling is not None:
         out["scaling"] = scaling
+    if scaling_100x is not None:
+        out["scaling_100x"] = scaling_100x
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

@@ -40,11 +40,30 @@ KEY_SHIFTS = {
 
 
 def build_replica(
-    spark: SparkSession, sf_dir: str, out_dir: str, copies: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    copies: int = 10,
+    tables: tuple[str, ...] | None = None,
+    perturb_text: bool = False,
 ) -> None:
     """Write a ``copies``-times key-shifted replica of ``sf_dir`` to
-    ``out_dir`` (one parquet dir per table, same layout as testdata)."""
-    for name in TESTDATA_TABLES:
+    ``out_dir`` (one parquet dir per table, same layout as testdata).
+    ``tables`` restricts the build (e.g. documents-only for the 100x
+    dedup block).
+
+    ``perturb_text``: tag every token of each documents copy with a
+    copy marker. Default (False) leaves text identical across copies,
+    so every copy is a planted near-dup of its original — at high copy
+    counts that makes candidate PAIRS grow quadratically (a ~100%-dup
+    corpus), which stress-tests dedup but does not model corpus
+    growth. Token-level marking preserves dup structure WITHIN each
+    copy (two near-dups stay near-dups: their marked shingle sets
+    still overlap) while cross-copy shingle overlap drops to zero, so
+    pairs grow linearly with corpus size — the honest 100x-growth
+    shape. (A single prefix token is NOT enough: all but the first
+    few shingles survive, keeping cross-copy Jaccard near 1.)"""
+    for name in tables or TESTDATA_TABLES:
         src = table(spark, sf_dir, name)
         shifts = KEY_SHIFTS.get(name, [])
         if not shifts:
@@ -56,6 +75,12 @@ def build_replica(
                 c = src
                 for col, off in offsets.items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * off))
+                if perturb_text and name == "documents" and i > 0:
+                    marked = F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x, i=i: F.concat(F.lit(f"c{i}."), x),
+                    )
+                    c = c.withColumn("text", F.array_join(marked, " "))
                 parts.append(c)
             df = parts[0]
             for c in parts[1:]:
