@@ -64,6 +64,9 @@ _DRIVER_FRONT = [
     "q_weighted_sample",
     "docs_dedup_apply",
     "embedding_kmeans",
+    "docs_pack_sequences",
+    "docs_decontaminate",
+    "q_salted_join_parts",
     # (c) green in r2 only — two rounds stale, refresh now
     "q_parts_ordered",
     "q_selective_revenue",
@@ -102,10 +105,9 @@ _DRIVER_FRONT = [
     "q_pivot_status_by_priority",
     "q_order_count_distribution",
     "q_price_histogram",
-    "q_repeat_engagers",
-    "q_clickers_not_purchasers",
-    "q_unpivot_lineitem_stats",
-    # past the 50 cap from here; remaining r3-greens rotate in round 6
+    # past the 50 cap from here; remaining r3-greens (q_repeat_engagers,
+    # q_clickers_not_purchasers, q_unpivot_lineitem_stats, ...) rotate
+    # in round 6
 ]
 
 

@@ -524,3 +524,151 @@ def text_top_ngrams(t: Frames) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOP_NGRAMS_K)
     )
+
+
+# --- sequence packing (training-batch prep: concat-and-cut at SEQ_LEN) ------
+SEQ_LEN = 256  # tokens per packed training sequence
+_PACK_BUCKETS = 1024  # fixed bucket count for the distributed prefix sum
+
+
+@_register(
+    "docs_pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_LEN} AS INTEGER) AS seq_offset
+    FROM cum
+    """,
+)
+def docs_pack_sequences(t: Frames) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    doc_id order and cut every SEQ_LEN tokens; each document learns
+    which packed sequence it starts in (seq_id) and at what offset —
+    the map a training loader uses to build fixed-length batches with
+    zero padding waste.
+
+    Scale design — the global running sum is a DISTRIBUTED PREFIX SUM,
+    not a single-partition window (the naive ``ORDER BY doc_id`` frame
+    moves the whole corpus through one task; Spark even warns). Three
+    steps: (1) per-range-bucket token totals (one keyed agg over a
+    fixed {_PACK_BUCKETS}-bucket range partitioning of doc_id), (2) a
+    running offset over the ≤{_PACK_BUCKETS}-row bucket table (trivially
+    small window), (3) a within-bucket cumsum window that runs in
+    parallel across buckets. Identical result to the oracle's global
+    window at any scale. Bucket width derives from max(doc_id) via a
+    broadcast 1-row aggregate — no driver collect."""
+    docs = t["documents"]
+    sized = docs.select(
+        "doc_id", F.size(_tokens_col()).cast("long").alias("n_tokens")
+    )
+    mx = sized.agg(F.max("doc_id").alias("max_id"))
+    width = F.greatest(
+        (F.col("max_id") + 1 + F.lit(_PACK_BUCKETS - 1)) / F.lit(_PACK_BUCKETS),
+        F.lit(1),
+    ).cast("long")
+    bucketed = sized.crossJoin(F.broadcast(mx)).select(
+        "doc_id", "n_tokens", F.floor(F.col("doc_id") / width).alias("bucket")
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("btotal"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "bucket", (F.sum("btotal").over(w_off) - F.col("btotal")).alias("boffset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("boffset") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+            ).alias("cum_before"),
+        )
+    )
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+        (F.col("cum_before") % SEQ_LEN).cast("int").alias("seq_offset"),
+    )
+
+
+# --- benchmark decontamination (n-gram overlap vs an eval set) --------------
+DECON_GRAM = 5  # n-gram size for contamination matching (GPT-3 used 13)
+DECON_EVAL_SOURCE = "src0"  # deterministic stand-in for the benchmark set
+_GRAMS5 = (
+    f"list_distinct(list_transform(range(1, len({_TOKENS}) - {DECON_GRAM - 2}),"
+    f" i -> array_to_string(list_slice({_TOKENS}, i, i + {DECON_GRAM - 1}), ' ')))"
+)
+
+
+@_register(
+    "docs_decontaminate",
+    f"""
+    WITH train AS (
+      SELECT doc_id, {_GRAMS5} AS grams FROM documents
+      WHERE source <> '{DECON_EVAL_SOURCE}' AND len({_TOKENS}) >= {DECON_GRAM}
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_GRAMS5}) AS gram FROM documents
+      WHERE source = '{DECON_EVAL_SOURCE}' AND len({_TOKENS}) >= {DECON_GRAM}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+    JOIN eval_grams e ON t.gram = e.gram
+    GROUP BY t.doc_id
+    """,
+)
+def docs_decontaminate(t: Frames) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECON_GRAM}-gram with the held-out eval set (the GPT-3-style
+    overlap filter every serious pre-training run applies so test sets
+    don't leak into training data). Output: contaminated train doc →
+    count of distinct shared grams.
+
+    Scale design: the eval side is tiny by definition (benchmarks vs
+    a corpus), so its distinct gram set BROADCASTS — the corpus-side
+    explode joins against it with a broadcast hash join and never
+    shuffles; the per-doc count is a partial-agg groupBy. At 100 TB
+    the cost is one scan of the training corpus."""
+    docs = t["documents"]
+    toks = _tokens_col()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DECON_GRAM - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " "),
+        )
+    )
+    long_enough = F.size(toks) >= DECON_GRAM
+    train = (
+        docs.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    eval_grams = (
+        docs.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )

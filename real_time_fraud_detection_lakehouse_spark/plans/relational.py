@@ -1417,3 +1417,40 @@ def q_weighted_sample(t: Frames) -> DataFrame:
             dround(F.col("sample_u"), 4).alias("sample_u"),
         )
     )
+
+
+# --- explicitly salted equi-join (broadcast-ineligible skewed fact side) ----
+@_register(
+    "q_salted_join_parts",
+    f"""
+    SELECT p.p_brand,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_salted_join_parts(t: Frames) -> DataFrame:
+    """Brand revenue through an EXPLICITLY SALTED join
+    (functions/skew.py:salted_join): the fact side gets a per-row salt,
+    the dim side is exploded buckets x, and the join key becomes
+    (key, salt) — splitting each hot key across `buckets` reducers.
+    This is the manual mitigation for the case AQE's skew handling
+    can't touch: a skewed join where the dim is too big to broadcast.
+    Salting must be invisible in the result — the oracle is the plain
+    unsalted join.
+
+    (part comfortably broadcasts at this SF; the query pins the salted
+    plan anyway because it exists to verify the rewrite's semantics —
+    the plan-shape test asserts the (key, salt) join actually runs.)"""
+    from real_time_fraud_detection_lakehouse_spark.functions.skew import salted_join
+
+    li = t["lineitem"]
+    dim = t["part"].withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_join(li, dim, "l_partkey", buckets=8)
+    return joined.groupBy("p_brand").agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").cast("long").alias("n_items"),
+    )

@@ -129,3 +129,37 @@ def test_range_join_is_bucketed_equi(spark):
     # the 30-min interval join must block on (user_id, time-bucket)
     # equi-keys, never plan the raw ts-inequality as a nested loop
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_runs_on_salted_keys(spark):
+    """q_salted_join_parts must actually execute the (key, _salt)
+    rewrite: the join keys in the plan include the salt column, and no
+    broadcast-nested-loop/cartesian appears. (Correctness vs the plain
+    join is the DuckDB oracle's job.)"""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_salted_join_parts"][0](frames))
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The packing prefix-sum must never move the corpus through one
+    task: every Window over the full doc set is partitioned by bucket;
+    the only unpartitioned window runs on the <=1024-row bucket-totals
+    table (constant-size by construction)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    df = TEXT_OPS["docs_pack_sequences"][0](frames)
+    plan = _plan(df)
+    # the within-bucket cumsum window must carry a partition spec
+    assert "windowspecdefinition(bucket" in plan, plan
+    # result sanity: offsets stay inside [0, SEQ_LEN)
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    rows = df.collect()
+    assert rows and all(0 <= r["seq_offset"] < SEQ_LEN for r in rows)
+    # seq_id is nondecreasing in doc order and starts at 0
+    ordered = sorted(rows, key=lambda r: r["doc_id"])
+    assert ordered[0]["seq_id"] == 0
+    assert all(a["seq_id"] <= b["seq_id"] for a, b in zip(ordered, ordered[1:]))
