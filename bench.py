@@ -62,6 +62,12 @@ DIRECT = [
     "docs_per_source_cap",
     "q_psi_price_drift",
     "dedup_clusters",
+    "text_top_ngrams",
+    "docs_pack_sequences",
+    "docs_decontaminate",
+    "q_salted_join_parts",
+    "q_salted_skew_agg",
+    "q_weighted_sample",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to
