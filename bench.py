@@ -282,10 +282,26 @@ def main() -> None:
         # quadratic in copies (~27M pairs, a ~100%-dup corpus, 480 s) —
         # a dedup stress test, not corpus growth. Perturbed, pairs grow
         # linearly (~41k) and the datapoint measures honest 100x scale.
-        # Single timed sample per side: the scaled run is tens of
-        # seconds, far above timer noise.
+        # min-of-2 per side (first run doubles as warm-up): a cold
+        # single sample put a 1.5 s cold-start on a 0.2 s base query
+        # and made the ratio meaningless.
         scaling_100x = None
         if SCALING and SCALING_100X:
+            # fresh session, same rationale as phase 5: by this point
+            # the scaling session has chewed through the 10x block and
+            # heap wear inflates phase-6 timings up to ~6x (measured:
+            # dedup_exact scaled 41 s worn vs 3.5 s fresh)
+            spark.stop()
+            spark = get_spark(
+                "bench-scaling-100x",
+                master=f"local[{CPUS}]",
+                extra_conf={
+                    "spark.sql.shuffle.partitions": str(
+                        max(int(CPUS) if CPUS != "*" else 32, 8)
+                    )
+                },
+            )
+            spark.range(1_000_000).selectExpr("sum(id)").collect()
             huge_dir = os.path.join(warehouse, "replica100")
             t0 = time.time()
             build_replica(
@@ -309,9 +325,12 @@ def main() -> None:
                         {**base_frames, "documents": table(spark, huge_dir, "documents")},
                     ),
                 ):
-                    t0 = time.time()
-                    builder(fr).write.format("noop").mode("overwrite").save()
-                    per[label] = round(time.time() - t0, 3)
+                    samples = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        builder(fr).write.format("noop").mode("overwrite").save()
+                        samples.append(time.time() - t0)
+                    per[label] = round(min(samples), 3)
                 per["ratio"] = round(per["scaled"] / per["base"], 2)
                 results100[name] = per
             scaling_100x = {
