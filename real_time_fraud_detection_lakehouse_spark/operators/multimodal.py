@@ -140,6 +140,13 @@ def decode_jpeg_header(content: bytes) -> tuple[int, int] | None:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
+        # JPEG permits runs of 0xFF fill/padding bytes before a marker
+        # (ITU T.81 §B.1.1.2) — skip them instead of reading 0xFF as a
+        # (nonexistent) marker code and bailing on real-world baselines
+        while i + 4 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(b):
+            return None
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2

@@ -448,8 +448,13 @@ def kmeans_lloyd(
       from embedding_label_centroids — partial aggs collapse map-side,
       the shuffle carries O(k x dims) cells;
     - per-iteration centroids are localCheckpoint-ed: O(1) lineage,
-      and each iteration is exactly one pass over the data.
+      and each iteration is exactly one pass over the data;
+    - a cluster that loses every member keeps its PREVIOUS centroid
+      (the new means are left-joined onto the prior centroid table),
+      so later iterations always assign against exactly k centroids.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     emb = emb.localCheckpoint(eager=False)
     dim = F.size("v")
     # deterministic seed: k lowest-id vectors (collect k rows, tiny)
@@ -491,14 +496,19 @@ def kmeans_lloyd(
             .groupBy("cluster_id", "pos")
             .agg(F.avg("val").alias("m"))
         )
+        new_cents = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c_new")
+        )
+        # left join onto the PREVIOUS centroids: an emptied cluster has
+        # no mean rows and would otherwise vanish from the table —
+        # keep its old centroid so the next assignment still sees k
         cents = (
-            means.groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
+            cents.withColumnRenamed("c", "c_prev")
+            .join(new_cents, "cluster_id", "left")
+            .select("cluster_id", F.coalesce("c_new", "c_prev").alias("c"))
             .localCheckpoint(eager=True)
         )
     return assigned.select("vec_id", "cluster_id", "sq_dist")

@@ -22,6 +22,8 @@ shuffling only on the merge key with dynamic file pruning.
 
 from __future__ import annotations
 
+import datetime
+import errno
 import json
 import os
 import re
@@ -33,15 +35,108 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Spark writes NULL (and empty-string) partition values to this
+#: directory (ExternalCatalogUtils.DEFAULT_PARTITION_NAME).
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+#: The exact character set Spark/Hive escape in partition path names
+#: (ExternalCatalogUtils.charToEscape): ASCII control chars plus
+#: " # % ' * / : = ? \ DEL { [ ] ^
+_PATH_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + list("\"#%'*/:=?\\{[]^")
+    + [chr(0x7F)]
+)
+
+
+def _escape_path_name(s: str) -> str:
+    """Mirror Spark's ``ExternalCatalogUtils.escapePathName``: each
+    special character becomes ``%XX`` (uppercase hex)."""
+    return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s)
+
+
+def _unescape_path_name(s: str) -> str:
+    """Inverse of :func:`_escape_path_name` (Spark's
+    ``unescapePathName``): ``%XX`` → chr(0xXX); malformed escapes pass
+    through literally, as Spark's does."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class _UnresolvablePartition(Exception):
+    """A touched partition value cannot be safely mapped to a directory
+    name (unsupported type, or the table listing is ambiguous) — the
+    caller must fall back to a full-table merge rather than risk
+    treating an existing partition as new."""
+
+
+def _partition_value_str(v) -> str | None:
+    """Stringify a partition value the way Spark's writer does when it
+    builds the directory name. ``None`` means the Hive default (null)
+    partition. Types whose Spark rendering we cannot reproduce
+    byte-for-byte (float, timestamp, decimal, binary) raise — callers
+    fall back to the full-table merge for those."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        # Spark routes the EMPTY string to the default partition too
+        return v if v != "" else None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return v.isoformat()
+    raise _UnresolvablePartition(f"partition value type {type(v).__name__}")
+
 
 def _partition_dirs(path: str, partition_col: str, values: list) -> list[str]:
     """Existing hive-style partition directories for ``values``.
-    Directory names use Spark's ``col=str(value)`` encoding (exact for
-    the string/int/date partition values this engine writes; exotic
-    types needing URL-escaping should use Delta). Local-FS check —
-    matches this emulation's single-filesystem scope."""
-    dirs = [os.path.join(path, f"{partition_col}={v}") for v in values]
-    return [d for d in dirs if os.path.isdir(d)]
+
+    Spark URL-escapes special characters in directory names
+    (``ExternalCatalogUtils.escapePathName``) and writes NULL/empty
+    values to ``__HIVE_DEFAULT_PARTITION__`` — a naive ``col=str(v)``
+    probe misses those, and a missed existing partition would make the
+    upsert's dynamic overwrite silently DROP its unmatched rows. So the
+    resolution is listing-driven: every on-disk ``col=`` directory is
+    unescaped and matched against the Spark-faithful rendering of each
+    value. Raises :class:`_UnresolvablePartition` when a value's
+    rendering is not reproducible (caller falls back to the full-table
+    merge). Local-FS listing — matches this emulation's
+    single-filesystem scope."""
+    prefix = f"{partition_col}="
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    on_disk = {}  # unescaped value string (None = default partition) -> dir
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(path, name)
+        if not os.path.isdir(full):
+            continue
+        raw = name[len(prefix) :]
+        key = None if raw == HIVE_DEFAULT_PARTITION else _unescape_path_name(raw)
+        on_disk[key] = full
+    dirs = []
+    for v in values:
+        key = _partition_value_str(v)  # may raise _UnresolvablePartition
+        if key in on_disk:
+            dirs.append(on_disk[key])
+    return dirs
 
 
 def append_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -141,7 +236,14 @@ def upsert_by_key(
     keys = updates.select(key).distinct()
     if partition_col is not None:
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        existing_dirs = _partition_dirs(path, partition_col, parts)
+        try:
+            existing_dirs = _partition_dirs(path, partition_col, parts)
+        except _UnresolvablePartition:
+            # a touched value's directory rendering is not reproducible
+            # — merging against the full table is the only safe read
+            # (treating the partition as new could drop existing rows)
+            _full_partitioned_merge(spark, updates, path, key, partition_col)
+            return
         if not os.path.isdir(path) or not existing_dirs:
             # no table yet, or all touched partitions are new: the
             # update IS the partition content — dynamic overwrite
@@ -182,6 +284,33 @@ def upsert_by_key(
     # and recompute from the overwritten files)
     staged = merged.localCheckpoint(eager=True)
     staged.write.mode("overwrite").parquet(path)
+
+
+def _full_partitioned_merge(
+    spark: SparkSession, updates: DataFrame, path: str, key: str, partition_col: str
+) -> None:
+    """Fallback merge for partition values whose directory names cannot
+    be resolved exactly: read the WHOLE table, anti-join on key, rewrite
+    preserving the partition layout. Correct for any value type, at the
+    cost of a full rewrite — the partition-scoped fast path handles the
+    common (string/int/date/bool) cases."""
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        existing = None
+    if existing is None:
+        (
+            updates.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return
+    keys = updates.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(updates.select(*kept.columns))
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
 def register_table(
@@ -287,12 +416,22 @@ def upsert_with_changelog(
     """
     if partition_col is not None:
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        dirs = _partition_dirs(path, partition_col, parts)
-        # narrow read (same contract as upsert_by_key): only the
-        # touched partition dirs, so disjoint-partition writers compose
-        existing = (
-            spark.read.option("basePath", path).parquet(*dirs) if dirs else None
-        )
+        try:
+            dirs = _partition_dirs(path, partition_col, parts)
+        except _UnresolvablePartition:
+            dirs = None  # unreproducible dir name → full-table read
+        if dirs is None:
+            try:
+                existing = spark.read.parquet(path)
+            except AnalysisException:
+                existing = None
+        else:
+            # narrow read (same contract as upsert_by_key): only the
+            # touched partition dirs, so disjoint-partition writers
+            # compose
+            existing = (
+                spark.read.option("basePath", path).parquet(*dirs) if dirs else None
+            )
     else:
         try:
             existing = spark.read.parquet(path)
@@ -334,7 +473,7 @@ def _commit_changelog(changes: DataFrame, changelog_path: str) -> int:
     os.makedirs(changelog_path, exist_ok=True)
     stage = os.path.join(changelog_path, f".stage-{uuid.uuid4().hex}")
     changes.write.mode("errorifexists").parquet(stage)
-    while True:
+    for _ in range(10_000):  # bounded: a claim race loses ≤ once per rival commit
         taken = [
             int(m.group(1))
             for name in os.listdir(changelog_path)
@@ -344,8 +483,14 @@ def _commit_changelog(changes: DataFrame, changelog_path: str) -> int:
         try:
             os.rename(stage, os.path.join(changelog_path, f"_commit_version={version}"))
             return version
-        except OSError:
-            continue  # claim race lost → re-list and retry with next N
+        except OSError as exc:
+            # only the claim-race errors mean "retry with next N";
+            # anything else (EACCES, EROFS, EXDEV, ...) is a real
+            # failure and must surface, not busy-loop
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
+            continue
+    raise RuntimeError(f"could not claim a changelog version at {changelog_path}")
 
 
 def read_changes(

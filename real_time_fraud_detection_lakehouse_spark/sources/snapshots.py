@@ -13,10 +13,13 @@ Commit protocol (readers can NEVER observe a torn version):
 1. the writer stages the parquet into a ``.stage-<uuid>`` directory —
    dot-prefixed, so Spark's file index ignores it even if a reader
    lists the table mid-write;
-2. the version number is CLAIMED by ``os.rename(stage, _v=N)`` — an
-   atomic syscall that fails if ``_v=N`` already exists, so two
-   writers racing for the same N cannot both win (the loser retries
-   with N+1);
+2. the version number is CLAIMED by ``os.mkdir(_v=N)`` — a primitive
+   with true no-replace semantics (EEXIST even when the target is an
+   existing EMPTY directory, which POSIX ``rename`` would silently
+   replace), so two writers racing for the same N cannot both win (the
+   loser retries with N+1) and a torn or externally-emptied version
+   dir is never re-claimed; the staged files are then moved inside
+   (readers cannot see them yet — visibility is gated on step 3);
 3. the version becomes VISIBLE only when the ``_COMMITTED`` marker
    file lands inside it — itself written via tempfile + atomic
    ``os.rename`` after an fsync of the directory.
@@ -116,16 +119,25 @@ def snapshot_write(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     stage = os.path.join(path, f"{_STAGE_PREFIX}{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(stage)
-    while True:
+    for _ in range(10_000):  # bounded: a claim race loses ≤ once per rival commit
         taken = [v for v, _ in _version_dirs(path)]
         version = (max(taken) + 1) if taken else 1
+        version_dir = os.path.join(path, f"_v={version}")
         try:
-            os.rename(stage, os.path.join(path, f"_v={version}"))
+            os.mkdir(version_dir)  # no-replace claim — EEXIST even on empty dirs
             break
-        except OSError:
+        except FileExistsError:
             continue  # lost the claim race (or torn dir holds N) → re-list
+        # any other OSError (EACCES, EROFS, ...) is a real failure: surface it
+    else:
+        raise RuntimeError(f"could not claim a snapshot version at {path}")
+    # move the staged files inside the claimed dir; a crash mid-move
+    # leaves a torn (marker-less) version no reader resolves
+    for name in os.listdir(stage):
+        os.rename(os.path.join(stage, name), os.path.join(version_dir, name))
+    os.rmdir(stage)
     _fsync_dir(path)
-    _write_marker(os.path.join(path, f"_v={version}"))
+    _write_marker(version_dir)
     return version
 
 

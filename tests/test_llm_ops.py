@@ -355,6 +355,38 @@ def test_kmeans_planted_blobs_recovered(spark):
     assert all(r["sq_dist"] < 0.1 for r in out)
 
 
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A cluster that loses every member keeps its previous centroid
+    (left-join of new means onto the prior centroid table): with
+    duplicate seed vectors, iteration 1 assigns every tied point to
+    the lower cluster id (cluster 2 empties), but cluster 2's [0,0]
+    centroid survives and recaptures the origin pair in iteration 2.
+    Without the fix the final assignment collapses to one cluster."""
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import kmeans_lloyd
+
+    pts = [
+        (1, [0.0, 0.0]),
+        (2, [0.0, 0.0]),  # duplicate seed → init c1 == c2
+        (3, [5.0, 5.0]),
+        (4, [5.1, 5.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert len(out) == 4
+    assert len(set(out.values())) == 2  # both clusters still exist
+    assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
+
+
+def test_kmeans_rejects_zero_iters(spark):
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(df, k=1, iters=0)
+
+
 def test_kmeans_deterministic_and_registered(spark, frames):
     from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
         embedding_kmeans,

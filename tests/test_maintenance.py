@@ -283,9 +283,9 @@ def test_snapshot_stage_crash_invisible(spark, tmp_path):
 
 def test_snapshot_two_writers_race(spark, tmp_path):
     """Two writers publishing concurrently: the version claim is an
-    atomic rename, so they serialize onto distinct versions and both
-    commits are readable. (Simulated interleaving: writer B claims the
-    version writer A computed, before A's rename.)"""
+    atomic no-replace mkdir, so they serialize onto distinct versions
+    and both commits are readable. (Simulated interleaving: writer B
+    claims the version writer A computed, before A's mkdir.)"""
     import os
 
     from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
@@ -296,21 +296,21 @@ def test_snapshot_two_writers_race(spark, tmp_path):
     assert snap.snapshot_write(a, path) == 1
 
     # interleave: while A stages, B completes a full commit of v2; A's
-    # first rename attempt targets the now-taken v2 and must retry to v3
-    real_rename = os.rename
+    # first claim attempt targets the now-taken v2 and must retry to v3
+    real_mkdir = os.mkdir
     state = {"fired": False}
 
-    def racy_rename(src, dst):
-        if dst.endswith("_v=2") and not state["fired"]:
+    def racy_mkdir(p, *args, **kwargs):
+        if str(p).endswith("_v=2") and not state["fired"]:
             state["fired"] = True
             snap.snapshot_write(b, path)  # B wins v2 first
-        return real_rename(src, dst)
+        return real_mkdir(p, *args, **kwargs)
 
-    snap.os.rename = racy_rename
+    snap.os.mkdir = racy_mkdir
     try:
         got = snap.snapshot_write(a, path)
     finally:
-        snap.os.rename = real_rename
+        snap.os.mkdir = real_mkdir
     assert got == 3
     assert snap.read_snapshot(spark, path, version=2).collect() == b.collect()
     assert snap.read_snapshot(spark, path, version=3).collect() == a.collect()
@@ -341,3 +341,53 @@ def test_changelog_torn_commit_invisible(spark, tmp_path):
     upd = spark.createDataFrame([(1, "a2", 11.0)], ["id", "name", "amount"])
     assert upsert_with_changelog(spark, upd, path, "id", log) == 2
     assert {r["_commit_version"] for r in read_changes(spark, log).collect()} == {1, 2}
+
+
+def test_snapshot_empty_version_dir_never_reclaimed(spark, tmp_path):
+    """POSIX rename silently replaces an existing EMPTY directory, so
+    the claim must use mkdir (no-replace even for empty dirs): a torn/
+    externally-emptied _v=N is skipped, never re-claimed by a later
+    writer."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert snapshot_write(df1, path) == 1
+    # simulate a torn commit that left an empty version dir
+    os.mkdir(os.path.join(path, "_v=2"))
+    df3 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    assert snapshot_write(df3, path) == 3  # NOT 2 — the empty dir is not re-claimed
+    assert os.listdir(os.path.join(path, "_v=2")) == []  # untouched
+    got = {r["id"] for r in read_snapshot(spark, path).collect()}
+    assert got == {3}
+
+
+def test_snapshot_claim_surfaces_real_errors(spark, tmp_path, monkeypatch):
+    """A persistent non-race failure (e.g. EACCES on the claim) raises
+    instead of busy-looping forever. (chmod can't simulate this as
+    root, so the claim primitive is patched directly.)"""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "ro")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    snap.snapshot_write(df, path)
+
+    real_mkdir = os.mkdir
+
+    def deny_version_claim(p, *a, **kw):
+        if "_v=" in str(p):
+            raise PermissionError(13, "Permission denied", str(p))
+        return real_mkdir(p, *a, **kw)
+
+    monkeypatch.setattr(snap.os, "mkdir", deny_version_claim)
+    with pytest.raises(PermissionError):
+        snap.snapshot_write(df, path)

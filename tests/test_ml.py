@@ -225,6 +225,29 @@ def test_jpeg_encode_decode_roundtrip():
     assert decode_jpeg_header(b"not a jpeg") is None
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 §B.1.1.2 allows runs of 0xFF fill bytes before any
+    marker; real-world baseline JPEGs use them. The marker walk must
+    skip them instead of treating 0xFF as a corrupt marker code."""
+    import struct
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_jpeg_header,
+        encode_jpeg,
+    )
+
+    jpg = encode_jpeg(320, 200, seed=3)
+    # splice fill bytes in front of the first post-SOI marker
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert padded[2:4] != jpg[2:4]  # padding actually displaced the marker
+    assert decode_jpeg_header(padded) == (320, 200)
+    # hand-built minimal stream: SOI, fill, SOF0(1x1 gray), EOI
+    sof = b"\xff\xff" + b"\xff\xc0" + struct.pack(">HBHHB", 8, 8, 1, 1, 1) + b"\x01\x11\x00"
+    assert decode_jpeg_header(b"\xff\xd8" + sof + b"\xff\xd9") == (1, 1)
+    # all-fill tail (no marker ever) still returns None, no crash
+    assert decode_jpeg_header(b"\xff\xd8" + b"\xff" * 8) is None
+
+
 def test_mp4_encode_decode_roundtrip():
     import pytest as _pytest
 

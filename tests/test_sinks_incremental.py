@@ -446,3 +446,87 @@ def test_upsert_concurrent_disjoint_partitions(spark, tmp_path):
     assert not errors, errors
     state = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
     assert state == {"k1": (13, "p1"), "k2": (23, "p2")}
+
+
+def test_escape_path_name_roundtrip():
+    """_escape_path_name mirrors Spark's ExternalCatalogUtils charset
+    and _unescape_path_name inverts it."""
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        _escape_path_name,
+        _unescape_path_name,
+    )
+
+    cases = ["a/b", "x:y", "100%", "q?=r", "back\\slash", 'quo"te', "plain", "a b"]
+    for s in cases:
+        assert _unescape_path_name(_escape_path_name(s)) == s
+    # the exact Spark renderings for the chars the advice named
+    assert _escape_path_name("a/b") == "a%2Fb"
+    assert _escape_path_name("x:y") == "x%3Ay"
+    assert _escape_path_name("100%") == "100%25"
+    # space is NOT in Spark's escape set
+    assert _escape_path_name("a b") == "a b"
+
+
+def test_upsert_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values Spark URL-escapes on disk (slash, colon,
+    percent) and NULL (__HIVE_DEFAULT_PARTITION__) must be recognized
+    as EXISTING partitions — a missed match would make the dynamic
+    overwrite silently drop the partition's unmatched keys (the
+    regression the round-5 advice flagged)."""
+    path = str(tmp_path / "esc")
+    v1 = spark.createDataFrame(
+        [("a", 1, "us/east"), ("b", 2, "us/east"), ("c", 3, "t:0"), ("d", 4, None)],
+        "k string, v int, p string",
+    )
+    upsert_by_key(spark, v1, path, "k", partition_col="p")
+    # update ONE key per partition; the others must survive the merge
+    v2 = spark.createDataFrame(
+        [("a", 10, "us/east"), ("c", 30, "t:0"), ("d", 40, None)],
+        "k string, v int, p string",
+    )
+    upsert_by_key(spark, v2, path, "k", partition_col="p")
+    got = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "a": (10, "us/east"),
+        "b": (2, "us/east"),  # the row the naive str(value) probe lost
+        "c": (30, "t:0"),
+        "d": (40, None),
+    }
+
+
+def test_upsert_unresolvable_partition_falls_back_to_full_merge(spark, tmp_path):
+    """A partition value type whose Spark directory rendering we can't
+    reproduce byte-for-byte (float) routes through the full-table
+    merge instead of risking data loss."""
+    path = str(tmp_path / "floatpart")
+    v1 = spark.createDataFrame(
+        [("a", 1, 0.5), ("b", 2, 0.5), ("c", 3, 1.5)], "k string, v int, p double"
+    )
+    upsert_by_key(spark, v1, path, "k", partition_col="p")
+    v2 = spark.createDataFrame([("a", 10, 0.5)], "k string, v int, p double")
+    upsert_by_key(spark, v2, path, "k", partition_col="p")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
+
+
+def test_changelog_escaped_partition_preimages(spark, tmp_path):
+    """upsert_with_changelog resolves escaped partition dirs too: the
+    update of an existing key in a slash-valued partition must emit
+    pre/postimage rows (a missed dir looked like a fresh partition and
+    logged a bare insert)."""
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        read_changes,
+        upsert_with_changelog,
+    )
+
+    path = str(tmp_path / "t")
+    log = str(tmp_path / "log")
+    v1 = spark.createDataFrame([("a", 1, "us/east")], "k string, v int, p string")
+    upsert_with_changelog(spark, v1, path, "k", log, partition_col="p")
+    v2 = spark.createDataFrame([("a", 2, "us/east")], "k string, v int, p string")
+    upsert_with_changelog(spark, v2, path, "k", log, partition_col="p")
+    kinds = {
+        r["_change_type"]
+        for r in read_changes(spark, log, starting_version=2).collect()
+    }
+    assert kinds == {"update_preimage", "update_postimage"}
