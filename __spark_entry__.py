@@ -36,78 +36,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver emits CORRECTNESS rows for (at most) the first 50 entries of
 #: ``queries()`` in insertion order — CORRECTNESS_r02.json is exactly
 #: entries 0..49 of round 2's ordering. To get every registered operator a
-#: driver-verified row across rounds, each round fronts the entries that do
-#: NOT yet have a green driver row (union of rounds covers the full set).
-#: Round 5 fronts, in priority order: (a) the 7 entries that have NEVER
-#: had a driver row (6 late-r4 oracled queries + rows-only
-#: streaming_enrichment) — after this round the union of driver-green
-#: rows covers all 96 oracled queries; (b) queries newly added in round
-#: 5 (landed BEFORE the driver run this time); (c) the 7 entries whose
-#: last green is round 2 (they ceded their r4 slots); (d) entries whose
-#: implementation changed in round 5 and must re-verify
-#: (text_tfidf_topk: map-side combine; dedup_clusters(_lsh): batched
-#: convergence; multimodal_features: JPEG/MP4 decode); (e) r3-green
-#: entries to refresh, oldest-risk first (core medallion, then the
-#: relational/text/dedup tail). r3-greens that don't fit rotate in r6.
+#: driver-verified row across rounds, each round fronts the entries whose
+#: last driver row is OLDEST (union of rounds covers the full set; as of
+#: round 5 it does, with zero failures ever). Round 6 fronts, in priority
+#: order: (a) the 22 entries whose last driver green is round 3 — the
+#: whole dedup/similarity/text tail plus the three relational queries
+#: bumped from the r5 cap; (b) entries whose implementation changed in
+#: round 6 and must re-verify (shingled pair generation: dedup_ngram_
+#: jaccard/dedup_clusters/dedup_clusters_lsh/docs_dedup_apply; kmeans
+#: empty-cluster fix: embedding_kmeans; JPEG fill-byte fix:
+#: multimodal_features); (c) round-4-green refreshes filling the
+#: remaining slots so that after r6 no entry's last driver row is older
+#: than r4.
 _DRIVER_FRONT = [
-    # (a) never driver-checked
-    "q_rolling_7d_spend",
-    "q_price_rank_distribution",
-    "q_user_retention_cohorts",
-    "q_funnel_conversion",
-    "q_revenue_anomaly_zscore",
-    "embedding_label_centroids",
-    "streaming_enrichment",
-    # (b) new in round 5
-    "text_top_ngrams",
-    "q_salted_skew_agg",
-    "q_weighted_sample",
-    "docs_dedup_apply",
-    "embedding_kmeans",
-    "docs_pack_sequences",
-    "docs_decontaminate",
-    "q_salted_join_parts",
-    # (c) green in r2 only — two rounds stale, refresh now
-    "q_parts_ordered",
-    "q_selective_revenue",
-    "q_distinct_pairs",
-    "q_median_quantity",
-    "q_epoch_roundtrip",
-    "q_events_json",
-    "q_customers_without_orders",
-    # (d) implementation changed in round 5 — re-verify
-    "text_tfidf_topk",
+    # (a) last green r3 — the full stale set
+    "q_repeat_engagers",
+    "q_clickers_not_purchasers",
+    "q_unpivot_lineitem_stats",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "text_corpus_stats",
+    "corpus_sample_hash",
+    "docs_clean_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_candidates",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_brp_lsh",
+    "embedding_norms",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    # (b) implementation changed in round 6 — re-verify
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "docs_dedup_apply",
+    "embedding_kmeans",
     "multimodal_features",
-    # (e) r3-green refresh fill (remaining slots up to the 50 cap)
-    "transactions_source",
-    "silver_features",
-    "gold_fact_transactions",
-    "gold_dim_customer",
-    "latest_metrics",
-    "sql_daily_summary",
-    "streaming_bronze_ingest",
-    "streaming_hourly_windows",
-    "stateful_velocity",
-    "streaming_dedup",
-    "q_cube_returnflag_status",
-    "q_brand_revenue_share",
-    "q_user_sessions",
-    "q_events_hourly_window",
-    "q_distinct_users",
-    "q_distinct_users_approx",
-    "q_quantity_quantiles",
-    "q_supplier_order_volume",
-    "q_asof_click_purchase",
-    "q_grouping_sets_priority",
-    "q_customer_order_gaps",
-    "q_pivot_status_by_priority",
-    "q_order_count_distribution",
-    "q_price_histogram",
-    # past the 50 cap from here; remaining r3-greens (q_repeat_engagers,
-    # q_clickers_not_purchasers, q_unpivot_lineitem_stats, ...) rotate
-    # in round 6
+    # (c) r4-green refresh fill (remaining slots up to the 50 cap)
+    "gold_dim_merchant",
+    "gold_dim_time",
+    "gold_dim_location",
+    "daily_summary",
+    "hourly_summary",
+    "state_summary",
+    "category_summary",
+    "amount_summary",
+    "fraud_patterns",
+    "merchant_analysis",
+    "time_period_analysis",
+    "rule_predictions",
+    "dash_model_accuracy",
+    "confusion_matrix",
+    "class_distribution",
+    "q_pricing_summary",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_order_priority",
+    "text_chunks",
+    "docs_stratified_sample",
+    "docs_per_source_cap",
+    "streaming_interval_join",
+    # past the 50 cap from here; the remaining r4 dashboards rotate in r7
 ]
 
 

@@ -99,21 +99,40 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
     # guard <3-token docs: sequence(1, size-2) would DESCEND (e.g.
     # [1, 0]) and slice(toks, 0, 3) throws; the DuckDB twin's
     # range(1, len-1) yields an empty list there, so mirror that with
-    # an explicit empty-grams branch
+    # an explicit empty-grams branch.
+    #
+    # SHINGLE HASHING (the scale lever): each 3-gram string is hashed
+    # to a 64-bit int BEFORE the bucket self-join, so the shuffle
+    # carries array<bigint> payloads (8 bytes/gram) instead of ~20-40
+    # byte strings, and the within-pair intersection compares longs.
+    # |intersect(h(A), h(B))| == |intersect(A, B)| as long as xxhash64
+    # is injective on the observed grams (collision odds ~n²/2⁶⁵ —
+    # negligible at any corpus size that fits a cluster), so the
+    # string-based DuckDB oracle is unchanged and stays exact.
     grams = F.when(
         F.size(toks) >= 3,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " ")),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     docs = t["documents"].select(
         "doc_id",
-        F.md5(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
+        # bucket key: 8-byte hash of the 4-token prefix (join semantics
+        # identical to the oracle's md5 bucket — both encode prefix
+        # equality — but the shuffle key is 4x smaller)
+        F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
         grams.alias("grams"),
     )
+    # materialize the gram projection ONCE (lazy checkpoint: blocks
+    # land on first action and both sides of the self-join read them).
+    # Without this the join recomputes tokenize+gram+hash for BOTH
+    # sides — measured 3.6 s vs 2.1 s at sf0.1. Viable only now that
+    # grams are hashed longs (the string-gram projection was as
+    # expensive to materialize as to recompute — the r5 rejection).
+    docs = docs.localCheckpoint(eager=False)
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -143,7 +162,10 @@ LSH_BANDS = 8  # 8 bands × 4 rows
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → array<long> of K minhashes over word 3-shingles.
 
-    minhash_i = min over shingles of xxhash64(shingle, seed=i). Pure
+    minhash_i = min over shingles of xxhash64(h(shingle), seed=i),
+    where h hashes each shingle STRING to a 64-bit int exactly once —
+    the K seeded re-hashes then run over 8-byte longs instead of
+    re-walking the string K times (shingle hashing, round 6). Pure
     column expressions: no UDF, no explode — the per-row transform
     computes all K mins in one projection.
     """
@@ -151,15 +173,20 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " ")),
         )
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-            for i in range(k)
-        ]
-    )
+    # NB: the seed must be captured via a closure FACTORY. A default
+    # arg (``lambda s, seed=i: ...``) makes the lambda two-parameter,
+    # and PySpark binds a transform lambda's second parameter to the
+    # element INDEX — every "seed" silently becomes the position and
+    # all K hash functions collapse into one (caught in round 6).
+    def _seeded_min(seed: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sig = F.array(*[_seeded_min(i) for i in range(k)])
     return docs.select("doc_id", shingles.alias("shingles")).select(
         "doc_id", sig.alias("signature")
     )

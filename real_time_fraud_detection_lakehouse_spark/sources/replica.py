@@ -76,9 +76,20 @@ def build_replica(
                 for col, off in offsets.items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * off))
                 if perturb_text and name == "documents" and i > 0:
+                    # closure factory, NOT a default-arg lambda: a
+                    # two-parameter transform lambda gets (element,
+                    # INDEX), so ``lambda x, i=i`` bound i to the index
+                    # Column and every copy received the IDENTICAL
+                    # stringified-Column prefix — copies 1..N were
+                    # exact duplicates of each other, which made the
+                    # 100x dedup replica quadratic in copies (the r5
+                    # 49.95x scaling artifact)
+                    prefix = f"c{i}."
+                    def _prefixer(p: str):
+                        return lambda x: F.concat(F.lit(p), x)
+
                     marked = F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda x, i=i: F.concat(F.lit(f"c{i}."), x),
+                        F.split(F.col("text"), " "), _prefixer(prefix)
                     )
                     c = c.withColumn("text", F.array_join(marked, " "))
                 parts.append(c)

@@ -412,3 +412,22 @@ def test_dedup_apply_consistent_with_clusters(spark, frames):
     total = frames["documents"].count()
     assert len(kept) == total - len(drops)
     assert kept.isdisjoint(drops)
+
+
+def test_minhash_seeds_are_distinct_functions(spark):
+    """Regression (round 6): a default-arg transform lambda binds its
+    second parameter to the element INDEX in PySpark, which silently
+    collapsed all K seeded minhashes into one function (every
+    signature entry identical). The K entries of a multi-shingle doc's
+    signature must NOT all be equal."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, k=16).collect()[0]["signature"]
+    assert len(sig) == 16
+    assert len(set(sig)) > 1, "all minhash seeds produced the same function"
