@@ -261,6 +261,38 @@ def test_connected_components_transitive_chain(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
 
 
+def test_connected_components_star_high_diameter():
+    """The large-star/small-star variant resolves a planted
+    high-diameter path graph (diameter 120 — label propagation
+    without jumping would need 120 rounds, with jumping ~7) to the
+    same min-labeled components as the propagation variant, within
+    its O(log^2 n) round budget."""
+    from real_time_fraud_detection_lakehouse_spark.core.session import get_spark
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    spark = get_spark("test")
+    # path 0-1-...-120 with shuffled edge order + a disjoint triangle
+    chain = [(i, i + 1) for i in range(120)]
+    chain = chain[::3] + chain[1::3] + chain[2::3]
+    edges = spark.createDataFrame(
+        chain + [(500, 501), (501, 502), (502, 500)], ["src", "dst"]
+    )
+    want = {i: 0 for i in range(121)} | {500: 500, 501: 500, 502: 500}
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_iter=20).collect()
+    }
+    assert star == want
+    via_flag = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert via_flag == want
+
+
 def test_text_chunks_overlap_invariant(spark):
     """Consecutive chunks of a long doc overlap by chunk-stride tokens
     and reconstruct the original token sequence."""

@@ -103,6 +103,11 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-label propagation labels by the minimum node id; path-halving
     # union-find with min-root union does the same
     assert got == expected
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert star == expected
 
 
 @settings(max_examples=8, deadline=None)
