@@ -47,7 +47,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: empty-cluster fix: embedding_kmeans; JPEG fill-byte fix:
 #: multimodal_features); (c) round-4-green refreshes filling the
 #: remaining slots so that after r6 no entry's last driver row is older
-#: than r4.
+#: than r4; (d) the five new round-6 curation operators (boilerplate
+#: strip, repetition stats, PII scrub, mix weights, epoch shuffle) —
+#: new ops always get driver rows the round they land.
 _DRIVER_FRONT = [
     # (a) last green r3 — the full stale set
     "q_repeat_engagers",
@@ -97,12 +99,16 @@ _DRIVER_FRONT = [
     "q_pricing_summary",
     "q_top_customers",
     "q_regional_revenue",
-    "q_order_priority",
-    "text_chunks",
-    "docs_stratified_sample",
-    "docs_per_source_cap",
-    "streaming_interval_join",
-    # past the 50 cap from here; the remaining r4 dashboards rotate in r7
+    # (d) NEW round-6 curation operators — first driver rows
+    "docs_strip_boilerplate",
+    "docs_repetition_stats",
+    "docs_pii_scrub",
+    "docs_mix_weights",
+    "docs_epoch_shuffle",
+    # past the 50 cap from here; bumped (c) entries (q_order_priority,
+    # text_chunks, docs_stratified_sample, docs_per_source_cap,
+    # streaming_interval_join — all r4/r5-green) + the remaining r4
+    # dashboards rotate in r7
 ]
 
 

@@ -68,6 +68,11 @@ DIRECT = [
     "q_salted_join_parts",
     "q_salted_skew_agg",
     "q_weighted_sample",
+    "docs_strip_boilerplate",
+    "docs_repetition_stats",
+    "docs_pii_scrub",
+    "docs_mix_weights",
+    "docs_epoch_shuffle",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -1,0 +1,384 @@
+"""Corpus-curation operators: the C4/Gopher-style cleaning passes a
+pre-training data pipeline runs between raw crawl and tokenizer —
+boilerplate stripping, repetition filters, PII scrubbing, domain
+mixing, epoch shuffling.
+
+All pure column expressions + keyed partial aggregations — no Python
+UDFs. Each operator has a DuckDB oracle twin; planted-input tests in
+tests/test_llm_ops.py prove the removal/scrub semantics (the synthetic
+corpus is mostly clean, so oracle equality alone would not exercise
+the positive paths).
+
+Reference scope note: the reference engine (see SURVEY.md §2) has no
+corpus-curation surface; these extend the engine for LLM training-data
+prep per the build brief, composing with operators/text.py and
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
+
+Frames = dict[str, DataFrame]
+CURATION_OPS: dict[str, tuple[Callable[[Frames], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        CURATION_OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _tokens_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# --- boilerplate segment stripping (C4-style repeated-span removal) ---------
+#: tokens per segment; the unit of cross-document boilerplate matching
+BOILER_SEG = 8
+#: a segment is boilerplate when it appears in >= this many distinct docs
+BOILER_MIN_DOCS = 2
+
+
+@_register(
+    "docs_strip_boilerplate",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    segd AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks), 1), {BOILER_SEG}),
+               i -> array_to_string(list_slice(toks, i, i + {BOILER_SEG} - 1), ' ')
+             ) AS segs
+      FROM d
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(segs) AS seg,
+             unnest(generate_series(1, len(segs))) AS idx
+      FROM segd
+    ),
+    freq AS (
+      SELECT seg FROM ex
+      WHERE len(string_split(seg, ' ')) = {BOILER_SEG}
+      GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    marked AS (
+      SELECT doc_id, seg, idx, seg NOT IN (SELECT seg FROM freq) AS keep
+      FROM ex
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(seg ORDER BY idx) FILTER (WHERE keep), ' '), '')
+             AS clean_text,
+           CAST(COUNT(*) AS INTEGER) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS INTEGER) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def docs_strip_boilerplate(t: Frames) -> DataFrame:
+    """C4-style boilerplate removal: split each document's token
+    stream into consecutive BOILER_SEG-token segments; any segment
+    text that appears in >= BOILER_MIN_DOCS distinct documents is
+    shared boilerplate (headers, footers, license banners, nav bars)
+    and is stripped from every document. Output per doc: the cleaned
+    (space-normalized) text plus segment/removal counts.
+
+    Scale design: the corpus NEVER shuffles — segments are a per-row
+    transform; the frequency count explodes segments into a keyed
+    countDistinct whose partial aggregation collapses each map
+    partition first; the boilerplate set (tiny by construction — it's
+    the text shared across documents) comes back as one broadcast
+    array and the strip is a per-row array filter. The classic
+    driver-killer here would be rebuilding documents via
+    explode → anti-join → groupBy(collect_list) — that shuffles the
+    whole corpus twice; keeping segments in-row avoids both shuffles.
+    """
+    docs = t["documents"].select("doc_id", _tokens_col().alias("toks"))
+    segd = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(BOILER_SEG)
+            ),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, BOILER_SEG), " "),
+        ).alias("segs"),
+    )
+    fset = (
+        segd.select("doc_id", F.explode("segs").alias("seg"))
+        # only FULL segments can be boilerplate: the aligned tail of a
+        # short doc is a sub-segment that would collide spuriously
+        # across documents (exact dedup owns whole-short-doc dups)
+        .filter(F.size(F.split("seg", " ")) == BOILER_SEG)
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .agg(F.sort_array(F.collect_set("seg")).alias("fset"))
+        .select(F.coalesce("fset", F.array().cast("array<string>")).alias("fset"))
+    )
+    return (
+        segd.crossJoin(F.broadcast(fset))
+        .select(
+            "doc_id",
+            F.filter(
+                "segs", lambda s: ~F.array_contains(F.col("fset"), s)
+            ).alias("kept"),
+            F.size("segs").alias("n_segments"),
+        )
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("clean_text"),
+            F.col("n_segments").cast("int").alias("n_segments"),
+            (F.col("n_segments") - F.size("kept")).cast("int").alias("n_removed"),
+        )
+    )
+
+
+# --- per-document repetition stats (Gopher repetition filters) --------------
+#: a doc whose most common bigram exceeds this share of all its bigrams
+#: is flagged repetitive (Gopher §A1.1 uses 0.18 for top-2-grams)
+TOP_BIGRAM_MAX_FRAC = 0.18
+
+
+@_register(
+    "docs_repetition_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_zip(list_slice(t, 1, len(t) - 1),
+                             list_slice(t, 2, len(t)))) AS z
+      FROM d WHERE len(t) >= 2
+    ),
+    counts AS (
+      SELECT doc_id, z[1] || ' ' || z[2] AS bigram, COUNT(*) AS n
+      FROM bi GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, bigram, n,
+             SUM(n) OVER (PARTITION BY doc_id) AS total,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rk
+      FROM counts
+    )
+    SELECT doc_id,
+           CAST(total AS INTEGER) AS n_bigrams,
+           bigram AS top_bigram,
+           CAST(n AS INTEGER) AS top_bigram_n,
+           {dround_sql("CAST(n AS DOUBLE) / total")} AS top_bigram_frac,
+           CAST(CASE WHEN CAST(n AS DOUBLE) / total > {TOP_BIGRAM_MAX_FRAC}
+                THEN 1 ELSE 0 END AS INTEGER) AS repetitive_flag
+    FROM ranked WHERE rk = 1
+    """,
+)
+def docs_repetition_stats(t: Frames) -> DataFrame:
+    """Gopher-style repetition filter signals: per document, the most
+    frequent bigram and its share of all bigrams; documents whose top
+    bigram exceeds TOP_BIGRAM_MAX_FRAC are flagged (looping generated
+    text, keyword-stuffed spam, and template pages all trip this).
+    Ties break on the bigram string so the answer is deterministic
+    across engines.
+
+    Scale design: bigrams via zip_with over two array slices (narrow,
+    in-row), then explode → (doc_id, bigram) keyed count with map-side
+    partial agg; the per-doc argmax is a window over the doc's own
+    distinct bigrams (small groups, partitioned by doc — no global
+    sort, no skew: a document's distinct-bigram count is bounded by
+    its length).
+    """
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    counts = (
+        t["documents"]
+        .select("doc_id", _tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id")
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bigram"))
+    frac = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.withColumn("total", F.sum("n").over(w))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("total").cast("int").alias("n_bigrams"),
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").cast("int").alias("top_bigram_n"),
+            dround(frac).alias("top_bigram_frac"),
+            F.when(frac > TOP_BIGRAM_MAX_FRAC, 1).otherwise(0).cast("int").alias("repetitive_flag"),
+        )
+    )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+#: deliberately simple patterns valid in BOTH regex dialects (Java for
+#: Spark, RE2 for DuckDB): no lookaround, no backrefs
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+@_register(
+    "docs_pii_scrub",
+    f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INTEGER) AS n_ips,
+      CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+          '{PII_IPV4}', '<IP>', 'g'),
+        '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text
+    FROM documents
+    """,
+)
+def docs_pii_scrub(t: Frames) -> DataFrame:
+    """PII redaction pass: emails, IPv4 addresses, and phone numbers
+    are replaced with typed placeholder tokens; per-doc match counts
+    ride along for audit/reporting. Patterns are intentionally
+    lookaround-free so Java (Spark) and RE2 (DuckDB oracle) agree
+    byte-for-byte. Scrub order: email → IP → phone (counts are taken
+    on the ORIGINAL text, so order only affects the rewritten string,
+    and the placeholder tokens cannot re-match a later pattern).
+
+    Scale design: pure per-row regexp expressions inside whole-stage
+    codegen — no shuffle, no UDF; at 100 TB this is scan-bound, and
+    the regex cost is linear in text bytes (both dialects compile to
+    DFA-ish matchers for these patterns).
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+# --- domain mixing weights --------------------------------------------------
+#: temperature exponent for domain upsampling: weight ∝ tokens^ALPHA.
+#: ALPHA=1 is proportional sampling; ALPHA→0 is uniform-over-domains.
+MIX_ALPHA = 0.5
+#: token budget the mixture is planned against
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+@_register(
+    "docs_mix_weights",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len({_TOKENS})) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {dround_sql("pow(CAST(n_tokens AS DOUBLE), " + str(MIX_ALPHA) + ") / SUM(pow(CAST(n_tokens AS DOUBLE), " + str(MIX_ALPHA) + ")) OVER ()")} AS mix_weight,
+           {dround_sql("(pow(CAST(n_tokens AS DOUBLE), " + str(MIX_ALPHA) + ") / SUM(pow(CAST(n_tokens AS DOUBLE), " + str(MIX_ALPHA) + ")) OVER ()) * " + str(MIX_BUDGET_TOKENS) + " / CAST(n_tokens AS DOUBLE)")} AS epochs_at_budget
+    FROM per_source
+    """,
+)
+def docs_mix_weights(t: Frames) -> DataFrame:
+    """Domain-mixture planning: per source, token counts and a
+    temperature-scaled sampling weight (∝ tokens^MIX_ALPHA,
+    normalized) plus the implied epoch multiplier at a fixed token
+    budget — the table a training run's data loader samples domains
+    from (rare domains upsampled, huge domains downsampled, the
+    standard mixture-temperature trick).
+
+    Scale design: one keyed partial-agg groupBy collapses the corpus
+    to |sources| rows; the normalizing window then runs over that
+    tiny aggregate (single partition BY DESIGN — it is |sources|
+    rows, not corpus rows; the unpartitioned window never sees the
+    raw data).
+    """
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(_tokens_col())).cast("long").alias("n_tokens"),
+        )
+    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    total = F.sum(raw).over(Window.partitionBy())
+    weight = raw / total
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        dround(weight).alias("mix_weight"),
+        dround(
+            weight * F.lit(float(MIX_BUDGET_TOKENS)) / F.col("n_tokens").cast("double")
+        ).alias("epochs_at_budget"),
+    )
+
+
+# --- deterministic epoch shuffle --------------------------------------------
+#: epochs materialized by the shuffle plan (each epoch = an
+#: independent deterministic permutation)
+SHUFFLE_EPOCHS = 2
+
+
+@_register(
+    "docs_epoch_shuffle",
+    f"""
+    SELECT d.doc_id, e.epoch,
+           md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+             AS shuffle_key
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch) e
+    """,
+)
+def docs_epoch_shuffle(t: Frames) -> DataFrame:
+    """Deterministic global training shuffle: each (doc, epoch) gets
+    a shuffle key = md5(doc_id ':' epoch); reading epoch e in
+    shuffle_key order is an independent pseudo-random permutation of
+    the corpus per epoch — reproducible across runs and engines, no
+    RNG state to manage. The loader sorts (or range-partitions) by
+    the key; nothing about the permutation lives on the driver.
+
+    Scale design: a per-row hash expression plus a 2-element explode —
+    no shuffle at all in THIS operator; the downstream ORDER BY
+    shuffle_key is Spark's range-partitioned sort (sampled bounds,
+    fully parallel), which is exactly the mechanism a 100 TB epoch
+    shuffle should use — never coalesce(1), never a driver-side
+    permutation array.
+    """
+    return t["documents"].select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("epoch").cast("string"))
+        ).alias("shuffle_key"),
+    )

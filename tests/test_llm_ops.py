@@ -463,3 +463,132 @@ def test_minhash_seeds_are_distinct_functions(spark):
     sig = minhash_signatures(docs, k=16).collect()[0]["signature"]
     assert len(sig) == 16
     assert len(set(sig)) > 1, "all minhash seeds produced the same function"
+
+
+# --- curation operators (planted-input positive paths) ----------------------
+def _docs(spark, rows):
+    return {
+        "documents": spark.createDataFrame(
+            [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+
+
+def test_strip_boilerplate_planted(spark):
+    """An 8-token banner shared by three docs is stripped from each;
+    unique content survives; a clean doc passes through; short aligned
+    tails do NOT count as boilerplate."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_strip_boilerplate,
+    )
+
+    banner = "all rights reserved by the example site inc"  # 8 tokens
+    rows = [
+        banner + " unique alpha beta gamma delta eps zeta eta",
+        banner + " other content words here for doc two xx",
+        banner + " third body text goes here in doc three",
+        "completely clean document with its own words tail tail",
+    ]
+    got = {
+        r["doc_id"]: r for r in docs_strip_boilerplate(_docs(spark, rows)).collect()
+    }
+    for i in range(3):
+        assert got[i]["n_removed"] == 1, got[i]
+        assert banner not in got[i]["clean_text"]
+        assert got[i]["n_segments"] == 2
+    # docs 0..2 share only the banner; their tails stay
+    assert "unique alpha" in got[0]["clean_text"]
+    # the clean doc: nothing removed even though its 2-token aligned
+    # tail ("tail tail") is well-formed; short segments are exempt
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == rows[3]
+
+
+def test_repetition_stats_flags_looping_doc(spark):
+    """A looping doc trips the Gopher top-bigram filter; a diverse doc
+    does not; ties break on the lexicographically smallest bigram."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_repetition_stats,
+    )
+
+    rows = [
+        "spam ham " * 40,  # top bigram "spam ham" 40/79
+        " ".join(f"w{i}" for i in range(50)),  # all bigrams unique
+    ]
+    got = {
+        r["doc_id"]: r for r in docs_repetition_stats(_docs(spark, rows)).collect()
+    }
+    assert got[0]["repetitive_flag"] == 1
+    assert got[0]["top_bigram"] == "spam ham"  # 40 occurrences vs 39 "ham spam"
+    assert got[0]["top_bigram_n"] == 40
+    assert abs(got[0]["top_bigram_frac"] - 40 / 79) < 1e-6
+    assert got[1]["repetitive_flag"] == 0
+    assert got[1]["top_bigram_n"] == 1
+    assert got[1]["top_bigram"] == "w0 w1"  # smallest bigram among ties
+
+
+def test_pii_scrub_planted(spark):
+    """Email / IPv4 / phone are counted and replaced with typed
+    placeholders; non-PII text is byte-identical."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_pii_scrub,
+    )
+
+    rows = [
+        "contact bob.smith+x@example.co.uk or 10.0.255.1 or +1 555-867-5309 now",
+        "nothing sensitive here at all",
+    ]
+    got = {r["doc_id"]: r for r in docs_pii_scrub(_docs(spark, rows)).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 1, 1)
+    assert got[0]["scrubbed_text"] == "contact <EMAIL> or <IP> or +1 <PHONE> now"
+    assert got[1]["scrubbed_text"] == rows[1]
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 0, 0)
+
+
+def test_mix_weights_temperature(spark):
+    """Weights sum to 1 and the sqrt temperature upsamples the small
+    source relative to proportional sampling."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_mix_weights,
+    )
+
+    small = " ".join(["a"] * 100)
+    big = " ".join(["b"] * 400)
+    frames = {
+        "documents": spark.createDataFrame(
+            [(0, small, "en", "rare", 1), (1, big, "en", "huge", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    got = {r["source"]: r for r in docs_mix_weights(frames).collect()}
+    total = got["rare"]["mix_weight"] + got["huge"]["mix_weight"]
+    assert abs(total - 1.0) < 1e-6
+    # sqrt(100)/(sqrt(100)+sqrt(400)) = 1/3 > proportional 1/5
+    assert abs(got["rare"]["mix_weight"] - 1 / 3) < 1e-6
+    assert got["rare"]["n_tokens"] == 100 and got["huge"]["n_tokens"] == 400
+    # epochs: rare domain re-read more often at the fixed budget
+    assert got["rare"]["epochs_at_budget"] > got["huge"]["epochs_at_budget"]
+
+
+def test_epoch_shuffle_deterministic_independent(spark):
+    """Same keys on re-run (reproducible); different permutation per
+    epoch; every (doc, epoch) key distinct."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        SHUFFLE_EPOCHS,
+        docs_epoch_shuffle,
+    )
+
+    rows = [f"doc number {i} words" for i in range(20)]
+    frames = _docs(spark, rows)
+    a = docs_epoch_shuffle(frames).collect()
+    b = docs_epoch_shuffle(frames).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 20 * SHUFFLE_EPOCHS
+    keys = [r["shuffle_key"] for r in a]
+    assert len(set(keys)) == len(keys)
+    order = {
+        e: [r["doc_id"] for r in sorted(a, key=lambda r: r["shuffle_key"]) if r["epoch"] == e]
+        for e in range(SHUFFLE_EPOCHS)
+    }
+    assert order[0] != order[1], "epoch permutations must differ"
