@@ -97,16 +97,17 @@ _DRIVER_FRONT = [
     "confusion_matrix",
     "class_distribution",
     "q_pricing_summary",
-    "q_top_customers",
-    "q_regional_revenue",
-    # (d) NEW round-6 curation operators — first driver rows
+    # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
     "docs_pii_scrub",
     "docs_mix_weights",
     "docs_epoch_shuffle",
-    # past the 50 cap from here; bumped (c) entries (q_order_priority,
-    # text_chunks, docs_stratified_sample, docs_per_source_cap,
+    "docs_bm25_search",
+    "embedding_pca_project",
+    # past the 50 cap from here; bumped (c) entries (q_top_customers,
+    # q_regional_revenue, q_order_priority, text_chunks,
+    # docs_stratified_sample, docs_per_source_cap,
     # streaming_interval_join — all r4/r5-green) + the remaining r4
     # dashboards rotate in r7
 ]

@@ -73,6 +73,8 @@ DIRECT = [
     "docs_pii_scrub",
     "docs_mix_weights",
     "docs_epoch_shuffle",
+    "docs_bm25_search",
+    "embedding_pca_project",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -1,0 +1,257 @@
+"""Retrieval operators: BM25 lexical search over ``documents`` and
+distributed PCA over ``embeddings``.
+
+BM25 is the lexical complement to the vector ANN operators in
+operators/similarity.py (real retrieval stacks run both and fuse);
+PCA is the embedding-preprocessing step ANN indexes and
+visualization/whitening pipelines share.
+
+Scale design is the point of each: BM25 is two keyed partial
+aggregations plus broadcast-scalar math (the corpus never shuffles
+whole rows); PCA reduces 100 TB of vectors to one 64x64 Gram matrix
+via Arrow-batched ``mapInPandas`` partials — the only data that
+crosses the wire is O(dim^2) per partition, and the eigensolve runs
+on the driver over a 64x64 matrix (bounded, not data-dependent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
+
+Frames = dict[str, DataFrame]
+RETRIEVAL_OPS: dict[str, tuple[Callable[[Frames], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        RETRIEVAL_OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _tokens_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# --- BM25 lexical search ----------------------------------------------------
+#: the standing demo query; terms chosen from the corpus vocabulary
+BM25_QUERY = ("table", "scan", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_Q_SET = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+
+@_register(
+    "docs_bm25_search",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d)
+      WHERE tok IN (SELECT unnest({_Q_SET}))
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * ({BM25_K1} + 1))
+               / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+             ) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t JOIN df f USING (term) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, {dround_sql("score")} AS bm25,
+           CAST(n_terms_hit AS INTEGER) AS n_terms_hit
+    FROM scored
+    ORDER BY {dround_sql("score")} DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def docs_bm25_search(t: Frames) -> DataFrame:
+    """BM25 top-K lexical retrieval for the standing query
+    ``BM25_QUERY`` (Lucene-style IDF: ln(1 + (N - df + .5)/(df + .5));
+    k1=1.2, b=0.75). Output: the K best doc_ids with rounded scores
+    and how many query terms each hit. The deterministic cut orders by
+    the ROUNDED score then doc_id, so both engines slice identically
+    even when raw float sums differ in the last ulp.
+
+    Scale design: term frequencies come from one explode filtered to
+    the query's terms BEFORE the shuffle (the filter prunes ~all
+    tokens at the scan), partially aggregated per (doc, term);
+    document frequencies and corpus stats are tiny aggregates joined
+    back by broadcast. The corpus itself never shuffles, and the
+    top-K is TakeOrderedAndProject — a heap per partition, no global
+    sort. This is the textbook inverted-index-free BM25 for a
+    scan-oriented engine.
+    """
+    d = t["documents"].select("doc_id", _tokens_col().alias("toks"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            # prune INSIDE the array before exploding: the generator
+            # emits only query-term occurrences, not the whole corpus
+            F.explode(
+                F.filter("toks", lambda x: x.isin(*BM25_QUERY))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        # tf is tiny (≤ |docs| × |query| rows); materialize it lazily so
+        # the df aggregation below reuses it instead of re-scanning and
+        # re-exploding the corpus a second time
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * tf_part).alias("score"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id", dround(F.col("score")).alias("bm25"), "n_terms_hit"
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+# --- distributed PCA over embeddings ----------------------------------------
+PCA_K = 2  # projection components
+_DIM = 64  # embedding dimensionality (testdata contract)
+
+
+def _gram_partials(it: Iterator, dim: int):
+    """mapInPandas worker: per Arrow batch, emit (n, sum_vec, gram)
+    — the sufficient statistics for mean/covariance. Imported lazily
+    so the module stays importable without numpy on exotic workers."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        if len(x) == 0:
+            continue
+        yield pd.DataFrame(
+            {
+                "n": [int(len(x))],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).reshape(-1).tolist()],
+            }
+        )
+
+
+def pca_components(emb: DataFrame, k: int = PCA_K, dim: int = _DIM):
+    """Top-k principal components of the embedding column.
+
+    Scale design — the mapInPandas partial-Gram pattern: each Arrow
+    batch is reduced to (count, sum-vector, Gram matrix) = O(dim^2)
+    floats regardless of batch size, the partials are summed by
+    position (dim^2 + dim rows through one keyed agg — ~4k rows
+    TOTAL, not per input row), and the driver eigensolves the final
+    64x64 covariance with numpy. A 100 TB embedding table therefore
+    ships ~(partitions x 33 KB) to one tiny aggregation; nothing
+    data-sized ever reaches the driver. Returns (mean, components,
+    explained_variance) as numpy arrays; deterministic (eigh, sign
+    fixed by the largest-|coord| convention).
+    """
+    import numpy as np
+
+    partials = emb.select("embedding").mapInPandas(
+        lambda it: _gram_partials(it, dim),
+        schema="n long, s array<double>, g array<double>",
+    )
+    # element-wise sum of the per-batch statistics: posexplode to
+    # (pos, value), one keyed partial agg — bounded by dim^2 rows
+    summed = (
+        partials.select(
+            "n",
+            F.posexplode(F.concat("s", "g")).alias("pos", "v"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"))
+    )
+    rows = summed.collect()  # bounded: dim + dim^2 rows
+    n = next(r["n"] for r in rows if r["pos"] == 0)
+    flat = np.zeros(dim + dim * dim)
+    for r in rows:
+        flat[r["pos"]] = r["v"]
+    s, g = flat[:dim], flat[dim:].reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    # deterministic sign: largest-|coordinate| entry is positive
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, w[order]
+
+
+@_register("embedding_pca_project", None)
+def embedding_pca_project(t: Frames) -> DataFrame:
+    """Project every embedding onto the corpus's top PCA_K principal
+    components (centered). The preprocessing step ANN coarse
+    quantizers, whitening, and 2-D corpus maps share. Rows-only
+    (eigendecomposition is engine-specific float work); accuracy is
+    pinned in tests against a full-data numpy PCA and a planted
+    anisotropic distribution.
+
+    The projection itself is a per-row dot product against k
+    broadcast constant vectors — pure column arithmetic, no UDF, no
+    shuffle."""
+    emb = t["embeddings"]
+    mu, comps, _ = pca_components(emb)
+    centered = F.transform(
+        "embedding", lambda x, i: x.cast("double") - F.element_at(F.lit(mu.tolist()), i + 1)
+    )
+    cols = [
+        dround(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.lit(comps[i].tolist()),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"pc{i + 1}")
+        for i in range(len(comps))
+    ]
+    return emb.select("vec_id", "label", *cols)

@@ -592,3 +592,97 @@ def test_epoch_shuffle_deterministic_independent(spark):
         for e in range(SHUFFLE_EPOCHS)
     }
     assert order[0] != order[1], "epoch permutations must differ"
+
+
+# --- retrieval operators ----------------------------------------------------
+def test_bm25_ranking_invariants(spark):
+    """More query-term mass → higher score; docs without query terms
+    are absent; n_terms_hit counts distinct matched terms."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (  # noqa: F401
+        CURATION_OPS,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        docs_bm25_search,
+    )
+
+    rows = [
+        "table scan merge table scan merge pad pad pad pad",  # all 3 terms, dense
+        "table pad pad pad pad pad pad pad pad pad",  # 1 term once
+        "nothing relevant in this document at all pad pad pad",  # no terms
+        "table scan pad pad pad pad pad pad pad pad",  # 2 terms
+    ]
+    got = {r["doc_id"]: r for r in docs_bm25_search(_docs(spark, rows)).collect()}
+    assert 2 not in got
+    assert got[0]["n_terms_hit"] == 3
+    assert got[3]["n_terms_hit"] == 2
+    assert got[1]["n_terms_hit"] == 1
+    assert got[0]["bm25"] > got[3]["bm25"] > got[1]["bm25"] > 0
+
+
+def test_pca_recovers_planted_direction(spark):
+    """Variance planted along one known axis-pair direction: the top
+    principal component aligns with it (|cos| > 0.99) and explains
+    most of the variance."""
+    import math
+
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        pca_components,
+    )
+
+    dim = 8
+    v = np.zeros(dim)
+    v[1], v[4] = 3 / 5, 4 / 5  # unit direction
+    rng = [math.sin(i * 12.9898) * 43758.5453 % 1.0 for i in range(400)]
+    rows = []
+    for i in range(200):
+        a = (rng[i] - 0.5) * 10.0  # dominant signal
+        noise = [(rng[200 + i] - 0.5) * 0.1] * dim
+        rows.append((i, [float(a * v[j] + noise[j] * ((j % 3) - 1)) for j in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu, comps, ev = pca_components(emb, k=2, dim=dim)
+    cos = abs(float(np.dot(comps[0], v)))
+    assert cos > 0.99, cos
+    assert ev[0] > 10 * ev[1]
+
+
+def test_pca_matches_numpy_twin(spark):
+    """Distributed Gram partials reproduce full-data numpy PCA on the
+    real embeddings table (mean + eigenvalues to 1e-6)."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        pca_components,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    mu, comps, ev = pca_components(emb, k=3)
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    mu_np = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu_np, mu_np)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(mu, mu_np, atol=1e-6)
+    assert np.allclose(ev, w, atol=1e-6)
+    # components orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+
+
+def test_pca_projection_variance_ordering(spark, frames):
+    """pc1 captures at least as much variance as pc2 in the projected
+    output, and every row projects (no drops)."""
+    import statistics
+
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        embedding_pca_project,
+    )
+
+    rows = embedding_pca_project(frames).collect()
+    assert len(rows) == frames["embeddings"].count()
+    v1 = statistics.pvariance([r["pc1"] for r in rows])
+    v2 = statistics.pvariance([r["pc2"] for r in rows])
+    assert v1 >= v2 > 0
