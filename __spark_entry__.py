@@ -96,7 +96,6 @@ _DRIVER_FRONT = [
     "dash_model_accuracy",
     "confusion_matrix",
     "class_distribution",
-    "q_pricing_summary",
     # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
@@ -105,8 +104,9 @@ _DRIVER_FRONT = [
     "docs_epoch_shuffle",
     "docs_bm25_search",
     "embedding_pca_project",
-    # past the 50 cap from here; bumped (c) entries (q_top_customers,
-    # q_regional_revenue, q_order_priority, text_chunks,
+    "similarity_pq_topk",
+    # past the 50 cap from here; bumped (c) entries (q_pricing_summary,
+    # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
     # docs_stratified_sample, docs_per_source_cap,
     # streaming_interval_join — all r4/r5-green) + the remaining r4
     # dashboards rotate in r7

@@ -686,3 +686,86 @@ def test_pca_projection_variance_ordering(spark, frames):
     v1 = statistics.pvariance([r["pc1"] for r in rows])
     v2 = statistics.pvariance([r["pc2"] for r in rows])
     assert v1 >= v2 > 0
+
+
+def test_pq_codes_shape_and_determinism(spark, frames):
+    """Every vector encodes to PQ_SUBSPACES codes in [1, PQ_CODEBOOK_K];
+    training + encoding are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        PQ_CODEBOOK_K,
+        PQ_SUBSPACES,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = frames["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = pq_train_codebooks(emb, iters=2)
+    assert cents.count() == PQ_SUBSPACES * PQ_CODEBOOK_K
+    codes = pq_encode(emb, cents).collect()
+    assert len(codes) == frames["embeddings"].count()
+    for r in codes:
+        assert len(r["codes"]) == PQ_SUBSPACES
+        assert all(1 <= c <= PQ_CODEBOOK_K for c in r["codes"])
+    codes2 = pq_encode(emb, pq_train_codebooks(emb, iters=2)).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in codes))) == sorted(
+        map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in codes2))
+    )
+
+
+def test_pq_planted_twin_ranks_first(spark, frames):
+    """A planted near-copy of a query vector must be that query's
+    PQ rank-1 neighbor: ADC preserves coarse geometry even when
+    fine-grained ranking on random data scrambles (PQ's worst case)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        similarity_pq_topk,
+    )
+
+    emb = frames["embeddings"].select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    planted = {"embeddings": emb.unionByName(twins)}
+    rows = similarity_pq_topk(planted).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    # every original query's twin (id + 1e6) is its nearest code
+    for q, neigh in by_q.items():
+        if q >= 1_000_000:
+            continue
+        rank1 = min(neigh)[1]
+        assert rank1 == q + 1_000_000, (q, sorted(neigh))
+
+
+def test_pq_recall_floor_on_random_data(spark, frames):
+    """Regression floor: even on uniform-random embeddings (PQ's
+    adversarial case) recall@5 vs exact L2 stays above chance
+    (5/500 = 1%); measured 0.28 at 4 train iters."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import (
+        PQ_TOP_K,
+        similarity_pq_topk,
+    )
+
+    pq_rows = similarity_pq_topk(frames).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in frames["embeddings"].collect()
+    }
+    ids = sorted(vecs)
+    x = np.asarray([vecs[i] for i in ids])
+    recalls = []
+    for q in sorted({r["query_id"] for r in pq_rows}):
+        d = ((x - vecs[q]) ** 2).sum(axis=1)
+        exact = [ids[j] for j in np.argsort(d) if ids[j] != q][:PQ_TOP_K]
+        got = [r["neighbor_id"] for r in pq_rows if r["query_id"] == q]
+        recalls.append(len(set(exact) & set(got)) / PQ_TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.15
