@@ -458,3 +458,140 @@ def embedding_pca_project(t: Frames) -> DataFrame:
         for i in range(len(comps))
     ]
     return emb.select("vec_id", "label", *cols)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine --------
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+HYBRID_QUERY_ID = 0  # dense query = the embedding of vec_id 0 (doc_id-aligned)
+VEC_TOP_K = 20  # dense candidate list length (lexical list = BM25_TOP_K)
+HYBRID_TOP_K = 10
+
+_HYBRID_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d)
+  WHERE tok IN (SELECT unnest({_Q_SET}))
+  GROUP BY doc_id, tok
+),
+idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+lex_scored AS (
+  SELECT t.doc_id,
+         {dround_sql(f"SUM(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * (t.tf * ({BM25_K1} + 1)) / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl)))")}
+           AS bm25
+  FROM tf t JOIN idf f USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS lex_rank
+  FROM lex_scored ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (
+  SELECT v AS q, sqrt(list_dot_product(v, v)) AS qn
+  FROM base WHERE vec_id = {HYBRID_QUERY_ID}
+),
+vec_scored AS (
+  SELECT vec_id,
+         {dround_sql("list_dot_product(base.v, qv.q) / (sqrt(list_dot_product(base.v, base.v)) * qv.qn)")}
+           AS sim
+  FROM base CROSS JOIN qv
+),
+vec AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS vec_rank
+  FROM vec_scored ORDER BY sim DESC, vec_id ASC LIMIT {VEC_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0) AS rrf,
+         l.lex_rank, v.vec_rank
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+)
+SELECT doc_id, {dround_sql("rrf", 8)} AS rrf_score, lex_rank, vec_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+"""
+
+
+@_register("docs_hybrid_rrf", _HYBRID_ORACLE)
+def docs_hybrid_rrf(t: Frames) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    list (standing query ``BM25_QUERY``) and the dense cosine list
+    (query = the embedding of ``HYBRID_QUERY_ID``; doc_id and vec_id
+    are 1:1 aligned in the testdata contract) are fused with the
+    standard RRF score sum(1 / (60 + rank)) over a full-outer join of
+    the two candidate lists — the fusion step every two-tower
+    retrieval stack runs between recall and rerank.
+
+    Scale design: each candidate list is cut to its top-K with
+    TakeOrderedAndProject (heap per partition — the corpus is never
+    globally sorted), and rank assignment runs AFTER the cut, so the
+    single-partition row_number window touches K rows, not the corpus
+    (K-bounded, not data-dependent). The dense side scores the corpus
+    against ONE broadcast query row; the fusion join is K×K tiny.
+    Ordering ties break on the raw fused double (an identical IEEE
+    arithmetic chain on both engines) then doc_id, so the final cut is
+    deterministic cross-engine."""
+    from real_time_fraud_detection_lakehouse_spark.operators.similarity import _dot, _vec_double
+
+    # lexical list: the registered BM25 top-K, ranked after the cut
+    lex = docs_bm25_search(t).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    # dense list: corpus vs one broadcast query vector
+    base = t["embeddings"].select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    q = (
+        base.filter(F.col("vec_id") == HYBRID_QUERY_ID)
+        .select(F.col("v").alias("q"))
+        .withColumn("qn", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    )
+    vec = (
+        base.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            dround(
+                _dot(F.col("v"), F.col("q"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("qn"))
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(VEC_TOP_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("vec_id")))
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, lex["doc_id"] == vec["vec_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            (
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_TOP_K)
+        .select(
+            "doc_id",
+            dround(F.col("rrf"), 8).alias("rrf_score"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )

@@ -64,12 +64,12 @@ def _r4s(expr):
       {_r4s('AVG(l_discount)')} AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '2001-08-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_pricing_summary(t: Frames) -> DataFrame:
-    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2001-08-02 00:00:00").cast("timestamp"))
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -156,8 +156,8 @@ def q_regional_revenue(t: Frames) -> DataFrame:
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
     GROUP BY o_orderpriority
     """,
 )
@@ -165,8 +165,8 @@ def q_order_priority(t: Frames) -> DataFrame:
     return (
         t["orders"]
         .filter(
-            (F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("2024-06-01 00:00:00").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp"))
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
@@ -350,8 +350,8 @@ def q_parts_ordered(t: Frames) -> DataFrame:
     SELECT {_r4s('SUM(l_extendedprice * l_discount)')} AS revenue,
            COUNT(*) AS matched
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-02-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '2024-05-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-02-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-05-01 00:00:00'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
@@ -360,8 +360,8 @@ def q_selective_revenue(t: Frames) -> DataFrame:
     l = t["lineitem"]
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("2024-05-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-02-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-05-01 00:00:00").cast("timestamp"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -1453,4 +1453,177 @@ def q_salted_join_parts(t: Frames) -> DataFrame:
             "revenue"
         ),
         F.count("*").cast("long").alias("n_items"),
+    )
+
+
+# --- TPC-H Q15 shape: aggregate + scalar-max join-back ----------------------
+#: revenue window for the top-supplier query (3 months inside the
+#: 1995–2001 lineitem shipdate range)
+_Q15_LO, _Q15_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+
+@_register(
+    "q_top_supplier_revenue",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             {_r4s('SUM(l_extendedprice * (1 - l_discount))')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier_revenue(t: Frames) -> DataFrame:
+    """TPC-H Q15 shape (ref parity: the reference's Trino view layer has
+    no scalar-subquery example; this covers SURVEY §2's uncorrelated
+    scalar subquery family): per-supplier revenue over a shipdate
+    window, then keep the supplier(s) whose revenue equals the global
+    max — the "join an aggregate back against its own maximum" pattern.
+
+    Scale design: revenue is one keyed partial agg over the
+    windowed scan (filter reaches the parquet scan). The max is a
+    one-row broadcast aggregate of that small per-supplier table —
+    never a driver collect — and the equality filter + supplier join
+    both run broadcast, so the fact table is read exactly once. The
+    comparison is on the ROUNDED revenue (both engines round
+    identically), so float summation order can't flip the winner."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q17 shape: correlated scalar subquery (per-key avg threshold) ----
+_Q17_BRAND = "Brand#23"
+
+
+@_register(
+    "q_small_qty_revenue",
+    f"""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'
+    ),
+    thresholds AS (
+      SELECT l_partkey, {_r4s('0.2 * AVG(l_quantity)')} AS qty_threshold
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+      GROUP BY l_partkey
+    )
+    SELECT {_r4s('SUM(l.l_extendedprice) / 7.0')} AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN thresholds th ON l.l_partkey = th.l_partkey
+    WHERE l.l_quantity < th.qty_threshold
+    """,
+)
+def q_small_qty_revenue(t: Frames) -> DataFrame:
+    """TPC-H Q17 shape — the CORRELATED scalar subquery family: revenue
+    from small-quantity line items where "small" is defined per part as
+    20% of that part's own average quantity. This is the decorrelation
+    pattern: the correlated `(SELECT AVG(..) WHERE partkey = outer)` is
+    rewritten as a keyed aggregate joined back on the key — which is
+    exactly how Catalyst decorrelates it, made explicit.
+
+    Scale design: the brand filter (tiny part subset) broadcasts as a
+    semi-join that prunes lineitem BEFORE the per-part average — the
+    per-part agg shuffles only the brand's rows, not the whole fact
+    table. The thresholds table is |brand parts| rows → broadcast for
+    the final threshold join; the fact side never shuffles. Thresholds
+    are ROUNDED identically on both engines so boundary rows can't
+    flip on float summation order."""
+    brand_parts = t["part"].filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey")
+    li_brand = t["lineitem"].join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = li_brand.groupBy("l_partkey").agg(
+        _r4(F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_brand.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            _r4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q22 shape: scalar-avg filter + windowed NOT EXISTS ---------------
+_Q22_LO, _Q22_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+@_register(
+    "q_sales_opportunity",
+    f"""
+    WITH avg_bal AS (
+      SELECT {_r4s('AVG(c_acctbal)')} AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {_r4s('SUM(c.c_acctbal)')} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_LO}'
+          AND o.o_orderdate < TIMESTAMP '{_Q22_HI}'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q_sales_opportunity(t: Frames) -> DataFrame:
+    """TPC-H Q22 shape: "dormant high-value customers" — customers with
+    above-average positive account balance and NO orders inside a date
+    window, grouped by market segment. Combines an uncorrelated scalar
+    subquery (the global average balance, broadcast as a one-row
+    aggregate, never collected) with a windowed anti-join (NOT EXISTS
+    decorrelated to left_anti against the date-pruned orders scan).
+
+    Scale design: the orders side of the anti-join is filtered at the
+    scan (partition/row-group pruning on o_orderdate) before the
+    shuffle; customer is the smaller side but the anti-join keeps keys
+    co-partitioned — at 100 TB AQE picks the broadcast side. The
+    average-balance threshold is ROUNDED on both engines before the
+    compare so summation order can't flip membership."""
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        _r4(F.avg("c_acctbal")).alias("a")
+    )
+    window_orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(_Q22_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q22_HI).cast("timestamp"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(window_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
