@@ -90,12 +90,6 @@ _DRIVER_FRONT = [
     "category_summary",
     "amount_summary",
     "fraud_patterns",
-    "merchant_analysis",
-    "time_period_analysis",
-    "rule_predictions",
-    "dash_model_accuracy",
-    "confusion_matrix",
-    "class_distribution",
     # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
@@ -105,11 +99,18 @@ _DRIVER_FRONT = [
     "docs_bm25_search",
     "embedding_pca_project",
     "similarity_pq_topk",
+    "docs_hybrid_rrf",
+    "dedup_semantic",
+    "q_scd2_customer_history",
+    "q_top_supplier_revenue",
+    "q_small_qty_revenue",
+    "q_sales_opportunity",
     # past the 50 cap from here; bumped (c) entries (q_pricing_summary,
     # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
-    # docs_stratified_sample, docs_per_source_cap,
-    # streaming_interval_join — all r4/r5-green) + the remaining r4
-    # dashboards rotate in r7
+    # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
+    # merchant_analysis, time_period_analysis, rule_predictions,
+    # dash_model_accuracy, confusion_matrix, class_distribution — all
+    # r4/r5-green) + the remaining r4 dashboards rotate in r7
 ]
 
 

@@ -75,6 +75,12 @@ DIRECT = [
     "docs_epoch_shuffle",
     "docs_bm25_search",
     "embedding_pca_project",
+    "docs_hybrid_rrf",
+    "dedup_semantic",
+    "q_scd2_customer_history",
+    "q_top_supplier_revenue",
+    "q_small_qty_revenue",
+    "q_sales_opportunity",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

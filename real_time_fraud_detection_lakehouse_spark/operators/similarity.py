@@ -531,3 +531,82 @@ def embedding_kmeans(t: Frames) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- SemDeDup: semantic dedup = k-means blocking + within-cluster cosine ----
+SEMDEDUP_THRESHOLD = NEAR_DUP_THRESHOLD  # same corpus near-dup convention
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then prune near-duplicates ONLY
+    within each cluster — the cluster assignment is the blocking key
+    that turns the O(n^2) global cosine scan into an equi-join.
+    Removal rule (deterministic): a vector is removed iff some
+    same-cluster vector with a LOWER vec_id has cosine > threshold
+    with it, so every duplicate group keeps exactly its lowest id.
+    Returns (vec_id, cluster_id, is_kept).
+
+    Scale design: the only all-pairs work is per-cluster (a
+    cluster_id equi-join with vec_a < vec_b) — at 100 TB you raise k
+    so mean cluster size n/k stays bounded, which bounds the join
+    fan-out per key; the clustering itself is the broadcast-centroid
+    Lloyd loop (kmeans_lloyd) whose big side never shuffles. Pair
+    scoring is JVM-side zip_with/aggregate — no Python in the loop.
+    """
+    base = emb.select("vec_id", "v").withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    assigned = kmeans_lloyd(emb, k=k, iters=iters).select("vec_id", "cluster_id")
+    clustered = assigned.join(base, "vec_id").localCheckpoint(eager=False)
+    a = clustered.select(
+        F.col("cluster_id").alias("ca"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = clustered.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dup_pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(
+            dround(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            > threshold
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dup_pairs.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+    )
+
+
+@_register("dedup_semantic", None)
+def dedup_semantic(t: Frames) -> DataFrame:
+    """Per-cluster SemDeDup profile: how many vectors each k-means
+    cluster holds and how many survive within-cluster cosine pruning.
+    Rows-only for the driver (k-means is iterative); the removal rule,
+    planted-replica recall, and agreement with the brute-force
+    within-cluster rule are asserted in tests/test_llm_ops.py."""
+    emb = t["embeddings"].select("vec_id", _vec_double("embedding").alias("v"))
+    marked = semdedup(emb)
+    return (
+        marked.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum(F.when(F.col("is_kept"), 0).otherwise(1)).cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )

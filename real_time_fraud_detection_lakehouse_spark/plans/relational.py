@@ -1627,3 +1627,103 @@ def q_sales_opportunity(t: Frames) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- SCD Type-2 dimension history (lakehouse merge family) ------------------
+_SCD2_BASE_TS = "1995-01-01 00:00:00"
+_SCD2_EFF_TS = "2000-06-01 00:00:00"
+
+
+@_register(
+    "q_scd2_customer_history",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '{_SCD2_BASE_TS}' AS valid_from
+      FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'WHOLESALE' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'WHOLESALE', 0.0
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    changed AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal
+      FROM updates u JOIN base b USING (c_custkey)
+      WHERE u.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+         OR u.c_acctbal IS DISTINCT FROM b.c_acctbal
+    ),
+    hist AS (
+      SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from,
+             TIMESTAMP '{_SCD2_EFF_TS}' AS valid_to, FALSE AS is_current
+      FROM base b WHERE b.c_custkey IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '{_SCD2_EFF_TS}', NULL, TRUE
+      FROM changed
+      UNION ALL
+      SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from, NULL, TRUE
+      FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+             TIMESTAMP '{_SCD2_EFF_TS}', NULL, TRUE
+      FROM updates u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base)
+    )
+    SELECT c_custkey, c_mktsegment, {_r4s('c_acctbal')} AS acctbal,
+           valid_from, valid_to, is_current
+    FROM hist ORDER BY c_custkey, is_current
+    """,
+)
+def q_scd2_customer_history(t: Frames) -> DataFrame:
+    """SCD Type-2 history via :func:`plans.incremental.scd2_apply` on a
+    deterministic synthetic update batch: every 5th customer submits an
+    update, every 10th actually changes (segment → WHOLESALE, balance
+    +100), every 100th also appears as a brand-new key — covering all
+    four merge paths (close+reopen, no-op suppression, untouched,
+    insert). The oracle recomputes the same merge in plain SQL.
+
+    Scale notes live on scd2_apply: the dim side never shuffles, the
+    batch broadcasts."""
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import scd2_apply
+
+    cust = t["customer"]
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(_SCD2_BASE_TS).cast("timestamp").alias("valid_from"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("WHOLESALE"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("WHOLESALE").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    hist = scd2_apply(
+        base, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], _SCD2_EFF_TS
+    )
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        _r4(F.col("c_acctbal")).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("c_custkey", "is_current")

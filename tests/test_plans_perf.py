@@ -163,3 +163,50 @@ def test_pack_sequences_no_global_window(spark):
     ordered = sorted(rows, key=lambda r: r["doc_id"])
     assert ordered[0]["seq_id"] == 0
     assert all(a["seq_id"] <= b["seq_id"] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_q17_decorrelation_broadcasts(spark):
+    """q_small_qty_revenue: the brand semi-join and the per-part
+    threshold join must both broadcast — the lineitem side never
+    shuffles for a join (the only Exchange is the tiny per-part agg)."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_small_qty_revenue"][0](frames))
+    assert "SortMergeJoin" not in plan, "decorrelated Q17 degraded to sort-merge"
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q15_shipdate_pushdown_and_broadcast_joinback(spark):
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_top_supplier_revenue"][0](frames)).replace("\n", " ")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_uses_take_ordered_lists(spark):
+    """The dense candidate cut must be TakeOrderedAndProject (heap per
+    partition), not a global Sort over the corpus."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    from real_time_fraud_detection_lakehouse_spark.operators.retrieval import docs_hybrid_rrf
+
+    plan = _plan(docs_hybrid_rrf(frames))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_dimension_never_shuffles_for_joins(spark):
+    """scd2_apply on a dim bigger than the batch: the matched/untouched
+    joins broadcast the batch; the dim side contributes scans only."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import scd2_apply
+
+    base = (
+        table(spark, SF_SMALL, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("valid_from", F.lit("1995-01-01").cast("timestamp"))
+    )
+    updates = base.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey", F.lit("X").alias("c_mktsegment"), F.col("c_acctbal")
+    )
+    plan = _plan(scd2_apply(base, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], "2000-06-01"))
+    assert "SortMergeJoin" not in plan, "SCD2 dim side must not shuffle for the merge joins"

@@ -530,3 +530,40 @@ def test_changelog_escaped_partition_preimages(spark, tmp_path):
         for r in read_changes(spark, log, starting_version=2).collect()
     }
     assert kinds == {"update_preimage", "update_postimage"}
+
+
+def test_scd2_apply_all_merge_paths(spark):
+    """One batch exercising every SCD2 path: change (close+reopen),
+    no-op update (suppressed), untouched key, new key — and a second
+    identical batch is a pure no-op on the already-updated rows."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k int, seg string, bal double",
+    ).withColumn("valid_from", F.lit("1995-01-01").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [(1, "A2", 11.0), (2, "B", 20.0), (4, "D", 40.0)],
+        "k int, seg string, bal double",
+    )
+    hist = scd2_apply(base, updates, "k", ["seg", "bal"], "2000-06-01 00:00:00")
+    rows = {(r["k"], r["is_current"]): r for r in hist.collect()}
+
+    assert len(rows) == 5  # 1-closed, 1-open, 2-open, 3-open, 4-open
+    closed = rows[(1, False)]
+    assert closed["seg"] == "A" and closed["valid_to"] is not None
+    reopened = rows[(1, True)]
+    assert reopened["seg"] == "A2" and reopened["bal"] == 11.0
+    assert reopened["valid_to"] is None
+    assert rows[(2, True)]["seg"] == "B"  # no-op suppressed: single open row
+    assert (2, False) not in rows
+    assert rows[(3, True)]["seg"] == "C"  # untouched
+    assert rows[(4, True)]["seg"] == "D"  # fresh insert
+
+    # applying the same batch to the new current rows is a no-op
+    current = hist.filter("is_current").select("k", "seg", "bal", "valid_from")
+    hist2 = scd2_apply(current, updates, "k", ["seg", "bal"], "2001-01-01 00:00:00")
+    assert hist2.filter(~F.col("is_current")).count() == 0
+    assert hist2.count() == current.count()
