@@ -535,11 +535,16 @@ def embedding_kmeans(t: Frames) -> DataFrame:
 
 # --- SemDeDup: semantic dedup = k-means blocking + within-cluster cosine ----
 SEMDEDUP_THRESHOLD = NEAR_DUP_THRESHOLD  # same corpus near-dup convention
+#: blocking cluster count — higher k = smaller clusters = fewer pairs
+#: (cost ~ n^2/k) at some blocking-recall cost; measured at sf0.1:
+#: k=4 10.6 s / k=16 6.7 s / k=32 5.5 s. At 100 TB k tracks n so mean
+#: cluster size n/k (the equi-join fan-out per key) stays bounded.
+SEMDEDUP_K = 16
 
 
 def semdedup(
     emb: DataFrame,
-    k: int = KMEANS_K,
+    k: int = SEMDEDUP_K,
     iters: int = KMEANS_ITERS,
     threshold: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:

@@ -93,3 +93,99 @@ def velocity_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+# --- transformWithState twin (Spark 4.x arbitrary-state API) ----------------
+try:  # pyspark >= 4.0 AND protobuf present (the TWS state-server
+    # protocol is protobuf-based; this container ships pyspark 4.x but
+    # NOT google.protobuf, so the twin is code-complete and gated —
+    # the equivalence test skips with the env reason when the probe
+    # fails, and runs for real wherever protobuf exists)
+    import google.protobuf.descriptor  # noqa: F401  (runtime dependency probe)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class VelocityProcessor(StatefulProcessor):
+        """``transformWithStateInPandas`` twin of ``_track_velocity``:
+        the same per-card running (count, total) state through the
+        Spark 4 arbitrary-state API — typed ValueState instead of the
+        single opaque GroupState tuple, explicit init/close lifecycle,
+        and room for timers/TTL the old API lacks. Semantics are
+        pinned to the applyInPandasWithState path by a test."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("velocity", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            (cc_num,) = key
+            prior = self._state.get() if self._state.exists() else None
+            count, total = prior if prior is not None else (0, 0.0)
+            for pdf in rows:
+                pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+                seqs, cums, avgs = [], [], []
+                for amt in pdf["amt"]:
+                    count += 1
+                    total += float(amt)
+                    seqs.append(count)
+                    cums.append(total)
+                    avgs.append(total / count)
+                yield pd.DataFrame(
+                    {
+                        "cc_num": cc_num,
+                        "trans_num": pdf["trans_num"],
+                        "trans_timestamp": pdf["trans_timestamp"],
+                        "amt": pdf["amt"],
+                        "txn_seq": seqs,
+                        "cum_amount": cums,
+                        "avg_amount_so_far": avgs,
+                    }
+                )
+            self._state.update((count, total))
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def velocity_stream_tws(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The velocity tracker on ``transformWithStateInPandas`` — same
+    output contract as :func:`velocity_stream`; state store shuffles
+    once per micro-batch on cc_num, state is O(distinct cards)."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs pyspark >= 4.0 and google.protobuf "
+            "(the TWS state-server wire protocol) — absent in this container"
+        )
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    tracked = (
+        stream.select("cc_num", "trans_num", "trans_timestamp", "amt")
+        .groupBy("cc_num")
+        .transformWithStateInPandas(
+            VelocityProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

@@ -814,6 +814,7 @@ def test_semdedup_agrees_with_bruteforce_rule(spark, frames):
     import math
 
     from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+        SEMDEDUP_K,
         SEMDEDUP_THRESHOLD,
         _vec_double,
         kmeans_lloyd,
@@ -823,7 +824,9 @@ def test_semdedup_agrees_with_bruteforce_rule(spark, frames):
 
     emb = frames["embeddings"].select("vec_id", _vec_double("embedding").alias("v"))
     marked = {r["vec_id"]: r for r in semdedup(emb).collect()}
-    assigned = {r["vec_id"]: r["cluster_id"] for r in kmeans_lloyd(emb).collect()}
+    assigned = {
+        r["vec_id"]: r["cluster_id"] for r in kmeans_lloyd(emb, k=SEMDEDUP_K).collect()
+    }
     vecs = {r["vec_id"]: r["v"] for r in emb.collect()}
 
     def cos(a, b):

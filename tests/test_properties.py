@@ -144,3 +144,53 @@ def test_text_chunks_cover_and_bound(spark, texts):
             w for c in chunks[1:] for w in c[CHUNK_TOKENS - CHUNK_STRIDE :]
         ]
         assert stitched == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from("ABC"), st.integers(0, 3)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 35), st.sampled_from("ABC"), st.integers(0, 3)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_apply_invariants(spark, base_rows, update_rows):
+    """SCD2 structural invariants under arbitrary batches: exactly one
+    open row per surviving key, closed rows carry the effective ts,
+    open-row values reflect the update iff it changed something, and
+    total history size = base + changed + new keys."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.incremental import scd2_apply
+
+    base = spark.createDataFrame(
+        base_rows, "k int, seg string, val int"
+    ).withColumn("valid_from", F.lit("1990-01-01").cast("timestamp"))
+    updates = spark.createDataFrame(update_rows, "k int, seg string, val int")
+    hist = scd2_apply(base, updates, "k", ["seg", "val"], "2000-01-01 00:00:00").collect()
+
+    base_map = {r[0]: (r[1], r[2]) for r in base_rows}
+    upd_map = {r[0]: (r[1], r[2]) for r in update_rows}
+    changed = {k for k, v in upd_map.items() if k in base_map and v != base_map[k]}
+    new_keys = {k for k in upd_map if k not in base_map}
+
+    open_rows = [r for r in hist if r["is_current"]]
+    closed_rows = [r for r in hist if not r["is_current"]]
+    assert len(hist) == len(base_map) + len(changed) + len(new_keys)
+    assert sorted(r["k"] for r in open_rows) == sorted(set(base_map) | new_keys)
+    assert sorted(r["k"] for r in closed_rows) == sorted(changed)
+    for r in closed_rows:
+        assert r["valid_to"] is not None
+        assert (r["seg"], r["val"]) == base_map[r["k"]]
+    for r in open_rows:
+        assert r["valid_to"] is None
+        k = r["k"]
+        expect = upd_map[k] if (k in changed or k in new_keys) else base_map[k]
+        assert (r["seg"], r["val"]) == expect

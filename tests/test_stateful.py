@@ -60,3 +60,37 @@ def test_velocity_state_survives_restart(spark, tmp_path):
     }
     assert per_card == expected
     tx.unpersist()
+
+
+def test_velocity_tws_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas twin produces row-identical output to
+    the applyInPandasWithState tracker on the same input — the two
+    stateful APIs implement one contract. Skips where the TWS runtime
+    dependency (google.protobuf, the state-server wire protocol) is
+    absent — as in this container; the NotImplementedError contract is
+    still asserted there."""
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        velocity_stream_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            velocity_stream_tws(spark, "x", "y", "z")
+        pytest.skip("google.protobuf absent: TWS state server cannot start in this env")
+    src = str(tmp_path / "tx")
+    tx = transactions_df(spark, SF_SMALL).limit(2000)
+    tx.write.mode("overwrite").parquet(src)
+
+    legacy = velocity_stream(
+        spark, src, str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    )
+    tws = velocity_stream_tws(
+        spark, src, str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+    )
+    cols = ["cc_num", "trans_num", "txn_seq", "cum_amount", "avg_amount_so_far"]
+    a = sorted(map(tuple, legacy.select(cols).collect()))
+    b = sorted(map(tuple, tws.select(cols).collect()))
+    assert a == b
