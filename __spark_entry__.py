@@ -89,7 +89,6 @@ _DRIVER_FRONT = [
     "state_summary",
     "category_summary",
     "amount_summary",
-    "fraud_patterns",
     # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
@@ -105,11 +104,13 @@ _DRIVER_FRONT = [
     "q_top_supplier_revenue",
     "q_small_qty_revenue",
     "q_sales_opportunity",
+    "q_events_gapfill_ffill",
     # past the 50 cap from here; bumped (c) entries (q_pricing_summary,
     # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
     # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
     # merchant_analysis, time_period_analysis, rule_predictions,
-    # dash_model_accuracy, confusion_matrix, class_distribution — all
+    # dash_model_accuracy, confusion_matrix, class_distribution,
+    # fraud_patterns — all
     # r4/r5-green) + the remaining r4 dashboards rotate in r7
 ]
 

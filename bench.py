@@ -81,6 +81,7 @@ DIRECT = [
     "q_top_supplier_revenue",
     "q_small_qty_revenue",
     "q_sales_opportunity",
+    "q_events_gapfill_ffill",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

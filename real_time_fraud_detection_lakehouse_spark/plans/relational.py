@@ -1727,3 +1727,85 @@ def q_scd2_customer_history(t: Frames) -> DataFrame:
         "valid_to",
         "is_current",
     ).orderBy("c_custkey", "is_current")
+
+
+# --- temporal gap-fill + forward fill (time-series densification) -----------
+@_register(
+    "q_events_gapfill_ffill",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n, {_r4s('AVG(value)')} AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+      ) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.hour,
+             COALESCE(h.n, 0) AS n_events, h.avg_val
+      FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+    )
+    SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+           LAST_VALUE(avg_val IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_val_ffill
+    FROM joined
+    """,
+)
+def q_events_gapfill_ffill(t: Frames) -> DataFrame:
+    """Time-series densification: the hourly per-type event series with
+    every missing hour materialized (count 0) and the average value
+    FORWARD-FILLED from the last observed hour — the gap-fill +
+    locf resample every monitoring/feature pipeline needs and plain
+    GROUP BY cannot express (missing groups produce no rows at all).
+
+    Scale design: the raw scan collapses to the hourly aggregate
+    FIRST (map-side partials; |types|x|hours| rows), the dense grid is
+    sequence()+explode over a broadcast one-row bounds aggregate —
+    O(types x hours), data-size independent — and the forward fill is
+    last(ignorenulls) over a PARTITIONED window (state bounded per
+    type, no global sort). Rounded averages before the fill keep the
+    carried values bit-identical cross-engine."""
+    ev = t["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"), _r4(F.avg("value")).alias("avg_val"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("avg_val", ignorenulls=True).over(w).alias("avg_val_ffill"),
+        )
+    )

@@ -37,3 +37,32 @@ def test_approx_distinct_tracks_exact(spark, frames):
     assert exact.keys() == approx.keys()
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(2, ex * 0.05), (k, ex, approx[k])
+
+
+def test_gapfill_densifies_and_forward_fills(spark):
+    """Planted sparse series: hours with no events appear with count 0,
+    and the forward-filled average carries the last observed value
+    (null only before the first observation of a partition)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 2.0, "{}"),
+            (2, "2024-01-01 03:20:00", 7, "click", 4.0, "{}"),
+            (3, "2024-01-01 01:00:00", 8, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = RELATIONAL["q_events_gapfill_ffill"][0]({"events": ev}).collect()
+    rows = {(r["event_type"], str(r["hour"])): r for r in out}
+    # grid: 2 types x 4 hours (00..03)
+    assert len(rows) == 8
+    gap = rows[("click", "2024-01-01 01:00:00")]
+    assert gap["n_events"] == 0
+    assert gap["avg_val_ffill"] == 2.0  # carried from hour 00
+    assert rows[("click", "2024-01-01 03:00:00")]["avg_val_ffill"] == 4.0
+    # 'view' has nothing at hour 00 → null before first observation
+    assert rows[("view", "2024-01-01 00:00:00")]["avg_val_ffill"] is None
+    assert rows[("view", "2024-01-01 03:00:00")]["avg_val_ffill"] == 1.0
