@@ -317,6 +317,49 @@ def main() -> None:
                 "queries": results,
             }
 
+            # --- phase 5b: SemDeDup at 10x NEW embeddings. Needs its
+            # own replica: phase 5's key-shift leaves vectors identical
+            # across copies, which makes every copy a planted cosine
+            # dup of its original and within-cluster PAIRS quadratic in
+            # copies — a dedup stress test, not corpus growth. The
+            # perturbed replica cyclically rotates dimensions per copy
+            # (within-copy cosine structure exactly preserved, cross-
+            # copy cosine at random-pair level), and k scales with n
+            # (the operator's own 100 TB contract: mean cluster size
+            # n/k — the equi-join fan-out — stays constant).
+            from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+                SEMDEDUP_K,
+                _vec_double,
+                semdedup,
+            )
+
+            emb_dir = os.path.join(warehouse, "replica_emb")
+            build_replica(
+                spark,
+                SF_DIR,
+                emb_dir,
+                copies=SCALE_COPIES,
+                tables=("embeddings",),
+                perturb_embeddings=True,
+            )
+            sem: dict[str, float] = {}
+            for label, d, k in (
+                ("base", SF_DIR, SEMDEDUP_K),
+                ("scaled", emb_dir, SEMDEDUP_K * SCALE_COPIES),
+            ):
+                emb = table(spark, d, "embeddings").select(
+                    "vec_id", _vec_double("embedding").alias("v")
+                )
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    semdedup(emb, k=k).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                sem[label] = round(min(samples), 3)
+            sem["ratio"] = round(sem["scaled"] / sem["base"], 2)
+            sem["scaled_k"] = SEMDEDUP_K * SCALE_COPIES
+            scaling["semdedup_10x"] = sem
+
         # --- phase 6: 100x documents-only block on the dedup path.
         # dedup_exact and the composed LSH->clusters->keepers pipeline
         # read only `documents`, so the replica build stays cheap while

@@ -46,6 +46,7 @@ def build_replica(
     copies: int = 10,
     tables: tuple[str, ...] | None = None,
     perturb_text: bool = False,
+    perturb_embeddings: bool = False,
 ) -> None:
     """Write a ``copies``-times key-shifted replica of ``sf_dir`` to
     ``out_dir`` (one parquet dir per table, same layout as testdata).
@@ -75,6 +76,27 @@ def build_replica(
                 c = src
                 for col, off in offsets.items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * off))
+                if perturb_embeddings and name == "embeddings" and i > 0:
+                    # per-copy cyclic DIMENSION shift (+ sign flip once
+                    # the shifts wrap): within-copy cosine structure is
+                    # EXACTLY preserved (one rotation applied uniformly
+                    # commutes with the dot product), while cross-copy
+                    # cosine drops to random-pair level because the
+                    # dimensions are independent — so a scaled corpus
+                    # models 10x NEW data, not 10x planted duplicates
+                    # (identical copies would make within-cluster pairs
+                    # quadratic in copies, the same trap as the
+                    # unperturbed 100x text replica).
+                    shift = (i * 4) % 64
+                    sign = -1.0 if (i * 4) // 64 % 2 else 1.0
+                    v = F.col("embedding")
+                    rotated = F.concat(
+                        F.slice(v, shift + 1, 64 - shift), F.slice(v, 1, shift)
+                    )
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(rotated, lambda x: (x * F.lit(sign)).cast("float")),
+                    )
                 if perturb_text and name == "documents" and i > 0:
                     # closure factory, NOT a default-arg lambda: a
                     # two-parameter transform lambda gets (element,

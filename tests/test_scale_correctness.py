@@ -40,3 +40,40 @@ def test_oracle_holds_at_10x(name, spark, replica_dir):
             f"SELECT * FROM read_parquet('{replica_dir}/{t}.parquet/*.parquet')"
         )
     compare_frames(builder(frames), con.sql(oracle))
+
+
+def test_perturbed_embedding_replica_decorrelates_copies(spark, tmp_path):
+    """perturb_embeddings: within-copy cosine structure is EXACTLY
+    preserved (a uniform dimension rotation commutes with the dot
+    product) while each copy's vectors sit at random-pair cosine from
+    their originals — a scaled corpus models new data, not planted
+    duplicates."""
+    import math
+
+    out = str(tmp_path / "emb3x")
+    build_replica(
+        spark, SF_SMALL, out, copies=3, tables=("embeddings",), perturb_embeddings=True
+    )
+    base = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF_SMALL, "embeddings").collect()
+    }
+    rep = {
+        r["vec_id"]: r["embedding"] for r in table(spark, out, "embeddings").collect()
+    }
+    n, off = len(base), max(base) + 1
+    assert len(rep) == 3 * n
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    ids = sorted(base)[:10]
+    # cross-copy: original vs its copy-1/copy-2 twin ≈ random-pair level
+    for i in ids:
+        for c in (1, 2):
+            assert abs(cos(base[i], rep[i + c * off])) < 0.5
+    # within-copy: pairwise cosines inside copy 1 match the originals'
+    for i in ids[:5]:
+        for j in ids[5:]:
+            assert abs(cos(rep[i + off], rep[j + off]) - cos(base[i], base[j])) < 1e-5
