@@ -84,11 +84,6 @@ _DRIVER_FRONT = [
     "gold_dim_merchant",
     "gold_dim_time",
     "gold_dim_location",
-    "daily_summary",
-    "hourly_summary",
-    "state_summary",
-    "category_summary",
-    "amount_summary",
     # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
@@ -105,12 +100,18 @@ _DRIVER_FRONT = [
     "q_small_qty_revenue",
     "q_sales_opportunity",
     "q_events_gapfill_ffill",
+    "docs_dup_spans",
+    "docs_exact_substr_dedup",
+    "q_shipping_priority",
+    "q_nation_trade_volume",
+    "q_large_volume_customers",
     # past the 50 cap from here; bumped (c) entries (q_pricing_summary,
     # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
     # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
     # merchant_analysis, time_period_analysis, rule_predictions,
     # dash_model_accuracy, confusion_matrix, class_distribution,
-    # fraud_patterns — all
+    # fraud_patterns, category_summary, amount_summary, daily_summary,
+    # hourly_summary, state_summary — all
     # r4/r5-green) + the remaining r4 dashboards rotate in r7
 ]
 

@@ -82,6 +82,11 @@ DIRECT = [
     "q_small_qty_revenue",
     "q_sales_opportunity",
     "q_events_gapfill_ffill",
+    "docs_dup_spans",
+    "docs_exact_substr_dedup",
+    "q_shipping_priority",
+    "q_nation_trade_volume",
+    "q_large_volume_customers",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

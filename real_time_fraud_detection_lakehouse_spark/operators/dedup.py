@@ -658,3 +658,176 @@ DEDUP_OPS["docs_dedup_apply"] = (
     docs_dedup_apply,
     _DEDUP_APPLY_ORACLE.format(ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1]),
 )
+
+
+# --- ExactSubstr span dedup (Lee et al. 2022, arXiv:2107.06499) -------------
+#: Token-window width for duplicated-span detection. 8 tokens ≈ the
+#: paper's 50-BPE-token threshold scaled to this corpus's short docs.
+SUBSTR_W = 8
+
+_SUBSTR_SPANS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(t[i+1:i+{SUBSTR_W}], ' ')) AS h
+  FROM toks, UNNEST(range(0, len(t) - {SUBSTR_W - 1})) AS u(i)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_W - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS new_grp
+  FROM hits
+),
+grped AS (
+  SELECT doc_id, pos, SUM(new_grp) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) + {SUBSTR_W - 1} AS INTEGER) AS span_end,
+         CAST(MAX(pos) + {SUBSTR_W} - MIN(pos) AS INTEGER) AS span_len
+  FROM grped GROUP BY doc_id, grp
+)
+"""
+
+
+def _dup_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Maximal per-doc spans of CROSS-doc duplicated ``w``-token
+    windows (the ExactSubstr primitive: any window whose hash occurs
+    in more than one document flags its token range).
+
+    Scale design (ref has no analog; this is the Lee-et-al pass a
+    pre-training corpus runs where suffix arrays don't distribute):
+
+    - The gram table is one row per token position (corpus-linear, the
+      honest cost of hash-based ExactSubstr). Pass 1 groupBys it on the
+      window hash with map-side partial agg — MIN/MAX doc_id collapse
+      per-hash before the shuffle — and keeps only cross-doc hashes
+      (tiny: the duplicated fraction).
+    - Pass 2 re-derives grams from the scan and joins the dup-hash set
+      back BROADCAST, so the corpus-sized side never shuffles on hash
+      again. (If the duplicated fraction were huge, drop the hint and
+      AQE falls back to a shuffle join — same semantics.)
+    - Span assembly shuffles only the HIT rows (duplicated positions)
+      on doc_id; gaps-and-islands windows merge overlapping/adjacent
+      [pos, pos+w-1] ranges into maximal spans.
+    """
+    toks = _tokens()
+    win = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, w), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    grams = docs.select("doc_id", F.explode(win).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    hits = grams.join(F.broadcast(dup), "h").select("doc_id", "pos")
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0)
+    grp = F.sum(new_grp).over(ordered.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("int").alias("span_end"),
+            (F.max("pos") + w - F.min("pos")).cast("int").alias("span_len"),
+        )
+        .drop("grp")
+    )
+
+
+@_register(
+    "docs_dup_spans",
+    _SUBSTR_SPANS_CTE
+    + """
+SELECT doc_id, span_start, span_end, span_len FROM spans
+""",
+)
+def docs_dup_spans(t: Frames) -> DataFrame:
+    """ExactSubstr detection output: for every document, the maximal
+    token ranges whose 8-token windows also occur in another document.
+    md5 window hashes on both engines → fully DuckDB-oracled."""
+    return _dup_spans(t["documents"])
+
+
+@_register(
+    "docs_exact_substr_dedup",
+    _SUBSTR_SPANS_CTE
+    + f"""
+, tok_rows AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tr.doc_id AND tr.pos BETWEEN s.span_start AND s.span_end)
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+       CAST(len(t.t) - COUNT(k.tok) AS INTEGER) AS n_tokens_removed
+FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.t)
+""",
+)
+def docs_exact_substr_dedup(t: Frames) -> DataFrame:
+    """ExactSubstr applied: each document with its duplicated spans CUT
+    OUT (the Lee et al. remove-don't-drop policy — unlike doc-level
+    dedup, only the repeated substring goes; unique prose stays).
+
+    Scale design: spans aggregate to one small array per affected doc
+    (affected docs ≪ corpus), joined back to the corpus; the token
+    filter is a lambda over the token array with the element INDEX —
+    pure columnar expression, no explode of the corpus, no Python.
+    Docs without spans pass through with whitespace-normalized text
+    (both engines rejoin tokens with a single space)."""
+    docs = t["documents"]
+    spans_arr = (
+        _dup_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    toks = _tokens()
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<span_start:int,span_end:int>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            spans, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+        ),
+    )
+    return (
+        docs.join(F.broadcast(spans_arr), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("int").alias("n_tokens_removed"),
+        )
+    )

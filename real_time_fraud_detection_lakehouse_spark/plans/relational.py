@@ -1809,3 +1809,160 @@ def q_events_gapfill_ffill(t: Frames) -> DataFrame:
             F.last("avg_val", ignorenulls=True).over(w).alias("avg_val_ffill"),
         )
     )
+
+
+# --- TPC-H Q3: shipping priority (filter-heavy 3-way + top-k) ---------------
+@_register(
+    "q_shipping_priority",
+    f"""
+    SELECT * FROM (
+      SELECT l.l_orderkey,
+             {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ) ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q_shipping_priority(t: Frames) -> DataFrame:
+    """TPC-H Q3 (ref parity class: trino/queries; the reference's SQL
+    surface has no Q3, this extends the join family J4 with the
+    classic selective-date variant). Scale: the segment filter prunes
+    customer BEFORE the broadcast, both date filters reach the scans
+    (PushedFilters), the only shuffle is orders⋈lineitem on orderkey,
+    and the top-10 is TakeOrderedAndProject — no global sort."""
+    j = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q7: bilateral nation trade volume (dual-aliased dim) -------------
+@_register(
+    "q_nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name, 3
+    """,
+)
+def q_nation_trade_volume(t: Frames) -> DataFrame:
+    """TPC-H Q7 generalized to all cross-nation pairs (the 25-nation
+    testdata makes a single fixed pair trivially small). Exercises the
+    SAME dim broadcast twice under different aliases (supplier-nation
+    vs customer-nation) plus a cross-side inequality. Scale: all four
+    dims broadcast; the fact side shuffles once for orders⋈lineitem
+    and once for the (supp, cust, year) agg — both with map-side
+    partials; the date range is scan-pushed."""
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("volume"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --- TPC-H Q18: large-volume customers (IN over grouped HAVING) -------------
+@_register(
+    "q_large_volume_customers",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           {_r4s('o.o_totalprice')} AS o_totalprice,
+           {_r4s('SUM(l.l_quantity)')} AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_large_volume_customers(t: Frames) -> DataFrame:
+    """TPC-H Q18: the IN-over-grouped-HAVING decorrelation shape. The
+    subquery is expressed as its own aggregate then LEFT SEMI joined
+    back — Catalyst's own rewrite, stated explicitly so the plan is
+    pinned. Scale: the HAVING survivor set is ~1% of orders (a
+    per-key partial-agg shuffle on orderkey), the semi-join reuses the
+    same orderkey partitioning (AQE co-locates), customer broadcasts;
+    nothing materializes the full join before filtering."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    j = (
+        t["lineitem"]
+        .join(big, F.col("big_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(_r4(F.sum("l_quantity")).alias("total_qty")).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _r4(F.col("o_totalprice")).alias("o_totalprice"),
+        "total_qty",
+    )

@@ -868,3 +868,47 @@ def test_hybrid_rrf_invariants(spark, frames):
     # fused list is sorted by score desc then doc_id
     scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert scores == sorted(scores)
+
+
+# --- ExactSubstr span dedup (planted positive path) -------------------------
+def test_exact_substr_spans_and_removal(spark):
+    """Cross-doc duplicated 8-token windows merge into maximal spans
+    (two disjoint spans in one doc stay disjoint; overlapping windows
+    over a 10-token shared run merge into one span), and the removal
+    variant cuts exactly the spanned tokens while clean/short docs
+    pass through whitespace-normalized."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dup_spans,
+        docs_exact_substr_dedup,
+    )
+
+    s1 = "one two three four five six seven eight nine ten"  # 10 tokens
+    s2 = "red orange yellow green blue indigo violet ultra"  # 8 tokens
+    mids = " ".join(f"m{i}" for i in range(9))
+    rows = [
+        f"{s1} {mids} {s2}",  # spans [0,9] and [19,26]
+        f"pre1 pre2 {s1} tail1",  # span [2,11]
+        s2,  # span [0,7] — whole doc duplicated
+        "no duplicated content in this little document at all",  # 9 unique tokens
+        "tiny doc",  # < 8 tokens: no windows at all
+    ]
+    spans: dict[int, list] = {}
+    for r in docs_dup_spans(_docs(spark, rows)).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    assert sorted(spans[0]) == [(0, 9, 10), (19, 26, 8)]
+    assert spans[1] == [(2, 11, 10)]
+    assert spans[2] == [(0, 7, 8)]
+    assert 3 not in spans and 4 not in spans
+
+    got = {
+        r["doc_id"]: r for r in docs_exact_substr_dedup(_docs(spark, rows)).collect()
+    }
+    assert got[0]["clean_text"] == mids
+    assert got[0]["n_tokens_removed"] == 18
+    assert got[1]["clean_text"] == "pre1 pre2 tail1"
+    assert got[1]["n_tokens_removed"] == 10
+    assert (got[2]["clean_text"], got[2]["n_tokens_removed"]) == ("", 8)
+    assert got[3]["clean_text"] == rows[3] and got[3]["n_tokens_removed"] == 0
+    assert got[4]["clean_text"] == "tiny doc" and got[4]["n_tokens_removed"] == 0

@@ -210,3 +210,49 @@ def test_scd2_dimension_never_shuffles_for_joins(spark):
     )
     plan = _plan(scd2_apply(base, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], "2000-06-01"))
     assert "SortMergeJoin" not in plan, "SCD2 dim side must not shuffle for the merge joins"
+
+
+def test_q3_pushdown_topk_and_broadcast(spark):
+    """q_shipping_priority: both date filters reach the parquet scans,
+    the segment-pruned customer broadcasts, and the top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_shipping_priority"][0](frames)).replace("\n", " ")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    assert "LessThan(o_orderdate" in plan, "orderdate filter not pushed to scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_dual_nation_broadcast(spark):
+    """q_nation_trade_volume: the nation dim broadcasts twice (supp +
+    cust alias) and no join degrades to sort-merge except the
+    fact-fact orders join."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_nation_trade_volume"][0](frames))
+    assert plan.count("BroadcastHashJoin") >= 4, "dims lost their broadcasts"
+    assert "partial_sum" in plan, "no map-side partial agg"
+
+
+def test_q18_semi_join_not_bnlj(spark):
+    """q_large_volume_customers: the HAVING subquery lands as a
+    LeftSemi hash/merge join on orderkey — never a nested-loop — and
+    the lineitem pre-agg keeps its partial stage."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_large_volume_customers"][0](frames))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_exact_substr_dup_hash_set_broadcasts(spark):
+    """docs_dup_spans: the cross-doc dup-hash set joins back BROADCAST
+    so the corpus-sized gram table shuffles on hash exactly once (the
+    min/max groupBy), and span assembly shuffles only hit rows."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import docs_dup_spans
+
+    docs = {"documents": table(spark, SF_SMALL, "documents")}
+    plan = _plan(docs_dup_spans(docs))
+    assert "BroadcastHashJoin" in plan, "dup-hash join-back lost its broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_max" in plan, "gram agg lost partials"
