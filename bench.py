@@ -87,6 +87,7 @@ DIRECT = [
     "q_shipping_priority",
     "q_nation_trade_volume",
     "q_large_volume_customers",
+    "docs_dsir_weights",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -382,3 +382,131 @@ def docs_epoch_shuffle(t: Frames) -> DataFrame:
             F.concat_ws(":", F.col("doc_id").cast("string"), F.col("epoch").cast("string"))
         ).alias("shuffle_key"),
     )
+
+
+# --- DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) ------------
+#: hashed n-gram feature buckets (the paper uses 10k; 64 keeps the
+#: synthetic corpus's per-bucket counts dense enough to be meaningful)
+DSIR_B = 64
+#: Laplace pseudo-count per bucket for both bag-of-ngrams models
+DSIR_ALPHA = 1.0
+#: the "target distribution" slice of this corpus: English-labeled docs
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET = f"('0x' || substr(md5(gram.g), 1, 8))::BIGINT % {DSIR_B}"
+
+
+@_register(
+    "docs_dsir_weights",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             list_concat(
+               t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ) AS grams
+      FROM d
+    ),
+    db AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET} AS b, COUNT(*) AS n
+      FROM g, UNNEST(grams) AS gram(g)
+      GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, SUM(n) AS c_r FROM db GROUP BY b),
+    tgt AS (
+      SELECT b, SUM(n) AS c_t FROM db
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM db) AS r_total,
+             (SELECT SUM(n) FROM db WHERE lang = '{DSIR_TARGET_LANG}') AS t_total
+    ),
+    ratio AS (
+      SELECT raw.b,
+             ln((COALESCE(tgt.c_t, 0) + {DSIR_ALPHA}) / (tot.t_total + {DSIR_ALPHA} * {DSIR_B}))
+           - ln((raw.c_r + {DSIR_ALPHA}) / (tot.r_total + {DSIR_ALPHA} * {DSIR_B})) AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    )
+    SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_grams,
+           {dround_sql('SUM(db.n * ratio.lr)', 4)} AS log_importance,
+           ({dround_sql('SUM(db.n * ratio.lr)', 4)} > 0) AS target_like
+    FROM db JOIN ratio USING (b)
+    GROUP BY db.doc_id
+    """,
+)
+def docs_dsir_weights(t: Frames) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, arXiv:2302.03169): score every raw document by how
+    much more likely its hashed unigram+bigram bag is under the
+    TARGET distribution (here: the 'en'-labeled slice) than under the
+    raw-corpus distribution. ``log_importance > 0`` ⇒ more
+    target-like than corpus-average; downstream selection resamples
+    by this weight (compose with ``q_weighted_sample``'s md5-fraction
+    row policy for the deterministic draw).
+
+    Scale design: the gram explode is corpus-linear (same class as
+    the dedup gram tables) and computed ONCE (lazy checkpoint feeds
+    all three consumers); both bag-of-ngrams models are B-bucket
+    groupBys with map-side partials; the log-ratio table is B rows
+    BROADCAST back, so the per-doc scoring join never shuffles the
+    corpus — the only corpus-keyed shuffle is the final doc_id agg.
+    Hash bucket = md5-prefix mod B, bit-identical in both engines."""
+    toks = _tokens_col()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % DSIR_B
+    )
+    doc_b = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "lang", bucket.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    raw = doc_b.groupBy("b").agg(F.sum("n").alias("c_r"))
+    tgt = (
+        doc_b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    totals = doc_b.agg(
+        F.sum("n").alias("r_total"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n"))).alias("t_total"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + DSIR_ALPHA)
+                    / (F.col("t_total") + DSIR_ALPHA * DSIR_B)
+                )
+                - F.log(
+                    (F.col("c_r") + DSIR_ALPHA)
+                    / (F.col("r_total") + DSIR_ALPHA * DSIR_B)
+                )
+            ).alias("lr"),
+        )
+    )
+    logw = dround(F.sum(F.col("n") * F.col("lr")), 4)
+    return (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            logw.alias("log_importance"),
+            (logw > 0).alias("target_like"),
+        )
+    )

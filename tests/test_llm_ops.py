@@ -912,3 +912,37 @@ def test_exact_substr_spans_and_removal(spark):
     assert (got[2]["clean_text"], got[2]["n_tokens_removed"]) == ("", 8)
     assert got[3]["clean_text"] == rows[3] and got[3]["n_tokens_removed"] == 0
     assert got[4]["clean_text"] == "tiny doc" and got[4]["n_tokens_removed"] == 0
+
+
+def test_dsir_weights_separate_target_vocab(spark):
+    """DSIR log-importance is positive for docs drawn from the target
+    ('en') vocabulary and negative for docs from a disjoint vocabulary
+    — including a mislabeled doc whose CONTENT is target-like (the
+    whole point of importance weighting over labels)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_dsir_weights,
+    )
+
+    en = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    fr = "rouge bleu vert jaune rouge bleu vert jaune rouge bleu"
+    frames = {
+        "documents": spark.createDataFrame(
+            [
+                (0, en, "en", "s", len(en)),
+                (1, en + " gamma delta", "en", "s", 1),
+                (2, en, "en", "s", len(en)),
+                (3, fr, "fr", "s", len(fr)),
+                (4, fr + " jaune rouge", "fr", "s", 1),
+                (5, en, "fr", "s", len(en)),  # mislabeled target-like content
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    got = {r["doc_id"]: r for r in docs_dsir_weights(frames).collect()}
+    assert len(got) == 6
+    for i in (0, 1, 2, 5):
+        assert got[i]["log_importance"] > 0, (i, got[i])
+        assert got[i]["target_like"]
+    for i in (3, 4):
+        assert got[i]["log_importance"] < 0, (i, got[i])
+        assert not got[i]["target_like"]
