@@ -114,6 +114,10 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("toks"), i, BOILER_SEG), " "),
         ).alias("segs"),
     )
+    # both the frequency count and the final strip consume segd —
+    # checkpoint the segment projection once instead of re-tokenizing
+    # the corpus on each side (same lever as the hashed-gram tables)
+    segd = segd.localCheckpoint(eager=False)
     fset = (
         segd.select("doc_id", F.explode("segs").alias("seg"))
         # only FULL segments can be boilerplate: the aligned tail of a
