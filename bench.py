@@ -88,6 +88,7 @@ DIRECT = [
     "q_nation_trade_volume",
     "q_large_volume_customers",
     "docs_dsir_weights",
+    "text_bpe_merges",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -672,3 +672,128 @@ def docs_decontaminate(t: Frames) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("shared_grams"))
     )
+
+
+# --- BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) -------
+#: number of merge rules to learn (enough for the planted tests and a
+#: meaningful vocab over the synthetic corpus; raise for a real run)
+BPE_MERGES = 10
+#: end-of-word marker, kept distinct from any corpus character
+BPE_EOW = "</w>"
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn BPE merge rules over the corpus — the tokenizer-training
+    stage of an LLM data pipeline, in its distributed formulation:
+    train on the WORD-COUNT table (what HF/SentencePiece trainers do
+    too), so per-iteration cost is O(distinct words × word length),
+    bounded by Heaps' law, not corpus size.
+
+    Per iteration: adjacent-symbol pair counts weighted by word
+    frequency (explode → keyed sum with map-side partials), the
+    argmax pair (deterministic tie-break: count desc, then pair asc)
+    comes back as ONE driver row — the same bounded-collect class as
+    the HWM scalar and k-means centroids — and the merge applies to
+    every word via an `aggregate` fold that joins adjacent (a, b)
+    left-to-right non-overlapping, exactly the sequential BPE rule.
+    The word table is checkpointed per round (O(1) lineage, the
+    kmeans/CC idiom).
+
+    Returns the merge table: (rank, left, right, merged, pair_count).
+    Rows-only for the driver (iterative); semantics proven on the
+    classic low/lower/newest corpus in tests/test_llm_ops.py.
+    """
+    toks = _tokens_col()
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            # seed segmentation: characters + end-of-word marker
+            F.concat(
+                F.expr("filter(split(word, ''), x -> x <> '')"),
+                F.array(F.lit(BPE_EOW)),
+            ).alias("syms"),
+            "wc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for rank in range(n_merges):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        top = (
+            words.select(F.explode(pairs).alias("p"), "wc")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == left)
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "wc").localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_apply(merges: list[tuple[str, str]], word_col):
+    """Apply an ordered merge list to a character-seed symbol array —
+    the encode side of the trainer, as one nested column expression
+    (merge count is small and fixed, so expression depth is bounded)."""
+    syms = F.concat(
+        F.expr(f"filter(split({word_col}, ''), x -> x <> '')"),
+        F.array(F.lit(BPE_EOW)),
+    )
+
+    # closure FACTORY, not default args: a default arg would change the
+    # lambda's arity and PySpark binds lambda params positionally (the
+    # minhash_signatures seed bug class)
+    def _merge_step(inner, left: str, right: str):
+        merged = left + right
+        return F.aggregate(
+            inner,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == left)
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    for left, right in merges:
+        syms = _merge_step(syms, left, right)
+    return syms
+
+
+@_register("text_bpe_merges", None)
+def text_bpe_merges(t: Frames) -> DataFrame:
+    return bpe_train(t["documents"])

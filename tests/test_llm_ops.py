@@ -946,3 +946,38 @@ def test_dsir_weights_separate_target_vocab(spark):
     for i in (3, 4):
         assert got[i]["log_importance"] < 0, (i, got[i])
         assert not got[i]["target_like"]
+
+
+def test_bpe_merges_classic_corpus(spark):
+    """BPE trainer on the Sennrich low/lower/newest/widest corpus
+    learns the textbook merge sequence (deterministic count-desc,
+    pair-asc tie-break), and the learned rules segment the UNSEEN word
+    'lowest' into ['low', 'est</w>'] — the generalization BPE exists
+    for."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    rows = bpe_train(_docs(spark, [text])["documents"]).collect()
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rows]
+    assert got == [
+        (0, "e", "s", "es", 9),
+        (1, "es", "t", "est", 9),
+        (2, "est", "</w>", "est</w>", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+        (6, "ew", "est</w>", "ewest</w>", 6),
+        (7, "n", "ewest</w>", "newest</w>", 6),
+        (8, "low", "</w>", "low</w>", 5),
+        (9, "d", "est</w>", "dest</w>", 3),
+    ]
+    merge_list = [(l, r) for _, l, r, _, _ in got]
+    df = spark.createDataFrame([("lowest",), ("low",)], "word string").select(
+        "word", bpe_apply(merge_list, "word").alias("s")
+    )
+    segs = {r["word"]: r["s"] for r in df.collect()}
+    assert segs["lowest"] == ["low", "est</w>"]
+    assert segs["low"] == ["low</w>"]
