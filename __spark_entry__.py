@@ -80,8 +80,8 @@ _DRIVER_FRONT = [
     "docs_dedup_apply",
     "embedding_kmeans",
     "multimodal_features",
-    # (c) r4-green refresh fill (remaining slots up to the 50 cap)
-    "gold_dim_merchant",
+    # (c) r4-green refreshes: fully bumped to r7 — the round's new
+    # operators (d) filled the remaining slots
     # (d) NEW round-6 operators — first driver rows
     "docs_strip_boilerplate",
     "docs_repetition_stats",
@@ -105,13 +105,15 @@ _DRIVER_FRONT = [
     "q_large_volume_customers",
     "docs_dsir_weights",
     "text_bpe_merges",
+    "q_shuffled_hash_join",
     # past the 50 cap from here; bumped (c) entries (q_pricing_summary,
     # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
     # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
     # merchant_analysis, time_period_analysis, rule_predictions,
     # dash_model_accuracy, confusion_matrix, class_distribution,
     # fraud_patterns, category_summary, amount_summary, daily_summary,
-    # hourly_summary, state_summary, gold_dim_location, gold_dim_time — all
+    # hourly_summary, state_summary, gold_dim_location, gold_dim_time,
+    # gold_dim_merchant — all
     # r4/r5-green) + the remaining r4 dashboards rotate in r7
 ]
 

@@ -89,6 +89,7 @@ DIRECT = [
     "q_large_volume_customers",
     "docs_dsir_weights",
     "text_bpe_merges",
+    "q_shuffled_hash_join",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

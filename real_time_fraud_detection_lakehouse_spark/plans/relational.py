@@ -1966,3 +1966,33 @@ def q_large_volume_customers(t: Frames) -> DataFrame:
         _r4(F.col("o_totalprice")).alias("o_totalprice"),
         "total_qty",
     )
+
+
+# --- join-strategy knob: shuffled hash join (avoids both sort passes) -------
+@_register(
+    "q_shuffled_hash_join",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {_r4s('SUM(l.l_extendedprice)')} AS gross
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_shuffled_hash_join(t: Frames) -> DataFrame:
+    """The SHUFFLE_HASH strategy hint on the fact-fact join: when both
+    sides are too big to broadcast but one side's per-partition hash
+    table fits memory, hashing beats sort-merge by skipping BOTH sort
+    passes (the standard Spark knob for large co-partitioned joins;
+    with AQE off-by-default selection this is where a human overrides
+    the planner). Semantically invisible — the oracle is the plain
+    join — and plan-pinned to ShuffledHashJoin in
+    tests/test_plans_perf.py."""
+    j = t["lineitem"].join(
+        t["orders"].hint("shuffle_hash"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        _r4(F.sum("l_extendedprice")).alias("gross"),
+    )

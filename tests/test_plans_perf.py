@@ -256,3 +256,12 @@ def test_exact_substr_dup_hash_set_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, "dup-hash join-back lost its broadcast"
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial_max" in plan, "gram agg lost partials"
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """q_shuffled_hash_join: the hint must land as ShuffledHashJoin —
+    no sort-merge, no broadcast of the fact side."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_shuffled_hash_join"][0](frames))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
