@@ -90,6 +90,7 @@ DIRECT = [
     "docs_dsir_weights",
     "text_bpe_merges",
     "q_shuffled_hash_join",
+    "q_ewma_daily_value",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

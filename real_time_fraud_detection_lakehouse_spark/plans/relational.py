@@ -1996,3 +1996,73 @@ def q_shuffled_hash_join(t: Frames) -> DataFrame:
         F.count("*").alias("n_lines"),
         _r4(F.sum("l_extendedprice")).alias("gross"),
     )
+
+
+# --- EWMA trend (applyInPandas: the sanctioned Pandas-UDF escape hatch) -----
+EWMA_ALPHA = 0.3
+
+
+@_register(
+    "q_ewma_daily_value",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             -- duckdb's date_trunc('day') yields DATE; Spark yields
+             -- TIMESTAMP — align the types
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {dround_sql('AVG(value)', 4)} AS daily_avg
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, daily_avg,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    ew AS (
+      SELECT event_type, day, daily_avg, rn, daily_avg AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.daily_avg, s.rn,
+             {EWMA_ALPHA} * s.daily_avg + (1 - {EWMA_ALPHA}) * e.ewma
+      FROM seq s JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, day, daily_avg, {dround_sql('ewma', 4)} AS ewma FROM ew
+    """,
+)
+def q_ewma_daily_value(t: Frames) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event value
+    per event_type — a genuinely SEQUENTIAL recurrence (y_t = αx_t +
+    (1-α)y_{t-1}) that no built-in window frame expresses, so this is
+    the one legitimate applyInPandas site in the relational surface:
+    Arrow-batched, one group per entity, linear in group size.
+
+    Scale design: the heavy reduction (events → per-day averages)
+    happens FIRST as a normal partial-agg groupBy, so the Python
+    stage only ever sees |entities| × |days| rows — bounded series,
+    not raw events. Entities partition independently (the shuffle key
+    is event_type); within a series the recurrence is inherently
+    ordered, and series length is calendar-bounded. The EWMA runs
+    over the ROUNDED daily series so the oracle's recursive CTE
+    consumes bit-identical inputs."""
+    import pandas as pd
+
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(_r4(F.avg("value")).alias("daily_avg"))
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        prev = None
+        for v in pdf["daily_avg"]:
+            prev = v if prev is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * prev
+            out.append(prev)
+        pdf["ewma"] = out
+        return pdf
+
+    result = daily.groupBy("event_type").applyInPandas(
+        _ewma, "event_type string, day timestamp, daily_avg double, ewma double"
+    )
+    return result.select("event_type", "day", "daily_avg", _r4(F.col("ewma")).alias("ewma"))

@@ -66,3 +66,39 @@ def test_gapfill_densifies_and_forward_fills(spark):
     # 'view' has nothing at hour 00 → null before first observation
     assert rows[("view", "2024-01-01 00:00:00")]["avg_val_ffill"] is None
     assert rows[("view", "2024-01-01 03:00:00")]["avg_val_ffill"] == 1.0
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    """q_ewma_daily_value implements y_t = 0.3 x_t + 0.7 y_{t-1} per
+    event_type over day-ordered daily averages (hand-checked series),
+    independent across entities."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 3, day, hour)
+
+    rows = [
+        # 'a': daily avgs 10.0, 20.0, 30.0 -> ewma 10.0, 13.0, 18.1
+        (1, ts(1, 1), 1, "a", 5.0, "{}"),
+        (2, ts(1, 2), 1, "a", 15.0, "{}"),
+        (3, ts(2), 1, "a", 20.0, "{}"),
+        (4, ts(3), 1, "a", 30.0, "{}"),
+        # 'b': single day -> ewma == daily_avg
+        (5, ts(2), 2, "b", 7.0, "{}"),
+    ]
+    frames = {
+        "events": spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+    }
+    got = {
+        (r["event_type"], r["day"].day): (r["daily_avg"], r["ewma"])
+        for r in RELATIONAL["q_ewma_daily_value"][0](frames).collect()
+    }
+    assert got[("a", 1)] == (10.0, 10.0)
+    assert got[("a", 2)] == (20.0, 13.0)
+    assert got[("a", 3)] == (30.0, 18.1)
+    assert got[("b", 2)] == (7.0, 7.0)
