@@ -110,7 +110,7 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 #: two-decade datapoint on the composed scale path (documents-only
 #: replica; SPARK_GRAFT_SCALING_100X=0 skips it)
 SCALING_100X = os.environ.get("SPARK_GRAFT_SCALING_100X", "1") != "0"
-SCALING_100X_QUERIES = ["dedup_exact", "dedup_clusters_lsh"]
+SCALING_100X_QUERIES = ["dedup_exact", "dedup_clusters_lsh", "docs_dup_spans"]
 
 
 def main() -> None:

@@ -2066,3 +2066,72 @@ def q_ewma_daily_value(t: Frames) -> DataFrame:
         _ewma, "event_type string, day timestamp, daily_avg double, ewma double"
     )
     return result.select("event_type", "day", "daily_avg", _r4(F.col("ewma")).alias("ewma"))
+
+
+# --- declarative data-quality constraint suite (Deequ-style) ----------------
+@_register(
+    "q_quality_report",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_row_count,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_qty_nulls,
+             CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END) AS BIGINT) AS m_qty_range,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS m_disc_range,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_key_nulls,
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS m_key_dups,
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS m_flag_domain
+      FROM lineitem
+    )
+    SELECT 'row_count_min' AS rule, m_row_count AS metric, m_row_count >= 1 AS passed FROM m
+    UNION ALL SELECT 'quantity_not_null', m_qty_nulls, m_qty_nulls = 0 FROM m
+    UNION ALL SELECT 'quantity_in_0_100', m_qty_range, m_qty_range = 0 FROM m
+    UNION ALL SELECT 'discount_in_0_1', m_disc_range, m_disc_range = 0 FROM m
+    UNION ALL SELECT 'orderkey_not_null', m_key_nulls, m_key_nulls = 0 FROM m
+    UNION ALL SELECT 'line_key_unique', m_key_dups, m_key_dups = 0 FROM m
+    UNION ALL SELECT 'returnflag_domain', m_flag_domain, m_flag_domain = 0 FROM m
+    """,
+)
+def q_quality_report(t: Frames) -> DataFrame:
+    """Deequ-style declarative constraint suite: completeness, range,
+    key-uniqueness and domain checks over lineitem, ALL computed in a
+    single aggregate pass — at 100 TB a per-rule scan is a per-rule
+    100 TB job, so the whole suite must ride one scan (this is the
+    batch complement to plans/quality.py's observe()-based counters,
+    which piggyback on an existing write instead). The one-row metric
+    vector explodes into the per-rule report driver-side — 7 rows, not
+    a shuffle."""
+    l = t["lineitem"]
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    m = l.agg(
+        F.count("*").cast("long").alias("m_row_count"),
+        viol(F.col("l_quantity").isNull()).alias("m_qty_nulls"),
+        viol((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100)).alias("m_qty_range"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("m_disc_range"),
+        viol(F.col("l_orderkey").isNull()).alias("m_key_nulls"),
+        (F.count("*") - F.countDistinct("l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("m_key_dups"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("m_flag_domain"),
+    )
+    rules = [
+        ("row_count_min", "m_row_count", F.col("m_row_count") >= 1),
+        ("quantity_not_null", "m_qty_nulls", F.col("m_qty_nulls") == 0),
+        ("quantity_in_0_100", "m_qty_range", F.col("m_qty_range") == 0),
+        ("discount_in_0_1", "m_disc_range", F.col("m_disc_range") == 0),
+        ("orderkey_not_null", "m_key_nulls", F.col("m_key_nulls") == 0),
+        ("line_key_unique", "m_key_dups", F.col("m_key_dups") == 0),
+        ("returnflag_domain", "m_flag_domain", F.col("m_flag_domain") == 0),
+    ]
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(metric).alias("metric"),
+                    passed.alias("passed"),
+                )
+                for name, metric, passed in rules
+            ]
+        )
+    ).alias("r")
+    return m.select(report).select("r.rule", "r.metric", "r.passed")
