@@ -91,6 +91,7 @@ DIRECT = [
     "text_bpe_merges",
     "q_shuffled_hash_join",
     "q_ewma_daily_value",
+    "q_quality_report",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

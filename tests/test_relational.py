@@ -102,3 +102,35 @@ def test_ewma_recurrence_hand_computed(spark):
     assert got[("a", 2)] == (20.0, 13.0)
     assert got[("a", 3)] == (30.0, 18.1)
     assert got[("b", 2)] == (7.0, 7.0)
+
+
+def test_quality_report_detects_planted_violations(spark):
+    """q_quality_report: each constraint fires on a planted violation
+    (null quantity, out-of-range quantity/discount, duplicate line
+    key, out-of-domain returnflag) and passes on the clean rows."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    rows = [
+        (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", None),
+        (1, 1, 1, 1, None, 100.0, 0.05, 0.0, "A", "F", None),  # null qty + dup key
+        (2, 1, 1, 1, 500.0, 100.0, 1.5, 0.0, "X", "O", None),  # range + domain
+    ]
+    frames = {
+        "lineitem": spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+    }
+    got = {
+        r["rule"]: (r["metric"], r["passed"])
+        for r in RELATIONAL["q_quality_report"][0](frames).collect()
+    }
+    assert got["row_count_min"] == (3, True)
+    assert got["quantity_not_null"] == (1, False)
+    assert got["quantity_in_0_100"] == (1, False)
+    assert got["discount_in_0_1"] == (1, False)
+    assert got["orderkey_not_null"] == (0, True)
+    assert got["line_key_unique"] == (1, False)
+    assert got["returnflag_domain"] == (1, False)
