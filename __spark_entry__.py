@@ -338,6 +338,24 @@ def queries() -> dict[str, QueryFn]:
     q["stateful_velocity"] = _velocity
     q["streaming_dedup"] = _stream_dedup
     q["streaming_interval_join"] = _stream_interval_join
+
+    def _stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            clicks_before_purchase_stream_outer,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="ssjoin_outer_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        return clicks_before_purchase_stream_outer(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_interval_join_outer"] = _stream_interval_join_outer
     q["streaming_enrichment"] = _stream_enrich
     return _driver_order(q)
 

@@ -200,3 +200,69 @@ def clicks_before_purchase_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def clicks_before_purchase_stream_outer(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched purchases as they pair with buffered clicks, UNMATCHED
+    purchases as a null-click row once the watermark passes their
+    buffer horizon (the state-eviction-emits-null contract that
+    distinguishes outer from inner streaming joins; conversion
+    funnels need exactly this to count no-touch purchases).
+
+    Same state bound as the inner variant: the event-time range
+    predicate + watermark cap both buffers at O(rate × horizon).
+    Semantics caveat (documented Spark behavior, asserted in the
+    test): null rows flush only when the watermark ADVANCES past the
+    purchase's eviction bound, so with a bounded availableNow source,
+    unmatched purchases within the final watermark of max event time
+    stay buffered and are not emitted — a live stream flushes them as
+    the clock advances."""
+    schema = spark.read.parquet(source_path).schema
+    events = lambda: spark.readStream.schema(schema).parquet(source_path)  # noqa: E731
+    purchases = (
+        events()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        F.col("click_ts").isNull().alias("no_prior_click"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

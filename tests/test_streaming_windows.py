@@ -155,3 +155,51 @@ def test_stream_stream_join_restart_is_exactly_once(spark, tmp_path):
     again = clicks_before_purchase_stream(spark, src, out, ckpt).count()
     assert first > 0
     assert again == first  # checkpoint: no reprocessing, no duplicates
+
+
+def test_stream_stream_outer_join_emits_null_for_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: an old unmatched
+    purchase (well before the watermark tail) emits a null-click row
+    after state eviction; a matched purchase emits its pair; matched
+    pairs agree with the inner variant's contract (subset of the batch
+    join)."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        clicks_before_purchase_stream_outer,
+    )
+
+    def ts(day, hour, minute=0):
+        return dt.datetime(2024, 1, day, hour, minute)
+
+    rows = [
+        # old purchase, NO click within 30 min before -> null row after eviction
+        (1, ts(1, 9), 100, "purchase", 5.0, "{}"),
+        # a click 10 min before a purchase -> matched pair
+        (2, ts(1, 10, 50), 200, "click", 0.0, "{}"),
+        (3, ts(1, 11), 200, "purchase", 7.0, "{}"),
+        # far-future event drives the watermark past both purchases
+        (4, ts(5, 12), 300, "click", 0.0, "{}"),
+        (5, ts(5, 13), 300, "purchase", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = clicks_before_purchase_stream_outer(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).collect()
+    by_purchase = {}
+    for r in out:
+        by_purchase.setdefault(r["purchase_id"], []).append(r)
+    # unmatched old purchase: exactly one row, null click, flagged
+    assert len(by_purchase[1]) == 1
+    assert by_purchase[1][0]["click_ts"] is None
+    assert by_purchase[1][0]["no_prior_click"] is True
+    # matched purchase: its pair, not a null row
+    assert len(by_purchase[3]) == 1
+    assert by_purchase[3][0]["click_ts"] is not None
+    assert by_purchase[3][0]["no_prior_click"] is False
+    # the final-watermark purchase (id 5) may be withheld -> no assert
