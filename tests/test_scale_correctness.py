@@ -13,7 +13,20 @@ from tests.conftest import SF_SMALL, compare_frames
 from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
 from real_time_fraud_detection_lakehouse_spark.sources.replica import build_replica
 
-QUERIES = ["q_pricing_summary", "q_top_customers", "dedup_exact"]
+QUERIES = [
+    "q_pricing_summary",
+    "q_top_customers",
+    "dedup_exact",
+    # round-6 late additions: the ExactSubstr spans (exact-copy replica
+    # = a 100%-dup corpus — dense output, but the oracle must still
+    # agree row-for-row), the DSIR weights (bucket models shift with
+    # corpus composition; both engines must shift identically), the
+    # Q18 decorrelation and the single-pass quality suite
+    "docs_dup_spans",
+    "docs_dsir_weights",
+    "q_large_volume_customers",
+    "q_quality_report",
+]
 
 
 @pytest.fixture(scope="module")
