@@ -194,3 +194,121 @@ def test_scd2_apply_invariants(spark, base_rows, update_rows):
         k = r["k"]
         expect = upd_map[k] if (k in changed or k in new_keys) else base_map[k]
         assert (r["seg"], r["val"]) == expect
+
+
+# --- ExactSubstr span dedup vs a pure-Python reference ----------------------
+def _ref_dup_spans(texts: list[str], w: int) -> dict[int, list[tuple[int, int]]]:
+    """Reference implementation of docs_dup_spans' definition: maximal
+    merged ranges of w-token windows whose window occurs in >1 doc."""
+    toks = [[t for t in s.split(" ") if t] for s in texts]
+    owners: dict[tuple, set] = {}
+    for d, ts in enumerate(toks):
+        for i in range(max(len(ts) - w + 1, 0)):
+            owners.setdefault(tuple(ts[i : i + w]), set()).add(d)
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(toks):
+        flagged = [
+            i
+            for i in range(max(len(ts) - w + 1, 0))
+            if len(owners[tuple(ts[i : i + w])]) > 1
+        ]
+        merged: list[list[int]] = []
+        for i in flagged:
+            if merged and i <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], i + w - 1)
+            else:
+                merged.append([i, i + w - 1])
+        if merged:
+            spans[d] = [(a, b) for a, b in merged]
+    return spans
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_exact_substr_spans_match_reference(spark, texts):
+    """docs_dup_spans over random tiny-alphabet corpora (dense genuine
+    cross-doc duplication) agrees exactly with the brute-force Python
+    reference of the same definition."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        SUBSTR_W,
+        docs_dup_spans,
+    )
+
+    frames = {
+        "documents": spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in docs_dup_spans(frames).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d in got:
+        got[d].sort()
+    assert got == _ref_dup_spans(texts, SUBSTR_W)
+
+
+# --- BPE trainer vs a pure-Python reference ---------------------------------
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, str, int]]:
+    """Reference BPE: word-count table, count-desc/pair-asc tie-break,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    wc = Counter(t for s in texts for t in s.split(" ") if t)
+    words = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, l + r, cnt))
+        for w, syms in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "ba", "cab", "bc", "aa"]),
+            min_size=1,
+            max_size=15,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_trainer_matches_reference(spark, texts):
+    """bpe_train over random corpora from a tiny word set (dense pair
+    ties — the tie-break is where implementations diverge) equals the
+    brute-force reference merge-for-merge."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import bpe_train
+
+    frames_df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(frames_df, n_merges=4).collect()
+    ]
+    assert got == _ref_bpe(texts, 4)
