@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_lakehouse_spark.core.catalog import spread_small_input
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
 
 Frames = dict[str, DataFrame]
@@ -104,7 +105,7 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
     explode → anti-join → groupBy(collect_list) — that shuffles the
     whole corpus twice; keeping segments in-row avoids both shuffles.
     """
-    docs = t["documents"].select("doc_id", _tokens_col().alias("toks"))
+    docs = spread_small_input(t["documents"]).select("doc_id", _tokens_col().alias("toks"))
     segd = docs.select(
         "doc_id",
         F.transform(
@@ -471,7 +472,7 @@ def docs_dsir_weights(t: Frames) -> DataFrame:
         % DSIR_B
     )
     doc_b = (
-        t["documents"]
+        spread_small_input(t["documents"])
         .select("doc_id", "lang", F.explode(grams).alias("g"))
         .groupBy("doc_id", "lang", bucket.alias("b"))
         .agg(F.count("*").alias("n"))

@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_lakehouse_spark.core.catalog import spread_small_input
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
 
 Frames = dict[str, DataFrame]
@@ -118,7 +119,7 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    docs = t["documents"].select(
+    docs = spread_small_input(t["documents"]).select(
         "doc_id",
         # bucket key: 8-byte hash of the 4-token prefix (join semantics
         # identical to the oracle's md5 bucket — both encode prefix
@@ -187,7 +188,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         )
 
     sig = F.array(*[_seeded_min(i) for i in range(k)])
-    return docs.select("doc_id", shingles.alias("shingles")).select(
+    return spread_small_input(docs).select("doc_id", shingles.alias("shingles")).select(
         "doc_id", sig.alias("signature")
     )
 
@@ -740,7 +741,7 @@ def _dup_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    grams = docs.select("doc_id", F.explode(win).alias("g")).select(
+    grams = spread_small_input(docs).select("doc_id", F.explode(win).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
     grams = grams.localCheckpoint(eager=False)

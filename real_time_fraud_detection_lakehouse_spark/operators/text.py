@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_lakehouse_spark.core.catalog import spread_small_input
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
 
 Frames = dict[str, DataFrame]
@@ -649,7 +650,7 @@ def docs_decontaminate(t: Frames) -> DataFrame:
     explode joins against it with a broadcast hash join and never
     shuffles; the per-doc count is a partial-agg groupBy. At 100 TB
     the cost is one scan of the training corpus."""
-    docs = t["documents"]
+    docs = spread_small_input(t["documents"])
     toks = _tokens_col()
     grams = F.array_distinct(
         F.transform(
