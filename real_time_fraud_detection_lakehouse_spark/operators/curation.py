@@ -104,6 +104,9 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
     driver-killer here would be rebuilding documents via
     explode → anti-join → groupBy(collect_list) — that shuffles the
     whole corpus twice; keeping segments in-row avoids both shuffles.
+    (The leading spread_small_input round-robin is the local
+    single-row-group guard, not part of the algorithm — a no-op on
+    real multi-split inputs.)
     """
     docs = spread_small_input(t["documents"]).select("doc_id", _tokens_col().alias("toks"))
     segd = docs.select(

@@ -648,8 +648,10 @@ def docs_decontaminate(t: Frames) -> DataFrame:
     Scale design: the eval side is tiny by definition (benchmarks vs
     a corpus), so its distinct gram set BROADCASTS — the corpus-side
     explode joins against it with a broadcast hash join and never
-    shuffles; the per-doc count is a partial-agg groupBy. At 100 TB
-    the cost is one scan of the training corpus."""
+    hash-shuffles; the per-doc count is a partial-agg groupBy. At
+    100 TB the cost is one scan of the training corpus. (The leading
+    spread_small_input round-robin is the local single-row-group
+    guard, a no-op on real multi-split inputs.)"""
     docs = spread_small_input(t["documents"])
     toks = _tokens_col()
     grams = F.array_distinct(
