@@ -107,8 +107,9 @@ _DRIVER_FRONT = [
     "text_bpe_merges",
     "q_shuffled_hash_join",
     # past the 50 cap from here — FRONT OF THE r7 ROTATION:
-    # q_ewma_daily_value + q_quality_report (new r6 ops that missed
-    # the cap), then the bumped (c) entries (q_pricing_summary,
+    # q_ewma_daily_value + q_quality_report + q_events_variant +
+    # streaming_interval_join_outer (new r6 ops that missed the cap),
+    # then the bumped (c) entries (q_pricing_summary,
     # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
     # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
     # merchant_analysis, time_period_analysis, rule_predictions,

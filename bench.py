@@ -92,6 +92,7 @@ DIRECT = [
     "q_shuffled_hash_join",
     "q_ewma_daily_value",
     "q_quality_report",
+    "q_events_variant",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

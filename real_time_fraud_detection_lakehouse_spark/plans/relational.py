@@ -2135,3 +2135,39 @@ def q_quality_report(t: Frames) -> DataFrame:
         )
     ).alias("r")
     return m.select(report).select("r.rule", "r.metric", "r.passed")
+
+
+# --- Spark 4 VARIANT type over semi-structured props ------------------------
+@_register(
+    "q_events_variant",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_decile,
+           COUNT(*) AS n,
+           {_r4s('AVG(value)')} AS avg_value,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_variant(t: Frames) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` materializes the binary variant once, ``variant_get``
+    does typed path extraction without string re-parsing — the
+    engine-native upgrade over ``get_json_object`` (q_events_json keeps
+    the classic path for parity). At 100 TB the variant encode beats
+    repeated JSON string parsing when several paths are read per row.
+    Oracle: DuckDB's native JSON extraction over the same docs."""
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        t["events"]
+        .select(k.alias("k"), "value")
+        .groupBy((F.col("k") / F.lit(10)).cast("int").alias("k_decile"))
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.avg("value")).alias("avg_value"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
