@@ -357,6 +357,24 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_interval_join_outer"] = _stream_interval_join_outer
+
+    def _stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            inspect_dedup_state,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="state_inspect_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return inspect_dedup_state(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_state_inspect"] = _stream_state_inspect
     q["streaming_enrichment"] = _stream_enrich
     return _driver_order(q)
 

@@ -266,3 +266,31 @@ def clicks_before_purchase_stream_outer(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def inspect_dedup_state(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    key: str = "trans_num",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the exactly-once dedup stream, then read its STATE STORE
+    back through Spark 4's `statestore` data source — the streaming
+    observability surface: what keys is the operator currently
+    holding, and when does each expire? (Ops teams use exactly this
+    to diagnose state growth / watermark stalls without touching the
+    job.) Returns one row per live state key with its expiry.
+
+    Scale: the reader scans the checkpoint's state files directly —
+    state is O(keys within the watermark horizon) by construction
+    (dropDuplicatesWithinWatermark), so the inspection is bounded by
+    the horizon, never by stream history."""
+    dedup_stream(spark, source_path, out_path, checkpoint_dir, key=key, watermark=watermark)
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    return st.select(
+        F.col(f"key.{key}").alias(key),
+        F.timestamp_micros(F.col("value.expiresAtMicros")).alias("expires_at"),
+        F.col("partition_id"),
+    )

@@ -203,3 +203,39 @@ def test_stream_stream_outer_join_emits_null_for_unmatched(spark, tmp_path):
     assert by_purchase[3][0]["click_ts"] is not None
     assert by_purchase[3][0]["no_prior_click"] is False
     # the final-watermark purchase (id 5) may be withheld -> no assert
+
+
+def test_state_store_reader_shows_watermark_bounded_state(spark, tmp_path):
+    """The statestore reader exposes exactly the dedup operator's live
+    keys: a subset of source keys, each expiring within the watermark
+    horizon of the stream's max event time — evidence the state is
+    horizon-bounded, not history-bounded."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        inspect_dedup_state,
+    )
+
+    src = str(tmp_path / "src")
+    tx = transactions_df(spark, SF_SMALL)
+    tx.write.mode("overwrite").parquet(src)
+
+    state = inspect_dedup_state(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).collect()
+    assert state, "dedup stream must hold some within-horizon state"
+    all_keys = {r["trans_num"] for r in tx.select("trans_num").collect()}
+    max_ts = tx.agg(F.max("trans_timestamp")).collect()[0][0]
+    horizon = dt.timedelta(hours=2)
+    for r in state:
+        assert r["trans_num"] in all_keys
+        # expiry = event_time + watermark; live state means expiry is
+        # after (max event time - watermark) ⇒ within one horizon span
+        assert r["expires_at"] >= max_ts - horizon
+        assert r["expires_at"] <= max_ts + horizon
+    # the state is the horizon TAIL, not the whole history
+    assert len(state) < len(all_keys)
