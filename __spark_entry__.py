@@ -47,9 +47,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: empty-cluster fix: embedding_kmeans; JPEG fill-byte fix:
 #: multimodal_features); (c) round-4-green refreshes filling the
 #: remaining slots so that after r6 no entry's last driver row is older
-#: than r4; (d) the five new round-6 curation operators (boilerplate
-#: strip, repetition stats, PII scrub, mix weights, epoch shuffle) —
-#: new ops always get driver rows the round they land.
+#: than r4; (d) the round-6 operators (curation five, retrieval/PQ,
+#: hybrid RRF, SemDeDup, SCD2, TPC-H Q15/Q17/Q22/Q3/Q7/Q18, gap-fill,
+#: ExactSubstr pair, DSIR, BPE trainer, shuffle-hash demo) — new ops
+#: always get driver rows the round they land. The (c) refreshes were
+#: fully bumped to r7 once (d) outgrew the cap; every bumped entry is
+#: r4+/r5-green and listed in the r7 note below.
 _DRIVER_FRONT = [
     # (a) last green r3 — the full stale set
     "q_repeat_engagers",
