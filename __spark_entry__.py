@@ -378,6 +378,25 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_state_inspect"] = _stream_state_inspect
+
+    def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources import pydatasource
+        from real_time_fraud_detection_lakehouse_spark.streaming.bronze import (
+            parse_cdc,
+            write_cdc_fixture,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cdc_pyds_")
+        fixture = os.path.join(tmp, "cdc")
+        write_cdc_fixture(spark, sf_dir, fixture)
+        pydatasource.register(spark)
+        raw = spark.read.format("cdc_replay").option("path", fixture).load()
+        return parse_cdc(raw).drop("ingestion_time")
+
+    q["cdc_python_source"] = _cdc_python_source
     q["streaming_enrichment"] = _stream_enrich
     return _driver_order(q)
 

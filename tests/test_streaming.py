@@ -85,3 +85,29 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     assert out.count() == 500
     assert out.select("trans_num").distinct().count() == 500
+
+
+def test_python_datasource_cdc_replay_matches_json_source(spark, tmp_path):
+    """The cdc_replay Python data source replays the fixture dir with
+    one partition per file, and parse_cdc over it produces exactly the
+    rows the built-in json source produces — the swap-the-source
+    property, demonstrated on a custom connector."""
+    from real_time_fraud_detection_lakehouse_spark.sources import pydatasource
+    from real_time_fraud_detection_lakehouse_spark.streaming.bronze import (
+        parse_cdc,
+        write_cdc_fixture,
+    )
+
+    fixture = str(tmp_path / "cdc")
+    n = write_cdc_fixture(spark, SF_SMALL, fixture)
+    pydatasource.register(spark)
+
+    raw = spark.read.format("cdc_replay").option("path", fixture).load()
+    assert raw.rdd.getNumPartitions() == 4  # one per fixture file
+    via_custom = parse_cdc(raw).drop("ingestion_time")
+    via_json = parse_cdc(
+        spark.read.text(fixture).withColumnRenamed("value", "value")
+    ).drop("ingestion_time")
+    a = {tuple(r) for r in via_custom.collect()}
+    b = {tuple(r) for r in via_json.collect()}
+    assert len(a) == n and a == b
