@@ -76,3 +76,92 @@ class CDCReplaySource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the connector on a session."""
     spark.dataSource.register(CDCReplaySource)
+
+
+# --- write side: webhook-log sink with a driver-side commit manifest --------
+try:  # DataSourceWriter/WriterCommitMessage live in the same module
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+except ImportError:  # pragma: no cover - older pyspark
+    DataSourceWriter = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class WebhookLogWriter(DataSourceWriter):
+    """Task side: each partition appends its rows as JSON lines to a
+    private part file (task-attempt isolated — a retried task writes a
+    NEW uuid file and only the committed attempt's path reaches the
+    manifest). Driver side: ``commit`` writes `_MANIFEST.json` listing
+    exactly the committed part files + row counts — readers that
+    honor the manifest never see orphan files from failed attempts
+    (the same two-phase contract as the snapshot store's rename
+    protocol, expressed through the connector API)."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("webhook_log requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.dir, exist_ok=True)
+        path = _os.path.join(self.dir, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "parts": [
+                {"path": _os.path.basename(m.path), "rows": m.rows}
+                for m in messages
+            ],
+            "total_rows": sum(m.rows for m in messages),
+        }
+        tmp = _os.path.join(self.dir, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(self.dir, "_MANIFEST.json"))
+
+    def abort(self, messages):  # pragma: no cover - exercised on task failure
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class WebhookLogSink(DataSource):
+    """``df.write.format("webhook_log").mode("append")
+    .option("path", dir).save()`` —
+    the reference's webhook alert delivery re-expressed as a custom
+    Python data source WRITER (no HTTP endpoint in this env; the
+    jsonl + manifest layout is the webhook provider's dead-letter/
+    replay log shape)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webhook_log"
+
+    def writer(self, schema, overwrite: bool):
+        return WebhookLogWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(WebhookLogSink)

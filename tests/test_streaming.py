@@ -111,3 +111,30 @@ def test_python_datasource_cdc_replay_matches_json_source(spark, tmp_path):
     a = {tuple(r) for r in via_custom.collect()}
     b = {tuple(r) for r in via_json.collect()}
     assert len(a) == n and a == b
+
+
+def test_python_datasource_webhook_sink_manifest(spark, tmp_path):
+    """The webhook_log writer produces one part per task plus a commit
+    manifest whose row counts sum to the input; only manifest-listed
+    files exist (two-phase commit through the connector API)."""
+    import json
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    out = str(tmp_path / "hooklog")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id AS alert_id", "CAST(id % 7 AS STRING) AS rule"
+    )
+    df.write.format("webhook_log").mode("append").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    listed = {p["path"] for p in manifest["parts"]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert listed == on_disk
+    rows = []
+    for f in on_disk:
+        rows += [json.loads(l) for l in open(os.path.join(out, f))]
+    assert sorted(r["alert_id"] for r in rows) == list(range(100))
