@@ -26,7 +26,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
@@ -71,6 +76,58 @@ class CDCReplaySource(DataSource):
 
     def reader(self, schema):
         return CDCReplayReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return CDCReplayStreamReader(self.options)
+
+
+class CDCReplayStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector: the offset is the number
+    of files fully consumed, each micro-batch replays exactly one file
+    (a log segment), and ``readBetweenOffsets`` makes replay-on-restart
+    deterministic — the three-method contract (initialOffset / read /
+    readBetweenOffsets) that gives a custom source exactly-once
+    semantics under Spark's offset-log + idempotent-sink protocol."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("cdc_replay requires option 'path' (fixture dir)")
+
+    def _files(self):
+        return sorted(f for f in os.listdir(self.dir) if f.endswith(".json"))
+
+    def initialOffset(self):
+        return {"files_done": 0}
+
+    def _read_file(self, fname: str) -> list:
+        # NB: returns a LIST — the simple-reader protocol prefetches
+        # batches on the driver and pickles them into the offset cache,
+        # and generators don't pickle
+        rows = []
+        with open(os.path.join(self.dir, fname), "r") as fh:
+            for line_no, line in enumerate(fh):
+                line = line.rstrip("\n")
+                if line:
+                    rows.append((line, fname, line_no))
+        return rows
+
+    def read(self, start):
+        files = self._files()
+        i = start["files_done"]
+        if i >= len(files):
+            return iter([]), start
+        # iter(list) — the protocol wants an iterator AND pickles it
+        # into the prefetch cache; list_iterators pickle, generators
+        # don't
+        return iter(self._read_file(files[i])), {"files_done": i + 1}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        rows = []
+        for i in range(start["files_done"], end["files_done"]):
+            rows.extend(self._read_file(files[i]))
+        return iter(rows)
 
 
 def register(spark) -> None:

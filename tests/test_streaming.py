@@ -138,3 +138,51 @@ def test_python_datasource_webhook_sink_manifest(spark, tmp_path):
     for f in on_disk:
         rows += [json.loads(l) for l in open(os.path.join(out, f))]
     assert sorted(r["alert_id"] for r in rows) == list(range(100))
+
+
+def test_python_datasource_streaming_replay_file_per_batch(spark, tmp_path):
+    """The cdc_replay STREAMING face replays one fixture file per
+    micro-batch; the streamed union equals the batch read, and the
+    progress history shows multiple batches (offset advancement)."""
+    import time
+
+    from real_time_fraud_detection_lakehouse_spark.sources import pydatasource
+    from real_time_fraud_detection_lakehouse_spark.streaming.bronze import (
+        write_cdc_fixture,
+    )
+
+    fixture = str(tmp_path / "cdc")
+    write_cdc_fixture(spark, SF_SMALL, fixture)
+    pydatasource.register(spark)
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("cdc_replay")
+        .option("path", fixture)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    expected = spark.read.format("cdc_replay").option("path", fixture).load()
+    n_expected = expected.count()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n_expected:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_expected
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in expected.collect()}
+    assert a == b
+    files_seen = got.select("source_file").distinct().count()
+    assert files_seen == 4  # all four fixture files replayed
