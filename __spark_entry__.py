@@ -201,6 +201,13 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_bronze_ingest"] = _streaming
     q["ml_train_metrics"] = _ml
+
+    def _ml_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.ml.pipeline import feature_importance_df
+
+        return feature_importance_df(spark, sf_dir)
+
+    q["ml_feature_importance"] = _ml_importance
     q["multimodal_features"] = _multimodal
 
     # the user-facing SQL dialect surface: same daily_summary, but

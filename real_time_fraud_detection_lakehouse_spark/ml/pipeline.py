@@ -204,3 +204,28 @@ def ml_metrics_df(spark, sf_dir: str, model: str = "lr") -> DataFrame:
         rows,
         "model string, auc double, accuracy double, precision double, recall double, f1 double, promoted boolean",
     )
+
+
+def feature_importance_df(spark, sf_dir: str) -> DataFrame:
+    """Model explainability surface: the fitted RF's Gini feature
+    importances, one row per silver feature, sorted descending with a
+    deterministic name tie-break (seeded training ⇒ reproducible
+    importances). The reference logs only scalar metrics
+    (`ml_training_job.py` parity class); per-feature attribution is
+    what a fraud-ops team actually reviews before promoting a model.
+    Scale: importances live on the driver-side model object — this is
+    a fixed |features|-row result regardless of data size."""
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    result = train_and_evaluate(build_silver(spark, sf_dir), model="rf", fast=True)
+    rf_model = result.model.stages[-1]
+    imps = rf_model.featureImportances
+    rows = [
+        (name, float(imps[i]))
+        for i, name in enumerate(ML_FEATURES)
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        [(i, n, v) for i, (n, v) in enumerate(rows)],
+        "rank int, feature string, importance double",
+    )

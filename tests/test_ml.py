@@ -276,3 +276,24 @@ def test_mp4_encode_decode_roundtrip():
     assert decode_mp4_mvhd(b"\x00\x00\x00\x04free") is None
     with _pytest.raises(NotImplementedError):
         decode_stub(b"not an mp4 container", "video")
+
+
+def test_feature_importance_deterministic_and_complete(spark):
+    """RF feature importances: one row per silver feature, importances
+    sum to ~1, ranks ordered, and the seeded pipeline reproduces the
+    same ranking on a second run."""
+    from real_time_fraud_detection_lakehouse_spark.ml.pipeline import (
+        ML_FEATURES,
+        feature_importance_df,
+    )
+
+    a = feature_importance_df(spark, SF_SMALL).collect()
+    assert len(a) == len(ML_FEATURES)
+    assert {r["feature"] for r in a} == set(ML_FEATURES)
+    total = sum(r["importance"] for r in a)
+    assert abs(total - 1.0) < 1e-6 or total == 0.0
+    assert [r["rank"] for r in a] == sorted(r["rank"] for r in a)
+    b = feature_importance_df(spark, SF_SMALL).collect()
+    assert [(r["feature"], round(r["importance"], 10)) for r in a] == [
+        (r["feature"], round(r["importance"], 10)) for r in b
+    ]
