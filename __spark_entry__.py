@@ -208,6 +208,13 @@ def queries() -> dict[str, QueryFn]:
         return feature_importance_df(spark, sf_dir)
 
     q["ml_feature_importance"] = _ml_importance
+
+    def _ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.ml.pipeline import cv_grid_df
+
+        return cv_grid_df(spark, sf_dir)
+
+    q["ml_cv_grid"] = _ml_cv
     q["multimodal_features"] = _multimodal
 
     # the user-facing SQL dialect surface: same daily_summary, but

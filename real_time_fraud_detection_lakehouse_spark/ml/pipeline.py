@@ -229,3 +229,58 @@ def feature_importance_df(spark, sf_dir: str) -> DataFrame:
         [(i, n, v) for i, (n, v) in enumerate(rows)],
         "rank int, feature string, importance double",
     )
+
+
+def cv_grid_df(spark, sf_dir: str) -> DataFrame:
+    """Model-tuning surface: a seeded 2-fold CrossValidator over a
+    small LR regularization grid, returning per-candidate average AUC
+    and the selected winner — the CrossValidator/ParamGrid API the
+    reference's sklearn GridSearch twin would use, Spark-native.
+    Scale: CV cost is folds × grid sequential fits over the rebalanced
+    (small) training set; `parallelism=4` fits candidates concurrently
+    — at cluster scale each fit is itself distributed, so the knob
+    trades cluster occupancy against wall time."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    data = impute_median(
+        build_silver(spark, sf_dir).select("is_fraud", *ML_FEATURES)
+    )
+    data = rebalance(data).cache()
+    pipe = build_pipeline("lr", fast=True)
+    lr = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 1.0])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="is_fraud", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=2,
+        parallelism=4,
+        seed=SEED,
+    )
+    fitted = cv.fit(data)
+    _strip_training_summaries(fitted.bestModel)
+    best = max(range(len(grid)), key=lambda i: fitted.avgMetrics[i])
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            float(pm[lr.elasticNetParam]),
+            float(fitted.avgMetrics[i]),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    data.unpersist()
+    return spark.createDataFrame(
+        rows, "reg_param double, elastic_net double, avg_auc double, is_best boolean"
+    )

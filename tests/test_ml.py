@@ -297,3 +297,17 @@ def test_feature_importance_deterministic_and_complete(spark):
     assert [(r["feature"], round(r["importance"], 10)) for r in a] == [
         (r["feature"], round(r["importance"], 10)) for r in b
     ]
+
+
+def test_cv_grid_selects_exactly_one_winner(spark):
+    """CrossValidator over the LR grid: one row per candidate, exactly
+    one winner, winner has the max average AUC, AUCs in (0, 1]."""
+    from real_time_fraud_detection_lakehouse_spark.ml.pipeline import cv_grid_df
+
+    rows = cv_grid_df(spark, SF_SMALL).collect()
+    assert len(rows) == 4  # 2 regParam x 2 elasticNet
+    winners = [r for r in rows if r["is_best"]]
+    assert len(winners) == 1
+    assert winners[0]["avg_auc"] == max(r["avg_auc"] for r in rows)
+    for r in rows:
+        assert 0.0 < r["avg_auc"] <= 1.0
