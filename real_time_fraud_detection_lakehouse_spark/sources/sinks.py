@@ -328,11 +328,28 @@ def register_table(
         df.createOrReplaceTempView(name)
 
 
+#: JDBC driver on Spark's own classpath (ships for the Hive
+#: metastore) — lets the sink round-trip against an embedded DB with
+#: no external service.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
-    """S6: JDBC sink (producer.py bulk-insert analog). No database is
-    available in this environment — thin passthrough, exercised only
-    when a JDBC URL exists."""
+    """S6: JDBC sink (producer.py bulk-insert analog). Exercised
+    end-to-end against embedded Derby (DERBY_DRIVER, already on
+    Spark's classpath) in tests/test_sinks_incremental.py —
+    overwrite, append, and read-back round-trip. Scale: Spark's JDBC
+    writer inserts per-partition with batched statements; size
+    ``numPartitions``/``batchsize`` to the target DB's ingest
+    capacity (the usual JDBC-sink bottleneck is the DB, not Spark)."""
     df.write.mode(mode).options(**options).jdbc(url, table)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC read-back twin of :func:`write_jdbc`; at scale pass
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    for a parallel range-partitioned read instead of one connection."""
+    return spark.read.options(**options).jdbc(url, table)
 
 
 def post_webhook(payload: dict, url: str, transport: Callable[[str, bytes], int] | None = None) -> int:

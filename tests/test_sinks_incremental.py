@@ -567,3 +567,29 @@ def test_scd2_apply_all_merge_paths(spark):
     hist2 = scd2_apply(current, updates, "k", ["seg", "bal"], "2001-01-01 00:00:00")
     assert hist2.filter(~F.col("is_current")).count() == 0
     assert hist2.count() == current.count()
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """S6 JDBC sink end-to-end against embedded Derby (driver ships on
+    Spark's classpath): overwrite, append, and a read-back that
+    matches the union — no external DB service required."""
+    from real_time_fraud_detection_lakehouse_spark.sources.sinks import (
+        DERBY_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/alertdb;create=true"
+    first = spark.range(0, 10).selectExpr(
+        "id AS alert_id", "CAST(id % 3 AS DOUBLE) AS score"
+    )
+    second = spark.range(10, 15).selectExpr(
+        "id AS alert_id", "CAST(id % 3 AS DOUBLE) AS score"
+    )
+    write_jdbc(first, url, "alerts", mode="overwrite", driver=DERBY_DRIVER)
+    write_jdbc(second, url, "alerts", mode="append", driver=DERBY_DRIVER)
+    back = read_jdbc(spark, url, "alerts", driver=DERBY_DRIVER)
+    assert back.count() == 15
+    got = {(r["ALERT_ID"], r["SCORE"]) if "ALERT_ID" in r.asDict() else (r["alert_id"], r["score"]) for r in back.collect()}
+    want = {(i, float(i % 3)) for i in range(15)}
+    assert got == want
