@@ -168,3 +168,21 @@ def test_df_to_markdown_truncates_and_plans_limit(spark):
     assert "_Showing first 5 rows._" in md
     # small results are not annotated
     assert "_Showing" not in df_to_markdown(df.limit(3), max_rows=5)
+
+
+def test_spread_small_input_guard_semantics(spark):
+    """spread_small_input: repartitions a below-parallelism input up
+    to defaultParallelism, leaves an already-wide input untouched
+    (same plan object), and never changes row content."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        spread_small_input,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 100).coalesce(1)
+    spreaded = spread_small_input(narrow)
+    assert spreaded.rdd.getNumPartitions() == p
+    assert sorted(r["id"] for r in spreaded.collect()) == list(range(100))
+
+    wide = spark.range(0, 100, 1, p)
+    assert spread_small_input(wide) is wide  # no-op path returns input
