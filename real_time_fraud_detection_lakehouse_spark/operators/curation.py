@@ -525,3 +525,56 @@ def docs_dsir_weights(t: Frames) -> DataFrame:
             (logw > 0).alias("target_like"),
         )
     )
+
+
+# --- classifier-based data selection (GPT-3 §2.2 / CCNet style) -------------
+def docs_classifier_scores(t: Frames) -> DataFrame:
+    """The third published data-selection family, after heuristic
+    filters (text_quality) and importance weights (docs_dsir_weights):
+    a LEARNED classifier scoring every raw document's similarity to
+    the target slice (GPT-3 trained LR over tf-idf against WebText;
+    CCNet a fastText model against Wikipedia). Here: seeded Spark-ML
+    logistic regression over cheap per-doc shape features, target =
+    the 'en'-labeled slice, output = per-doc target probability.
+
+    Scale design: feature extraction is pure column math (one scan);
+    training data is the whole corpus but the feature vector is tiny
+    and LR is a few distributed gradient passes; scoring broadcasts
+    the fitted model's coefficient vector — one more scan. No
+    all-pairs, no UDFs in the scan path."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    toks = _tokens_col()
+    n = F.size(toks)
+    feats = spread_small_input(t["documents"]).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        n.cast("double").alias("f_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("f_diversity"),
+        (F.length("text").cast("double") / n).alias("f_avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.length(x) <= 3)).cast("double") / n
+        ).alias("f_short_ratio"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["f_tokens", "f_diversity", "f_avg_token_len", "f_short_ratio"],
+        outputCol="features",
+    ).transform(feats.fillna(0.0))
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    model = lr.fit(assembled)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(assembled)
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        "doc_id",
+        dround(p1, 4).alias("p_target"),
+        (p1 > 0.5).alias("predicted_target"),
+        F.col("label").cast("int").alias("actual_target"),
+    )
+
+
+CURATION_OPS["docs_classifier_scores"] = (docs_classifier_scores, None)

@@ -981,3 +981,32 @@ def test_bpe_merges_classic_corpus(spark):
     segs = {r["word"]: r["s"] for r in df.collect()}
     assert segs["lowest"] == ["low", "est</w>"]
     assert segs["low"] == ["low</w>"]
+
+
+def test_classifier_scores_separate_planted_classes(spark):
+    """docs_classifier_scores on shape-separable planted data: long
+    diverse 'en' docs vs short repetitive non-'en' docs must score
+    p_target high/low respectively with full training accuracy (the
+    synthetic corpus itself is not shape-separable — the machinery is
+    what this pins)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_classifier_scores,
+    )
+
+    long_diverse = " ".join(f"w{i}" for i in range(80))
+    short_rep = "spam spam spam spam spam"
+    rows = []
+    for i in range(10):
+        rows.append((i, long_diverse, "en", "s", 1))
+        rows.append((100 + i, short_rep, "fr", "s", 1))
+    frames = {
+        "documents": spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    got = {r["doc_id"]: r for r in docs_classifier_scores(frames).collect()}
+    assert len(got) == 20
+    for i in range(10):
+        assert got[i]["predicted_target"] and got[i]["p_target"] > 0.9
+        assert not got[100 + i]["predicted_target"] and got[100 + i]["p_target"] < 0.1
