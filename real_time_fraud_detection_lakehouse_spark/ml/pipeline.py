@@ -245,6 +245,15 @@ def cv_grid_df(spark, sf_dir: str) -> DataFrame:
 
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
 
+    # CV's internal fold models carry training summaries that
+    # _strip_training_summaries cannot reach mid-fit, and a summary
+    # holds its session — whose ObservationManager, once ANY
+    # DataFrame.observe has initialized it, is not serializable
+    # (the Spark 4.1 bug documented at _strip_training_summaries).
+    # Fit in a FRESH session sharing the SparkContext: its session
+    # state has no initialized ObservationManager, so the fold
+    # closures serialize regardless of what observe() ran before.
+    spark = spark.newSession()
     data = impute_median(
         build_silver(spark, sf_dir).select("is_fraud", *ML_FEATURES)
     )
