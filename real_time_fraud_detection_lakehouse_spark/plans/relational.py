@@ -1974,7 +1974,11 @@ def q_large_volume_customers(t: Frames) -> DataFrame:
     f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
-           {_r4s('SUM(l.l_extendedprice)')} AS gross
+           -- 2-decimal round: this sum reaches ~6e9 per group at
+           -- sf0.1 (only 5 groups), where double summation-order
+           -- noise (~1e-4) exceeds a 4-decimal quantum — caught by
+           -- the sf0.1 full-surface validation
+           {dround_sql('SUM(l.l_extendedprice)', 2)} AS gross
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -1994,7 +1998,7 @@ def q_shuffled_hash_join(t: Frames) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        _r4(F.sum("l_extendedprice")).alias("gross"),
+        dround(F.sum("l_extendedprice"), 2).alias("gross"),
     )
 
 
