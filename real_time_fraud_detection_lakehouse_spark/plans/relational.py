@@ -56,9 +56,14 @@ def _r4s(expr):
       l_returnflag,
       l_linestatus,
       {_r4s('SUM(l_quantity)')} AS sum_qty,
-      {_r4s('SUM(l_extendedprice)')} AS sum_base_price,
-      {_r4s('SUM(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
-      {_r4s('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+      -- price sums reach ~1e9 per group (6 groups over all lineitem)
+      -- at sf0.1: double summation-order noise sits within ~3x of a
+      -- 4-decimal quantum, so round the big money sums at 2 decimals
+      -- (the TPC-H print convention) — same drift class the sf0.1
+      -- sweep caught on q_shuffled_hash_join
+      {dround_sql('SUM(l_extendedprice)', 2)} AS sum_base_price,
+      {dround_sql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+      {dround_sql('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
       {_r4s('AVG(l_quantity)')} AS avg_qty,
       {_r4s('AVG(l_extendedprice)')} AS avg_price,
       {_r4s('AVG(l_discount)')} AS avg_disc,
@@ -74,9 +79,9 @@ def q_pricing_summary(t: Frames) -> DataFrame:
     disc = F.col("l_discount")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         _r4(F.sum("l_quantity")).alias("sum_qty"),
-        _r4(F.sum(price)).alias("sum_base_price"),
-        _r4(F.sum(price * (1 - disc))).alias("sum_disc_price"),
-        _r4(F.sum(price * (1 - disc) * (1 + F.col("l_tax")))).alias("sum_charge"),
+        dround(F.sum(price), 2).alias("sum_base_price"),
+        dround(F.sum(price * (1 - disc)), 2).alias("sum_disc_price"),
+        dround(F.sum(price * (1 - disc) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         _r4(F.avg("l_quantity")).alias("avg_qty"),
         _r4(F.avg(price)).alias("avg_price"),
         _r4(F.avg(disc)).alias("avg_disc"),
