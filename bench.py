@@ -93,6 +93,7 @@ DIRECT = [
     "q_ewma_daily_value",
     "q_quality_report",
     "q_events_variant",
+    "text_bpe_tokenize",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

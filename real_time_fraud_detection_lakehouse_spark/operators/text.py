@@ -770,9 +770,12 @@ def bpe_train(
 def bpe_apply(merges: list[tuple[str, str]], word_col):
     """Apply an ordered merge list to a character-seed symbol array —
     the encode side of the trainer, as one nested column expression
-    (merge count is small and fixed, so expression depth is bounded)."""
+    (merge count is small and fixed, so expression depth is bounded).
+    ``word_col`` may be a column name or a Column (e.g. a higher-order
+    lambda variable — see text_bpe_tokenize)."""
+    col = F.col(word_col) if isinstance(word_col, str) else word_col
     syms = F.concat(
-        F.expr(f"filter(split({word_col}, ''), x -> x <> '')"),
+        F.filter(F.split(col, ""), lambda x: x != ""),
         F.array(F.lit(BPE_EOW)),
     )
 
@@ -800,3 +803,39 @@ def bpe_apply(merges: list[tuple[str, str]], word_col):
 @_register("text_bpe_merges", None)
 def text_bpe_merges(t: Frames) -> DataFrame:
     return bpe_train(t["documents"])
+
+
+@_register("text_bpe_tokenize", None)
+def text_bpe_tokenize(t: Frames) -> DataFrame:
+    """Trainer → encoder composed at corpus scale: learn BPE_MERGES
+    rules from the corpus word-count table, then segment EVERY
+    document with them — per doc, whitespace word count, BPE token
+    count, and the tokens-per-word expansion ratio a data pipeline
+    budgets sequence lengths with.
+
+    Scale design: the learned rules render into ONE nested column
+    expression (bounded depth = merge count), applied inside a
+    higher-order transform over each doc's token array — whole-stage
+    codegen, no Python, no shuffle beyond the trainer's own passes;
+    encoding cost is a corpus scan."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        spread_small_input,
+    )
+
+    docs = t["documents"]
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs).collect()  # BPE_MERGES rows — bounded
+    ]
+    toks = _tokens_col()
+    per_word = F.transform(toks, lambda w: F.size(bpe_apply(merges, w)))
+    n_bpe = F.aggregate(per_word, F.lit(0), lambda a, b: a + b)
+    n_words = F.size(toks)
+    return spread_small_input(docs).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        dround(n_bpe.cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "bpe_per_word"
+        ),
+    )

@@ -1010,3 +1010,21 @@ def test_classifier_scores_separate_planted_classes(spark):
     for i in range(10):
         assert got[i]["predicted_target"] and got[i]["p_target"] > 0.9
         assert not got[100 + i]["predicted_target"] and got[100 + i]["p_target"] < 0.1
+
+
+def test_bpe_tokenize_counts_on_classic_corpus(spark):
+    """Corpus-wide BPE tokenization with rules learned from the same
+    corpus: after 10 merges every training word is a single token
+    ('low</w>', 'newest</w>') except the partially-merged stragglers
+    ('lower' -> low+e+r+</w> = 4, 'widest' -> w+i+dest</w> = 3)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        text_bpe_tokenize,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    got = text_bpe_tokenize(_docs(spark, [text])).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_words"] == 16
+    # 5*1 (low</w>) + 2*4 (l,o,w? no: low,e,r,</w>) + 6*1 + 3*3
+    assert r["n_bpe_tokens"] == 5 * 1 + 2 * 4 + 6 * 1 + 3 * 3
