@@ -87,7 +87,9 @@ BOILER_MIN_DOCS = 2
     FROM marked GROUP BY doc_id
     """,
 )
-def docs_strip_boilerplate(t: Frames) -> DataFrame:
+def docs_strip_boilerplate(
+    t: Frames, join_threshold: int = 4096
+) -> DataFrame:
     """C4-style boilerplate removal: split each document's token
     stream into consecutive BOILER_SEG-token segments; any segment
     text that appears in >= BOILER_MIN_DOCS distinct documents is
@@ -108,6 +110,15 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
     single-row-group guard, not part of the algorithm — a no-op on
     real multi-split inputs.)
     """
+    # ADAPTIVE STRIP STRATEGY (measured at the 100x replica): the
+    # in-row array filter is O(|fset|) PER SEGMENT — at 142k
+    # boilerplate segments that is ~1e11 string compares and the
+    # operator effectively hangs. Above ``join_threshold`` distinct
+    # boilerplate segments, switch to the explode -> broadcast
+    # anti-join -> ordered reassembly path: two corpus-keyed
+    # shuffles, but linear. Below it, the in-row filter wins (no
+    # corpus shuffle at all). Same output either way — the planted
+    # test asserts path equivalence.
     docs = spread_small_input(t["documents"]).select("doc_id", _tokens_col().alias("toks"))
     segd = docs.select(
         "doc_id",
@@ -122,7 +133,7 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
     # checkpoint the segment projection once instead of re-tokenizing
     # the corpus on each side (same lever as the hashed-gram tables)
     segd = segd.localCheckpoint(eager=False)
-    fset = (
+    fset_rel = (
         segd.select("doc_id", F.explode("segs").alias("seg"))
         # only FULL segments can be boilerplate: the aligned tail of a
         # short doc is a sub-segment that would collide spuriously
@@ -131,7 +142,36 @@ def docs_strip_boilerplate(t: Frames) -> DataFrame:
         .groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
-        .agg(F.sort_array(F.collect_set("seg")).alias("fset"))
+        .select("seg")
+        .localCheckpoint(eager=False)  # feeds the count AND the chosen path
+    )
+    if fset_rel.count() > join_threshold:
+        ex = segd.select("doc_id", F.posexplode("segs").alias("idx", "seg"))
+        kept = ex.join(F.broadcast(fset_rel), "seg", "left_anti")
+        agg = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        return (
+            segd.select("doc_id", F.size("segs").alias("n_segments"))
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.col("n_segments").cast("int").alias("n_segments"),
+                (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+                .cast("int")
+                .alias("n_removed"),
+            )
+        )
+    fset = (
+        fset_rel.agg(F.sort_array(F.collect_set("seg")).alias("fset"))
         .select(F.coalesce("fset", F.array().cast("array<string>")).alias("fset"))
     )
     return (

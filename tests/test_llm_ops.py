@@ -1028,3 +1028,24 @@ def test_bpe_tokenize_counts_on_classic_corpus(spark):
     assert r["n_words"] == 16
     # 5*1 (low</w>) + 2*4 (l,o,w? no: low,e,r,</w>) + 6*1 + 3*3
     assert r["n_bpe_tokens"] == 5 * 1 + 2 * 4 + 6 * 1 + 3 * 3
+
+
+def test_strip_boilerplate_join_path_equals_filter_path(spark):
+    """The large-fset anti-join strategy (forced via join_threshold=0)
+    produces byte-identical output to the in-row filter strategy on
+    the planted banner corpus — adaptive plan choice, one semantics."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_strip_boilerplate,
+    )
+
+    banner = "all rights reserved by the example site inc"
+    rows = [
+        banner + " unique alpha beta gamma delta eps zeta eta",
+        banner + " other content words here for doc two xx",
+        banner + " third body text goes here in doc three",
+        "completely clean document with its own words tail tail",
+    ]
+    frames = _docs(spark, rows)
+    a = sorted(map(tuple, docs_strip_boilerplate(frames).collect()))
+    b = sorted(map(tuple, docs_strip_boilerplate(frames, join_threshold=0).collect()))
+    assert a == b
