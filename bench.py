@@ -94,6 +94,7 @@ DIRECT = [
     "q_quality_report",
     "q_events_variant",
     "text_bpe_tokenize",
+    "text_char_entropy",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to

@@ -839,3 +839,60 @@ def text_bpe_tokenize(t: Frames) -> DataFrame:
             "bpe_per_word"
         ),
     )
+
+
+# --- character-entropy quality signal (gibberish / encoding junk) -----------
+@_register(
+    "text_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, c.ch
+      FROM documents, UNNEST(list_filter(string_split(text, ''), x -> x <> '')) AS c(ch)
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(n) AS total, COUNT(*) AS distinct_chars FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars,
+           CAST(t.distinct_chars AS INTEGER) AS distinct_chars,
+           {dround_sql('-SUM((CAST(c.n AS DOUBLE) / t.total) * log2(CAST(c.n AS DOUBLE) / t.total))', 4)}
+             AS entropy_bits
+    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.total, t.distinct_chars
+    """,
+)
+def text_char_entropy(t: Frames) -> DataFrame:
+    """Shannon entropy of each document's character distribution —
+    the cheap gibberish/encoding-junk detector (mojibake and binary
+    spill show extreme entropy; single-char spam shows ~0; natural
+    text sits ~4±1 bits). Scale: char explode is corpus-linear with
+    map-side partial counts; per-doc totals and the entropy sum are
+    doc-keyed aggs. Oracled (log2 + r4 rounding both engines)."""
+    chars = (
+        spread_small_input(t["documents"])
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split(F.col("text"), ""), lambda x: x != "")).alias(
+                "ch"
+            ),
+        )
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("distinct_chars")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "total", "distinct_chars")
+        .agg(dround(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars"),
+            F.col("distinct_chars").cast("int").alias("distinct_chars"),
+            "entropy_bits",
+        )
+    )

@@ -1049,3 +1049,25 @@ def test_strip_boilerplate_join_path_equals_filter_path(spark):
     a = sorted(map(tuple, docs_strip_boilerplate(frames).collect()))
     b = sorted(map(tuple, docs_strip_boilerplate(frames, join_threshold=0).collect()))
     assert a == b
+
+
+def test_char_entropy_ordering(spark):
+    """Entropy orders as theory says: single-char spam ~0 bits, a
+    uniform 4-char doc = exactly 2 bits, natural-ish text in between
+    and higher."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        text_char_entropy,
+    )
+
+    rows = [
+        "aaaa aaaa aaaa",  # 1 distinct non-space char + space
+        "abcd" * 8,  # uniform over 4 chars -> exactly 2 bits
+        "the quick brown fox jumps over the lazy dog",  # pangram-ish
+    ]
+    got = {r["doc_id"]: r for r in text_char_entropy(_docs(spark, rows)).collect()}
+    # doc 0: two symbols (a, space), heavily skewed -> low but nonzero
+    assert got[0]["entropy_bits"] < 1.0
+    assert got[1]["entropy_bits"] == 2.0
+    assert got[1]["distinct_chars"] == 4
+    assert got[2]["entropy_bits"] > 3.5
+    assert got[0]["entropy_bits"] < got[2]["entropy_bits"]
