@@ -597,15 +597,30 @@ def semdedup(
     )
 
 
+#: mean cluster size the blocking k targets — the measured-optimal
+#: fan-out at sf0.1 (5000 vecs / k=16 ≈ 312; see PLANS.md k sweep)
+SEMDEDUP_TARGET_CLUSTER = 312
+
+
 @_register("dedup_semantic", None)
 def dedup_semantic(t: Frames) -> DataFrame:
     """Per-cluster SemDeDup profile: how many vectors each k-means
     cluster holds and how many survive within-cluster cosine pruning.
     Rows-only for the driver (k-means is iterative); the removal rule,
     planted-replica recall, and agreement with the brute-force
-    within-cluster rule are asserted in tests/test_llm_ops.py."""
+    within-cluster rule are asserted in tests/test_llm_ops.py.
+
+    The blocking k AUTO-SCALES with corpus size to hold the mean
+    cluster (= per-key join fan-out) at SEMDEDUP_TARGET_CLUSTER: a
+    fixed k makes the within-cluster pair join quadratic in corpus
+    growth — n²/k pairs — which at a 100× corpus is the same
+    silent-blowup class the boilerplate 100× probe caught. One cheap
+    count() picks k; at the driver's scales (≤5000 vecs) k stays
+    SEMDEDUP_K so every test/measurement remains comparable."""
     emb = t["embeddings"].select("vec_id", _vec_double("embedding").alias("v"))
-    marked = semdedup(emb)
+    n = emb.count()
+    k = max(SEMDEDUP_K, n // SEMDEDUP_TARGET_CLUSTER)
+    marked = semdedup(emb, k=k)
     return (
         marked.groupBy("cluster_id")
         .agg(
