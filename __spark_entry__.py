@@ -37,90 +37,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ``queries()`` in insertion order — CORRECTNESS_r02.json is exactly
 #: entries 0..49 of round 2's ordering. To get every registered operator a
 #: driver-verified row across rounds, each round fronts the entries whose
-#: last driver row is OLDEST (union of rounds covers the full set; as of
-#: round 5 it does, with zero failures ever). Round 6 fronts, in priority
-#: order: (a) the 22 entries whose last driver green is round 3 — the
-#: whole dedup/similarity/text tail plus the three relational queries
-#: bumped from the r5 cap; (b) entries whose implementation changed in
-#: round 6 and must re-verify (shingled pair generation: dedup_ngram_
-#: jaccard/dedup_clusters/dedup_clusters_lsh/docs_dedup_apply; kmeans
-#: empty-cluster fix: embedding_kmeans; JPEG fill-byte fix:
-#: multimodal_features); (c) round-4-green refreshes filling the
-#: remaining slots so that after r6 no entry's last driver row is older
-#: than r4; (d) the round-6 operators (curation five, retrieval/PQ,
-#: hybrid RRF, SemDeDup, SCD2, TPC-H Q15/Q17/Q22/Q3/Q7/Q18, gap-fill,
-#: ExactSubstr pair, DSIR, BPE trainer, shuffle-hash demo) — new ops
-#: always get driver rows the round they land. The (c) refreshes were
-#: fully bumped to r7 once (d) outgrew the cap; every bumped entry is
-#: r4+/r5-green and listed in the r7 note below.
+#: last driver row is OLDEST (union of r2–r6 covers 142 of 153 entries,
+#: zero failures ever). Round 7 fronts, in priority order: (a) the 11
+#: entries that have NEVER had a driver row (4 oracled + 7 rows-only,
+#: landed past the r6 cap); (b) operators NEW in round 7 — new ops always
+#: get driver rows the round they land; (c) entries whose implementation
+#: changed in round 7 and must re-verify (batched BPE trainer:
+#: text_bpe_merges; semdedup profiling pass: dedup_semantic); (d) as many
+#: of the 47 r4-green refreshes as fit under the cap (the verdict's
+#: 23-name list first, then dashboards). The r4 remainder + the 45
+#: r5-green entries rotate in r8 (listed in the tail note).
 _DRIVER_FRONT = [
-    # (a) last green r3 — the full stale set
-    "q_repeat_engagers",
-    "q_clickers_not_purchasers",
-    "q_unpivot_lineitem_stats",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "text_corpus_stats",
-    "corpus_sample_hash",
-    "docs_clean_pipeline",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_candidates",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "similarity_brp_lsh",
-    "embedding_norms",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_ivf",
-    # (b) implementation changed in round 6 — re-verify
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "docs_dedup_apply",
-    "embedding_kmeans",
-    "multimodal_features",
-    # (c) r4-green refreshes: fully bumped to r7 — the round's new
-    # operators (d) filled the remaining slots
-    # (d) NEW round-6 operators — first driver rows
-    "docs_strip_boilerplate",
-    "docs_repetition_stats",
-    "docs_pii_scrub",
-    "docs_mix_weights",
-    "docs_epoch_shuffle",
-    "docs_bm25_search",
-    "embedding_pca_project",
-    "similarity_pq_topk",
-    "docs_hybrid_rrf",
-    "dedup_semantic",
-    "q_scd2_customer_history",
-    "q_top_supplier_revenue",
-    "q_small_qty_revenue",
-    "q_sales_opportunity",
-    "q_events_gapfill_ffill",
-    "docs_dup_spans",
-    "docs_exact_substr_dedup",
-    "q_shipping_priority",
-    "q_nation_trade_volume",
-    "q_large_volume_customers",
-    "docs_dsir_weights",
+    # (a) never driver-checked — oracled first
+    "q_ewma_daily_value",
+    "q_quality_report",
+    "q_events_variant",
+    "text_char_entropy",
+    "text_bpe_tokenize",
+    "docs_classifier_scores",
+    "ml_feature_importance",
+    "ml_cv_grid",
+    "streaming_interval_join_outer",
+    "streaming_state_inspect",
+    "cdc_python_source",
+    # (b) NEW round-7 operators — first driver rows (names registered
+    # as they land; _driver_order skips names not yet in queries())
+    "q_suppliers_kept_waiting",  # TPC-H Q21 shape
+    "docs_curate_pipeline",  # composed end-to-end curation capstone
+    # (c) implementation changed in round 7 — re-verify
     "text_bpe_merges",
-    "q_shuffled_hash_join",
-    # past the 50 cap from here — FRONT OF THE r7 ROTATION:
-    # q_ewma_daily_value + q_quality_report + q_events_variant +
-    # streaming_interval_join_outer (new r6 ops that missed the cap),
-    # then the bumped (c) entries (q_pricing_summary,
-    # q_top_customers, q_regional_revenue, q_order_priority, text_chunks,
-    # docs_stratified_sample, docs_per_source_cap, streaming_interval_join,
-    # merchant_analysis, time_period_analysis, rule_predictions,
-    # dash_model_accuracy, confusion_matrix, class_distribution,
-    # fraud_patterns, category_summary, amount_summary, daily_summary,
-    # hourly_summary, state_summary, gold_dim_location, gold_dim_time,
-    # gold_dim_merchant — all
-    # r4/r5-green) + the remaining r4 dashboards rotate in r7
+    "dedup_semantic",
+    # (d) r4-green refreshes (oldest-first; fills to the 50 cap)
+    "q_pricing_summary",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_order_priority",
+    "text_chunks",
+    "docs_stratified_sample",
+    "docs_per_source_cap",
+    "streaming_interval_join",
+    "merchant_analysis",
+    "time_period_analysis",
+    "rule_predictions",
+    "dash_model_accuracy",
+    "confusion_matrix",
+    "class_distribution",
+    "fraud_patterns",
+    "category_summary",
+    "amount_summary",
+    "daily_summary",
+    "hourly_summary",
+    "state_summary",
+    "gold_dim_location",
+    "gold_dim_time",
+    "gold_dim_merchant",
+    "dash_age_group",
+    "dash_amount_range",
+    "dash_category",
+    "dash_distance_range",
+    "dash_fraud_rate",
+    "dash_high_risk",
+    "dash_high_value",
+    "dash_hourly_fraud",
+    "dash_late_night",
+    "dash_monthly_trend",
+    "dash_overview",
+    "dash_risky_merchants",
+    # past the 50 cap from here — FRONT OF THE r8 ROTATION: the r4
+    # remainder (dash_multi_factor, dash_score_distribution,
+    # dash_severity, dash_state_top20, dash_weekend, ml_train_metrics,
+    # q_psi_price_drift, q_range_join_clicks, q_union_rebalance,
+    # q_user_velocity, sql_describe_fact, sql_show_tables), then the 45
+    # r5-green entries (silver_features, transactions_source,
+    # gold_fact_transactions, gold_dim_customer, sql_daily_summary,
+    # streaming_* family, q_asof/q_cube/q_grouping/windows family,
+    # text_tfidf_topk, text_top_ngrams, docs_decontaminate,
+    # docs_pack_sequences, embedding_label_centroids, latest_metrics).
 ]
 
 
