@@ -683,10 +683,107 @@ def docs_decontaminate(t: Frames) -> DataFrame:
 BPE_MERGES = 10
 #: end-of-word marker, kept distinct from any corpus character
 BPE_EOW = "</w>"
+#: per-round cap on accepted merges — bounds the chained-fold expression
+#: depth of the one-projection batch application
+BPE_BATCH = 16
+#: candidate pair rows collected per round (bounded driver collect; the
+#: batch accept scans these in sorted order)
+BPE_CANDIDATES = 96
+
+#: observability for tests / bench notes: rounds (Spark job cycles) and
+#: merges of the most recent bpe_train call
+bpe_train_stats: dict[str, int] = {"rounds": 0, "merges": 0}
+
+
+def _fold_merge(inner, left: str, right: str):
+    """One merge rule applied to a symbol array as an ``aggregate``
+    fold: join adjacent (left, right) left-to-right non-overlapping —
+    exactly the sequential BPE application rule."""
+    merged = left + right
+    return F.aggregate(
+        inner,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _accept_batch(
+    cand: list, want: int, vocab: set[str], mode: str
+) -> list[tuple[str, str, int]]:
+    """Choose this round's merge batch from the sorted candidate rows.
+
+    ``exact`` accepts the maximal symbol-disjoint PREFIX of the sorted
+    list (stop at the first pair sharing a symbol — or a merged token —
+    with an earlier acceptance), then truncates with two guards that
+    make the batch provably identical to one-at-a-time Sennrich:
+
+    - pairs after the first keep only counts STRICTLY above the first
+      conflicting pair's count (or the last collected row's count if no
+      conflict is in the window). Any pair a merge newly creates is
+      bounded by the count of some pair that conflicts with that merge
+      — e.g. count(x, ab) <= count(x, a) — and every conflicting pair
+      sits at-or-below that cutoff (a higher one would have ended the
+      prefix earlier), so nothing recomputation could surface can
+      outrank or tie an accepted pair.
+    - the batch closes after a merge whose token string collides with
+      an EXISTING vocab symbol: post-merge, pairs over that symbol gain
+      occurrences, so later stale counts could under-rank them.
+
+    ``fast`` skips conflicting candidates and keeps scanning (the
+    standard parallel-trainer trick): a round's merges are mutually
+    disjoint so they commute, but the global rule order can deviate
+    from strict Sennrich exactly where pairs conflict, and rule counts
+    are the counts at the round's start. ~batch× fewer rounds — the
+    mode for realistic (32k) vocabularies.
+    """
+    out: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    if mode == "exact":
+        prefix: list[tuple[str, str, int]] = []
+        c_cutoff = int(cand[-1]["cnt"])
+        for row in cand:
+            l, r = row["l"], row["r"]
+            if l in used or r in used or (l + r) in used:
+                c_cutoff = int(row["cnt"])
+                break
+            prefix.append((l, r, int(row["cnt"])))
+            used.update((l, r, l + r))
+        for j, (l, r, cnt) in enumerate(prefix):
+            if len(out) >= want:
+                break
+            if j > 0 and cnt <= c_cutoff:
+                break
+            out.append((l, r, cnt))
+            if (l + r) in vocab:
+                break
+    elif mode == "fast":
+        for row in cand:
+            if len(out) >= want:
+                break
+            l, r = row["l"], row["r"]
+            if l in used or r in used or (l + r) in used:
+                continue
+            out.append((l, r, int(row["cnt"])))
+            used.update((l, r, l + r))
+            if (l + r) in vocab:
+                # collision inflates later counts post-merge; close the
+                # batch and let the next round recount
+                break
+    else:
+        raise ValueError(f"unknown bpe_train mode {mode!r}")
+    return out
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    batch: int = BPE_BATCH,
+    mode: str = "exact",
 ) -> DataFrame:
     """Learn BPE merge rules over the corpus — the tokenizer-training
     stage of an LLM data pipeline, in its distributed formulation:
@@ -694,19 +791,23 @@ def bpe_train(
     too), so per-iteration cost is O(distinct words × word length),
     bounded by Heaps' law, not corpus size.
 
-    Per iteration: adjacent-symbol pair counts weighted by word
-    frequency (explode → keyed sum with map-side partials), the
-    argmax pair (deterministic tie-break: count desc, then pair asc)
-    comes back as ONE driver row — the same bounded-collect class as
-    the HWM scalar and k-means centroids — and the merge applies to
-    every word via an `aggregate` fold that joins adjacent (a, b)
-    left-to-right non-overlapping, exactly the sequential BPE rule.
-    The word table is checkpointed per round (O(1) lineage, the
-    kmeans/CC idiom).
+    Rounds are BATCHED: each round runs ONE pair-count job (explode →
+    keyed sum with map-side partials, deterministic tie-break: count
+    desc then pair asc), collects the top BPE_CANDIDATES rows (bounded
+    — the same collect class as the HWM scalar and k-means centroids),
+    accepts up to ``batch`` merges per ``_accept_batch`` (``exact`` is
+    provably identical to one-at-a-time Sennrich; ``fast`` trades
+    strict rule order where pairs conflict for ~batch× fewer rounds),
+    and applies them in one chained-fold projection. The word table is
+    checkpointed per ROUND, not per merge (O(1) lineage, the kmeans/CC
+    idiom) — so a 32k-vocab fast-mode train is ~32k/batch Spark jobs,
+    not 32k.
 
     Returns the merge table: (rank, left, right, merged, pair_count).
     Rows-only for the driver (iterative); semantics proven on the
-    classic low/lower/newest corpus in tests/test_llm_ops.py.
+    classic low/lower/newest corpus in tests/test_llm_ops.py and
+    merge-for-merge vs a pure-Python reference in tests/
+    test_properties.py.
     """
     toks = _tokens_col()
     words = (
@@ -723,8 +824,14 @@ def bpe_train(
         )
         .localCheckpoint(eager=False)
     )
-    merges = []
-    for rank in range(n_merges):
+    # starting vocabulary (distinct single characters + EOW): one
+    # alphabet-sized collect, needed for the merged-token collision guard
+    vocab = {
+        r["s"] for r in words.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -735,32 +842,27 @@ def bpe_train(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        top = (
+        cand = (
             words.select(F.explode(pairs).alias("p"), "wc")
             .groupBy("p.l", "p.r")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(BPE_CANDIDATES)
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merged = left + right
-        merges.append((rank, left, right, merged, cnt))
-        fold = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == left)
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        rounds += 1
+        accepted = _accept_batch(
+            cand, min(batch, n_merges - len(merges)), vocab, mode
         )
-        words = words.select(fold.alias("syms"), "wc").localCheckpoint(eager=False)
+        col = F.col("syms")
+        for left, right, cnt in accepted:
+            merges.append((len(merges), left, right, left + right, cnt))
+            vocab.add(left + right)
+            col = _fold_merge(col, left, right)
+        words = words.select(col.alias("syms"), "wc").localCheckpoint(eager=False)
+    bpe_train_stats.update(rounds=rounds, merges=len(merges))
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
@@ -779,24 +881,11 @@ def bpe_apply(merges: list[tuple[str, str]], word_col):
         F.array(F.lit(BPE_EOW)),
     )
 
-    # closure FACTORY, not default args: a default arg would change the
-    # lambda's arity and PySpark binds lambda params positionally (the
-    # minhash_signatures seed bug class)
-    def _merge_step(inner, left: str, right: str):
-        merged = left + right
-        return F.aggregate(
-            inner,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == left)
-                & (x == F.lit(right)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-
+    # _fold_merge is a closure FACTORY, not default args: a default arg
+    # would change the lambda's arity and PySpark binds lambda params
+    # positionally (the minhash_signatures seed bug class)
     for left, right in merges:
-        syms = _merge_step(syms, left, right)
+        syms = _fold_merge(syms, left, right)
     return syms
 
 

@@ -983,6 +983,81 @@ def test_bpe_merges_classic_corpus(spark):
     assert segs["low"] == ["low</w>"]
 
 
+def test_bpe_exact_batching_fewer_rounds_same_rules(spark):
+    """The batched trainer must be round-EFFICIENT without changing
+    output: on the classic corpus the 10 exact merges take well under
+    10 rounds (one pair-count job per round, not per merge), and
+    batch=1 (strict sequential) produces the identical merge table."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        bpe_train,
+        bpe_train_stats,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, [text])["documents"]
+    batched = [tuple(r) for r in bpe_train(docs).collect()]
+    assert bpe_train_stats["merges"] == 10
+    # tie-dense tiny corpus: the strict-count cutoff guard rejects most
+    # batch-mates (a tie with the conflict cutoff is unsafe), so exact
+    # mode saves little here — 9 rounds vs 10. Real Zipf-distinct
+    # corpora batch much better; fast mode is the scale path either way.
+    assert bpe_train_stats["rounds"] <= 9
+    sequential = [tuple(r) for r in bpe_train(docs, batch=1).collect()]
+    assert bpe_train_stats["rounds"] == 10
+    assert batched == sequential
+
+
+def test_bpe_fast_mode_one_round_across_disjoint_words(spark):
+    """fast mode's contract: within a round it accepts mutually
+    symbol-DISJOINT pairs in count order, skipping conflicts — so four
+    words over disjoint alphabets yield one merge per word in a SINGLE
+    round (exact mode, by contrast, stops at each word's own EOW-pair
+    count tie and needs a round per merge)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        bpe_train,
+        bpe_train_stats,
+    )
+
+    text = " ".join(["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7 + ["gh"] * 6)
+    docs = _docs(spark, [text])["documents"]
+    fast = bpe_train(docs, n_merges=4, mode="fast").collect()
+    assert [(r["left"], r["right"], r["pair_count"]) for r in fast] == [
+        ("a", "b", 9),
+        ("c", "d", 8),
+        ("e", "f", 7),
+        ("g", "h", 6),
+    ]
+    assert bpe_train_stats["rounds"] == 1  # all four disjoint → one round
+    # exact mode on the same corpus: (b,</w>) ties (a,b) at 9, so the
+    # strict prefix is one pair; merge 2 is the newly created (ab,</w>)
+    exact = bpe_train(docs, n_merges=2).collect()
+    assert [(r["left"], r["right"]) for r in exact] == [("a", "b"), ("ab", "</w>")]
+    assert bpe_train_stats["rounds"] == 2
+
+
+def test_bpe_fast_mode_round_bound_on_classic_corpus(spark):
+    """fast mode on the conflict-heavy classic corpus: 10 merges in at
+    most ceil-ish rounds well below sequential, every rule's count
+    matches the round-start pair table (spot-checked: the first round
+    accepts (e,s) then skips its conflicts and takes the disjoint
+    (l,o) with its true pre-round count 7)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        bpe_train,
+        bpe_train_stats,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, [text])["documents"]
+    rows = bpe_train(docs, mode="fast").collect()
+    assert len(rows) == 10
+    assert bpe_train_stats["rounds"] < 7  # strictly better than exact's 7
+    first_two = [(r["left"], r["right"], r["pair_count"]) for r in rows[:2]]
+    assert first_two[0] == ("e", "s", 9)
+    # (s,t), (t,</w>) conflict with (e,s)? only s does; (t,</w>) is
+    # disjoint of {e,s,es} and is accepted second at its round-start count
+    assert first_two[1] == ("t", "</w>", 9)
+
+
 def test_classifier_scores_separate_planted_classes(spark):
     """docs_classifier_scores on shape-separable planted data: long
     diverse 'en' docs vs short repetitive non-'en' docs must score
