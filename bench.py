@@ -260,14 +260,21 @@ def main() -> None:
         tx.write.mode("overwrite").parquet(sdir)
         tx.write.mode("append").parquet(sdir)  # at-least-once replay
         n_dedup_in = spark.read.parquet(sdir).count()
-        t0 = time.time()
-        dedup_stream(
-            spark,
-            sdir,
-            os.path.join(warehouse, "dedup_out"),
-            os.path.join(warehouse, "dedup_ckpt"),
-        )
-        timings["streaming_dedup"] = round(time.time() - t0, 3)
+        # min-of-2 like every other timed query (fresh checkpoint/out
+        # per sample — a reused checkpoint would no-op the second run).
+        # r6 recorded a phantom +21% "regression" here from a cold
+        # single sample in a worn session; isolated min-of-2 = 2.43 s.
+        dedup_samples = []
+        for i in range(2):
+            t0 = time.time()
+            dedup_stream(
+                spark,
+                sdir,
+                os.path.join(warehouse, f"dedup_out{i}"),
+                os.path.join(warehouse, f"dedup_ckpt{i}"),
+            )
+            dedup_samples.append(time.time() - t0)
+        timings["streaming_dedup"] = round(min(dedup_samples), 3)
 
         # --- phase 4b: streaming THROUGHPUT (rows/s). The reference's
         # one streaming anchor is 200-500 tx per 10 s micro-batch
