@@ -618,3 +618,169 @@ def docs_classifier_scores(t: Frames) -> DataFrame:
 
 
 CURATION_OPS["docs_classifier_scores"] = (docs_classifier_scores, None)
+
+
+# --- composed end-to-end curation (the actual pre-training data path) -------
+# capstone integration of the separately-registered passes: exact-dedup
+# keeper election ∧ quality gate ∧ language gate ∧ benchmark
+# decontamination ∧ PII scrub — one registered entry whose SURVIVING-DOC
+# SET is DuckDB-oracled, so the composition (not just each pass) is
+# driver-checked. The classifier-scored variant below adds the learned
+# GPT-3-style selection gate on top (rows-only: Spark-ML LR).
+from real_time_fraud_detection_lakehouse_spark.operators.text import (  # noqa: E402
+    _GRAMS5,
+    _QUALITY_SQL,
+    DECON_EVAL_SOURCE,
+    DECON_GRAM,
+    EN_STOPWORDS,
+    _EN_SET,
+)
+
+
+@_register(
+    "docs_curate_pipeline",
+    f"""
+    WITH keepers AS (
+      SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_GRAMS5}) AS gram FROM documents
+      WHERE source = '{DECON_EVAL_SOURCE}' AND len({_TOKENS}) >= {DECON_GRAM}
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest({_GRAMS5}) AS gram FROM documents
+            WHERE source <> '{DECON_EVAL_SOURCE}' AND len({_TOKENS}) >= {DECON_GRAM}) t
+      JOIN eval_grams e ON t.gram = e.gram
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+             {dround_sql(_QUALITY_SQL)} AS quality_score,
+             len(list_filter({_TOKENS}, x -> list_contains({_EN_SET}, x))) AS en_hits,
+             CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{PII_IPV4}'))
+                + len(regexp_extract_all(text, '{PII_PHONE}')) AS INTEGER) AS n_pii,
+             md5(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g')) AS clean_fp
+      FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_tokens, s.quality_score, s.n_pii, s.clean_fp
+    FROM scored s
+    JOIN keepers k ON s.doc_id = k.keeper
+    WHERE s.quality_score >= 0.5
+      AND s.en_hits > 0
+      AND s.source <> '{DECON_EVAL_SOURCE}'
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def docs_curate_pipeline(t: Frames) -> DataFrame:
+    """End-to-end curation: exact-dedup keeper election (min doc_id
+    per lowercase-trimmed md5 fingerprint) ∧ quality_score ≥ 0.5 ∧ ≥1
+    English marker token ∧ not the eval source ∧ shares NO
+    {DECON_GRAM}-gram with the eval source, with the surviving text
+    PII-scrubbed (fingerprint + scrub-count columns prove the rewrite
+    ran). The surviving-doc set is the pipeline's contract and is
+    DuckDB-oracled end to end.
+
+    Scale design — the composition inherits each pass's plan: all
+    scoring/scrubbing is scan-side column math; keeper election is one
+    fingerprint-keyed partial agg; decontamination broadcasts the tiny
+    eval gram set (never shuffles the corpus); the keeper and
+    not-contaminated gates are one equi-join plus one broadcast
+    anti-join. Two corpus scans total (score/scrub + gram explode), no
+    UDFs, no all-pairs anywhere."""
+    docs = spread_small_input(t["documents"])
+    toks = _tokens_col()
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
+    quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
+    en = F.lit(list(EN_STOPWORDS))
+    en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    n_pii = (
+        F.regexp_count("text", F.lit(PII_EMAIL))
+        + F.regexp_count("text", F.lit(PII_IPV4))
+        + F.regexp_count("text", F.lit(PII_PHONE))
+    ).cast("int")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        quality.alias("quality_score"),
+        en_hits.alias("en_hits"),
+        n_pii.alias("n_pii"),
+        F.md5(scrubbed).alias("clean_fp"),
+    )
+    keepers = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    ).agg(F.min("doc_id").alias("keeper"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DECON_GRAM - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " "),
+        )
+    )
+    long_enough = F.size(toks) >= DECON_GRAM
+    eval_grams = (
+        docs.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        docs.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        scored.join(keepers, scored["doc_id"] == keepers["keeper"])
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("en_hits") > 0)
+            & (F.col("source") != DECON_EVAL_SOURCE)
+        )
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens", "quality_score", "n_pii", "clean_fp")
+    )
+
+
+def docs_curate_pipeline_scored(t: Frames) -> DataFrame:
+    """The oracled survivor set with the LEARNED selection gate wired
+    on top (the verdict-asked integration of docs_classifier_scores
+    into the composed path): each surviving doc carries its classifier
+    target probability and the final keep decision p_target > 0.5 —
+    the full GPT-3-style curate-then-select training-data path.
+    Rows-only: the LR fit is iterative Spark-ML (the deterministic
+    survivor set is already driver-oracled above; the classifier
+    machinery is pinned by its planted separable-class test)."""
+    survivors = docs_curate_pipeline(t)
+    scores = docs_classifier_scores(t).select("doc_id", "p_target", "predicted_target")
+    return (
+        survivors.join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality_score",
+            "p_target",
+            (F.col("p_target") > 0.5).alias("selected"),
+        )
+    )
+
+
+CURATION_OPS["docs_curate_pipeline_scored"] = (docs_curate_pipeline_scored, None)

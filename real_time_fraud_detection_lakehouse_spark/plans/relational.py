@@ -2180,3 +2180,91 @@ def q_events_variant(t: Frames) -> DataFrame:
             F.max("k").cast("int").alias("k_max"),
         )
     )
+
+
+# --- TPC-H Q21 shape: correlated EXISTS + NOT EXISTS over the same fact -----
+#: the "nation" scope of the classic query, widened to five synthetic
+#: nations so the result set stays meaningful at small SF
+_Q21_NATIONS = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+_Q21_IN = ", ".join(f"'{n}'" for n in _Q21_NATIONS)
+
+
+@_register(
+    "q_suppliers_kept_waiting",
+    f"""
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.l_returnflag = 'R'
+      AND n.n_name IN ({_Q21_IN})
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q_suppliers_kept_waiting(t: Frames) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"): for
+    finished multi-supplier orders, count per supplier the lines where
+    that supplier was the ONLY one whose line came back flagged
+    (l_returnflag = 'R' stands in for receipt-after-commit — the
+    synthetic lineitem carries no receipt/commit dates). The last
+    classic decorrelation pattern in the relational surface: a
+    correlated EXISTS (another supplier participated in the order)
+    becomes a LEFT SEMI self-join and the correlated NOT EXISTS (no
+    OTHER supplier's line was flagged) a LEFT ANTI self-join, both on
+    the l_orderkey equi-key with the l_suppkey inequality as a join
+    residual.
+
+    Scale design: both self-joins carry the orderkey equi-conjunct, so
+    Spark plans shuffled hash/sort-merge joins co-partitioned on
+    l_orderkey — never a nested-loop (pinned in test_plans_perf). The
+    candidate side is pre-shrunk by the flag + order-status + nation
+    filters before the self-joins; supplier⋈nation broadcasts; the
+    top-100 is TakeOrderedAndProject, no global sort."""
+    li = t["lineitem"]
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nat = t["nation"].filter(F.col("n_name").isin(*_Q21_NATIONS)).select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waited = cand.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

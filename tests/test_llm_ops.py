@@ -1146,3 +1146,63 @@ def test_char_entropy_ordering(spark):
     assert got[1]["distinct_chars"] == 4
     assert got[2]["entropy_bits"] > 3.5
     assert got[0]["entropy_bits"] < got[2]["entropy_bits"]
+
+
+def test_curate_pipeline_planted_gates(spark):
+    """Composed curation on a planted corpus exercises every gate at
+    once: the exact-dup loser, the low-quality doc, the non-English
+    doc, the eval-source doc, and the doc sharing a 5-gram with the
+    eval set are ALL dropped; the clean survivor keeps its PII-scrubbed
+    fingerprint (scrub proven by n_pii and by clean_fp differing from
+    the raw-text md5)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_curate_pipeline,
+    )
+
+    good = " ".join(f"tok{i} the" for i in range(20))  # 40 tokens, diverse, en
+    pii = good + " contact bob@example.com now"
+    eval_doc = "alpha beta gamma delta epsilon " + " ".join(f"e{i} the" for i in range(20))
+    contaminated = "alpha beta gamma delta epsilon " + " ".join(f"c{i} the" for i in range(20))
+    low_quality = "the the the the the the the the the the"  # diversity 0.1, len<20
+    non_en = " ".join(f"wort{i} und" for i in range(20))  # no EN markers
+    rows = [
+        (0, good, "en", "src1", len(good)),
+        (1, good, "en", "src1", len(good)),        # exact dup of 0 → dropped
+        (2, pii, "en", "src1", len(pii)),
+        (3, eval_doc, "en", "src0", len(eval_doc)),  # eval source → dropped
+        (4, contaminated, "en", "src1", len(contaminated)),  # shares 5-gram → dropped
+        (5, low_quality, "en", "src1", len(low_quality)),
+        (6, non_en, "de", "src1", len(non_en)),
+    ]
+    frames = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    got = {r["doc_id"]: r for r in docs_curate_pipeline(frames).collect()}
+    assert set(got) == {0, 2}
+    assert got[2]["n_pii"] == 1
+    import hashlib
+
+    assert got[0]["clean_fp"] == hashlib.md5(good.encode()).hexdigest()  # no PII → identity
+    assert got[2]["clean_fp"] != hashlib.md5(pii.encode()).hexdigest()  # scrub changed text
+    scrubbed = pii.replace("bob@example.com", "<EMAIL>")
+    assert got[2]["clean_fp"] == hashlib.md5(scrubbed.encode()).hexdigest()
+
+
+def test_curate_pipeline_scored_adds_classifier_gate(spark):
+    """The scored variant returns exactly the oracled survivor set with
+    a p_target column in [0,1] and selected == (p_target > 0.5)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_curate_pipeline,
+        docs_curate_pipeline_scored,
+    )
+
+    texts = [" ".join(f"w{i}_{j} the" for j in range(25)) for i in range(8)]
+    frames = _docs(spark, texts)
+    base_ids = {r["doc_id"] for r in docs_curate_pipeline(frames).collect()}
+    scored = docs_curate_pipeline_scored(frames).collect()
+    assert {r["doc_id"] for r in scored} == base_ids
+    for r in scored:
+        assert 0.0 <= r["p_target"] <= 1.0
+        assert r["selected"] == (r["p_target"] > 0.5)

@@ -277,3 +277,18 @@ def test_shuffle_hash_hint_respected(spark):
     plan = _plan(RELATIONAL["q_shuffled_hash_join"][0](frames))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_semi_anti_joins_not_bnlj(spark):
+    """q_suppliers_kept_waiting: the correlated EXISTS decorrelates to
+    a LeftSemi and the NOT EXISTS to a LeftAnti self-join, both keyed
+    on the l_orderkey equi-conjunct (suppkey inequality rides as a
+    residual) — never a nested-loop/cartesian; supplier⋈nation stays
+    broadcast."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_suppliers_kept_waiting"][0](frames))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "supplier/nation broadcast lost"
+    assert "TakeOrderedAndProject" in plan, "top-100 lost its TakeOrdered"
