@@ -470,6 +470,45 @@ def main() -> None:
                 "replica_build_sec": build100,
                 "queries": results100,
             }
+
+            # --- phase 6b: SemDeDup at 100x NEW embeddings (same
+            # perturbed-replica + scaled-k protocol as phase 5b). Added
+            # in r7 after the matmul assignment fix took the op from
+            # 307 s to ~21 s at this scale — the heaviest operator's
+            # scale story belongs in the driver-recorded artifact, not
+            # just builder notes.
+            from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
+                SEMDEDUP_K,
+                SEMDEDUP_TARGET_CLUSTER,
+                _vec_double,
+                semdedup,
+            )
+
+            emb100_dir = os.path.join(warehouse, "replica100_emb")
+            build_replica(
+                spark,
+                SF_DIR,
+                emb100_dir,
+                copies=100,
+                tables=("embeddings",),
+                perturb_embeddings=True,
+            )
+            sem100: dict[str, float] = {}
+            for label, d in (("base", SF_DIR), ("scaled", emb100_dir)):
+                emb = table(spark, d, "embeddings").select(
+                    "vec_id", _vec_double("embedding").alias("v")
+                )
+                n_emb = emb.count()
+                k = max(SEMDEDUP_K, n_emb // SEMDEDUP_TARGET_CLUSTER)
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    semdedup(emb, k=k).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                sem100[label] = round(min(samples), 3)
+                sem100[f"{label}_k"] = k
+            sem100["ratio"] = round(sem100["scaled"] / sem100["base"], 2)
+            scaling_100x["semdedup_100x"] = sem100
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -518,6 +557,7 @@ def main() -> None:
             "scaled_sec": {
                 k: v["scaled"] for k, v in scaling_100x["queries"].items()
             },
+            "semdedup_scaled_sec": scaling_100x.get("semdedup_100x", {}).get("scaled"),
         }
     out["streaming_throughput"] = {
         "bronze_rows_per_sec": streaming_throughput["bronze_rows_per_sec"],
