@@ -2268,3 +2268,114 @@ def q_suppliers_kept_waiting(t: Frames) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+# --- TPC-H Q4 shape: date-windowed EXISTS count by priority ------------------
+_Q4_LO, _Q4_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+
+@_register(
+    "q_priority_order_check",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_priority_order_check(t: Frames) -> DataFrame:
+    """TPC-H Q4 shape ("order priority checking"): orders placed in one
+    quarter having at least one flagged line (l_returnflag = 'R' stands
+    in for receipt-after-commit), counted per priority — the
+    EXISTS-to-LEFT-SEMI decorrelation in its simplest grouped form,
+    complementing Q21's double-correlated variant.
+
+    Scale design: the orders side prunes to one quarter AT THE SCAN
+    (o_orderdate min/max row-group stats), the lineitem side prunes on
+    the flag; the semi-join is the only shuffle and the grouped count
+    collapses map-side (5 priority groups)."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    )
+    flagged = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q2 shape: correlated scalar-MIN subquery --------------------------
+@_register(
+    "q_min_cost_supplier",
+    f"""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             {_r4s('MIN(l_extendedprice / l_quantity)')} AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10
+    ORDER BY c.unit_cost, p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(t: Frames) -> DataFrame:
+    """TPC-H Q2 shape ("minimum cost supplier"): for each small part,
+    the supplier(s) achieving the minimum observed unit price — the
+    correlated scalar-subquery pattern (WHERE cost = (SELECT MIN ...
+    WHERE same part)) decorrelated Spark-side as a MIN window over the
+    partkey partition + equality filter, so the per-part minimum never
+    re-scans (the synthetic schema has no partsupp; per-(part, supplier)
+    unit costs derive from lineitem). Ties at the minimum all survive,
+    exactly like the classic query.
+
+    Scale design: one shuffle on (l_partkey, l_suppkey) for the cost
+    agg; the window min rides the SAME partkey partitioning (no second
+    shuffle — partial-agg then window); part/supplier/nation broadcast;
+    unit costs are rounded BEFORE both MINs so double division noise
+    cannot flip the equality between engines; top-100 is
+    TakeOrderedAndProject."""
+    costs = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_r4(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    small_parts = t["part"].filter(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            "unit_cost",
+        )
+        .orderBy("unit_cost", "p_partkey", "s_name")
+        .limit(100)
+    )

@@ -292,3 +292,29 @@ def test_q21_semi_anti_joins_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "supplier/nation broadcast lost"
     assert "TakeOrderedAndProject" in plan, "top-100 lost its TakeOrdered"
+
+
+def test_q4_semi_join_and_date_pushdown(spark):
+    """q_priority_order_check: EXISTS lands as LeftSemi, the quarter
+    filter reaches the orders scan, no nested-loop."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_priority_order_check"][0](frames))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400], "date filter not pushed"
+
+
+def test_q2_window_rides_agg_partitioning(spark):
+    """q_min_cost_supplier: the per-part MIN window must NOT add a
+    second exchange after the (partkey, suppkey) cost agg — Catalyst
+    reuses the hash partitioning (partkey is a prefix); dims broadcast;
+    top-100 is TakeOrdered."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_min_cost_supplier"][0](frames))
+    assert plan.count("BroadcastHashJoin") >= 3, "part/supplier/nation broadcast lost"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # exchanges: one for the cost agg (hashpartitioning on partkey+suppkey)
+    # and one re-partition for the window ONLY if Catalyst can't reuse —
+    # pin the total shuffle count so a regression is visible
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
