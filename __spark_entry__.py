@@ -67,6 +67,7 @@ _DRIVER_FRONT = [
     "docs_curate_pipeline_scored",  # + classifier selection gate (rows-only)
     "q_priority_order_check",  # TPC-H Q4 shape
     "q_min_cost_supplier",  # TPC-H Q2 shape
+    "docs_unigram_logprob",  # unigram-LM quality scoring (oracled)
     # (c) implementation changed in round 7 — re-verify
     "text_bpe_merges",
     "dedup_semantic",
@@ -102,10 +103,9 @@ _DRIVER_FRONT = [
     "dash_high_risk",
     "dash_high_value",
     "dash_hourly_fraud",
-    "dash_late_night",
     # past the 50 cap from here — FRONT OF THE r8 ROTATION: the r4
-    # remainder (dash_monthly_trend, dash_overview, dash_risky_merchants,
-    # dash_multi_factor, dash_score_distribution,
+    # remainder (dash_late_night, dash_monthly_trend, dash_overview,
+    # dash_risky_merchants, dash_multi_factor, dash_score_distribution,
     # dash_severity, dash_state_top20, dash_weekend, ml_train_metrics,
     # q_psi_price_drift, q_range_join_clicks, q_union_rebalance,
     # q_user_velocity, sql_describe_fact, sql_show_tables), then the 45

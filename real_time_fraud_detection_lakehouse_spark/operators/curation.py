@@ -784,3 +784,78 @@ def docs_curate_pipeline_scored(t: Frames) -> DataFrame:
 
 
 CURATION_OPS["docs_curate_pipeline_scored"] = (docs_curate_pipeline_scored, None)
+
+
+# --- unigram-LM log-probability scoring (CCNet-style perplexity proxy) ------
+#: add-one smoothing mass; vocabulary size enters the denominator
+UNIGRAM_ALPHA = 1.0
+
+
+@_register(
+    "docs_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS word FROM documents
+    ),
+    model AS (
+      SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+    ),
+    totals AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM model
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {dround_sql("AVG(ln((m.c + 1.0) / (tt.n + 1.0 * tt.v)))")} AS avg_logprob,
+           {dround_sql("AVG(ln((m.c + 1.0) / (tt.n + 1.0 * tt.v)))")} >= -6.0 AS lm_keep
+    FROM tok t JOIN model m ON t.word = m.word CROSS JOIN totals tt
+    GROUP BY t.doc_id
+    """,
+)
+def docs_unigram_logprob(t: Frames) -> DataFrame:
+    """Language-model quality scoring, the third published selection
+    family's cheap exact form (CCNet filters on LM perplexity; a
+    unigram model is the largest LM whose training AND scoring stay
+    fully relational, so the whole operator is DuckDB-oracled): train
+    add-one-smoothed unigram probabilities on the corpus itself, score
+    each doc by mean token log-probability — gibberish/rare-token docs
+    score low, stopword-y natural text scores high. Returns
+    (doc_id, n_tokens, avg_logprob, lm_keep) with the keep gate at
+    avg_logprob ≥ −6.0 (≈ perplexity ≤ 400 under e-base logs).
+
+    Scale design (the DSIR shape): ONE corpus explode feeds both the
+    model groupBy (map-side partials, shuffle keyed on word —
+    Heaps-bounded output) and the scoring join; the model broadcasts
+    back onto the exploded corpus, and the per-doc mean collapses
+    map-side because a doc's tokens are partition-local. The corpus
+    shuffles once (doc_id agg); smoothing totals are a broadcast
+    1-row aggregate, never collected."""
+    docs = spread_small_input(t["documents"])
+    tok = docs.select("doc_id", F.explode(_tokens_col()).alias("word")).localCheckpoint(
+        eager=False
+    )
+    model = tok.groupBy("word").agg(F.count("*").alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n"), F.count("*").cast("long").alias("v")
+    )
+    scored = (
+        tok.join(F.broadcast(model), "word")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            dround(
+                F.avg(
+                    F.log(
+                        (F.col("c") + UNIGRAM_ALPHA)
+                        / (F.col("n") + UNIGRAM_ALPHA * F.col("v"))
+                    )
+                )
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= -6.0).alias("lm_keep"),
+    )

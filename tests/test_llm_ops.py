@@ -1206,3 +1206,26 @@ def test_curate_pipeline_scored_adds_classifier_gate(spark):
     for r in scored:
         assert 0.0 <= r["p_target"] <= 1.0
         assert r["selected"] == (r["p_target"] > 0.5)
+
+
+def test_unigram_logprob_orders_natural_above_gibberish(spark):
+    """Unigram LM scoring: a doc made of corpus-common tokens must
+    out-score a doc of corpus-unique tokens (each appearing once), and
+    the smoothed probabilities are a proper distribution (avg_logprob
+    strictly negative). Exact values are oracle-checked; this pins the
+    ORDERING semantics the filter exists for."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_unigram_logprob,
+    )
+
+    common = " ".join(["the", "of", "and", "to"] * 10)  # high-count tokens
+    gibberish = " ".join(f"zzq{i}x" for i in range(40))  # 40 singletons
+    frames = _docs(spark, [common, gibberish, common])
+    got = {r["doc_id"]: r for r in docs_unigram_logprob(frames).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["avg_logprob"] == got[2]["avg_logprob"]  # same text → same score
+    assert got[0]["avg_logprob"] > got[1]["avg_logprob"]
+    for r in got.values():
+        assert r["avg_logprob"] < 0.0
+        assert r["n_tokens"] == 40
+        assert r["lm_keep"] == (r["avg_logprob"] >= -6.0)
