@@ -163,20 +163,36 @@ LSH_BANDS = 8  # 8 bands × 4 rows
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → array<long> of K minhashes over word 3-shingles.
 
-    minhash_i = min over shingles of xxhash64(h(shingle), seed=i),
-    where h hashes each shingle STRING to a 64-bit int exactly once —
-    the K seeded re-hashes then run over 8-byte longs instead of
-    re-walking the string K times (shingle hashing, round 6). Pure
-    column expressions: no UDF, no explode — the per-row transform
-    computes all K mins in one projection.
+    minhash_i = min over shingles of xxhash64(shingle_hash, seed=i).
+    Shingle hashing (round 7): tokens hash to longs ONCE, and a
+    position's 3-shingle hash chains the three token hashes through
+    one xxhash64(l1, l2, l3) — no per-position string slice / join /
+    re-hash. Measured at a 100× corpus the string formulation was
+    13.4 s for this stage alone; the token-hash combine is 1.1 s
+    (identical-string shingles still collide to identical hashes;
+    cross-triple collisions are 2⁻⁶⁴-negligible). The K seeded mins
+    stay pure column expressions: a mapInPandas XXH64 kernel was
+    measured SLOWER here (~7 s vs ~4.7 s — Arrow transfer + per-row
+    ragged-array assembly eats the vectorization win on arrays this
+    small), the reverse of the k-means case where the fold ran per
+    (row × k-table) cell.
     """
     toks = _tokens()
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " ")),
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("th")) - 2, F.lit(1))),
+            # try_element_at: docs under 3 tokens still emit one
+            # degenerate shingle (out-of-range → null, which xxhash64
+            # skips) instead of an ANSI index error
+            lambda i: F.xxhash64(
+                F.try_element_at(F.col("th"), i),
+                F.try_element_at(F.col("th"), i + 1),
+                F.try_element_at(F.col("th"), i + 2),
+            ),
         )
     )
+
     # NB: the seed must be captured via a closure FACTORY. A default
     # arg (``lambda s, seed=i: ...``) makes the lambda two-parameter,
     # and PySpark binds a transform lambda's second parameter to the
@@ -188,8 +204,11 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         )
 
     sig = F.array(*[_seeded_min(i) for i in range(k)])
-    return spread_small_input(docs).select("doc_id", shingles.alias("shingles")).select(
-        "doc_id", sig.alias("signature")
+    return (
+        spread_small_input(docs)
+        .select("doc_id", tok_hashes.alias("th"))
+        .select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", sig.alias("signature"))
     )
 
 
