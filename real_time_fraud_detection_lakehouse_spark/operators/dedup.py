@@ -740,28 +740,39 @@ def _dup_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     - Span assembly shuffles only the HIT rows (duplicated positions)
       on doc_id; gaps-and-islands windows merge overlapping/adjacent
       [pos, pos+w-1] ranges into maximal spans.
-    - Window hash is xxhash64 (8-byte shuffle payload) while the
-      DuckDB oracle hashes the same window strings with md5: the
-      RESULT (dup set → spans) is identical for any hash injective on
-      the observed windows (collision odds ~n²/2⁶⁵ — the shingle-
-      hashing argument at dedup_ngram_jaccard applies verbatim;
-      measured identical span sets at sf0.1). The gram projection is
-      lazily checkpointed so pass 2 reads blocks instead of
-      re-exploding the corpus (measured 4.9 → 2.5 s at sf0.1).
+    - Window hash: tokens hash to longs ONCE, and a position's hash
+      chains its w token hashes through one xxhash64(l1..lw) — the
+      string formulation (array_join over a w-token slice per
+      position) measured 14.9 s at a 100× corpus for the gram stage
+      alone vs 1.9 s for the token-hash chain (round 7; the same
+      fix as minhash shingling). The DuckDB oracle hashes the window
+      STRINGS with md5: the RESULT (dup set → spans) is identical for
+      any hash injective on the observed windows (collision odds
+      ~n²/2⁶⁵ — the shingle-hashing argument at dedup_ngram_jaccard
+      applies verbatim; property-tested span sets unchanged). The gram
+      projection is lazily checkpointed so pass 2 reads blocks instead
+      of re-exploding the corpus (measured 4.9 → 2.5 s at sf0.1).
     """
     toks = _tokens()
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     win = F.when(
-        F.size(toks) >= w,
+        F.size(F.col("th")) >= w,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - w),
+            F.sequence(F.lit(0), F.size(F.col("th")) - w),
+            # i <= size - w, so all w element_at indices are in range
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")).alias("h"),
+                F.xxhash64(
+                    *[F.element_at(F.col("th"), i + j + 1) for j in range(w)]
+                ).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    grams = spread_small_input(docs).select("doc_id", F.explode(win).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    grams = (
+        spread_small_input(docs)
+        .select("doc_id", tok_hashes.alias("th"))
+        .select("doc_id", F.explode(win).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
     grams = grams.localCheckpoint(eager=False)
     dup = (
