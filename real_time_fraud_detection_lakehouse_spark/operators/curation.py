@@ -728,20 +728,31 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
     keepers = docs.groupBy(
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
     ).agg(F.min("doc_id").alias("keeper"))
+    # token-hash gram chains (the docs_decontaminate round-7 fix):
+    # both sides of the semi-join hash identically, and the oracle's
+    # string-gram membership is set-identical by hash injectivity
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (DECON_GRAM - 1)),
-            lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " "),
+            F.sequence(F.lit(1), F.col("n_toks") - (DECON_GRAM - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("th"), i + j) for j in range(DECON_GRAM)]
+            ),
         )
     )
-    long_enough = F.size(toks) >= DECON_GRAM
+    long_enough = F.col("n_toks") >= DECON_GRAM
     eval_grams = (
-        docs.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)
+        hashed.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
     contaminated = (
-        docs.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough)
+        hashed.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough)
         .select("doc_id", F.explode(grams).alias("gram"))
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
