@@ -102,30 +102,44 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
     # range(1, len-1) yields an empty list there, so mirror that with
     # an explicit empty-grams branch.
     #
-    # SHINGLE HASHING (the scale lever): each 3-gram string is hashed
-    # to a 64-bit int BEFORE the bucket self-join, so the shuffle
-    # carries array<bigint> payloads (8 bytes/gram) instead of ~20-40
-    # byte strings, and the within-pair intersection compares longs.
-    # |intersect(h(A), h(B))| == |intersect(A, B)| as long as xxhash64
-    # is injective on the observed grams (collision odds ~n²/2⁶⁵ —
-    # negligible at any corpus size that fits a cluster), so the
-    # string-based DuckDB oracle is unchanged and stays exact.
+    # SHINGLE HASHING (the scale lever): each 3-gram hashes to a
+    # 64-bit int BEFORE the bucket self-join, so the shuffle carries
+    # array<bigint> payloads (8 bytes/gram) instead of ~20-40 byte
+    # strings, and the within-pair intersection compares longs.
+    # Round 7: the gram hash is a chain of per-token hashes (tokens
+    # hash once, one xxhash64(l1,l2,l3) per position) instead of
+    # hashing a freshly-joined string per position — the minhash-
+    # shingle fix; measured 12× on that stage at a 100× corpus.
+    # |intersect(h(A), h(B))| == |intersect(A, B)| as long as the
+    # composite hash is injective on the observed grams (collision
+    # odds ~n²/2⁶⁵ — negligible at any corpus size that fits a
+    # cluster), so the string-based DuckDB oracle is unchanged and
+    # stays exact.
     grams = F.when(
-        F.size(toks) >= 3,
+        F.size(F.col("th")) >= 3,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " ")),
+                F.sequence(F.lit(1), F.size(F.col("th")) - 2),
+                lambda i: F.xxhash64(
+                    F.element_at(F.col("th"), i),
+                    F.element_at(F.col("th"), i + 1),
+                    F.element_at(F.col("th"), i + 2),
+                ),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    docs = spread_small_input(t["documents"]).select(
-        "doc_id",
-        # bucket key: 8-byte hash of the 4-token prefix (join semantics
-        # identical to the oracle's md5 bucket — both encode prefix
-        # equality — but the shuffle key is 4x smaller)
-        F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
-        grams.alias("grams"),
+    docs = (
+        spread_small_input(t["documents"])
+        .select(
+            "doc_id",
+            # bucket key: 8-byte hash of the 4-token prefix (join
+            # semantics identical to the oracle's md5 bucket — both
+            # encode prefix equality — but the shuffle key is 4x
+            # smaller). One per doc: the string join stays.
+            F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+        )
+        .select("doc_id", "bucket", grams.alias("grams"))
     )
     # materialize the gram projection ONCE (lazy checkpoint: blocks
     # land on first action and both sides of the self-join read them).
