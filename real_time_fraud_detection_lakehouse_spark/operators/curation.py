@@ -690,10 +690,14 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
     Scale design — the composition inherits each pass's plan: all
     scoring/scrubbing is scan-side column math; keeper election is one
     fingerprint-keyed partial agg; decontamination broadcasts the tiny
-    eval gram set (never shuffles the corpus); the keeper and
-    not-contaminated gates are one equi-join plus one broadcast
-    anti-join. Two corpus scans total (score/scrub + gram explode), no
-    UDFs, no all-pairs anywhere."""
+    eval gram set for the semi-join (the corpus side never shuffles
+    there); the keeper and not-contaminated gates are one equi-join
+    plus one anti-join. The contaminated-id set is bounded by the
+    CORPUS contamination rate, not the eval size, so its anti-join
+    carries NO broadcast hint — Catalyst/AQE picks broadcast when it
+    fits and falls back to a shuffle join on a heavily contaminated
+    corpus instead of blowing the driver. Two corpus scans total
+    (score/scrub + gram explode), no UDFs, no all-pairs anywhere."""
     docs = spread_small_input(t["documents"])
     toks = _tokens_col()
     n = F.size(toks)
@@ -765,7 +769,7 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
             & (F.col("en_hits") > 0)
             & (F.col("source") != DECON_EVAL_SOURCE)
         )
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "n_tokens", "quality_score", "n_pii", "clean_fp")
     )
 

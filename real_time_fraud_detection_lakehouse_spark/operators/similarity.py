@@ -441,7 +441,16 @@ def _assign_nearest(emb: DataFrame, cent_rows: list) -> DataFrame:
     (clamped at 0 — cancellation can dip an exact-duplicate pair a few
     ulp negative), argmin row-wise. ``cent_rows`` must be sorted by
     cluster_id so argmin's first-occurrence tie rule keeps the
-    lowest-id cluster."""
+    lowest-id cluster on EXACT float ties.
+
+    Numerical caveat: the expansion is not bit-identical to a direct
+    per-pair (x−c)² fold — near-tied centroids (distance gap within a
+    few ulp) can flip assignment versus the fold formulation, and BLAS
+    blocking means a row's sq_dist can depend on the Arrow batch it
+    lands in. Acceptable for this iterative rows-only op; if strict
+    reproducibility across partitionings ever matters, pin
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` and accept the
+    residual near-tie sensitivity."""
     import numpy as np
     import pandas as pd
 

@@ -2350,8 +2350,10 @@ def q_min_cost_supplier(t: Frames) -> DataFrame:
     Scale design: one shuffle on (l_partkey, l_suppkey) for the cost
     agg; the window min rides the SAME partkey partitioning (no second
     shuffle — partial-agg then window); part/supplier/nation broadcast;
-    unit costs are rounded BEFORE both MINs so double division noise
-    cannot flip the equality between engines; top-100 is
+    unit costs are rounded AFTER the inner per-(part, supplier) MIN and
+    before the per-part window MIN / equality compare, so double
+    division noise cannot flip the min-equality between engines (both
+    engines apply the identical rounding at the same point); top-100 is
     TakeOrderedAndProject."""
     costs = (
         t["lineitem"]

@@ -301,6 +301,7 @@ def test_q4_semi_join_and_date_pushdown(spark):
     plan = _plan(RELATIONAL["q_priority_order_check"][0](frames))
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters" in plan, "orders scan lost its PushedFilters marker"
     assert "o_orderdate" in plan.split("PushedFilters")[1][:400], "date filter not pushed"
 
 
