@@ -37,83 +37,86 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ``queries()`` in insertion order — CORRECTNESS_r02.json is exactly
 #: entries 0..49 of round 2's ordering. To get every registered operator a
 #: driver-verified row across rounds, each round fronts the entries whose
-#: last driver row is OLDEST (union of r2–r6 covers 142 of 153 entries,
-#: zero failures ever). Round 7 fronts, in priority order: (a) the 11
-#: entries that have NEVER had a driver row (4 oracled + 7 rows-only,
-#: landed past the r6 cap); (b) operators NEW in round 7 — new ops always
-#: get driver rows the round they land; (c) entries whose implementation
-#: changed in round 7 and must re-verify (batched BPE trainer:
-#: text_bpe_merges; semdedup profiling pass: dedup_semantic); (d) as many
-#: of the 47 r4-green refreshes as fit under the cap (the verdict's
-#: 23-name list first, then dashboards). The r4 remainder + the 45
-#: r5-green entries rotate in r8 (listed in the tail note).
+#: last driver row is OLDEST or whose implementation changed after the
+#: previous front was written (union of r2–r7 covers all 159 entries, zero
+#: failures ever). Round 8 fronts, in priority order: (a) the chained-hash
+#: dedup family — commits 175303e..9b886eb rewrote their gram/shingle/
+#: window hashing AFTER the r7 front was written, so their driver rows are
+#: r6-dated pre-change (the round-7 verdict's Next #1); (b) entries whose
+#: implementation changed in round 8 (decontamination anti-join hint
+#: dropped; unigram model join size-gated); (c) operators NEW in round 8
+#: (_driver_order skips names not yet registered); (d) the 16 entries
+#: whose latest row is r4; (e) the 18 oldest r5-green entries to fill the
+#: cap. The 27 remaining r5 entries rotate in r9 (tail note).
 _DRIVER_FRONT = [
-    # (a) never driver-checked — oracled first
-    "q_ewma_daily_value",
-    "q_quality_report",
-    "q_events_variant",
-    "text_char_entropy",
-    "text_bpe_tokenize",
-    "docs_classifier_scores",
-    "ml_feature_importance",
-    "ml_cv_grid",
-    "streaming_interval_join_outer",
-    "streaming_state_inspect",
-    "cdc_python_source",
-    # (b) NEW round-7 operators — first driver rows (names registered
-    # as they land; _driver_order skips names not yet in queries())
-    "q_suppliers_kept_waiting",  # TPC-H Q21 shape
-    "docs_curate_pipeline",  # composed end-to-end curation capstone
-    "docs_curate_pipeline_scored",  # + classifier selection gate (rows-only)
-    "q_priority_order_check",  # TPC-H Q4 shape
-    "q_min_cost_supplier",  # TPC-H Q2 shape
-    "docs_unigram_logprob",  # unigram-LM quality scoring (oracled)
-    # (c) implementation changed in round 7 — re-verify
-    "text_bpe_merges",
-    "dedup_semantic",
-    # (d) r4-green refreshes (oldest-first; fills to the 50 cap)
-    "q_pricing_summary",
-    "q_top_customers",
-    "q_regional_revenue",
-    "q_order_priority",
-    "text_chunks",
-    "docs_stratified_sample",
-    "docs_per_source_cap",
-    "streaming_interval_join",
-    "merchant_analysis",
-    "time_period_analysis",
-    "rule_predictions",
-    "dash_model_accuracy",
-    "confusion_matrix",
-    "class_distribution",
-    "fraud_patterns",
-    "category_summary",
-    "amount_summary",
-    "daily_summary",
-    "hourly_summary",
-    "state_summary",
-    "gold_dim_location",
-    "gold_dim_time",
-    "gold_dim_merchant",
-    "dash_age_group",
-    "dash_amount_range",
-    "dash_category",
-    "dash_distance_range",
-    "dash_fraud_rate",
-    "dash_high_risk",
-    "dash_high_value",
-    "dash_hourly_fraud",
-    # past the 50 cap from here — FRONT OF THE r8 ROTATION: the r4
-    # remainder (dash_late_night, dash_monthly_trend, dash_overview,
-    # dash_risky_merchants, dash_multi_factor, dash_score_distribution,
-    # dash_severity, dash_state_top20, dash_weekend, ml_train_metrics,
-    # q_psi_price_drift, q_range_join_clicks, q_union_rebalance,
-    # q_user_velocity, sql_describe_fact, sql_show_tables), then the 45
-    # r5-green entries (silver_features, transactions_source,
-    # gold_fact_transactions, gold_dim_customer, sql_daily_summary,
-    # streaming_* family, q_asof/q_cube/q_grouping/windows family,
-    # text_tfidf_topk, text_top_ngrams, docs_decontaminate,
-    # docs_pack_sequences, embedding_label_centroids, latest_metrics).
+    # (a) chained-hash family — impl changed after the r7 front
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "docs_dedup_apply",
+    "docs_dup_spans",
+    "docs_exact_substr_dedup",
+    "docs_decontaminate",
+    # (b) implementation changed in round 8 — re-verify
+    "docs_curate_pipeline",
+    "docs_curate_pipeline_scored",
+    "docs_unigram_logprob",
+    # (c) NEW round-8 operators — first driver rows
+    "q_local_supplier_volume",  # TPC-H Q5 shape
+    "q_market_share",  # TPC-H Q8 shape
+    "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
+    "corpus_to_batches",  # curate→shuffle→pack end-to-end
+    "streaming_curation",  # watermarked filter-at-ingest twin
+    # (d) r4-green refreshes — the last 16 r4-latest entries
+    "dash_overview",
+    "dash_monthly_trend",
+    "dash_state_top20",
+    "dash_risky_merchants",
+    "dash_weekend",
+    "dash_late_night",
+    "dash_severity",
+    "dash_multi_factor",
+    "dash_score_distribution",
+    "q_union_rebalance",
+    "q_user_velocity",
+    "q_range_join_clicks",
+    "q_psi_price_drift",
+    "ml_train_metrics",
+    "sql_show_tables",
+    "sql_describe_fact",
+    # (e) oldest r5-green refreshes (fills to the 50 cap)
+    "transactions_source",
+    "silver_features",
+    "gold_fact_transactions",
+    "gold_dim_customer",
+    "latest_metrics",
+    "q_distinct_pairs",
+    "q_median_quantity",
+    "q_events_json",
+    "q_epoch_roundtrip",
+    "q_customers_without_orders",
+    "q_parts_ordered",
+    "q_selective_revenue",
+    "q_cube_returnflag_status",
+    "q_brand_revenue_share",
+    "q_user_sessions",
+    "q_events_hourly_window",
+    "q_distinct_users",
+    "q_distinct_users_approx",
+    # past the 50 cap from here — FRONT OF THE r9 ROTATION: the 27
+    # remaining r5-green entries (q_quantity_quantiles,
+    # q_supplier_order_volume, q_asof_click_purchase,
+    # q_grouping_sets_priority, q_customer_order_gaps,
+    # q_pivot_status_by_priority, q_order_count_distribution,
+    # q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
+    # q_user_retention_cohorts, q_funnel_conversion,
+    # q_revenue_anomaly_zscore, q_salted_skew_agg, q_weighted_sample,
+    # q_salted_join_parts, text_tfidf_topk, text_top_ngrams,
+    # docs_pack_sequences, embedding_label_centroids,
+    # streaming_bronze_ingest, sql_daily_summary,
+    # streaming_hourly_windows, stateful_velocity, streaming_dedup,
+    # streaming_enrichment), then the r6-green block oldest-first.
 ]
 
 

@@ -99,6 +99,17 @@ DIRECT = [
     "q_events_variant",
     "text_bpe_tokenize",
     "text_char_entropy",
+    # round-7 operators (timed from round 8 onward)
+    "q_suppliers_kept_waiting",
+    "q_priority_order_check",
+    "q_min_cost_supplier",
+    "docs_curate_pipeline",
+    "docs_curate_pipeline_scored",
+    "docs_unigram_logprob",
+    # round-8 operators
+    "q_local_supplier_volume",
+    "q_market_share",
+    "corpus_to_batches",
 ]
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to
@@ -118,7 +129,12 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 #: two-decade datapoint on the composed scale path (documents-only
 #: replica; SPARK_GRAFT_SCALING_100X=0 skips it)
 SCALING_100X = os.environ.get("SPARK_GRAFT_SCALING_100X", "1") != "0"
-SCALING_100X_QUERIES = ["dedup_exact", "dedup_clusters_lsh", "docs_dup_spans"]
+SCALING_100X_QUERIES = [
+    "dedup_exact",
+    "dedup_clusters_lsh",
+    "docs_dup_spans",
+    "docs_curate_pipeline",
+]
 
 #: the ~15 queries carried on the compact final JSON line (the full
 #: per-query dict goes to BENCH_DETAIL.json — see the emit note below)
@@ -137,6 +153,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "docs_bm25_search",
     "docs_decontaminate",
+    "docs_curate_pipeline",
     "streaming_dedup",
 ]
 
@@ -242,6 +259,8 @@ def main() -> None:
         frames = {name: table(spark, SF_DIR, name) for name in TESTDATA_TABLES}
         ops = {**RELATIONAL, **LLM_OPS}
         for name in DIRECT:
+            if name not in ops:
+                continue  # forward-listed op not registered yet
             builder, _ = ops[name]
             timings[name] = _timed(lambda: builder(frames))
 

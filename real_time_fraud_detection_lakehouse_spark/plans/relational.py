@@ -2381,3 +2381,165 @@ def q_min_cost_supplier(t: Frames) -> DataFrame:
         .orderBy("unit_cost", "p_partkey", "s_name")
         .limit(100)
     )
+
+
+# --- TPC-H Q5: local supplier volume (same-nation residual) -----------------
+@_register(
+    "q_local_supplier_volume",
+    f"""
+    SELECT n.n_name AS n_name,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(t: Frames) -> DataFrame:
+    """TPC-H Q5 shape ("local supplier volume",
+    reference/sql parity family): revenue per nation where the
+    CUSTOMER and the LINE's SUPPLIER sit in the same nation of one
+    region — the classic same-nation residual (c_nationkey =
+    s_nationkey) that is NOT a star-schema key equi-join but a
+    cross-dimension equality riding the supplier probe.
+
+    Scale design: the date range is scan-pushed into orders; the only
+    fact-fact shuffle is orders⋈lineitem on orderkey; customer and
+    supplier broadcast (Q7 discipline), and the same-nation residual
+    is part of the supplier broadcast-probe condition so mismatched
+    rows die during the probe, never materializing; nation/region
+    broadcast and the region filter prunes the nation build side to
+    1/5 before the probe. One final (n_name) agg with map-side
+    partials."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    j = (
+        t["lineitem"]
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --- TPC-H Q8: national market share (conditional share ratio) --------------
+MKT_SHARE_NATION = "NATION_2"
+
+
+@_register(
+    "q_market_share",
+    f"""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+    ),
+    shares AS (
+      SELECT o_year,
+             {_r4s("SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)")}
+               AS nation_volume,
+             {_r4s('SUM(volume)')} AS total_volume
+      FROM all_nations
+      GROUP BY o_year
+    )
+    SELECT o_year, nation_volume, total_volume,
+           {_r4s('nation_volume / total_volume')} AS mkt_share
+    FROM shares
+    """,
+)
+def q_market_share(t: Frames) -> DataFrame:
+    """TPC-H Q8 shape ("national market share"): within one region's
+    customers and one part type, the yearly revenue share supplied by
+    one nation — the two-nation-alias pattern (customer nation gates
+    the region, supplier nation feeds the share numerator) plus the
+    conditional-sum-over-sum ratio.
+
+    Determinism: both engines round the two sums to 4 decimals FIRST
+    and divide the rounded values, then round the ratio — double
+    summation-order noise (≪ 1e-4 at these magnitudes) cannot leak
+    into the share. Scale design: part is filtered to one type before
+    its broadcast (probe-side lineitem prune), customer/supplier/
+    nation×2/region all broadcast, orders⋈lineitem is the single
+    fact-fact shuffle, then one (o_year) agg with map-side partials —
+    same exchange count as Q7; the CASE numerator rides the same agg
+    (no second pass)."""
+    econ_parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    am_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(econ_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(am_nations), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shares = j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        _r4(
+            F.sum(F.when(F.col("nation") == MKT_SHARE_NATION, volume).otherwise(F.lit(0.0)))
+        ).alias("nation_volume"),
+        _r4(F.sum(volume)).alias("total_volume"),
+    )
+    return shares.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        _r4(F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )

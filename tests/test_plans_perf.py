@@ -319,3 +319,30 @@ def test_q2_window_rides_agg_partitioning(spark):
     # and one re-partition for the window ONLY if Catalyst can't reuse —
     # pin the total shuffle count so a regression is visible
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_q5_same_nation_residual_in_broadcast_probe(spark):
+    """q_local_supplier_volume: customer/supplier/nation/region all
+    broadcast, the same-nation residual never degrades the plan to a
+    nested loop, the date range is scan-pushed into orders, and the
+    final nation agg keeps its map-side partial."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_local_supplier_volume"][0](frames))
+    assert plan.count("BroadcastHashJoin") >= 4, "dims lost their broadcasts"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters" in plan, "orders scan lost its PushedFilters marker"
+    assert "o_orderdate" in plan, "orderdate filter not pushed"
+    assert "partial_sum" in plan, "no map-side partial agg"
+
+
+def test_q8_single_fact_shuffle_and_type_pruned_part(spark):
+    """q_market_share: part is filtered to one p_type BEFORE its
+    broadcast (probe-side lineitem prune), both nation aliases
+    broadcast, only the orders⋈lineitem join is a fact-fact shuffle,
+    and the conditional share numerator rides the single year agg."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_market_share"][0](frames))
+    assert plan.count("BroadcastHashJoin") >= 5, "dims lost their broadcasts"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "p_type" in plan, "p_type filter vanished from the plan"
+    assert "partial_sum" in plan, "no map-side partial agg"
