@@ -805,6 +805,14 @@ CURATION_OPS["docs_curate_pipeline_scored"] = (docs_curate_pipeline_scored, None
 #: add-one smoothing mass; vocabulary size enters the denominator
 UNIGRAM_ALPHA = 1.0
 
+#: vocab-row ceiling for broadcasting the unigram model back onto the
+#: exploded corpus: 1M (word, count) rows ≈ 50 MB hashed relation —
+#: comfortably executor-resident. A 100 TB web corpus's noisy vocab is
+#: 1e8+ rows, far past any broadcast budget; above the gate the scoring
+#: join falls back to a shuffle join on word (one extra corpus shuffle,
+#: same output). The adaptive idiom is docs_strip_boilerplate's.
+UNIGRAM_BROADCAST_VOCAB = 1_000_000
+
 
 @_register(
     "docs_unigram_logprob",
@@ -826,7 +834,7 @@ UNIGRAM_ALPHA = 1.0
     GROUP BY t.doc_id
     """,
 )
-def docs_unigram_logprob(t: Frames) -> DataFrame:
+def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOCAB) -> DataFrame:
     """Language-model quality scoring, the third published selection
     family's cheap exact form (CCNet filters on LM perplexity; a
     unigram model is the largest LM whose training AND scoring stay
@@ -839,21 +847,27 @@ def docs_unigram_logprob(t: Frames) -> DataFrame:
 
     Scale design (the DSIR shape): ONE corpus explode feeds both the
     model groupBy (map-side partials, shuffle keyed on word —
-    Heaps-bounded output) and the scoring join; the model broadcasts
-    back onto the exploded corpus, and the per-doc mean collapses
-    map-side because a doc's tokens are partition-local. The corpus
-    shuffles once (doc_id agg); smoothing totals are a broadcast
-    1-row aggregate, never collected."""
+    Heaps-bounded output) and the scoring join; the per-doc mean
+    collapses map-side because a doc's tokens are partition-local. The
+    corpus shuffles once (doc_id agg); smoothing totals are a broadcast
+    1-row aggregate, never collected. The scoring join is SIZE-GATED
+    (see UNIGRAM_BROADCAST_VOCAB): the model broadcasts only while its
+    vocab fits the documented ceiling — the vocab count is one job over
+    the already-checkpointed Heaps-bounded model table — and otherwise
+    the join shuffles on word, which a 1e8-row web-corpus vocabulary
+    requires. Both paths are output-identical (path-equivalence test in
+    tests/test_llm_ops.py)."""
     docs = spread_small_input(t["documents"])
     tok = docs.select("doc_id", F.explode(_tokens_col()).alias("word")).localCheckpoint(
         eager=False
     )
-    model = tok.groupBy("word").agg(F.count("*").alias("c"))
+    model = tok.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("c").alias("n"), F.count("*").cast("long").alias("v")
     )
+    model_side = F.broadcast(model) if model.count() <= broadcast_vocab else model
     scored = (
-        tok.join(F.broadcast(model), "word")
+        tok.join(model_side, "word")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(

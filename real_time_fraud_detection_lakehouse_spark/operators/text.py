@@ -907,6 +907,29 @@ def text_bpe_merges(t: Frames) -> DataFrame:
     return bpe_train(t["documents"])
 
 
+#: the realistic-vocab entry's merge budget: far past the demo's 10 and
+#: deep enough that batching visibly collapses the round count (a full
+#: 32k-vocab run is the same loop with a bigger budget)
+BPE_MERGES_512 = 512
+BPE_BATCH_512 = 32
+
+
+@_register("text_bpe_merges_512", None)
+def text_bpe_merges_512(t: Frames) -> DataFrame:
+    """The batched trainer at a REALISTIC merge budget: 512 merges,
+    fast mode, batch 32 — the standing driver-checked artifact for the
+    scale claim that a vocab-sized train costs ~vocab/batch pair-count
+    jobs, not vocab (the round-7 verdict's Next #3; previously the
+    claim lived only in a PLANS.md measurement). Training may exhaust
+    the corpus's mergeable pairs before 512 — the merge table is
+    whatever the corpus supports, and ``bpe_train_stats`` records
+    (rounds, merges) for the rounds ≪ merges assertion in
+    tests/test_llm_ops.py. Rows-only: iterative, like text_bpe_merges."""
+    return bpe_train(
+        t["documents"], n_merges=BPE_MERGES_512, batch=BPE_BATCH_512, mode="fast"
+    )
+
+
 @_register("text_bpe_tokenize", None)
 def text_bpe_tokenize(t: Frames) -> DataFrame:
     """Trainer → encoder composed at corpus scale: learn BPE_MERGES

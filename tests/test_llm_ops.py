@@ -1229,3 +1229,46 @@ def test_unigram_logprob_orders_natural_above_gibberish(spark):
         assert r["avg_logprob"] < 0.0
         assert r["n_tokens"] == 40
         assert r["lm_keep"] == (r["avg_logprob"] >= -6.0)
+
+
+def test_bpe_512_realistic_vocab_batches_rounds(spark, frames):
+    """text_bpe_merges_512 (the standing scale artifact the round-7
+    verdict asked for): a 512-merge fast-mode train over the real
+    documents table finishes in FAR fewer pair-count rounds than
+    merges — the batched-trainer claim that a vocab-sized train costs
+    ~vocab/batch jobs. Also pins: ranks contiguous, rules unique, and
+    counts nonincreasing WITHIN each round's disjoint batch is not
+    required (fast mode recounts per round), but counts are positive."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        TEXT_OPS,
+        bpe_train_stats,
+    )
+
+    rows = TEXT_OPS["text_bpe_merges_512"][0](frames).collect()
+    assert len(rows) >= 100, f"corpus supports only {len(rows)} merges"
+    assert bpe_train_stats["merges"] == len(rows)
+    # the whole point: rounds ≪ merges. sf0.001's tiny vocab exhausts at
+    # ~113 merges in ~23 rounds (collision-closed batches shrink near
+    # exhaustion), still a >2x round collapse; the sf0.1 full-vocab
+    # measurement is 22 rounds for ~700 merges (PLANS.md)
+    assert 2 * bpe_train_stats["rounds"] <= len(rows), bpe_train_stats
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert len({(r["left"], r["right"]) for r in rows}) == len(rows)
+    assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_unigram_logprob_shuffle_path_equals_broadcast(spark):
+    """The size-gated scoring join: forcing the above-ceiling SHUFFLE
+    path (broadcast_vocab=0) returns exactly the broadcast path's
+    output — the gate only changes join strategy, never values."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_unigram_logprob,
+    )
+
+    common = " ".join(["the", "of", "and", "to"] * 10)
+    gibberish = " ".join(f"zzq{i}x" for i in range(40))
+    frames = _docs(spark, [common, gibberish, common])
+    key = lambda r: r["doc_id"]
+    bc = sorted(docs_unigram_logprob(frames).collect(), key=key)
+    sh = sorted(docs_unigram_logprob(frames, broadcast_vocab=0).collect(), key=key)
+    assert [tuple(r) for r in bc] == [tuple(r) for r in sh]
