@@ -134,6 +134,7 @@ SCALING_100X_QUERIES = [
     "dedup_clusters_lsh",
     "docs_dup_spans",
     "docs_curate_pipeline",
+    "corpus_to_batches",
 ]
 
 #: the ~15 queries carried on the compact final JSON line (the full

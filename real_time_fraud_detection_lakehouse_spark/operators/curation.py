@@ -888,3 +888,129 @@ def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOC
         "avg_logprob",
         (F.col("avg_logprob") >= -6.0).alias("lm_keep"),
     )
+
+
+# --- corpus → training batches (the end-to-end pre-training data path) ------
+#: hex-prefix bucket fan-out for the per-epoch distributed prefix sum
+_C2B_BUCKETS = 256
+
+
+def _corpus_to_batches_sql() -> str:
+    """Oracle for the composed path, built by nesting the registered
+    docs_curate_pipeline oracle as the survivor CTE — the two stay in
+    lock-step by construction."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    curate = CURATION_OPS["docs_curate_pipeline"][1]
+    return f"""
+    WITH survivors AS (
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens FROM ({curate}) c
+    ),
+    shuf AS (
+      SELECT s.doc_id, s.n_tokens, e.epoch,
+             md5(CAST(s.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS shuffle_key
+      FROM survivors s
+      CROSS JOIN (
+        SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch
+      ) e
+    ),
+    cum AS (
+      SELECT epoch, doc_id, n_tokens, shuffle_key,
+             SUM(n_tokens) OVER (PARTITION BY epoch
+               ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM shuf
+    )
+    SELECT epoch, doc_id, n_tokens, shuffle_key,
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_LEN} AS INTEGER) AS seq_offset
+    FROM cum
+    """
+
+
+def corpus_to_batches(t: Frames) -> DataFrame:
+    """The artifact a pre-training run actually consumes (the round-7
+    verdict's Next #5): curated survivors → deterministic per-epoch
+    shuffle → fixed-length sequence packing, composed end to end.
+    For every (surviving doc, epoch): the epoch's shuffle key, and the
+    packed sequence id/offset where the doc starts when the epoch's
+    permutation is concatenated and cut every SEQ_LEN tokens. A loader
+    range-partitions epoch e by shuffle_key and streams batches with
+    zero padding waste. Fully DuckDB-oracled — the survivor CTE IS the
+    docs_curate_pipeline oracle, so curation and packing cannot drift.
+
+    Scale design: the survivor set is computed ONCE (two corpus scans,
+    see docs_curate_pipeline); the epoch fan-out is a per-row 2-element
+    explode; the per-epoch running offset is the docs_pack_sequences
+    DISTRIBUTED PREFIX SUM transplanted onto shuffle-key order — hex
+    prefix of the md5 key = {_C2B_BUCKETS} uniform buckets whose string
+    order agrees with full-key order, so (1) per-(epoch, bucket) token
+    totals via one keyed agg, (2) a running offset over the
+    ≤ epochs×{_C2B_BUCKETS}-row totals table (tiny window), (3) a
+    within-bucket cumsum window parallel across (epoch, bucket). No
+    global single-partition window, no driver state; md5 keys make the
+    permutation reproducible across engines and runs."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    survivors = docs_curate_pipeline(t).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+    shuf = (
+        survivors.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "epoch",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ).alias("shuffle_key"),
+        )
+        .withColumn("bucket", F.substring("shuffle_key", 1, 2))
+        .localCheckpoint(eager=False)  # feeds totals AND the cumsum side
+    )
+    totals = shuf.groupBy("epoch", "bucket").agg(F.sum("n_tokens").alias("btotal"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "epoch",
+        "bucket",
+        (F.sum("btotal").over(w_off) - F.col("btotal")).alias("boffset"),
+    )
+    w_in = (
+        Window.partitionBy("epoch", "bucket")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = shuf.join(F.broadcast(offsets), ["epoch", "bucket"]).select(
+        "epoch",
+        "doc_id",
+        "n_tokens",
+        "shuffle_key",
+        (
+            F.col("boffset") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+        ).alias("cum_before"),
+    )
+    return cum.select(
+        "epoch",
+        "doc_id",
+        "n_tokens",
+        "shuffle_key",
+        F.floor(F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+        (F.col("cum_before") % SEQ_LEN).cast("int").alias("seq_offset"),
+    )
+
+
+CURATION_OPS["corpus_to_batches"] = (corpus_to_batches, _corpus_to_batches_sql())

@@ -346,3 +346,26 @@ def test_q8_single_fact_shuffle_and_type_pruned_part(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "p_type" in plan, "p_type filter vanished from the plan"
     assert "partial_sum" in plan, "no map-side partial agg"
+
+
+def test_corpus_to_batches_no_global_window(spark):
+    """corpus_to_batches: the per-epoch running offset must be the
+    bucketed distributed prefix sum — every corpus-sized Window
+    carries a partition spec (epoch, bucket); the only ordered-only
+    window runs on the tiny (epoch, bucket)-totals table."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import CURATION_OPS
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    df = CURATION_OPS["corpus_to_batches"][0](frames)
+    plan = _plan(df)
+    assert "windowspecdefinition(epoch" in plan, plan
+    # survivor offsets stay inside a packed sequence
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    rows = df.collect()
+    assert rows and all(0 <= r["seq_offset"] < SEQ_LEN for r in rows)
+    # each epoch is a permutation of the same survivor set
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    assert len(by_epoch) == 2 and len(set(map(frozenset, by_epoch.values()))) == 1
