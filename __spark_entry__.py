@@ -389,6 +389,31 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_state_inspect"] = _stream_state_inspect
 
+    def _stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            curation_stream,
+            write_doc_stream_fixture,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="curation_stream_")
+        src = os.path.join(tmp, "src")
+        write_doc_stream_fixture(spark, sf_dir, src)
+        out = curation_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+        # stable projection for the rows-only check (ingest_ts is the
+        # synthetic fixture clock; fp ties the row to its dedup key)
+        return out.select(
+            "doc_id", "source", "n_tokens", "quality_score", "n_pii", "clean_fp"
+        ).orderBy("doc_id")
+
+    q["streaming_curation"] = _stream_curation
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -637,6 +637,42 @@ from real_time_fraud_detection_lakehouse_spark.operators.text import (  # noqa: 
 )
 
 
+def curation_columns() -> dict[str, "F.Column"]:
+    """The curation gate expressions as named Columns over a `text`
+    column — the SHARED FEATURE MODULE for the batch pipeline
+    (docs_curate_pipeline) and its streaming filter-at-ingest twin
+    (streaming/curation.py), the same batch+stream-parity idiom as
+    functions/features.py: one definition, two execution modes, so the
+    gates cannot drift. All stateless column math — usable inside a
+    streaming micro-batch unchanged."""
+    toks = _tokens_col()
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
+    en = F.lit(list(EN_STOPWORDS))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return {
+        "n_tokens": n,
+        "quality_score": dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity),
+        "en_hits": F.size(F.filter(toks, lambda x: F.array_contains(en, x))),
+        "n_pii": (
+            F.regexp_count("text", F.lit(PII_EMAIL))
+            + F.regexp_count("text", F.lit(PII_IPV4))
+            + F.regexp_count("text", F.lit(PII_PHONE))
+        ).cast("int"),
+        "clean_fp": F.md5(scrubbed),
+        "fp": F.md5(F.lower(F.trim(F.col("text")))),
+    }
+
+
 @_register(
     "docs_curate_pipeline",
     f"""
@@ -699,42 +735,23 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
     corpus instead of blowing the driver. Two corpus scans total
     (score/scrub + gram explode), no UDFs, no all-pairs anywhere."""
     docs = spread_small_input(t["documents"])
-    toks = _tokens_col()
-    n = F.size(toks)
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n
-    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
-    quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
-    en = F.lit(list(EN_STOPWORDS))
-    en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    n_pii = (
-        F.regexp_count("text", F.lit(PII_EMAIL))
-        + F.regexp_count("text", F.lit(PII_IPV4))
-        + F.regexp_count("text", F.lit(PII_PHONE))
-    ).cast("int")
+    cols = curation_columns()
     scored = docs.select(
         "doc_id",
         "source",
-        n.alias("n_tokens"),
-        quality.alias("quality_score"),
-        en_hits.alias("en_hits"),
-        n_pii.alias("n_pii"),
-        F.md5(scrubbed).alias("clean_fp"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["quality_score"].alias("quality_score"),
+        cols["en_hits"].alias("en_hits"),
+        cols["n_pii"].alias("n_pii"),
+        cols["clean_fp"].alias("clean_fp"),
     )
-    keepers = docs.groupBy(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
-    ).agg(F.min("doc_id").alias("keeper"))
+    keepers = docs.groupBy(cols["fp"].alias("fp")).agg(
+        F.min("doc_id").alias("keeper")
+    )
     # token-hash gram chains (the docs_decontaminate round-7 fix):
     # both sides of the semi-join hash identically, and the oracle's
     # string-gram membership is set-identical by hash injectivity
+    toks = _tokens_col()
     hashed = docs.select(
         "doc_id",
         "source",

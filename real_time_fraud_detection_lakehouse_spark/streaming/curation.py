@@ -1,0 +1,115 @@
+"""Streaming curation: the filter-at-ingest deployment mode of the
+batch curation pipeline (the round-7 verdict's stretch item #8).
+
+A pre-training data platform has two moments to curate: batch (rebuild
+the corpus from raw) and ingest (gate each arriving document before it
+ever lands). This module is the ingest twin of the STATELESS +
+EXACT-DEDUP slice of ``operators/curation.docs_curate_pipeline``:
+
+- quality gate (length/diversity score >= 0.5),
+- language gate (>= 1 English marker token),
+- eval-source quarantine (source != DECON_EVAL_SOURCE),
+- PII scrub accounting (clean_fp + n_pii),
+- exact dedup as ``dropDuplicatesWithinWatermark`` on the lowercase-
+  trimmed md5 fingerprint — the streaming form of the batch keeper
+  election: first arrival per fingerprint wins, replays and late
+  duplicates inside the watermark horizon are dropped, and key state
+  evicts once the watermark passes (O(keys per horizon), never
+  O(all fingerprints ever) — the same bounded-state argument as
+  streaming/windows.dedup_stream).
+
+Decontamination is deliberately NOT in the ingest slice: the gram
+semi-join needs the full eval-set gram table and is a batch (or
+stream-static) concern — documented, not forgotten.
+
+The gate expressions come from ``operators/curation.curation_columns``
+— the shared feature module, so batch and stream CANNOT drift (the
+same one-definition idiom as functions/features.py; batch-equivalence
+is asserted in tests/test_streaming_windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_lakehouse_spark.operators.curation import curation_columns
+from real_time_fraud_detection_lakehouse_spark.operators.text import DECON_EVAL_SOURCE
+
+#: synthetic ingest clock epoch for the fixture: doc_id seconds after a
+#: fixed base — deterministic, monotone in doc_id, so "first arrival"
+#: has a defined meaning on replayed fixtures
+INGEST_BASE = "2024-01-01 00:00:00"
+
+
+def write_doc_stream_fixture(
+    spark: SparkSession, sf_dir: str, path: str, replays: int = 2
+) -> int:
+    """Materialize the documents table as a streaming source fixture:
+    each doc carries a deterministic ingest_ts (INGEST_BASE + doc_id
+    seconds), appended ``replays`` times to simulate an at-least-once
+    upstream (file re-drop / redelivery). Returns total rows written."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    )
+    for i in range(replays):
+        docs.write.mode("overwrite" if i == 0 else "append").parquet(path)
+    return docs.count() * replays
+
+
+def curation_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the filter-at-ingest gates over a document stream with
+    availableNow (test/backfill trigger; production drops the trigger
+    and runs continuous micro-batches against the landing zone).
+
+    Scale design: the three gates and the scrub accounting are
+    stateless column math evaluated inside each micro-batch — zero
+    state, arbitrarily parallel. The ONLY stateful operator is the
+    fingerprint dedup, whose state is watermark-bounded. Output is an
+    append-mode parquet sink: each surviving first-arrival emits
+    exactly once (checkpointed — restart-idempotent like the bronze
+    CDC stream)."""
+    schema = spark.read.parquet(source_path).schema
+    cols = curation_columns()
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "source",
+            "ingest_ts",
+            cols["n_tokens"].alias("n_tokens"),
+            cols["quality_score"].alias("quality_score"),
+            cols["en_hits"].alias("en_hits"),
+            cols["n_pii"].alias("n_pii"),
+            cols["clean_fp"].alias("clean_fp"),
+            cols["fp"].alias("fp"),
+        )
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("en_hits") > 0)
+            & (F.col("source") != DECON_EVAL_SOURCE)
+        )
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

@@ -239,3 +239,65 @@ def test_state_store_reader_shows_watermark_bounded_state(spark, tmp_path):
         assert r["expires_at"] <= max_ts + horizon
     # the state is the horizon TAIL, not the whole history
     assert len(state) < len(all_keys)
+
+
+def test_streaming_curation_equals_batch_gates(spark, tmp_path):
+    """Filter-at-ingest ≡ batch: the streaming curation slice over the
+    replayed documents fixture keeps exactly one survivor per content
+    fingerprint, the surviving fingerprint SET equals the batch
+    computation (gates applied, then distinct fp), and every emitted
+    row passes all three gates with batch-identical scrub accounting.
+    (Which replica of a duplicate survives is arrival-order-defined —
+    the fingerprint set, not the doc_id set, is the contract.)"""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        curation_columns,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        DECON_EVAL_SOURCE,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        curation_stream,
+        write_doc_stream_fixture,
+    )
+
+    src = str(tmp_path / "src")
+    n_in = write_doc_stream_fixture(spark, SF_SMALL, src, replays=2)
+    out = curation_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).collect()
+    assert out, "stream must emit survivors"
+    assert len(out) < n_in  # replays + failing docs were dropped
+
+    cols = curation_columns()
+    batch = (
+        table(spark, SF_SMALL, "documents")
+        .select(
+            "doc_id",
+            "source",
+            cols["quality_score"].alias("quality_score"),
+            cols["en_hits"].alias("en_hits"),
+            cols["n_pii"].alias("n_pii"),
+            cols["clean_fp"].alias("clean_fp"),
+            cols["fp"].alias("fp"),
+        )
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("en_hits") > 0)
+            & (F.col("source") != DECON_EVAL_SOURCE)
+        )
+    )
+    batch_rows = batch.collect()
+    batch_fps = {r["fp"] for r in batch_rows}
+    by_doc = {r["doc_id"]: r for r in batch_rows}
+
+    stream_fps = [r["fp"] for r in out]
+    assert len(stream_fps) == len(set(stream_fps)), "dedup emitted a fp twice"
+    assert set(stream_fps) == batch_fps, "survivor fingerprints diverge from batch"
+    for r in out:
+        b = by_doc[r["doc_id"]]  # every emission is a gate-passing doc
+        assert (r["quality_score"], r["n_pii"], r["clean_fp"]) == (
+            b["quality_score"],
+            b["n_pii"],
+            b["clean_fp"],
+        )
