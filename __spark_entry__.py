@@ -65,6 +65,9 @@ _DRIVER_FRONT = [
     # (c) NEW round-8 operators — first driver rows
     "q_local_supplier_volume",  # TPC-H Q5 shape
     "q_market_share",  # TPC-H Q8 shape
+    "q_returned_item_customers",  # TPC-H Q10 shape
+    "q_disjunctive_revenue",  # TPC-H Q19 shape
+    "q_dominant_suppliers",  # TPC-H Q20 shape
     "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
     "corpus_to_batches",  # curate→shuffle→pack end-to-end
     "streaming_curation",  # watermarked filter-at-ingest twin

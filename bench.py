@@ -109,6 +109,9 @@ DIRECT = [
     # round-8 operators
     "q_local_supplier_volume",
     "q_market_share",
+    "q_returned_item_customers",
+    "q_disjunctive_revenue",
+    "q_dominant_suppliers",
     "corpus_to_batches",
 ]
 

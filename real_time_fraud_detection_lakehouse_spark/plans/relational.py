@@ -2543,3 +2543,196 @@ def q_market_share(t: Frames) -> DataFrame:
         "total_volume",
         _r4(F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
     )
+
+
+# --- TPC-H Q10: returned-item reporting (top revenue-loss customers) --------
+@_register(
+    "q_returned_item_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           {_r4s('c.c_acctbal')} AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers(t: Frames) -> DataFrame:
+    """TPC-H Q10 shape ("returned item reporting"): the customers who
+    returned the most revenue in a window — the support-desk /
+    fraud-triage list. Joins the full fact path but every predicate is
+    fact-side-prunable.
+
+    Scale design: the half-year range is scan-pushed into orders and
+    the returnflag equality into lineitem BEFORE the orderkey shuffle;
+    customer/nation broadcast; the (custkey, name, acctbal, nation)
+    agg partial-aggregates map-side; top-20 is TakeOrderedAndProject
+    (revenue desc, custkey tiebreak for cross-engine determinism)."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    j = (
+        returned.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            _r4(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q19: discounted revenue (OR-of-ANDs disjunctive predicate) -------
+@_register(
+    "q_disjunctive_revenue",
+    f"""
+    SELECT {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 15)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 25 AND l.l_quantity <= 50)
+    """,
+)
+def q_disjunctive_revenue(t: Frames) -> DataFrame:
+    """TPC-H Q19 shape ("discounted revenue"): one scalar revenue over
+    an OR of three (brand ∧ size-range ∧ quantity-range) conjuncts —
+    the classic disjunctive-predicate planning test. The adaptation
+    drops the container/shipmode literals the synthetic schema lacks;
+    the planning shape (cross-table OR) is what matters.
+
+    Scale design: Catalyst pushes the UNION of the per-table bounds to
+    each scan — lineitem gets l_quantity ∈ [1, 50] (the OR-hull) and
+    part gets the brand-set IN filter — then the broadcast part join
+    evaluates the full disjunction as the join residual; no
+    nested-loop, a single scalar agg with map-side partials. Plan
+    pinned in tests/test_plans_perf.py: part broadcasts, the residual
+    Or-condition sits ON the BroadcastHashJoin, no fact shuffle at
+    all (scalar partial agg → single final row)."""
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(cond)
+    return j.agg(
+        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --- TPC-H Q20: potential part promotion (nested semi-joins) ----------------
+@_register(
+    "q_dominant_suppliers",
+    f"""
+    WITH q AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM q GROUP BY l_partkey
+    ),
+    qual AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM q
+      JOIN tot ON tot.l_partkey = q.l_partkey
+      WHERE q.qty > 0.5 * tot.total_qty
+        AND q.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+        )
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s.s_name, s.s_suppkey
+    """,
+)
+def q_dominant_suppliers(t: Frames) -> DataFrame:
+    """TPC-H Q20 shape ("potential part promotion"): suppliers who
+    shipped MORE THAN HALF of a blue part's total 1997 quantity — the
+    double-nested-subquery pattern (IN over a correlated quantity
+    threshold over an IN over a LIKE-filtered dim), decorrelated the
+    Q2 way: the per-part total rides a window over the SAME partkey
+    partitioning as the (partkey, suppkey) agg (no second shuffle),
+    the part-name gate is a broadcast LEFT SEMI before the heavy
+    window, and the supplier gate is a LEFT SEMI on the distinct
+    dominant-supplier set. The adaptation derives "availability" from
+    shipped quantity (the synthetic schema has no partsupp); the
+    >50%-share threshold keeps Q20's dominance semantics.
+
+    Determinism: l_quantity is integral-valued, so the SUMs and the
+    0.5× comparison are exact in both engines — no rounding needed.
+    Scale design: one shuffle on (l_partkey, l_suppkey); window and
+    per-part total reuse the partkey prefix; part/nation broadcast;
+    the final supplier semi-join probes a distinct suppkey set."""
+    year = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    blue = t["part"].filter(F.col("p_name").startswith("blue")).select("p_partkey")
+    q = (
+        year.join(F.broadcast(blue), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        q.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    return (
+        t["supplier"]
+        .join(qual, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name", "s_suppkey")
+    )

@@ -369,3 +369,50 @@ def test_corpus_to_batches_no_global_window(spark):
     for r in rows:
         by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
     assert len(by_epoch) == 2 and len(set(map(frozenset, by_epoch.values()))) == 1
+
+
+def test_q10_pushdowns_and_take_ordered(spark):
+    """q_returned_item_customers: returnflag reaches the lineitem scan
+    and the date range the orders scan; customer/nation broadcast;
+    top-20 is TakeOrderedAndProject."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_returned_item_customers"][0](frames))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", ""), "returnflag not pushed"
+    assert "o_orderdate" in plan, "date filter vanished"
+
+
+def test_q19_disjunction_stays_on_broadcast_join(spark):
+    """q_disjunctive_revenue: the OR-of-ANDs evaluates as the
+    broadcast part-join's residual — no nested loop, no fact shuffle
+    (scalar agg partials feed a single final row), and the brand IN
+    hull reaches the part scan."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_disjunctive_revenue"][0](frames))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # Catalyst pushes the whole OR-of-ANDs to the part scan (stronger
+    # than the classic IN-hull extraction)
+    assert "EqualTo(p_brand,Brand#1)" in plan.replace(" ", ""), (
+        "brand disjunction not pushed to part scan"
+    )
+    assert "partial_sum" in plan
+
+
+def test_q20_nested_semis_reuse_partkey_partitioning(spark):
+    """q_dominant_suppliers: both nested gates land as LeftSemi joins,
+    the dominance window adds no exchange beyond the
+    (l_partkey, l_suppkey) agg shuffle, and no nested-loop appears."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_dominant_suppliers"][0](frames))
+    assert plan.count("LeftSemi") >= 2, "nested IN gates lost their semi-joins"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # real shuffles only (BroadcastExchange also contains "Exchange"):
+    # the (partkey, suppkey) agg, the partkey window re-exchange over
+    # the ALREADY-AGGREGATED table (tiny — map-side partials collapsed
+    # the corpus first), the distinct suppkey set, and the final sort
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 4, plan
