@@ -398,6 +398,10 @@ def queries() -> dict[str, QueryFn]:
 
         from pyspark.sql import functions as F
 
+        from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+        from real_time_fraud_detection_lakehouse_spark.operators.text import (
+            DECON_EVAL_SOURCE,
+        )
         from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
             curation_stream,
             write_doc_stream_fixture,
@@ -406,8 +410,15 @@ def queries() -> dict[str, QueryFn]:
         tmp = tempfile.mkdtemp(prefix="curation_stream_")
         src = os.path.join(tmp, "src")
         write_doc_stream_fixture(spark, sf_dir, src)
+        eval_docs = table(spark, sf_dir, "documents").filter(
+            F.col("source") == DECON_EVAL_SOURCE
+        )
         out = curation_stream(
-            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            eval_docs=eval_docs,
         )
         # stable projection for the rows-only check (ingest_ts is the
         # synthetic fixture clock; fp ties the row to its dedup key)

@@ -637,6 +637,28 @@ from real_time_fraud_detection_lakehouse_spark.operators.text import (  # noqa: 
 )
 
 
+def decon_gram_hashes(th_col) -> "F.Column":
+    """Distinct DECON_GRAM-token chained-hash grams over a token-hash
+    array column — the SHARED gram definition for the batch
+    decontamination semi-join (docs_curate_pipeline /
+    docs_decontaminate's idiom) and the streaming filter-at-ingest
+    gate, so the two sides hash identically by construction. Returns
+    an EMPTY array when the doc is shorter than DECON_GRAM — the
+    unguarded F.sequence would run descending into out-of-range
+    element_at (an ANSI-mode error)."""
+    return F.when(
+        F.size(th_col) >= DECON_GRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th_col) - (DECON_GRAM - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(th_col, i + j) for j in range(DECON_GRAM)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def curation_columns() -> dict[str, "F.Column"]:
     """The curation gate expressions as named Columns over a `text`
     column — the SHARED FEATURE MODULE for the batch pipeline
@@ -758,14 +780,7 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
         F.size(toks).alias("n_toks"),
         F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_toks") - (DECON_GRAM - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("th"), i + j) for j in range(DECON_GRAM)]
-            ),
-        )
-    )
+    grams = decon_gram_hashes(F.col("th"))
     long_enough = F.col("n_toks") >= DECON_GRAM
     eval_grams = (
         hashed.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)

@@ -18,9 +18,12 @@ EXACT-DEDUP slice of ``operators/curation.docs_curate_pipeline``:
   O(all fingerprints ever) — the same bounded-state argument as
   streaming/windows.dedup_stream).
 
-Decontamination is deliberately NOT in the ingest slice: the gram
-semi-join needs the full eval-set gram table and is a batch (or
-stream-static) concern — documented, not forgotten.
+Decontamination joins the slice as a STREAM-STATIC gate: the eval-set
+gram table is static (benchmarks change on release cadence, not per
+micro-batch), collapses to one broadcast array row, and each arriving
+doc is checked with an in-row ``arrays_overlap`` against it — the
+hashes come from the same ``decon_gram_hashes`` definition the batch
+semi-join uses, so the two modes agree gram-for-gram.
 
 The gate expressions come from ``operators/curation.curation_columns``
 — the shared feature module, so batch and stream CANNOT drift (the
@@ -33,8 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_fraud_detection_lakehouse_spark.operators.curation import curation_columns
-from real_time_fraud_detection_lakehouse_spark.operators.text import DECON_EVAL_SOURCE
+from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+    _tokens_col,
+    curation_columns,
+    decon_gram_hashes,
+)
+from real_time_fraud_detection_lakehouse_spark.operators.text import (
+    DECON_EVAL_SOURCE,
+    DECON_GRAM,
+)
 
 #: synthetic ingest clock epoch for the fixture: doc_id seconds after a
 #: fixed base — deterministic, monotone in doc_id, so "first arrival"
@@ -61,26 +71,53 @@ def write_doc_stream_fixture(
     return docs.count() * replays
 
 
+def eval_gram_row(eval_docs: DataFrame) -> DataFrame:
+    """Collapse a STATIC eval-benchmark document set to one row holding
+    the sorted distinct gram-hash array — the broadcast side of the
+    streaming decontamination gate. Eval sets are small by definition
+    (a benchmark, not a corpus), so the array is bounded the same way
+    docs_strip_boilerplate's fset is; rebuilt on benchmark release, not
+    per micro-batch."""
+    toks = _tokens_col()
+    th = F.transform(toks, lambda x: F.xxhash64(x))
+    grams = (
+        eval_docs.filter(F.size(toks) >= DECON_GRAM)
+        .select(F.explode(decon_gram_hashes(th)).alias("gram"))
+        .distinct()
+    )
+    return grams.agg(F.sort_array(F.collect_set("gram")).alias("eval_grams")).select(
+        F.coalesce("eval_grams", F.array().cast("array<bigint>")).alias("eval_grams")
+    )
+
+
 def curation_stream(
     spark: SparkSession,
     source_path: str,
     out_path: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
     availableNow (test/backfill trigger; production drops the trigger
     and runs continuous micro-batches against the landing zone).
+    When ``eval_docs`` (a STATIC DataFrame with a text column) is
+    given, adds the stream-static decontamination gate: docs sharing
+    any DECON_GRAM-token gram with the eval set are dropped at ingest.
 
-    Scale design: the three gates and the scrub accounting are
-    stateless column math evaluated inside each micro-batch — zero
-    state, arbitrarily parallel. The ONLY stateful operator is the
-    fingerprint dedup, whose state is watermark-bounded. Output is an
-    append-mode parquet sink: each surviving first-arrival emits
-    exactly once (checkpointed — restart-idempotent like the bronze
-    CDC stream)."""
+    Scale design: the gates and the scrub accounting are stateless
+    column math evaluated inside each micro-batch — zero state,
+    arbitrarily parallel; decontamination is an in-row
+    ``arrays_overlap`` against the broadcast one-row eval-gram array
+    (stream-static broadcast join — no stream shuffle). The ONLY
+    stateful operator is the fingerprint dedup, whose state is
+    watermark-bounded. Output is an append-mode parquet sink: each
+    surviving first-arrival emits exactly once (checkpointed —
+    restart-idempotent like the bronze CDC stream)."""
     schema = spark.read.parquet(source_path).schema
     cols = curation_columns()
+    toks = _tokens_col()
+    th = F.transform(toks, lambda x: F.xxhash64(x))
     stream = (
         spark.readStream.schema(schema)
         .parquet(source_path)
@@ -95,14 +132,25 @@ def curation_stream(
             cols["n_pii"].alias("n_pii"),
             cols["clean_fp"].alias("clean_fp"),
             cols["fp"].alias("fp"),
+            decon_gram_hashes(th).alias("gram_hashes"),
+            F.size(toks).alias("_n_toks"),
         )
         .filter(
             (F.col("quality_score") >= 0.5)
             & (F.col("en_hits") > 0)
             & (F.col("source") != DECON_EVAL_SOURCE)
         )
-        .dropDuplicatesWithinWatermark(["fp"])
     )
+    if eval_docs is not None:
+        stream = (
+            stream.crossJoin(F.broadcast(eval_gram_row(eval_docs)))
+            .filter(
+                (F.col("_n_toks") < DECON_GRAM)
+                | ~F.arrays_overlap("gram_hashes", "eval_grams")
+            )
+            .drop("eval_grams")
+        )
+    stream = stream.drop("gram_hashes", "_n_toks").dropDuplicatesWithinWatermark(["fp"])
     q = (
         stream.writeStream.format("parquet")
         .option("path", out_path)

@@ -301,3 +301,43 @@ def test_streaming_curation_equals_batch_gates(spark, tmp_path):
             b["n_pii"],
             b["clean_fp"],
         )
+
+
+def test_streaming_curation_with_decon_matches_batch_pipeline(spark, tmp_path):
+    """The FULL filter-at-ingest slice (gates + stream-static
+    decontamination + fingerprint dedup) lands on exactly the batch
+    docs_curate_pipeline survivor set, compared by content
+    fingerprint: clean_fp multisets must be equal (the batch keeper is
+    min-doc_id per fp, the stream keeps first arrival — different
+    representatives, same content)."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        TESTDATA_TABLES,
+        table,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_curate_pipeline,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        DECON_EVAL_SOURCE,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        curation_stream,
+        write_doc_stream_fixture,
+    )
+
+    src = str(tmp_path / "src")
+    write_doc_stream_fixture(spark, SF_SMALL, src, replays=2)
+    eval_docs = table(spark, SF_SMALL, "documents").filter(
+        F.col("source") == DECON_EVAL_SOURCE
+    )
+    out = curation_stream(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        eval_docs=eval_docs,
+    ).collect()
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    batch = docs_curate_pipeline(frames).collect()
+    assert sorted(r["clean_fp"] for r in out) == sorted(r["clean_fp"] for r in batch)
