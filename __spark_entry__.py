@@ -107,8 +107,11 @@ _DRIVER_FRONT = [
     "q_events_hourly_window",
     "q_distinct_users",
     "q_distinct_users_approx",
-    # past the 50 cap from here — FRONT OF THE r9 ROTATION: the 27
-    # remaining r5-green entries (q_quantity_quantiles,
+    # past the 50 cap from here — FRONT OF THE r9 ROTATION: the last
+    # three names above (q_events_hourly_window, q_distinct_users,
+    # q_distinct_users_approx — pushed past the cap when the late-r8
+    # TPC-H trio joined section (c)), then the 27 remaining r5-green
+    # entries (q_quantity_quantiles,
     # q_supplier_order_volume, q_asof_click_purchase,
     # q_grouping_sets_priority, q_customer_order_gaps,
     # q_pivot_status_by_priority, q_order_count_distribution,
