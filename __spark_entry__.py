@@ -70,6 +70,7 @@ _DRIVER_FRONT = [
     "q_dominant_suppliers",  # TPC-H Q20 shape
     "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
     "corpus_to_batches",  # curate→shuffle→pack end-to-end
+    "docs_token_budget_report",  # budget sheet over the packed corpus
     "streaming_curation",  # watermarked filter-at-ingest twin
     # (d) r4-green refreshes — the last 16 r4-latest entries
     "dash_overview",
@@ -108,10 +109,10 @@ _DRIVER_FRONT = [
     "q_distinct_users",
     "q_distinct_users_approx",
     # past the 50 cap from here — FRONT OF THE r9 ROTATION: the last
-    # three names above (q_events_hourly_window, q_distinct_users,
-    # q_distinct_users_approx — pushed past the cap when the late-r8
-    # TPC-H trio joined section (c)), then the 27 remaining r5-green
-    # entries (q_quantity_quantiles,
+    # four names above (q_user_sessions, q_events_hourly_window,
+    # q_distinct_users, q_distinct_users_approx — pushed past the cap
+    # when the late-r8 TPC-H trio + budget report joined section (c)),
+    # then the 27 remaining r5-green entries (q_quantity_quantiles,
     # q_supplier_order_volume, q_asof_click_purchase,
     # q_grouping_sets_priority, q_customer_order_gaps,
     # q_pivot_status_by_priority, q_order_count_distribution,

@@ -1046,3 +1046,61 @@ def corpus_to_batches(t: Frames) -> DataFrame:
 
 
 CURATION_OPS["corpus_to_batches"] = (corpus_to_batches, _corpus_to_batches_sql())
+
+
+def _token_budget_sql() -> str:
+    """Oracle for the budget report: one grouped pass nested over the
+    corpus_to_batches oracle (which itself nests the curate oracle) —
+    three layers of composition, all driver-hash-checked."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    packed = CURATION_OPS["corpus_to_batches"][1]
+    return f"""
+    WITH packed AS ({packed}),
+    per AS (
+      SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM packed GROUP BY epoch
+    )
+    SELECT epoch, n_docs, total_tokens,
+           CAST((total_tokens + {SEQ_LEN - 1}) // {SEQ_LEN} AS BIGINT)
+             AS n_sequences,
+           CAST((total_tokens + {SEQ_LEN - 1}) // {SEQ_LEN} * {SEQ_LEN}
+                - total_tokens AS INTEGER) AS tail_padding,
+           {dround_sql('total_tokens * 1.0 / n_docs')} AS avg_doc_tokens
+    FROM per
+    """
+
+
+def docs_token_budget_report(t: Frames) -> DataFrame:
+    """The pre-training budget sheet over the packed corpus: per
+    epoch — surviving docs, total tokens, full SEQ_LEN sequences the
+    loader will emit (ceil), and the padding waste in the final
+    partial sequence (the ONLY padding concat-and-cut packing ever
+    produces). The number a training run sizes its step count and
+    data-parallel sharding from.
+
+    Scale design: one keyed agg with map-side partials over the
+    corpus_to_batches output (epochs × survivors rows); everything
+    else is per-group arithmetic. Oracle nests the packing oracle
+    which nests the curate oracle — the full three-stage composition
+    is hash-checked as one artifact."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    packed = corpus_to_batches(t)
+    per = packed.groupBy("epoch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    n_seq = F.floor((F.col("total_tokens") + (SEQ_LEN - 1)) / SEQ_LEN).cast("long")
+    return per.select(
+        "epoch",
+        "n_docs",
+        "total_tokens",
+        n_seq.alias("n_sequences"),
+        (n_seq * SEQ_LEN - F.col("total_tokens")).cast("int").alias("tail_padding"),
+        dround(F.col("total_tokens") * 1.0 / F.col("n_docs")).alias("avg_doc_tokens"),
+    )
+
+
+CURATION_OPS["docs_token_budget_report"] = (docs_token_budget_report, _token_budget_sql())

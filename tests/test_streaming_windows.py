@@ -341,3 +341,22 @@ def test_streaming_curation_with_decon_matches_batch_pipeline(spark, tmp_path):
     frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
     batch = docs_curate_pipeline(frames).collect()
     assert sorted(r["clean_fp"] for r in out) == sorted(r["clean_fp"] for r in batch)
+
+
+def test_streaming_curation_restart_is_idempotent(spark, tmp_path):
+    """Exactly-once on checkpoint reuse: re-running the curation
+    stream against the same source + checkpoint emits NOTHING new —
+    the availableNow restart sees all files committed and the sink
+    stays byte-stable (the bronze-stream restart contract, applied to
+    the ingest-curation slice)."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        curation_stream,
+        write_doc_stream_fixture,
+    )
+
+    src = str(tmp_path / "src")
+    write_doc_stream_fixture(spark, SF_SMALL, src, replays=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    first = curation_stream(spark, src, out, ckpt).collect()
+    second = curation_stream(spark, src, out, ckpt).collect()
+    assert sorted(r["doc_id"] for r in second) == sorted(r["doc_id"] for r in first)
