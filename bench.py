@@ -500,6 +500,24 @@ def main() -> None:
             # 307 s to ~21 s at this scale — the heaviest operator's
             # scale story belongs in the driver-recorded artifact, not
             # just builder notes.
+            # r8 protocol change: 6b gets a FRESH session. The 100x
+            # documents block ahead of it (now 5 queries incl. the two
+            # composed curation paths) wears the heap enough to drift
+            # the recorded number 27.8 -> 33+ s while the isolated
+            # measurement stays ~21 s — the same worn-session artifact
+            # as phases 5/6 (and r6's streaming_dedup phantom); the
+            # block exists to track PLAN scaling, so measure it clean.
+            spark.stop()
+            spark = get_spark(
+                "bench-semdedup-100x",
+                master=f"local[{CPUS}]",
+                extra_conf={
+                    "spark.sql.shuffle.partitions": str(
+                        max(int(CPUS) if CPUS != "*" else 32, 8)
+                    )
+                },
+            )
+            spark.range(1_000_000).selectExpr("sum(id)").collect()
             from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
                 SEMDEDUP_K,
                 SEMDEDUP_TARGET_CLUSTER,
