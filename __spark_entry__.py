@@ -68,6 +68,9 @@ _DRIVER_FRONT = [
     "q_returned_item_customers",  # TPC-H Q10 shape
     "q_disjunctive_revenue",  # TPC-H Q19 shape
     "q_dominant_suppliers",  # TPC-H Q20 shape
+    "q_promo_revenue_share",  # TPC-H Q14 shape
+    "q_product_profit",  # TPC-H Q9 shape (derived supply cost)
+    "q_parts_supplier_relationship",  # TPC-H Q16 shape
     "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
     "corpus_to_batches",  # curate→shuffle→pack end-to-end
     "docs_token_budget_report",  # budget sheet over the packed corpus
@@ -109,10 +112,12 @@ _DRIVER_FRONT = [
     "q_distinct_users",
     "q_distinct_users_approx",
     # past the 50 cap from here — FRONT OF THE r9 ROTATION: the last
-    # four names above (q_user_sessions, q_events_hourly_window,
+    # seven names above (q_selective_revenue, q_cube_returnflag_status,
+    # q_brand_revenue_share, q_user_sessions, q_events_hourly_window,
     # q_distinct_users, q_distinct_users_approx — pushed past the cap
-    # when the late-r8 TPC-H trio + budget report joined section (c)),
-    # then the 27 remaining r5-green entries (q_quantity_quantiles,
+    # as late-r8 new ops joined section (c); new/impl-changed entries
+    # outrank one-round-stale refreshes), then the 27 remaining
+    # r5-green entries (q_quantity_quantiles,
     # q_supplier_order_volume, q_asof_click_purchase,
     # q_grouping_sets_priority, q_customer_order_gaps,
     # q_pivot_status_by_priority, q_order_count_distribution,

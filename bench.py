@@ -112,6 +112,9 @@ DIRECT = [
     "q_returned_item_customers",
     "q_disjunctive_revenue",
     "q_dominant_suppliers",
+    "q_promo_revenue_share",
+    "q_product_profit",
+    "q_parts_supplier_relationship",
     "corpus_to_batches",
 ]
 

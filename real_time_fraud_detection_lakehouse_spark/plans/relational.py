@@ -2736,3 +2736,180 @@ def q_dominant_suppliers(t: Frames) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+# --- TPC-H Q14: promotion effect (conditional revenue share) ----------------
+_Q14_PROMO = (
+    "SUM(CASE WHEN p.p_type = 'PROMO' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)"
+)
+_Q14_TOTAL = "SUM(l.l_extendedprice * (1 - l.l_discount))"
+
+
+@_register(
+    "q_promo_revenue_share",
+    f"""
+    SELECT {_r4s(_Q14_PROMO)} AS promo_revenue,
+           {_r4s(_Q14_TOTAL)} AS total_revenue,
+           {_r4s(f"{_r4s(_Q14_PROMO)} * 100.0 / {_r4s(_Q14_TOTAL)}")} AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_promo_revenue_share(t: Frames) -> DataFrame:
+    """TPC-H Q14 shape ("promotion effect"): the percentage of one
+    month's revenue that came from PROMO-type parts — the scalar
+    conditional-share query a marketing dashboard refreshes. Both
+    sums are rounded before the division (the Q8 determinism rule).
+
+    Scale design: the month is scan-pushed into lineitem; part
+    broadcasts with only (partkey, type); ONE scalar agg carries both
+    the CASE numerator and the denominator (single pass, map-side
+    partials, SinglePartition final over 32 partial rows)."""
+    month = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = t["part"].select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        month.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            _r4(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            ).alias("promo_revenue"),
+            _r4(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        _r4(F.col("promo_revenue") * 100.0 / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
+# --- TPC-H Q9: product-type profit (derived supply cost, nation-year) -------
+#: supply-cost proxy: the synthetic schema has no partsupp, so cost is
+#: derived from lineitem itself — 80% of the (part, supplier) average
+#: unit price, rounded BEFORE use so both engines join on identical
+#: doubles (the Q2 derived-cost idiom)
+Q9_COST_FACTOR = 0.8
+
+
+@_register(
+    "q_product_profit",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             {_r4s(f'{Q9_COST_FACTOR} * AVG(l_extendedprice / l_quantity)')}
+               AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount)'
+                 ' - c.supply_cost * l.l_quantity)')} AS profit
+    FROM lineitem l
+    JOIN cost c ON c.l_partkey = l.l_partkey AND c.l_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY n.n_name, 2
+    """,
+)
+def q_product_profit(t: Frames) -> DataFrame:
+    """TPC-H Q9 shape ("product type profit measure"): profit on red
+    parts per (supplier nation, order year), where profit = revenue −
+    supply_cost × quantity. partsupp doesn't exist in the synthetic
+    schema, so supply cost derives from lineitem itself (Q9_COST_FACTOR
+    × the per-(part, supplier) average unit price — the Q2 idiom),
+    rounded before use so the join carries identical doubles in both
+    engines.
+
+    Scale design: the red-part prefix filter broadcasts into BOTH the
+    cost aggregation and the fact scan (semi-prune before the heavy
+    agg); the cost table comes from one (partkey, suppkey) shuffle and
+    joins back to lineitem on the same compound key (AQE co-locates);
+    supplier/nation/part broadcast; orders⋈lineitem is the one
+    remaining fact-fact shuffle; final (nation, year) agg partials
+    map-side."""
+    red = t["part"].filter(F.col("p_name").startswith("red")).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        _r4(
+            F.lit(Q9_COST_FACTOR) * F.avg(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("supply_cost")
+    ).withColumnsRenamed({"l_partkey": "c_partkey", "l_suppkey": "c_suppkey"})
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    nat = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    j = (
+        li.join(
+            cost,
+            (F.col("c_partkey") == F.col("l_partkey"))
+            & (F.col("c_suppkey") == F.col("l_suppkey")),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "supply_cost"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(_r4(F.sum(profit)).alias("profit"))
+
+
+# --- TPC-H Q16: parts/supplier relationship (anti-join + countDistinct) -----
+@_register(
+    "q_parts_supplier_relationship",
+    f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_parts_supplier_relationship(t: Frames) -> DataFrame:
+    """TPC-H Q16 shape ("parts/supplier relationship"): how many
+    distinct suppliers can deliver each (brand, type, size) variant,
+    excluding one brand, a size list, and a supplier blacklist (the
+    classic NOT IN complaint-supplier subquery — here: negative
+    account balance, since s_comment doesn't exist in the synthetic
+    schema). partsupp is absent, so the supplier-part relationships
+    come from observed lineitem shipments.
+
+    Scale design: the size/brand filters broadcast with part and
+    prune lineitem during the probe; the blacklist NOT IN lands as a
+    broadcast LEFT ANTI on suppkey (tiny build side); countDistinct
+    expands to the two-phase distinct-then-count aggregate pair with
+    map-side partials on (brand, type, size, suppkey)."""
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )

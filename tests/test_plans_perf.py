@@ -416,3 +416,41 @@ def test_q20_nested_semis_reuse_partkey_partitioning(spark):
         "Exchange rangepartitioning"
     )
     assert shuffles <= 4, plan
+
+
+def test_q14_single_pass_scalar_share(spark):
+    """q_promo_revenue_share: one scalar agg carries numerator and
+    denominator; the month range reaches the lineitem scan; part
+    broadcasts with a 2-column pruned schema."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_promo_revenue_share"][0](frames))
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan, "month filter vanished"
+    assert plan.count("partial_sum") >= 1
+    scan = [l for l in plan.split("\n") if "FileScan" in l and "part.parquet" in l][0]
+    assert "p_retailprice" not in scan, "part scan lost column pruning"
+
+
+def test_q9_cost_joinback_coloized_and_semi_pruned(spark):
+    """q_product_profit: the red-part semi-prune lands BEFORE the cost
+    agg (two LeftSemi-free broadcast probes share the pruned lineitem),
+    the cost join-back is a keyed equi-join on (partkey, suppkey) —
+    no nested loop — and the final (nation, year) agg keeps partials."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_product_profit"][0](frames))
+    assert "LeftSemi" in plan, "red-part prune lost its semi-join"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "partial_avg" in plan, "cost agg lost its partial stage"
+
+
+def test_q16_blacklist_is_broadcast_anti(spark):
+    """q_parts_supplier_relationship: the NOT IN blacklist lands as a
+    broadcast LEFT ANTI (never a BNLJ null-aware fallback — the
+    subquery is non-nullable), and countDistinct expands to the
+    two-phase distinct aggregate."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_parts_supplier_relationship"][0](frames))
+    assert "LeftAnti" in plan, "blacklist lost its anti-join"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count(distinct" in plan.lower() or "count(distinct" in plan.lower()
