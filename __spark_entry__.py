@@ -71,6 +71,8 @@ _DRIVER_FRONT = [
     "q_promo_revenue_share",  # TPC-H Q14 shape
     "q_product_profit",  # TPC-H Q9 shape (derived supply cost)
     "q_parts_supplier_relationship",  # TPC-H Q16 shape
+    "q_important_inventory",  # TPC-H Q11 shape (mean-multiple threshold)
+    "q_late_shipment_priority",  # TPC-H Q12 shape (date-lag residual)
     "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
     "corpus_to_batches",  # curate→shuffle→pack end-to-end
     "docs_token_budget_report",  # budget sheet over the packed corpus

@@ -115,6 +115,8 @@ DIRECT = [
     "q_promo_revenue_share",
     "q_product_profit",
     "q_parts_supplier_relationship",
+    "q_important_inventory",
+    "q_late_shipment_priority",
     "corpus_to_batches",
 ]
 

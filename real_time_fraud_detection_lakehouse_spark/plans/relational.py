@@ -2913,3 +2913,144 @@ def q_parts_supplier_relationship(t: Frames) -> DataFrame:
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
     )
+
+
+# --- TPC-H Q11: important inventory (HAVING vs global-fraction scalar) ------
+Q11_NATION = "NATION_3"
+#: dominance threshold: parts worth more than this multiple of the MEAN
+#: per-part value — scale-free (the classic 0.0001/SF literal degenerates
+#: to 0 or all rows as the corpus grows; a mean-relative cut never does)
+Q11_MEAN_MULTIPLE = 2.0
+
+
+@_register(
+    "q_important_inventory",
+    f"""
+    WITH nation_value AS (
+      SELECT l.l_partkey,
+             {_r4s('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{Q11_NATION}'
+      GROUP BY l.l_partkey
+    ),
+    total AS (
+      SELECT {_r4s('SUM(part_value)')} AS nation_total,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM nation_value
+    )
+    SELECT v.l_partkey AS p_partkey, v.part_value,
+           {_r4s('v.part_value / t.nation_total')} AS value_share
+    FROM nation_value v CROSS JOIN total t
+    WHERE v.part_value > {Q11_MEAN_MULTIPLE} * t.nation_total / t.n_parts
+    ORDER BY v.part_value DESC, v.l_partkey
+    """,
+)
+def q_important_inventory(t: Frames, checkpoint: bool = True) -> DataFrame:
+    """TPC-H Q11 shape ("important stock identification"): the parts
+    holding an outsized share of one nation's shipped value — the
+    grouped-HAVING-against-a-global-scalar pattern (HAVING SUM(...) >
+    fraction × (SELECT SUM over the same slice)). partsupp is absent,
+    so "inventory value" derives from shipped lineitem value of the
+    nation's suppliers — the dominance semantics survive intact.
+
+    Determinism: per-part values are rounded once, the grand total is
+    the rounded sum OF the rounded values, the mean-multiple threshold
+    derives from that rounded total and an exact count, and the
+    strict > compares identical doubles in both engines. Scale design: the nation's
+    supplier set broadcasts (semi-prunes lineitem during the probe);
+    ONE (partkey) agg shuffle; the grand total is a broadcast 1-row
+    re-aggregate of the per-part table (never a second corpus pass);
+    the threshold filter and share projection ride the crossJoin of
+    that single row."""
+    nat_suppliers = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == Q11_NATION)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (
+        t["lineitem"]
+        .join(
+            F.broadcast(nat_suppliers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "part_value"
+            )
+        )
+    )
+    if checkpoint:
+        # feeds the total AND the filter side once; tests pass
+        # checkpoint=False to pin the full (un-truncated) plan shape
+        value = value.localCheckpoint(eager=False)
+    total = value.agg(
+        _r4(F.sum("part_value")).alias("nation_total"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > Q11_MEAN_MULTIPLE * F.col("nation_total") / F.col("n_parts")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "part_value",
+            _r4(F.col("part_value") / F.col("nation_total")).alias("value_share"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+# --- TPC-H Q12: late shipments by class (conditional priority counts) ------
+@_register(
+    "q_late_shipment_priority",
+    f"""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_late_shipment_priority(t: Frames) -> DataFrame:
+    """TPC-H Q12 shape ("shipping modes and order priority"): how many
+    high- vs low-priority orders ride each shipment class, restricted
+    to LATE shipments — the cross-table date-arithmetic residual
+    (l_shipdate ≥ o_orderdate + 60 days; the synthetic schema lacks
+    shipmode/commit/receipt dates, so returnflag plays the class and
+    the ship-after-order lag plays "late"). Both engines evaluate the
+    identical day-interval arithmetic on identical instants.
+
+    Scale design: the year window is scan-pushed into lineitem; the
+    date-lag predicate cannot prune at scan (it needs both tables) and
+    correctly lands as the join RESIDUAL on the single orderkey
+    shuffle; the two conditional counts ride one (returnflag) agg with
+    map-side partials."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    j = li.join(
+        t["orders"],
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )

@@ -454,3 +454,38 @@ def test_q16_blacklist_is_broadcast_anti(spark):
     assert "LeftAnti" in plan, "blacklist lost its anti-join"
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_count(distinct" in plan.lower() or "count(distinct" in plan.lower()
+
+
+def test_q11_single_corpus_pass_and_broadcast_total(spark):
+    """q_important_inventory: the nation-supplier set semi-prunes
+    lineitem during a broadcast probe, ONE partkey agg shuffle, and
+    the grand total re-aggregates the per-part table (broadcast back)
+    — never a second corpus scan."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import (
+        q_important_inventory,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    # checkpoint=False exposes the full lineage (the production path
+    # checkpoints the per-part table, which truncates the visible plan
+    # to a Scan ExistingRDD)
+    plan = _plan(q_important_inventory(frames, checkpoint=False))
+    assert "LeftSemi" in plan, "nation-supplier prune lost its semi-join"
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    # the checkpointed production plan: per-part table computed ONCE,
+    # shared by the total and filter sides
+    ck = _plan(RELATIONAL["q_important_inventory"][0](frames))
+    assert ck.count("FileScan parquet") == 0, "checkpoint lost — corpus rescanned"
+
+
+def test_q12_date_lag_is_join_residual(spark):
+    """q_late_shipment_priority: the year window reaches the lineitem
+    scan, the cross-table date-lag predicate rides the orderkey join
+    (it cannot prune at scan), and both conditional counts share one
+    agg with partials."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(RELATIONAL["q_late_shipment_priority"][0](frames))
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:600], "year window not pushed"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
