@@ -114,7 +114,8 @@ _DRIVER_FRONT = [
     "q_distinct_users",
     "q_distinct_users_approx",
     # past the 50 cap from here — FRONT OF THE r9 ROTATION: the last
-    # seven names above (q_selective_revenue, q_cube_returnflag_status,
+    # nine names above (q_customers_without_orders, q_parts_ordered,
+    # q_selective_revenue, q_cube_returnflag_status,
     # q_brand_revenue_share, q_user_sessions, q_events_hourly_window,
     # q_distinct_users, q_distinct_users_approx — pushed past the cap
     # as late-r8 new ops joined section (c); new/impl-changed entries
