@@ -1272,3 +1272,29 @@ def test_unigram_logprob_shuffle_path_equals_broadcast(spark):
     bc = sorted(docs_unigram_logprob(frames).collect(), key=key)
     sh = sorted(docs_unigram_logprob(frames, broadcast_vocab=0).collect(), key=key)
     assert [tuple(r) for r in bc] == [tuple(r) for r in sh]
+
+
+def test_decon_gram_hashes_short_doc_guard(spark):
+    """Docs shorter than DECON_GRAM yield an EMPTY gram array (not an
+    ANSI out-of-range element_at error) — the guard inside
+    decon_gram_hashes that the streaming ingest path relies on, where
+    grams are computed BEFORE the length gates. Boundary: exactly
+    DECON_GRAM tokens → exactly one gram."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        decon_gram_hashes,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import DECON_GRAM
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, " ".join(f"t{i}" for i in range(DECON_GRAM)) ), (2, "")],
+        "doc_id long, text string",
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    th = F.transform(toks, lambda x: F.xxhash64(x))
+    rows = {r["doc_id"]: r["g"] for r in docs.select(
+        "doc_id", decon_gram_hashes(th).alias("g")
+    ).collect()}
+    assert rows[0] == [] and rows[2] == []
+    assert len(rows[1]) == 1
