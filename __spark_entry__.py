@@ -432,11 +432,14 @@ def queries() -> dict[str, QueryFn]:
             os.path.join(tmp, "ckpt"),
             eval_docs=eval_docs,
         )
-        # stable projection for the rows-only check (ingest_ts is the
-        # synthetic fixture clock; fp ties the row to its dedup key)
+        # deterministic projection for the rows-only check: every column
+        # is a pure function of the document TEXT, so the row set is
+        # identical no matter WHICH replica of a duplicate class the
+        # stream kept (doc_id/source of the survivor are arrival-defined
+        # and deliberately excluded)
         return out.select(
-            "doc_id", "source", "n_tokens", "quality_score", "n_pii", "clean_fp"
-        ).orderBy("doc_id")
+            "fp", "n_tokens", "quality_score", "n_pii", "clean_fp"
+        ).orderBy("fp")
 
     q["streaming_curation"] = _stream_curation
 

@@ -167,6 +167,27 @@ HEADLINE = [
 ]
 
 
+def _fresh_session(old_spark, app_name: str):
+    """Stop the worn session and start a clean one with the scaling
+    phases' shared conf + JVM warm-up — the phases exist to track PLAN
+    scaling, and heap/state wear from earlier phases inflates their
+    timings up to ~6x (measured across rounds 5-8)."""
+    from real_time_fraud_detection_lakehouse_spark.core.session import get_spark
+
+    old_spark.stop()
+    spark = get_spark(
+        app_name,
+        master=f"local[{CPUS}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(
+                max(int(CPUS) if CPUS != "*" else 32, 8)
+            )
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    return spark
+
+
 def main() -> None:
     from real_time_fraud_detection_lakehouse_spark.core.catalog import (
         TESTDATA_TABLES,
@@ -347,17 +368,7 @@ def main() -> None:
                 build_replica,
             )
 
-            spark.stop()
-            spark = get_spark(
-                "bench-scaling",
-                master=f"local[{CPUS}]",
-                extra_conf={
-                    "spark.sql.shuffle.partitions": str(
-                        max(int(CPUS) if CPUS != "*" else 32, 8)
-                    )
-                },
-            )
-            spark.range(1_000_000).selectExpr("sum(id)").collect()
+            spark = _fresh_session(spark, "bench-scaling")
             big_dir = os.path.join(warehouse, "replica")
             t0 = time.time()
             build_replica(spark, SF_DIR, big_dir, copies=SCALE_COPIES)
@@ -451,17 +462,7 @@ def main() -> None:
             # the scaling session has chewed through the 10x block and
             # heap wear inflates phase-6 timings up to ~6x (measured:
             # dedup_exact scaled 41 s worn vs 3.5 s fresh)
-            spark.stop()
-            spark = get_spark(
-                "bench-scaling-100x",
-                master=f"local[{CPUS}]",
-                extra_conf={
-                    "spark.sql.shuffle.partitions": str(
-                        max(int(CPUS) if CPUS != "*" else 32, 8)
-                    )
-                },
-            )
-            spark.range(1_000_000).selectExpr("sum(id)").collect()
+            spark = _fresh_session(spark, "bench-scaling-100x")
             huge_dir = os.path.join(warehouse, "replica100")
             t0 = time.time()
             build_replica(
@@ -512,17 +513,7 @@ def main() -> None:
             # measurement stays ~21 s — the same worn-session artifact
             # as phases 5/6 (and r6's streaming_dedup phantom); the
             # block exists to track PLAN scaling, so measure it clean.
-            spark.stop()
-            spark = get_spark(
-                "bench-semdedup-100x",
-                master=f"local[{CPUS}]",
-                extra_conf={
-                    "spark.sql.shuffle.partitions": str(
-                        max(int(CPUS) if CPUS != "*" else 32, 8)
-                    )
-                },
-            )
-            spark.range(1_000_000).selectExpr("sum(id)").collect()
+            spark = _fresh_session(spark, "bench-semdedup-100x")
             from real_time_fraud_detection_lakehouse_spark.operators.similarity import (
                 SEMDEDUP_K,
                 SEMDEDUP_TARGET_CLUSTER,

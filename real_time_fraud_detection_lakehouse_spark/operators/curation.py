@@ -634,29 +634,8 @@ from real_time_fraud_detection_lakehouse_spark.operators.text import (  # noqa: 
     DECON_GRAM,
     EN_STOPWORDS,
     _EN_SET,
+    decon_gram_hashes,
 )
-
-
-def decon_gram_hashes(th_col) -> "F.Column":
-    """Distinct DECON_GRAM-token chained-hash grams over a token-hash
-    array column — the SHARED gram definition for the batch
-    decontamination semi-join (docs_curate_pipeline /
-    docs_decontaminate's idiom) and the streaming filter-at-ingest
-    gate, so the two sides hash identically by construction. Returns
-    an EMPTY array when the doc is shorter than DECON_GRAM — the
-    unguarded F.sequence would run descending into out-of-range
-    element_at (an ANSI-mode error)."""
-    return F.when(
-        F.size(th_col) >= DECON_GRAM,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(th_col) - (DECON_GRAM - 1)),
-                lambda i: F.xxhash64(
-                    *[F.element_at(th_col, i + j) for j in range(DECON_GRAM)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def curation_columns() -> dict[str, "F.Column"]:
@@ -923,8 +902,10 @@ def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOC
 
 
 # --- corpus → training batches (the end-to-end pre-training data path) ------
-#: hex-prefix bucket fan-out for the per-epoch distributed prefix sum
-_C2B_BUCKETS = 256
+#: hex chars of the md5 shuffle key used as the per-epoch prefix-sum
+#: bucket; fan-out = 16**prefix (2 -> 256 uniform buckets)
+_C2B_PREFIX = 2
+_C2B_BUCKETS = 16 ** _C2B_PREFIX
 
 
 def _corpus_to_batches_sql() -> str:
@@ -977,10 +958,10 @@ def corpus_to_batches(t: Frames) -> DataFrame:
     see docs_curate_pipeline); the epoch fan-out is a per-row 2-element
     explode; the per-epoch running offset is the docs_pack_sequences
     DISTRIBUTED PREFIX SUM transplanted onto shuffle-key order — hex
-    prefix of the md5 key = {_C2B_BUCKETS} uniform buckets whose string
+    prefix of the md5 key = 16**_C2B_PREFIX (256) uniform buckets whose string
     order agrees with full-key order, so (1) per-(epoch, bucket) token
     totals via one keyed agg, (2) a running offset over the
-    ≤ epochs×{_C2B_BUCKETS}-row totals table (tiny window), (3) a
+    ≤ epochs×256-row totals table (tiny window), (3) a
     within-bucket cumsum window parallel across (epoch, bucket). No
     global single-partition window, no driver state; md5 keys make the
     permutation reproducible across engines and runs."""
@@ -1007,7 +988,7 @@ def corpus_to_batches(t: Frames) -> DataFrame:
                 )
             ).alias("shuffle_key"),
         )
-        .withColumn("bucket", F.substring("shuffle_key", 1, 2))
+        .withColumn("bucket", F.substring("shuffle_key", 1, _C2B_PREFIX))
         .localCheckpoint(eager=False)  # feeds totals AND the cumsum side
     )
     totals = shuf.groupBy("epoch", "bucket").agg(F.sum("n_tokens").alias("btotal"))

@@ -614,6 +614,29 @@ def docs_pack_sequences(t: Frames) -> DataFrame:
 # --- benchmark decontamination (n-gram overlap vs an eval set) --------------
 DECON_GRAM = 5  # n-gram size for contamination matching (GPT-3 used 13)
 DECON_EVAL_SOURCE = "src0"  # deterministic stand-in for the benchmark set
+def decon_gram_hashes(th_col) -> "F.Column":
+    """Distinct DECON_GRAM-token chained-hash grams over a token-hash
+    array column — THE gram definition, shared by every
+    decontamination consumer: docs_decontaminate's semi-join below,
+    docs_curate_pipeline's composed gate (operators/curation.py), and
+    the streaming filter-at-ingest gate (streaming/curation.py), so
+    all sides hash identically by construction. Returns an EMPTY
+    array when the doc is shorter than DECON_GRAM — the unguarded
+    F.sequence would run descending into out-of-range element_at
+    (an ANSI-mode error)."""
+    return F.when(
+        F.size(th_col) >= DECON_GRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th_col) - (DECON_GRAM - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(th_col, i + j) for j in range(DECON_GRAM)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 _GRAMS5 = (
     f"list_distinct(list_transform(range(1, len({_TOKENS}) - {DECON_GRAM - 2}),"
     f" i -> array_to_string(list_slice({_TOKENS}, i, i + {DECON_GRAM - 1}), ' ')))"
@@ -665,14 +688,7 @@ def docs_decontaminate(t: Frames) -> DataFrame:
         F.size(toks).alias("n_toks"),
         F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_toks") - (DECON_GRAM - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("th"), i + j) for j in range(DECON_GRAM)]
-            ),
-        )
-    )
+    grams = decon_gram_hashes(F.col("th"))
     long_enough = F.col("n_toks") >= DECON_GRAM
     train = (
         docs.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough)

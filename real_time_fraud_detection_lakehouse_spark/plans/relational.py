@@ -2476,7 +2476,7 @@ MKT_SHARE_NATION = "NATION_2"
     ),
     shares AS (
       SELECT o_year,
-             {_r4s("SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)")}
+             {_r4s(f"SUM(CASE WHEN nation = '{MKT_SHARE_NATION}' THEN volume ELSE 0 END)")}
                AS nation_volume,
              {_r4s('SUM(volume)')} AS total_volume
       FROM all_nations

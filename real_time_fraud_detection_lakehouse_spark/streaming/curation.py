@@ -11,12 +11,22 @@ EXACT-DEDUP slice of ``operators/curation.docs_curate_pipeline``:
 - eval-source quarantine (source != DECON_EVAL_SOURCE),
 - PII scrub accounting (clean_fp + n_pii),
 - exact dedup as ``dropDuplicatesWithinWatermark`` on the lowercase-
-  trimmed md5 fingerprint — the streaming form of the batch keeper
-  election: first arrival per fingerprint wins, replays and late
-  duplicates inside the watermark horizon are dropped, and key state
-  evicts once the watermark passes (O(keys per horizon), never
+  trimmed md5 fingerprint, applied BEFORE the gates — the streaming
+  form of the batch keeper election: the first arrival per fingerprint
+  is the class representative and its gates decide the class's fate
+  (an eval-source first arrival quarantines the class). Replays and
+  late duplicates inside the watermark horizon are dropped, and key
+  state evicts once the watermark passes (O(keys per horizon), never
   O(all fingerprints ever) — the same bounded-state argument as
   streaming/windows.dedup_stream).
+
+Parity contract: the survivor clean_fp multiset equals the batch
+pipeline's whenever arrival order is consistent with the batch keeper
+election (min doc_id — the fixture's monotone ingest clock). For
+duplicate classes spanning the eval source AND a training source, the
+class's fate is arrival-defined — an ingest gate cannot see the
+future; the test corpus contains no such class (checked: zero mixed
+classes at every SF), so the batch-equivalence tests are exact.
 
 Decontamination joins the slice as a STREAM-STATIC gate: the eval-set
 gram table is static (benchmarks change on release cadence, not per
@@ -135,11 +145,20 @@ def curation_stream(
             decon_gram_hashes(th).alias("gram_hashes"),
             F.size(toks).alias("_n_toks"),
         )
-        .filter(
-            (F.col("quality_score") >= 0.5)
-            & (F.col("en_hits") > 0)
-            & (F.col("source") != DECON_EVAL_SOURCE)
-        )
+    )
+    # DEDUP FIRST, gates after: the first arrival per fingerprint is the
+    # class representative and its gates decide the class's fate — an
+    # eval-source first arrival QUARANTINES the whole class, exactly the
+    # batch keeper election's behavior (min doc_id keeper, gates applied
+    # to the keeper) under arrival order consistent with doc_id. Gating
+    # before dedup would let a later non-eval copy of eval content
+    # survive — a decontamination leak for docs too short for the gram
+    # gate. Cost: dedup state is keyed over ALL arrivals in the horizon,
+    # not just gate-passers (still watermark-bounded).
+    stream = stream.dropDuplicatesWithinWatermark(["fp"]).filter(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("en_hits") > 0)
+        & (F.col("source") != DECON_EVAL_SOURCE)
     )
     if eval_docs is not None:
         stream = (
@@ -150,7 +169,7 @@ def curation_stream(
             )
             .drop("eval_grams")
         )
-    stream = stream.drop("gram_hashes", "_n_toks").dropDuplicatesWithinWatermark(["fp"])
+    stream = stream.drop("gram_hashes", "_n_toks")
     q = (
         stream.writeStream.format("parquet")
         .option("path", out_path)
