@@ -129,6 +129,9 @@ SCALING_QUERIES = [
     "dedup_exact",
     "text_stats",
     "text_tfidf_topk",
+    # r8: a 6-table broadcast-discipline join for the 10x block (the
+    # simpler shapes above never stress multi-join plan scaling)
+    "q_local_supplier_volume",
 ]
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
