@@ -1,5 +1,6 @@
 """Source/sink format round-trips: CSV with explicit schema (S5 —
-the reference's producer replays CSV rows), ORC, and JSON lines."""
+the reference's producer replays CSV rows), ORC, JSON lines, Spark 4's
+built-in XML, and the raw `text` source."""
 
 from __future__ import annotations
 
@@ -62,3 +63,49 @@ def test_json_lines_roundtrip(spark, tmp_path):
         "is_fraud int, trans_timestamp string"
     ).json(path)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4's BUILT-IN XML source (the former spark-xml package,
+    merged in 4.0): write the sample as XML rows, read back with a
+    declared schema — value-identical. Extends the S5 format family
+    beyond CSV/ORC/JSON without any external jar."""
+    path = str(tmp_path / "xml")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    df = _sample(spark)
+    (
+        df.write.mode("overwrite")
+        .option("rootTag", "transactions")
+        .option("rowTag", "tx")
+        .option("timestampFormat", fmt)
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(
+            "trans_num string, cc_num long, amt double, category string, "
+            "is_fraud int, trans_timestamp timestamp"
+        )
+        .option("rowTag", "tx")
+        .option("timestampFormat", fmt)
+        .format("xml")
+        .load(path)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_text_format_roundtrip(spark, tmp_path):
+    """The `text` source (one string column per line — the raw-crawl
+    ingest format an LLM pipeline starts from): documents round-trip
+    line-for-line through it."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+
+    path = str(tmp_path / "text")
+    docs = table(spark, SF_SMALL, "documents").select("text").filter(
+        ~F.col("text").contains("\n")
+    )
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path).withColumnRenamed("value", "text")
+    assert sorted(r["text"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
