@@ -432,11 +432,15 @@ def queries() -> dict[str, QueryFn]:
             os.path.join(tmp, "ckpt"),
             eval_docs=eval_docs,
         )
-        # deterministic projection for the rows-only check: every column
-        # is a pure function of the document TEXT, so the row set is
-        # identical no matter WHICH replica of a duplicate class the
-        # stream kept (doc_id/source of the survivor are arrival-defined
-        # and deliberately excluded)
+        # deterministic projection for the rows-only check. fp is keyed
+        # on lower/trim-NORMALIZED text while the other columns are
+        # computed on raw text, so case/whitespace-variant duplicates
+        # share fp with different column values — determinism therefore
+        # rests on the fixture's MONOTONE ingest clock (doc_id seconds),
+        # which makes first-arrival = min-doc_id: the surviving replica,
+        # hence every projected value, is the same on every run.
+        # doc_id/source of the survivor are still excluded as the
+        # columns that would vary under a different arrival order.
         return out.select(
             "fp", "n_tokens", "quality_score", "n_pii", "clean_fp"
         ).orderBy("fp")

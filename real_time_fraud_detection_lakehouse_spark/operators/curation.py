@@ -713,16 +713,29 @@ def curation_columns() -> dict[str, "F.Column"]:
       AND s.en_hits > 0
       AND s.source <> '{DECON_EVAL_SOURCE}'
       AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND k.fp NOT IN (SELECT DISTINCT md5(lower(trim(text))) FROM documents
+                       WHERE source = '{DECON_EVAL_SOURCE}')
     """,
 )
 def docs_curate_pipeline(t: Frames) -> DataFrame:
     """End-to-end curation: exact-dedup keeper election (min doc_id
     per lowercase-trimmed md5 fingerprint) ∧ quality_score ≥ 0.5 ∧ ≥1
     English marker token ∧ not the eval source ∧ shares NO
-    {DECON_GRAM}-gram with the eval source, with the surviving text
-    PII-scrubbed (fingerprint + scrub-count columns prove the rewrite
-    ran). The surviving-doc set is the pipeline's contract and is
-    DuckDB-oracled end to end.
+    {DECON_GRAM}-gram with the eval source ∧ fingerprint NOT held by
+    any eval-source doc, with the surviving text PII-scrubbed
+    (fingerprint + scrub-count columns prove the rewrite ran). The
+    surviving-doc set is the pipeline's contract and is DuckDB-oracled
+    end to end.
+
+    The exact-fp eval quarantine (round 9) closes the short-doc
+    contamination hole: a doc shorter than {DECON_GRAM} tokens carries
+    no grams, so a verbatim train-source copy of a short eval doc used
+    to slip past the gram gate whenever the keeper election picked the
+    train copy. Quarantining by fingerprint is keeper- and
+    order-independent — the streaming ingest twin applies the same
+    rule (streaming/curation.py), so a duplicate class spanning
+    eval+train sources dies in both modes regardless of which member
+    is elected or arrives first.
 
     Scale design — the composition inherits each pass's plan: all
     scoring/scrubbing is scan-side column math; keeper election is one
@@ -773,6 +786,14 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # exact-fp eval quarantine: benchmark-sized (small by definition)
+    # but sf-scaling in the fixture, so UNHINTED — planner/AQE
+    # broadcasts it while it fits (module policy in plans/relational.py)
+    eval_fps = (
+        docs.filter(F.col("source") == DECON_EVAL_SOURCE)
+        .select(cols["fp"].alias("fp"))
+        .distinct()
+    )
     return (
         scored.join(keepers, scored["doc_id"] == keepers["keeper"])
         .filter(
@@ -781,6 +802,7 @@ def docs_curate_pipeline(t: Frames) -> DataFrame:
             & (F.col("source") != DECON_EVAL_SOURCE)
         )
         .join(contaminated, "doc_id", "left_anti")
+        .join(eval_fps, "fp", "left_anti")
         .select("doc_id", "source", "n_tokens", "quality_score", "n_pii", "clean_fp")
     )
 
@@ -816,15 +838,6 @@ CURATION_OPS["docs_curate_pipeline_scored"] = (docs_curate_pipeline_scored, None
 #: add-one smoothing mass; vocabulary size enters the denominator
 UNIGRAM_ALPHA = 1.0
 
-#: vocab-row ceiling for broadcasting the unigram model back onto the
-#: exploded corpus: 1M (word, count) rows ≈ 50 MB hashed relation —
-#: comfortably executor-resident. A 100 TB web corpus's noisy vocab is
-#: 1e8+ rows, far past any broadcast budget; above the gate the scoring
-#: join falls back to a shuffle join on word (one extra corpus shuffle,
-#: same output). The adaptive idiom is docs_strip_boilerplate's.
-UNIGRAM_BROADCAST_VOCAB = 1_000_000
-
-
 @_register(
     "docs_unigram_logprob",
     f"""
@@ -845,7 +858,7 @@ UNIGRAM_BROADCAST_VOCAB = 1_000_000
     GROUP BY t.doc_id
     """,
 )
-def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOCAB) -> DataFrame:
+def docs_unigram_logprob(t: Frames) -> DataFrame:
     """Language-model quality scoring, the third published selection
     family's cheap exact form (CCNet filters on LM perplexity; a
     unigram model is the largest LM whose training AND scoring stay
@@ -861,12 +874,13 @@ def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOC
     Heaps-bounded output) and the scoring join; the per-doc mean
     collapses map-side because a doc's tokens are partition-local. The
     corpus shuffles once (doc_id agg); smoothing totals are a broadcast
-    1-row aggregate, never collected. The scoring join is SIZE-GATED
-    (see UNIGRAM_BROADCAST_VOCAB): the model broadcasts only while its
-    vocab fits the documented ceiling — the vocab count is one job over
-    the already-checkpointed Heaps-bounded model table — and otherwise
-    the join shuffles on word, which a 1e8-row web-corpus vocabulary
-    requires. Both paths are output-identical (path-equivalence test in
+    1-row aggregate, never collected. The scoring join carries NO
+    forced hint and NO eager size probe: the model is localCheckpointed,
+    so AQE reads its exact materialized size at runtime and broadcasts
+    while it fits ``spark.sql.autoBroadcastJoinThreshold``, falling
+    back to a shuffle join on word when a 1e8-row web-corpus vocabulary
+    exceeds it — both plans output-identical, and building this
+    DataFrame launches zero Spark jobs (lazy-build regression test in
     tests/test_llm_ops.py)."""
     docs = spread_small_input(t["documents"])
     tok = docs.select("doc_id", F.explode(_tokens_col()).alias("word")).localCheckpoint(
@@ -876,9 +890,8 @@ def docs_unigram_logprob(t: Frames, broadcast_vocab: int = UNIGRAM_BROADCAST_VOC
     totals = model.agg(
         F.sum("c").alias("n"), F.count("*").cast("long").alias("v")
     )
-    model_side = F.broadcast(model) if model.count() <= broadcast_vocab else model
     scored = (
-        tok.join(model_side, "word")
+        tok.join(model, "word")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(

@@ -14,9 +14,22 @@ Every oracle SELECT is self-contained DuckDB SQL over the driver's
 pre-registered table views.
 
 Scale notes are per-query in docstrings/comments; the common themes:
-dims (region/nation/customer/part/supplier) broadcast so fact-side
-scans never shuffle for the join; aggregates rely on map-side partial
-aggregation; top-k uses TakeOrderedAndProject (no global sort).
+dim joins stay broadcast-shaped so fact-side scans never shuffle for
+the join; aggregates rely on map-side partial aggregation; top-k uses
+TakeOrderedAndProject (no global sort).
+
+Broadcast-hint policy (round 9): an explicit ``F.broadcast`` hint is
+a scale-invariance claim, so it is reserved for frames whose
+cardinality does NOT grow with the scale factor — nation (25 rows),
+region (5), and 1-row/bounded aggregates (crossJoin scalars). Tables
+that scale with sf (customer 150k×sf, supplier 10k×sf, part 200k×sf,
+and any frame filtered/aggregated from them) are left UNHINTED: the
+static planner broadcasts them from parquet size statistics while
+they fit ``spark.sql.autoBroadcastJoinThreshold``, and AQE re-plans
+from observed sizes past that, so a 100× scale-up degrades to a
+shuffle join instead of a driver OOM. Plan tests accordingly assert
+"no nested-loop/cartesian" + pushdown rather than pinning a forced
+hint.
 """
 
 from __future__ import annotations
@@ -110,7 +123,7 @@ def q_top_customers(t: Frames) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
     )
     return (
         j.groupBy("c_custkey", "c_name")
@@ -143,7 +156,7 @@ def q_regional_revenue(t: Frames) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
     )
@@ -414,7 +427,7 @@ _TYPED_REV = (
 )
 def q_brand_revenue_share(t: Frames) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
     return j.groupBy("p_brand").agg(
         _r4(F.sum(F.when(F.col("p_type").contains("a"), rev).otherwise(0.0))).alias(
             "typed_revenue"
@@ -1511,7 +1524,7 @@ def q_top_supplier_revenue(t: Frames) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1557,7 +1570,7 @@ def q_small_qty_revenue(t: Frames) -> DataFrame:
     flip on float summation order."""
     brand_parts = t["part"].filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey")
     li_brand = t["lineitem"].join(
-        F.broadcast(brand_parts),
+        brand_parts,
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -1565,7 +1578,7 @@ def q_small_qty_revenue(t: Frames) -> DataFrame:
         _r4(F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li_brand.join(F.broadcast(thresholds), "l_partkey")
+        li_brand.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             _r4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
@@ -1851,7 +1864,7 @@ def q_shipping_priority(t: Frames) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
     )
@@ -1909,8 +1922,8 @@ def q_nation_trade_volume(t: Frames) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
         )
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .filter(F.col("sn_key") != F.col("cn_key"))
@@ -1959,7 +1972,7 @@ def q_large_volume_customers(t: Frames) -> DataFrame:
         t["lineitem"]
         .join(big, F.col("big_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
     )
     return j.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -2246,7 +2259,7 @@ def q_suppliers_kept_waiting(t: Frames) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .drop("o_orderkey")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
     l3 = (
@@ -2368,8 +2381,8 @@ def q_min_cost_supplier(t: Frames) -> DataFrame:
     supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
     nat = t["nation"].select("n_nationkey", "n_name")
     return (
-        best.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -2413,12 +2426,14 @@ def q_local_supplier_volume(t: Frames) -> DataFrame:
 
     Scale design: the date range is scan-pushed into orders; the only
     fact-fact shuffle is orders⋈lineitem on orderkey; customer and
-    supplier broadcast (Q7 discipline), and the same-nation residual
-    is part of the supplier broadcast-probe condition so mismatched
-    rows die during the probe, never materializing; nation/region
-    broadcast and the region filter prunes the nation build side to
-    1/5 before the probe. One final (n_name) agg with map-side
-    partials."""
+    supplier are UNHINTED per the module broadcast policy (the planner
+    broadcasts them from size stats while they fit, AQE shuffles them
+    past that — no forced full-dim broadcast to OOM the driver at
+    100×), and the same-nation residual rides the supplier join
+    condition so mismatched rows die during the probe, never
+    materializing; nation/region (fixed 25/5 rows) keep their explicit
+    hints and the region filter prunes the nation build side to 1/5
+    before the probe. One final (n_name) agg with map-side partials."""
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -2436,9 +2451,9 @@ def q_local_supplier_volume(t: Frames) -> DataFrame:
     j = (
         t["lineitem"]
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -2498,11 +2513,13 @@ def q_market_share(t: Frames) -> DataFrame:
     and divide the rounded values, then round the ratio — double
     summation-order noise (≪ 1e-4 at these magnitudes) cannot leak
     into the share. Scale design: part is filtered to one type before
-    its broadcast (probe-side lineitem prune), customer/supplier/
-    nation×2/region all broadcast, orders⋈lineitem is the single
-    fact-fact shuffle, then one (o_year) agg with map-side partials —
-    same exchange count as Q7; the CASE numerator rides the same agg
-    (no second pass)."""
+    its join (probe-side lineitem prune); part/customer/supplier are
+    UNHINTED per the module broadcast policy (size-gated by the
+    planner/AQE, shuffle-join past the threshold) while the two
+    nation aliases and region keep their fixed-cardinality hints;
+    orders⋈lineitem is the single fact-fact shuffle, then one
+    (o_year) agg with map-side partials — same exchange count as Q7;
+    the CASE numerator rides the same agg (no second pass)."""
     econ_parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     am_nations = (
         t["nation"]
@@ -2521,10 +2538,10 @@ def q_market_share(t: Frames) -> DataFrame:
     )
     j = (
         t["lineitem"]
-        .join(F.broadcast(econ_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(econ_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(am_nations), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
     )
@@ -2584,7 +2601,7 @@ def q_returned_item_customers(t: Frames) -> DataFrame:
     nat = t["nation"].select("n_nationkey", "n_name")
     j = (
         returned.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
     )
     return (
@@ -2656,7 +2673,7 @@ def q_disjunctive_revenue(t: Frames) -> DataFrame:
             & F.col("l_quantity").between(25, 50)
         )
     )
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(cond)
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey")).filter(cond)
     return j.agg(
         _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
         F.count("*").alias("n_lines"),
@@ -2717,7 +2734,7 @@ def q_dominant_suppliers(t: Frames) -> DataFrame:
     )
     blue = t["part"].filter(F.col("p_name").startswith("blue")).select("p_partkey")
     q = (
-        year.join(F.broadcast(blue), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        year.join(blue, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -2775,7 +2792,7 @@ def q_promo_revenue_share(t: Frames) -> DataFrame:
     p = t["part"].select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        month.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        month.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             _r4(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
@@ -2830,17 +2847,16 @@ def q_product_profit(t: Frames) -> DataFrame:
     rounded before use so the join carries identical doubles in both
     engines.
 
-    Scale design: the red-part prefix filter broadcasts into BOTH the
-    cost aggregation and the fact scan (semi-prune before the heavy
-    agg); the cost table comes from one (partkey, suppkey) shuffle and
-    joins back to lineitem on the same compound key (AQE co-locates);
-    supplier/nation/part broadcast; orders⋈lineitem is the one
-    remaining fact-fact shuffle; final (nation, year) agg partials
-    map-side."""
+    Scale design: the red-part key set semi-prunes lineitem BEFORE
+    the heavy cost aggregation; the cost table comes from one
+    (partkey, suppkey) shuffle and joins back to lineitem on the same
+    compound key (AQE co-locates); red/supplier are UNHINTED per the
+    module broadcast policy (planner/AQE size-gates the broadcast)
+    while nation keeps its fixed-cardinality hint; orders⋈lineitem is
+    the one remaining fact-fact shuffle; final (nation, year) agg
+    partials map-side."""
     red = t["part"].filter(F.col("p_name").startswith("red")).select("p_partkey")
-    li = t["lineitem"].join(
-        F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
-    )
+    li = t["lineitem"].join(red, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         _r4(
             F.lit(Q9_COST_FACTOR) * F.avg(F.col("l_extendedprice") / F.col("l_quantity"))
@@ -2855,7 +2871,7 @@ def q_product_profit(t: Frames) -> DataFrame:
             & (F.col("c_suppkey") == F.col("l_suppkey")),
         )
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
     )
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -2903,9 +2919,9 @@ def q_parts_supplier_relationship(t: Frames) -> DataFrame:
     blacklist = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     j = (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(blacklist),
+            blacklist,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_anti",
         )
@@ -2975,7 +2991,7 @@ def q_important_inventory(t: Frames, checkpoint: bool = True) -> DataFrame:
     value = (
         t["lineitem"]
         .join(
-            F.broadcast(nat_suppliers),
+            nat_suppliers,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )

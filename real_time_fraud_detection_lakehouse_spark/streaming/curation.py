@@ -21,12 +21,29 @@ EXACT-DEDUP slice of ``operators/curation.docs_curate_pipeline``:
   streaming/windows.dedup_stream).
 
 Parity contract: the survivor clean_fp multiset equals the batch
-pipeline's whenever arrival order is consistent with the batch keeper
-election (min doc_id — the fixture's monotone ingest clock). For
-duplicate classes spanning the eval source AND a training source, the
-class's fate is arrival-defined — an ingest gate cannot see the
-future; the test corpus contains no such class (checked: zero mixed
-classes at every SF), so the batch-equivalence tests are exact.
+pipeline's when BOTH hold:
+
+1. arrival order is consistent with the batch keeper election (min
+   doc_id — the fixture's monotone ingest clock), AND
+2. every duplicate class's arrivals span LESS than the watermark
+   horizon: ``dropDuplicatesWithinWatermark`` only guarantees
+   dedup for arrivals within the delay threshold of each other, so a
+   class whose first and last ingest_ts sit further apart than the
+   watermark may emit a second survivor the batch global election
+   never would. The fixture's ingest clock is doc_id seconds, so the
+   condition is max intra-class doc_id gap < the watermark in seconds
+   (asserted per-fixture by the equivalence tests in
+   tests/test_streaming_windows.py).
+
+Duplicate classes spanning the eval source AND a training source are
+NOT arrival-defined when ``eval_docs`` is given (round 9): arriving
+fingerprints are checked in-row against the static eval-source
+fingerprint set (broadcast alongside the decon gram array), so a
+train-source copy of eval text is quarantined even when it arrives
+before — or instead of — the eval copy, exactly matching the batch
+pipeline's keeper-independent exact-fp quarantine. Without
+``eval_docs`` the class's fate is the first arrival's (documented
+gates-only mode, mirrored by the gates-only batch comparison test).
 
 Decontamination joins the slice as a STREAM-STATIC gate: the eval-set
 gram table is static (benchmarks change on release cadence, not per
@@ -81,22 +98,27 @@ def write_doc_stream_fixture(
     return docs.count() * replays
 
 
-def eval_gram_row(eval_docs: DataFrame) -> DataFrame:
-    """Collapse a STATIC eval-benchmark document set to one row holding
-    the sorted distinct gram-hash array — the broadcast side of the
-    streaming decontamination gate. Eval sets are small by definition
-    (a benchmark, not a corpus), so the array is bounded the same way
-    docs_strip_boilerplate's fset is; rebuilt on benchmark release, not
-    per micro-batch."""
+def eval_gate_row(eval_docs: DataFrame) -> DataFrame:
+    """Collapse a STATIC eval-benchmark document set to ONE row holding
+    the sorted distinct gram-hash array (decontamination) AND the
+    sorted distinct fingerprint array (exact-duplicate quarantine) —
+    the broadcast side of both streaming eval gates. Eval sets are
+    small by definition (a benchmark, not a corpus), so both arrays
+    are bounded the same way docs_strip_boilerplate's fset is; rebuilt
+    on benchmark release, not per micro-batch."""
     toks = _tokens_col()
     th = F.transform(toks, lambda x: F.xxhash64(x))
     grams = (
         eval_docs.filter(F.size(toks) >= DECON_GRAM)
         .select(F.explode(decon_gram_hashes(th)).alias("gram"))
-        .distinct()
+        .agg(F.sort_array(F.collect_set("gram")).alias("eval_grams"))
     )
-    return grams.agg(F.sort_array(F.collect_set("gram")).alias("eval_grams")).select(
-        F.coalesce("eval_grams", F.array().cast("array<bigint>")).alias("eval_grams")
+    fps = eval_docs.select(curation_columns()["fp"].alias("fp")).agg(
+        F.sort_array(F.collect_set("fp")).alias("eval_fps")
+    )
+    return grams.crossJoin(fps).select(
+        F.coalesce("eval_grams", F.array().cast("array<bigint>")).alias("eval_grams"),
+        F.coalesce("eval_fps", F.array().cast("array<string>")).alias("eval_fps"),
     )
 
 
@@ -112,18 +134,22 @@ def curation_stream(
     availableNow (test/backfill trigger; production drops the trigger
     and runs continuous micro-batches against the landing zone).
     When ``eval_docs`` (a STATIC DataFrame with a text column) is
-    given, adds the stream-static decontamination gate: docs sharing
-    any DECON_GRAM-token gram with the eval set are dropped at ingest.
+    given, adds BOTH stream-static eval gates: decontamination (docs
+    sharing any DECON_GRAM-token gram with the eval set are dropped at
+    ingest) and the exact-fp quarantine (docs whose fingerprint any
+    eval doc holds are dropped REGARDLESS of arrival order — the
+    order-independent mixed-class rule matching the batch pipeline's
+    keeper-independent quarantine; see the module parity contract).
 
     Scale design: the gates and the scrub accounting are stateless
     column math evaluated inside each micro-batch — zero state,
-    arbitrarily parallel; decontamination is an in-row
-    ``arrays_overlap`` against the broadcast one-row eval-gram array
-    (stream-static broadcast join — no stream shuffle). The ONLY
-    stateful operator is the fingerprint dedup, whose state is
-    watermark-bounded. Output is an append-mode parquet sink: each
-    surviving first-arrival emits exactly once (checkpointed —
-    restart-idempotent like the bronze CDC stream)."""
+    arbitrarily parallel; decontamination and the fp quarantine are
+    in-row ``arrays_overlap`` / ``array_contains`` checks against the
+    broadcast one-row eval arrays (stream-static broadcast join — no
+    stream shuffle). The ONLY stateful operator is the fingerprint
+    dedup, whose state is watermark-bounded. Output is an append-mode
+    parquet sink: each surviving first-arrival emits exactly once
+    (checkpointed — restart-idempotent like the bronze CDC stream)."""
     schema = spark.read.parquet(source_path).schema
     cols = curation_columns()
     toks = _tokens_col()
@@ -150,11 +176,12 @@ def curation_stream(
     # class representative and its gates decide the class's fate — an
     # eval-source first arrival QUARANTINES the whole class, exactly the
     # batch keeper election's behavior (min doc_id keeper, gates applied
-    # to the keeper) under arrival order consistent with doc_id. Gating
-    # before dedup would let a later non-eval copy of eval content
-    # survive — a decontamination leak for docs too short for the gram
-    # gate. Cost: dedup state is keyed over ALL arrivals in the horizon,
-    # not just gate-passers (still watermark-bounded).
+    # to the keeper) under arrival order consistent with doc_id. When
+    # eval_docs is given, the exact-fp quarantine below makes the
+    # eval-vs-train outcome arrival-INDEPENDENT; dedup-first still
+    # matters so exactly one representative per class reaches the
+    # gates. Cost: dedup state is keyed over ALL arrivals in the
+    # horizon, not just gate-passers (still watermark-bounded).
     stream = stream.dropDuplicatesWithinWatermark(["fp"]).filter(
         (F.col("quality_score") >= 0.5)
         & (F.col("en_hits") > 0)
@@ -162,12 +189,15 @@ def curation_stream(
     )
     if eval_docs is not None:
         stream = (
-            stream.crossJoin(F.broadcast(eval_gram_row(eval_docs)))
+            stream.crossJoin(F.broadcast(eval_gate_row(eval_docs)))
             .filter(
-                (F.col("_n_toks") < DECON_GRAM)
-                | ~F.arrays_overlap("gram_hashes", "eval_grams")
+                ~F.array_contains("eval_fps", F.col("fp"))
+                & (
+                    (F.col("_n_toks") < DECON_GRAM)
+                    | ~F.arrays_overlap("gram_hashes", "eval_grams")
+                )
             )
-            .drop("eval_grams")
+            .drop("eval_grams", "eval_fps")
         )
     stream = stream.drop("gram_hashes", "_n_toks")
     q = (

@@ -1257,10 +1257,16 @@ def test_bpe_512_realistic_vocab_batches_rounds(spark, frames):
     assert all(r["pair_count"] > 0 for r in rows)
 
 
-def test_unigram_logprob_shuffle_path_equals_broadcast(spark):
-    """The size-gated scoring join: forcing the above-ceiling SHUFFLE
-    path (broadcast_vocab=0) returns exactly the broadcast path's
-    output — the gate only changes join strategy, never values."""
+def test_unigram_logprob_builds_lazily_and_shuffle_path_matches(spark, monkeypatch):
+    """Round-9 regression pair for the scoring join's AQE size gate:
+    (a) BUILDING the plan launches zero Spark jobs — the round-8 eager
+    ``model.count()`` gate made explain-only tests and registry walks
+    run two jobs per construction; (b) forcing the above-threshold
+    SHUFFLE strategy (autoBroadcastJoinThreshold=-1, the 1e8-vocab
+    web-corpus path) returns exactly the default path's output — the
+    join strategy never changes values."""
+    from pyspark.sql import DataFrame as _DF
+
     from real_time_fraud_detection_lakehouse_spark.operators.curation import (
         docs_unigram_logprob,
     )
@@ -1268,9 +1274,24 @@ def test_unigram_logprob_shuffle_path_equals_broadcast(spark):
     common = " ".join(["the", "of", "and", "to"] * 10)
     gibberish = " ".join(f"zzq{i}x" for i in range(40))
     frames = _docs(spark, [common, gibberish, common])
+
+    def _eager(self, *a, **k):  # pragma: no cover - assertion path
+        raise AssertionError("plan construction ran an eager Spark action")
+
+    with monkeypatch.context() as m:
+        m.setattr(_DF, "count", _eager)
+        m.setattr(_DF, "collect", _eager)
+        m.setattr(_DF, "toPandas", _eager)
+        df = docs_unigram_logprob(frames)  # must stay lazy
+
     key = lambda r: r["doc_id"]
-    bc = sorted(docs_unigram_logprob(frames).collect(), key=key)
-    sh = sorted(docs_unigram_logprob(frames, broadcast_vocab=0).collect(), key=key)
+    bc = sorted(df.collect(), key=key)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sh = sorted(docs_unigram_logprob(frames).collect(), key=key)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert [tuple(r) for r in bc] == [tuple(r) for r in sh]
 
 

@@ -486,6 +486,7 @@ def test_q12_date_lag_is_join_residual(spark):
     agg with partials."""
     frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
     plan = _plan(RELATIONAL["q_late_shipment_priority"][0](frames))
+    assert "PushedFilters" in plan, "lineitem scan lost its PushedFilters marker"
     assert "l_shipdate" in plan.split("PushedFilters")[1][:600], "year window not pushed"
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_sum" in plan

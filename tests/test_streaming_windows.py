@@ -241,6 +241,36 @@ def test_state_store_reader_shows_watermark_bounded_state(spark, tmp_path):
     assert len(state) < len(all_keys)
 
 
+def _assert_fixture_inside_watermark_horizon(spark, src, horizon_s=2 * 3600):
+    """Precondition of the stream≡batch parity contract (see the
+    streaming/curation.py module docstring): dropDuplicatesWithinWatermark
+    only guarantees single-survivor dedup for arrivals within the delay
+    threshold of each other, so every duplicate class's ingest_ts span
+    must sit strictly inside the watermark horizon. A larger fixture
+    whose doc_id-second clock stretches a class past 2h must widen the
+    watermark instead of silently diverging from the batch election."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        curation_columns,
+    )
+
+    fixture = spark.read.parquet(src)
+    span = (
+        fixture.groupBy(curation_columns()["fp"].alias("fp"))
+        .agg(
+            (
+                F.unix_timestamp(F.max("ingest_ts"))
+                - F.unix_timestamp(F.min("ingest_ts"))
+            ).alias("gap")
+        )
+        .agg(F.max("gap").alias("max_gap"))
+        .collect()[0]["max_gap"]
+    )
+    assert span < horizon_s, (
+        f"fixture intra-class ingest span {span}s >= watermark {horizon_s}s — "
+        "parity with the batch keeper election is no longer guaranteed"
+    )
+
+
 def test_streaming_curation_equals_batch_gates(spark, tmp_path):
     """Filter-at-ingest ≡ batch: the streaming curation slice over the
     replayed documents fixture keeps exactly one survivor per content
@@ -263,6 +293,7 @@ def test_streaming_curation_equals_batch_gates(spark, tmp_path):
 
     src = str(tmp_path / "src")
     n_in = write_doc_stream_fixture(spark, SF_SMALL, src, replays=2)
+    _assert_fixture_inside_watermark_horizon(spark, src)
     out = curation_stream(
         spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
     ).collect()
@@ -327,6 +358,7 @@ def test_streaming_curation_with_decon_matches_batch_pipeline(spark, tmp_path):
 
     src = str(tmp_path / "src")
     write_doc_stream_fixture(spark, SF_SMALL, src, replays=2)
+    _assert_fixture_inside_watermark_horizon(spark, src)
     eval_docs = table(spark, SF_SMALL, "documents").filter(
         F.col("source") == DECON_EVAL_SOURCE
     )
@@ -341,6 +373,66 @@ def test_streaming_curation_with_decon_matches_batch_pipeline(spark, tmp_path):
     frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
     batch = docs_curate_pipeline(frames).collect()
     assert sorted(r["clean_fp"] for r in out) == sorted(r["clean_fp"] for r in batch)
+
+
+def test_streaming_curation_mixed_class_quarantined_both_orders(spark, tmp_path):
+    """Round-9 order-independence: a duplicate class spanning the eval
+    source AND a training source — planted SHORT (< DECON_GRAM tokens,
+    so the gram gate cannot see it) — is quarantined by the exact-fp
+    eval gate under BOTH arrival orders, and the stream survivor fp set
+    equals the batch docs_curate_pipeline survivor fp set each time.
+    Covers both mixed-class shapes: eval member has the smaller doc_id
+    (S1) and the larger doc_id (S2)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        curation_columns,
+        docs_curate_pipeline,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        DECON_EVAL_SOURCE,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        curation_stream,
+    )
+
+    s1 = "alpha bravo charlie the"  # 4 distinct tokens + stopword:
+    s2 = "delta echo foxtrot the"  # quality exactly 0.5, en_hits 1,
+    keep = "golf hotel india the"  # and NO 5-gram → gram-gate blind
+    rows = [
+        (1, DECON_EVAL_SOURCE, s1),  # S1: eval member first by doc_id
+        (2, "web", s1),
+        (3, "web", keep),  # the one doc that must survive
+        (4, DECON_EVAL_SOURCE, "juliett kilo lima the"),  # plain eval doc
+        (5, "web", s2),  # S2: train member first by doc_id
+        (6, DECON_EVAL_SOURCE, s2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    batch_fps = {
+        r["clean_fp"] for r in docs_curate_pipeline({"documents": docs}).collect()
+    }
+    cols = curation_columns()
+    keep_fp = docs.filter(F.col("doc_id") == 3).select(
+        cols["clean_fp"].alias("c")
+    ).collect()[0]["c"]
+    assert batch_fps == {keep_fp}, "batch must quarantine both mixed classes"
+
+    eval_docs = docs.filter(F.col("source") == DECON_EVAL_SOURCE)
+    for tag, clock in (("forward", F.col("doc_id")), ("reversed", 7 - F.col("doc_id"))):
+        src = str(tmp_path / f"src_{tag}")
+        docs.withColumn(
+            "ingest_ts",
+            F.lit(INGEST_BASE).cast("timestamp")
+            + F.make_dt_interval(secs=clock.cast("double")),
+        ).write.mode("overwrite").parquet(src)
+        out = curation_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            eval_docs=eval_docs,
+        ).collect()
+        got = {r["clean_fp"] for r in out}
+        assert got == batch_fps, f"{tag} arrival order diverged from batch"
 
 
 def test_streaming_curation_restart_is_idempotent(spark, tmp_path):
