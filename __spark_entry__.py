@@ -38,100 +38,104 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: entries 0..49 of round 2's ordering. To get every registered operator a
 #: driver-verified row across rounds, each round fronts the entries whose
 #: last driver row is OLDEST or whose implementation changed after the
-#: previous front was written (union of r2–r7 covers all 159 entries, zero
-#: failures ever). Round 8 fronts, in priority order: (a) the chained-hash
-#: dedup family — commits 175303e..9b886eb rewrote their gram/shingle/
-#: window hashing AFTER the r7 front was written, so their driver rows are
-#: r6-dated pre-change (the round-7 verdict's Next #1); (b) entries whose
-#: implementation changed in round 8 (decontamination anti-join hint
-#: dropped; unigram model join size-gated); (c) operators NEW in round 8
-#: (_driver_order skips names not yet registered); (d) the 16 entries
-#: whose latest row is r4; (e) the 18 oldest r5-green entries to fill the
-#: cap. The 27 remaining r5 entries rotate in r9 (tail note).
+#: previous front was written (union of r2–r8 covers all 173 entries, zero
+#: failures ever). Per the round-8 verdict (#2), rows-only entries never
+#: occupy front slots — the driver can only record ``err: no_oracle`` for
+#: them, so every one of this round's 50 slots buys a hash-checked green;
+#: rows-only impl changes are re-verified in pytest instead (noted below).
+#:
+#: Round 9 fronts, in priority order:
+#: (a) the 22 oracled entries whose implementation changed in round 9 —
+#:     the sf-scaling broadcast-hint sweep across 19 relational queries
+#:     (plans/relational.py module policy), the AQE unigram gate, and the
+#:     exact-fp eval quarantine (docs_curate_pipeline + the two composed
+#:     oracles that nest its SQL);
+#: (b) the 28 remaining entries whose latest green row is r5 (the r8
+#:     verdict's Next #1; q_brand_revenue_share is the 29th but already
+#:     sits in (a) as impl-changed). After this round no oracled entry's
+#:     latest green row is older than r6.
+#: 22 + 28 = exactly the 50-entry cap. One impl-changed entry had to slip
+#: past it: q_promo_revenue_share (position 51, hint-only change) — it
+#: stays covered this round by the parametrized pytest oracle
+#: (tests/test_relational.py::test_relational_matches_oracle) and an
+#: in-round scripts/validate_driver.py sf0.01 pass; it FRONTS r10.
+#: Rows-only entries whose impl changed in r9 (docs_curate_pipeline_scored,
+#: streaming_curation — both compose the quarantined pipeline) are
+#: re-verified by the batch-equivalence + planted mixed-class tests in
+#: tests/test_streaming_windows.py and the scored-gate tests in
+#: tests/test_llm_ops.py.
 _DRIVER_FRONT = [
-    # (a) chained-hash family — impl changed after the r7 front
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "docs_dedup_apply",
-    "docs_dup_spans",
-    "docs_exact_substr_dedup",
-    "docs_decontaminate",
-    # (b) implementation changed in round 8 — re-verify
-    "docs_curate_pipeline",
-    "docs_curate_pipeline_scored",
-    "docs_unigram_logprob",
-    # (c) NEW round-8 operators — first driver rows
-    "q_local_supplier_volume",  # TPC-H Q5 shape
-    "q_market_share",  # TPC-H Q8 shape
-    "q_returned_item_customers",  # TPC-H Q10 shape
-    "q_disjunctive_revenue",  # TPC-H Q19 shape
-    "q_dominant_suppliers",  # TPC-H Q20 shape
-    "q_promo_revenue_share",  # TPC-H Q14 shape
-    "q_product_profit",  # TPC-H Q9 shape (derived supply cost)
-    "q_parts_supplier_relationship",  # TPC-H Q16 shape
-    "q_important_inventory",  # TPC-H Q11 shape (mean-multiple threshold)
-    "q_late_shipment_priority",  # TPC-H Q12 shape (date-lag residual)
-    "text_bpe_merges_512",  # realistic-vocab fast-mode BPE train
-    "corpus_to_batches",  # curate→shuffle→pack end-to-end
-    "docs_token_budget_report",  # budget sheet over the packed corpus
-    "streaming_curation",  # watermarked filter-at-ingest twin
-    # (d) r4-green refreshes — the last 16 r4-latest entries
-    "dash_overview",
-    "dash_monthly_trend",
-    "dash_state_top20",
-    "dash_risky_merchants",
-    "dash_weekend",
-    "dash_late_night",
-    "dash_severity",
-    "dash_multi_factor",
-    "dash_score_distribution",
-    "q_union_rebalance",
-    "q_user_velocity",
-    "q_range_join_clicks",
-    "q_psi_price_drift",
-    "ml_train_metrics",
-    "sql_show_tables",
-    "sql_describe_fact",
-    # (e) oldest r5-green refreshes (fills to the 50 cap)
-    "transactions_source",
-    "silver_features",
-    "gold_fact_transactions",
-    "gold_dim_customer",
-    "latest_metrics",
-    "q_distinct_pairs",
-    "q_median_quantity",
-    "q_events_json",
-    "q_epoch_roundtrip",
+    # (a) impl changed in round 9 — re-verify against the oracle
+    "docs_curate_pipeline",  # exact-fp eval quarantine added
+    "corpus_to_batches",  # nests the curate oracle → SQL changed
+    "docs_token_budget_report",  # nests corpus_to_batches → SQL changed
+    "docs_unigram_logprob",  # eager count gate → AQE size decision
+    "q_local_supplier_volume",  # broadcast-hint sweep (19 queries)
+    "q_market_share",
+    "q_product_profit",
+    "q_parts_supplier_relationship",
+    "q_important_inventory",
+    "q_returned_item_customers",
+    "q_disjunctive_revenue",
+    "q_dominant_suppliers",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_brand_revenue_share",  # impl-changed AND the 29th r5-stale entry
+    "q_top_supplier_revenue",
+    "q_small_qty_revenue",
+    "q_shipping_priority",
+    "q_nation_trade_volume",
+    "q_large_volume_customers",
+    "q_suppliers_kept_waiting",
+    "q_min_cost_supplier",
+    # (b) r5-green refreshes — every remaining entry whose latest green
+    # driver row is r5 (CORRECTNESS_r05.json), oldest debt in the ledger
     "q_customers_without_orders",
     "q_parts_ordered",
     "q_selective_revenue",
     "q_cube_returnflag_status",
-    "q_brand_revenue_share",
     "q_user_sessions",
     "q_events_hourly_window",
     "q_distinct_users",
-    "q_distinct_users_approx",
-    # past the 50 cap from here — FRONT OF THE r9 ROTATION: the last
-    # nine names above (q_customers_without_orders, q_parts_ordered,
-    # q_selective_revenue, q_cube_returnflag_status,
-    # q_brand_revenue_share, q_user_sessions, q_events_hourly_window,
-    # q_distinct_users, q_distinct_users_approx — pushed past the cap
-    # as late-r8 new ops joined section (c); new/impl-changed entries
-    # outrank one-round-stale refreshes), then the 27 remaining
-    # r5-green entries (q_quantity_quantiles,
-    # q_supplier_order_volume, q_asof_click_purchase,
-    # q_grouping_sets_priority, q_customer_order_gaps,
-    # q_pivot_status_by_priority, q_order_count_distribution,
-    # q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
-    # q_user_retention_cohorts, q_funnel_conversion,
-    # q_revenue_anomaly_zscore, q_salted_skew_agg, q_weighted_sample,
-    # q_salted_join_parts, text_tfidf_topk, text_top_ngrams,
-    # docs_pack_sequences, embedding_label_centroids,
-    # streaming_bronze_ingest, sql_daily_summary,
-    # streaming_hourly_windows, stateful_velocity, streaming_dedup,
-    # streaming_enrichment), then the r6-green block oldest-first.
+    "q_quantity_quantiles",
+    "q_supplier_order_volume",
+    "q_asof_click_purchase",
+    "q_grouping_sets_priority",
+    "q_customer_order_gaps",
+    "q_pivot_status_by_priority",
+    "q_order_count_distribution",
+    "q_price_histogram",
+    "q_rolling_7d_spend",
+    "q_price_rank_distribution",
+    "q_user_retention_cohorts",
+    "q_funnel_conversion",
+    "q_revenue_anomaly_zscore",
+    "q_salted_skew_agg",
+    "q_weighted_sample",
+    "q_salted_join_parts",
+    "text_tfidf_topk",
+    "text_top_ngrams",
+    "docs_pack_sequences",
+    "embedding_label_centroids",
+    "sql_daily_summary",
+    # ---- 50-entry cap ----------------------------------------------------
+    # position 51: the deferred impl-changed entry — FRONTS r10
+    "q_promo_revenue_share",
+    # then the r6-green block oldest-first (dedup_embedding_cosine_ivf and
+    # similarity_cosine_topk lead it in r10 — their standing-bench drift
+    # was re-measured isolated this round, BENCH_SCALING.md), then r7.
+    "dedup_embedding_cosine_ivf",
+    "similarity_cosine_topk",
+    "dedup_exact",
+    "docs_bm25_search",
+    "docs_clean_pipeline",
+    "docs_dsir_weights",
+    "docs_epoch_shuffle",
+    "docs_hybrid_rrf",
+    "docs_mix_weights",
+    "docs_pii_scrub",
+    "docs_repetition_stats",
+    "docs_strip_boilerplate",
 ]
 
 

@@ -32,6 +32,11 @@ directory invisible to everyone. Both are garbage-collected by
 ``vacuum_snapshots``.
 
 - ``snapshot_write``   — stage → claim → mark; returns N.
+- ``publish_tables`` / ``read_published`` / ``vacuum_published`` — the
+  MULTI-TABLE layer: one cross-table manifest commit pins every
+  table's version, so a reader of a table GROUP (the five gold
+  tables) sees all-old or all-new, never fact vN with dims vN-1
+  (round-9 verdict stretch #8; protocol note above the layer).
 - ``read_snapshot``    — latest committed, or ``VERSION AS OF`` N.
 - ``rollback``         — make an old version current again by writing
   it as a NEW version (history is never mutated — same contract as
@@ -162,6 +167,144 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     """Restore ``to_version`` by re-writing it as a new version (the
     DeltaTable.restoreToVersion contract: history is append-only)."""
     return snapshot_write(read_snapshot(spark, path, to_version), path)
+
+
+# --- multi-table atomic publish (cross-table manifest commit) ---------------
+# The per-table protocol above leaves a window between the five gold
+# writes where a reader can observe fact _v=N next to dims _v=N-1. The
+# manifest layer closes it — the Delta multi-table-transaction /
+# Iceberg catalog-commit analog: per-table versions are written first
+# (committed but UNREFERENCED — invisible to group readers, who only
+# resolve through manifests), then ONE manifest file pinning every
+# table's version is published atomically. A crash anywhere before the
+# manifest leaves the previous manifest current: readers see all-old or
+# all-new, never a mix.
+#
+# Manifest commit primitive: write the full JSON to a dot-prefixed temp
+# file (fsync'd), then ``os.link`` it to ``_manifests/manifest-N.json``
+# — link(2) is atomic AND no-replace (EEXIST when a rival already
+# published N), giving the same claim semantics as the mkdir trick with
+# full-content visibility; the loser retries with N+1. On S3-style
+# stores this becomes a conditional PUT (If-None-Match), the same
+# evolution noted for the per-table protocol.
+
+_MANIFEST_DIR = "_manifests"
+_MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+
+
+def _manifest_versions(root: str) -> list[int]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        m = _MANIFEST_RE.match(name)
+        if m and os.path.isfile(os.path.join(mdir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(root: str, n: int) -> dict[str, int]:
+    import json
+
+    with open(
+        os.path.join(root, _MANIFEST_DIR, f"manifest-{n}.json"), encoding="utf-8"
+    ) as fh:
+        return {t: int(v) for t, v in json.load(fh)["tables"].items()}
+
+
+def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
+    """Atomically publish a consistent set of tables as one group
+    version; returns the group version N.
+
+    Each table lands as a per-table snapshot version first (invisible
+    to group readers until referenced), then one manifest pinning
+    {table: version} commits via fsync'd-tempfile + no-replace
+    ``os.link``. Group readers (``read_published``) resolve ONLY
+    through manifests, so a crash after any subset of the table writes
+    — or between them and the manifest — leaves the previous group
+    fully intact: all-old or all-new, never fact vN with dims vN-1.
+
+    Concurrent publishers race on the manifest number; the loser
+    retries with N+1, and both groups remain readable (their per-table
+    versions are disjoint by the per-table claim protocol)."""
+    import json
+
+    if not dfs:
+        raise ValueError("publish_tables needs at least one table")
+    pinned = {
+        name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
+    }
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".manifest.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"tables": pinned}, fh, sort_keys=True)
+        fh.write("\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        for _ in range(10_000):  # bounded like the per-table claim loop
+            taken = _manifest_versions(root)
+            group = (max(taken) + 1) if taken else 1
+            try:
+                os.link(tmp, os.path.join(mdir, f"manifest-{group}.json"))
+                break
+            except FileExistsError:
+                continue  # rival published this N → re-list
+        else:
+            raise RuntimeError(f"could not claim a manifest version at {root}")
+    finally:
+        os.unlink(tmp)
+    _fsync_dir(mdir)
+    return group
+
+
+def read_published(
+    spark: SparkSession, root: str, group_version: int | None = None
+) -> dict[str, DataFrame]:
+    """The latest (or ``AS OF group_version``) consistent table group:
+    every returned DataFrame reads the per-table version pinned by ONE
+    manifest — cross-table consistency by construction."""
+    versions = _manifest_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no published manifests at {root}")
+    if group_version is None:
+        group_version = versions[-1]
+    elif group_version not in versions:
+        raise ValueError(f"group version {group_version} not in {versions}")
+    pinned = _read_manifest(root, group_version)
+    return {
+        name: read_snapshot(spark, os.path.join(root, name), version)
+        for name, version in pinned.items()
+    }
+
+
+def vacuum_published(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` manifests, then vacuum each
+    table store down to exactly the versions some surviving manifest
+    still pins (plus torn/stage debris via the per-table vacuum rules).
+    Returns the group versions removed. Same caveat as
+    ``vacuum_snapshots``: don't run concurrently with a publisher."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    versions = _manifest_versions(root)
+    doomed = versions[:-keep]
+    for n in doomed:
+        os.unlink(os.path.join(root, _MANIFEST_DIR, f"manifest-{n}.json"))
+    live: dict[str, set[int]] = {}
+    for n in versions[-keep:]:
+        for t, v in _read_manifest(root, n).items():
+            live.setdefault(t, set()).add(v)
+    for t, keep_vs in live.items():
+        tdir = os.path.join(root, t)
+        for v, committed in _version_dirs(tdir):
+            if v not in keep_vs:
+                shutil.rmtree(os.path.join(tdir, f"_v={v}"), ignore_errors=True)
+        for name in os.listdir(tdir) if os.path.isdir(tdir) else []:
+            if name.startswith(_STAGE_PREFIX):
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+    return doomed
 
 
 def vacuum_snapshots(path: str, keep: int = 2) -> list[int]:

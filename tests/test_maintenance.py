@@ -154,6 +154,78 @@ def test_snapshot_time_travel_rollback_vacuum(spark, tmp_path):
         read_snapshot(spark, path, version=1)
 
 
+def test_multi_table_publish_never_tears(spark, tmp_path):
+    """Cross-table manifest commit (round-9 stretch): a reader of the
+    table GROUP sees all-old or all-new, never a mix. A publisher
+    crashing after SOME per-table writes — or after ALL of them but
+    before the manifest — leaves the previous group fully intact;
+    after a successful publish both group versions read consistently;
+    vacuum keeps only manifest-pinned table versions."""
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "gold")
+
+    def group(tag):
+        return {
+            "fact": spark.createDataFrame([(1, tag), (2, tag)], ["id", "ver"]),
+            "dim_a": spark.createDataFrame([(1, tag)], ["k", "ver"]),
+            "dim_b": spark.createDataFrame([(9, tag)], ["k", "ver"]),
+        }
+
+    def read_tags(g=None):
+        frames = read_published(spark, root, group_version=g)
+        return {t: {r["ver"] for r in df.collect()} for t, df in frames.items()}
+
+    assert publish_tables(group("old"), root) == 1
+    assert read_tags() == {"fact": {"old"}, "dim_a": {"old"}, "dim_b": {"old"}}
+
+    # crash after the FIRST per-table write: every table of the group
+    # must still read "old" — the half-written new version is invisible
+    real_write = snapshots.snapshot_write
+    calls = {"n": 0}
+
+    def crash_after_one(df, path):
+        if calls["n"] >= 1:
+            raise RuntimeError("publisher died mid-group")
+        calls["n"] += 1
+        return real_write(df, path)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snapshots, "snapshot_write", crash_after_one)
+        with pytest.raises(RuntimeError, match="died mid-group"):
+            publish_tables(group("new"), root)
+    assert read_tags() == {"fact": {"old"}, "dim_a": {"old"}, "dim_b": {"old"}}
+
+    # crash after ALL table writes but BEFORE the manifest: same outcome
+    def crash_before_manifest(root_, *a, **k):
+        raise RuntimeError("died before manifest")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snapshots, "_manifest_versions", crash_before_manifest)
+        with pytest.raises(RuntimeError, match="before manifest"):
+            publish_tables(group("new"), root)
+    assert read_tags() == {"fact": {"old"}, "dim_a": {"old"}, "dim_b": {"old"}}
+
+    # a successful publish flips EVERY table at once; AS OF still works
+    g2 = publish_tables(group("new"), root)
+    assert read_tags() == {"fact": {"new"}, "dim_a": {"new"}, "dim_b": {"new"}}
+    assert read_tags(1) == {"fact": {"old"}, "dim_a": {"old"}, "dim_b": {"old"}}
+
+    # vacuum to the newest manifest: group 1 gone, group g2 intact —
+    # including the orphaned versions the two crashed publishers left
+    assert vacuum_published(root, keep=1) == [1]
+    assert read_tags() == {"fact": {"new"}, "dim_a": {"new"}, "dim_b": {"new"}}
+    with pytest.raises(ValueError):
+        read_published(spark, root, group_version=1)
+
+
 def test_zorder_equi_depth_handles_skew(spark):
     """On a heavily skewed column min-max bucketing collapses (most
     rows land in bucket 0 and the z-curve degenerates); equi-depth
