@@ -146,6 +146,13 @@ SCALING_100X_QUERIES = [
     "docs_dup_spans",
     "docs_curate_pipeline",
     "corpus_to_batches",
+    # r9 (verdict #7): the BPE trainer's "one pair-count job per ROUND,
+    # rounds ≪ merges" claim gets a driver-recorded datapoint beyond
+    # sf0.1 — fast-mode 512-vocab, batch 32, over the 100x replica.
+    # Deliberately NOT in DIRECT: its base timing is recorded here
+    # (isolated probe: base ~7.7 s, scaled ~35 s min-of-2), and timing
+    # it twice would grow the suite for no extra signal.
+    "text_bpe_merges_512",
 ]
 
 #: the ~15 queries carried on the compact final JSON line (the full
