@@ -306,6 +306,32 @@ def gold_frames(spark, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return dict(frames)
 
 
+def publish_gold(spark, sf_dir: str | None, root: str) -> int:
+    """Materialize the five gold tables and publish them as ONE atomic
+    group version (``sources/snapshots.publish_tables``); returns the
+    group version N.
+
+    The reference's gold job writes its five tables sequentially
+    (`reference/spark/app/gold_job.py` flow), leaving a window where a
+    reader joins fact vN against dims vN-1; the manifest commit closes
+    it — ``read_published(spark, root)`` hands back a {name: DataFrame}
+    set pinned by one manifest, all-old or all-new by construction
+    (torn-publish test in tests/test_maintenance.py). Silver is
+    computed once and feeds all five builders; each table lands as its
+    own per-table snapshot version (invisible until the manifest), so
+    a crash mid-publish leaves the previous group current."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import publish_tables
+
+    frames = gold_frames(spark, sf_dir)
+    return publish_tables(
+        {
+            name: frames[name]
+            for name in ("fact", "dim_customer", "dim_merchant", "dim_time", "dim_location")
+        },
+        root,
+    )
+
+
 def gold_prelude() -> str:
     """WITH-clause prelude exposing transactions/silver/fact + dims to
     oracle queries. DuckDB only materializes referenced CTEs."""

@@ -226,6 +226,31 @@ def test_multi_table_publish_never_tears(spark, tmp_path):
         read_published(spark, root, group_version=1)
 
 
+def test_publish_gold_consistent_group(spark, tmp_path):
+    """publish_gold lands the five gold tables behind one manifest:
+    read_published returns the full star schema at a single group
+    version, fact keeps silver's row count, every dim is nonempty, and
+    a second publish yields group 2 with group 1 still readable."""
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import publish_gold
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import read_published
+
+    root = str(tmp_path / "gold_pub")
+    assert publish_gold(spark, SF_SMALL, root) == 1
+    got = read_published(spark, root)
+    assert set(got) == {"fact", "dim_customer", "dim_merchant", "dim_time", "dim_location"}
+    n_silver = build_silver(spark, SF_SMALL).count()
+    assert got["fact"].count() == n_silver
+    for name in ("dim_customer", "dim_merchant", "dim_time", "dim_location"):
+        assert got[name].count() > 0, name
+
+    assert publish_gold(spark, SF_SMALL, root) == 2
+    old = read_published(spark, root, group_version=1)
+    assert old["fact"].count() == n_silver  # history intact
+
+
 def test_zorder_equi_depth_handles_skew(spark):
     """On a heavily skewed column min-max bucketing collapses (most
     rows land in bucket 0 and the z-curve degenerates); equi-depth
