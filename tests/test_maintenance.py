@@ -226,6 +226,41 @@ def test_multi_table_publish_never_tears(spark, tmp_path):
         read_published(spark, root, group_version=1)
 
 
+def test_concurrent_publishers_both_commit(spark, tmp_path):
+    """Two publishers racing on the same root: the manifest claim loop
+    serializes them — both groups commit (distinct group versions),
+    each manifest pins a complete, internally-consistent table set,
+    and no reader-visible state ever mixes the two publishers' rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+    )
+
+    root = str(tmp_path / "race")
+
+    def publish(tag):
+        return publish_tables(
+            {
+                "fact": spark.createDataFrame([(1, tag)], ["id", "ver"]),
+                "dim": spark.createDataFrame([(7, tag)], ["k", "ver"]),
+            },
+            root,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        groups = list(pool.map(publish, ["a", "b"]))
+    assert sorted(groups) == [1, 2], groups
+    for g in groups:
+        tags = {
+            t: {r["ver"] for r in df.collect()}
+            for t, df in read_published(spark, root, group_version=g).items()
+        }
+        # one publisher per group, never a mix of a-fact with b-dim
+        assert tags["fact"] == tags["dim"] and len(tags["fact"]) == 1, tags
+
+
 def test_publish_gold_consistent_group(spark, tmp_path):
     """publish_gold lands the five gold tables behind one manifest:
     read_published returns the full star schema at a single group

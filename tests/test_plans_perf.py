@@ -53,6 +53,39 @@ def test_tpch_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_unhinted_dims_degrade_to_shuffle_join_same_results(spark):
+    """The round-9 broadcast policy's actual claim, exercised: with
+    autoBroadcastJoinThreshold=-1 (the state a 100x scale-up reaches
+    when sf-scaling dims outgrow the threshold), the un-hinted TPC-H
+    shapes plan WITHOUT any forced broadcast — no nested loop, no
+    cartesian — and return exactly the default-path results. A stray
+    surviving F.broadcast hint on customer/supplier/part would defeat
+    the -1 threshold and show up here as a BroadcastHashJoin."""
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    shapes = ["q_market_share", "q_local_supplier_volume", "q_product_profit"]
+    key = lambda r: tuple(str(v) for v in r)
+    expected = {
+        name: sorted(RELATIONAL[name][0](frames).collect(), key=key) for name in shapes
+    }
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in shapes:
+            df = RELATIONAL[name][0](frames)
+            plan = _plan(df)
+            # nation/region keep their fixed-cardinality hints, so SOME
+            # BroadcastHashJoins remain; the sf-scaling dims must not —
+            # bound the count by the number of hinted fixed-size frames
+            hinted_caps = {"q_market_share": 3, "q_local_supplier_volume": 2,
+                           "q_product_profit": 1}
+            assert plan.count("BroadcastHashJoin") <= hinted_caps[name], (
+                name, "an sf-scaling dim is still force-broadcast")
+            assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+            assert sorted(df.collect(), key=key) == expected[name], name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_topk_uses_take_ordered(spark):
     g = gold_frames(spark, SF_SMALL)
     plan = _plan(VIEWS["merchant_analysis"][0](g))
