@@ -438,13 +438,15 @@ def queries() -> dict[str, QueryFn]:
         )
         # deterministic projection for the rows-only check. fp is keyed
         # on lower/trim-NORMALIZED text while the other columns are
-        # computed on raw text, so case/whitespace-variant duplicates
-        # share fp with different column values — determinism therefore
-        # rests on the fixture's MONOTONE ingest clock (doc_id seconds),
-        # which makes first-arrival = min-doc_id: the surviving replica,
-        # hence every projected value, is the same on every run.
-        # doc_id/source of the survivor are still excluded as the
-        # columns that would vary under a different arrival order.
+        # computed on raw text, and dropDuplicatesWithinWatermark keeps
+        # the first row PROCESSED per key (task-scheduling order within
+        # the single availableNow batch — ingest_ts never elects the
+        # survivor). Determinism therefore rests on the FIXTURE: every
+        # duplicate class is a byte-identical replay (zero case/
+        # whitespace-variant classes at every SF), so whichever replica
+        # wins, the projected values are identical. doc_id/source of
+        # the survivor are excluded as the columns that WOULD vary with
+        # processing order.
         return out.select(
             "fp", "n_tokens", "quality_score", "n_pii", "clean_fp"
         ).orderBy("fp")

@@ -713,8 +713,11 @@ def curation_columns() -> dict[str, "F.Column"]:
       AND s.en_hits > 0
       AND s.source <> '{DECON_EVAL_SOURCE}'
       AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      -- text IS NOT NULL keeps NOT IN two-valued (a NULL eval text would
+      -- make the whole NOT IN return NULL for every row — three-valued
+      -- semantics Spark's left_anti join does not share)
       AND k.fp NOT IN (SELECT DISTINCT md5(lower(trim(text))) FROM documents
-                       WHERE source = '{DECON_EVAL_SOURCE}')
+                       WHERE source = '{DECON_EVAL_SOURCE}' AND text IS NOT NULL)
     """,
 )
 def docs_curate_pipeline(t: Frames) -> DataFrame:

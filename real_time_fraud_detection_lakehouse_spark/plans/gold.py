@@ -317,16 +317,24 @@ def publish_gold(spark, sf_dir: str | None, root: str) -> int:
     it — ``read_published(spark, root)`` hands back a {name: DataFrame}
     set pinned by one manifest, all-old or all-new by construction
     (torn-publish test in tests/test_maintenance.py). Silver is
-    computed once and feeds all five builders; each table lands as its
-    own per-table snapshot version (invisible until the manifest), so
-    a crash mid-publish leaves the previous group current."""
+    MATERIALIZED once (eager localCheckpoint) before the fan-out —
+    publish_tables runs five independent write actions, and Spark does
+    not share subtrees across actions, so an un-pinned silver would
+    re-execute the full transactions→features chain per table; each
+    table lands as its own per-table snapshot version (invisible until
+    the manifest), so a crash mid-publish leaves the previous group
+    current."""
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
     from real_time_fraud_detection_lakehouse_spark.sources.snapshots import publish_tables
 
-    frames = gold_frames(spark, sf_dir)
+    silver = build_silver(spark, sf_dir).localCheckpoint(eager=True)
     return publish_tables(
         {
-            name: frames[name]
-            for name in ("fact", "dim_customer", "dim_merchant", "dim_time", "dim_location")
+            "fact": fact_transactions(silver),
+            "dim_customer": dim_customer(silver),
+            "dim_merchant": dim_merchant(silver),
+            "dim_time": dim_time(silver),
+            "dim_location": dim_location(silver),
         },
         root,
     )

@@ -281,24 +281,57 @@ def read_published(
 
 
 def vacuum_published(root: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest ``keep`` manifests, then vacuum each
-    table store down to exactly the versions some surviving manifest
-    still pins (plus torn/stage debris via the per-table vacuum rules).
-    Returns the group versions removed. Same caveat as
-    ``vacuum_snapshots``: don't run concurrently with a publisher."""
+    """Drop all but the newest ``keep`` manifests, then vacuum EVERY
+    table store on disk down to exactly the versions some surviving
+    manifest still pins — including stores a crashed publisher left
+    fully unreferenced (no manifest ever committed) and tables that
+    only doomed manifests pinned — plus stage/torn debris and orphaned
+    ``.manifest.*`` temp files a killed publisher left behind. Returns
+    the group versions removed.
+
+    Concurrency caveats (stronger than ``vacuum_snapshots``'s): don't
+    run concurrently with (a) a publisher — its freshly-written,
+    not-yet-referenced table versions look exactly like crash debris;
+    (b) a reader pinned to an old group version — its lazy DataFrames
+    resolve files this vacuum deletes, failing at action time (the
+    Delta VACUUM retention-window hazard); or (c) another vacuum —
+    manifest unlinks are tolerant (missing_ok) but the two would race
+    the same rmtrees. One maintenance actor per root, the same
+    single-writer discipline the reference applies to OPTIMIZE."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     versions = _manifest_versions(root)
     doomed = versions[:-keep]
+    mdir = os.path.join(root, _MANIFEST_DIR)
     for n in doomed:
-        os.unlink(os.path.join(root, _MANIFEST_DIR, f"manifest-{n}.json"))
+        try:
+            os.unlink(os.path.join(mdir, f"manifest-{n}.json"))
+        except FileNotFoundError:
+            pass  # a rival vacuum got it first
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith(".manifest."):  # killed-publisher temp file
+                try:
+                    os.unlink(os.path.join(mdir, name))
+                except FileNotFoundError:
+                    pass
     live: dict[str, set[int]] = {}
     for n in versions[-keep:]:
         for t, v in _read_manifest(root, n).items():
             live.setdefault(t, set()).add(v)
-    for t, keep_vs in live.items():
+    table_dirs = (
+        [
+            name
+            for name in os.listdir(root)
+            if name != _MANIFEST_DIR and os.path.isdir(os.path.join(root, name))
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    for t in table_dirs:
+        keep_vs = live.get(t, set())
         tdir = os.path.join(root, t)
-        for v, committed in _version_dirs(tdir):
+        for v, _committed in _version_dirs(tdir):
             if v not in keep_vs:
                 shutil.rmtree(os.path.join(tdir, f"_v={v}"), ignore_errors=True)
         for name in os.listdir(tdir) if os.path.isdir(tdir) else []:

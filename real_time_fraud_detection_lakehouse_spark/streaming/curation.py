@@ -23,8 +23,17 @@ EXACT-DEDUP slice of ``operators/curation.docs_curate_pipeline``:
 Parity contract: the survivor clean_fp multiset equals the batch
 pipeline's when BOTH hold:
 
-1. arrival order is consistent with the batch keeper election (min
-   doc_id — the fixture's monotone ingest clock), AND
+1. every duplicate class agrees on the projected columns across its
+   members (the fixtures' duplicates are byte-identical replays, so
+   any representative projects the same values) — OR duplicates reach
+   the dedup operator in separate micro-batches ordered consistently
+   with the batch keeper election. The precision matters because
+   ``dropDuplicatesWithinWatermark`` keeps the first row PROCESSED per
+   key: event time only drives state eviction, never survivor
+   election, and within one availableNow micro-batch processing order
+   is task scheduling, not ingest_ts order (tests that need real
+   arrival order pace the file source with ``max_files_per_trigger``);
+   AND
 2. every duplicate class's arrivals span LESS than the watermark
    horizon: ``dropDuplicatesWithinWatermark`` only guarantees
    dedup for arrivals within the delay threshold of each other, so a
@@ -129,6 +138,7 @@ def curation_stream(
     checkpoint_dir: str,
     watermark: str = "2 hours",
     eval_docs: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
     availableNow (test/backfill trigger; production drops the trigger
@@ -154,9 +164,16 @@ def curation_stream(
     cols = curation_columns()
     toks = _tokens_col()
     th = F.transform(toks, lambda x: F.xxhash64(x))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # paces ingest to N files per micro-batch (files ordered by
+        # modification time) — lets tests make ARRIVAL order real:
+        # within one availableNow batch the "first row per key" that
+        # dropDuplicatesWithinWatermark keeps is task-scheduling order,
+        # not ingest_ts order; across batches it is state, hence defined
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
+        reader.parquet(source_path)
         .withWatermark("ingest_ts", watermark)
         .select(
             "doc_id",

@@ -220,10 +220,28 @@ def test_multi_table_publish_never_tears(spark, tmp_path):
 
     # vacuum to the newest manifest: group 1 gone, group g2 intact —
     # including the orphaned versions the two crashed publishers left
+    # and a killed publisher's stray manifest temp file
+    import os
+
+    stray = os.path.join(root, "_manifests", ".manifest.deadbeef")
+    with open(stray, "w", encoding="utf-8") as fh:
+        fh.write("{}")
     assert vacuum_published(root, keep=1) == [1]
+    assert not os.path.exists(stray), "orphaned manifest temp file survived vacuum"
     assert read_tags() == {"fact": {"new"}, "dim_a": {"new"}, "dim_b": {"new"}}
     with pytest.raises(ValueError):
         read_published(spark, root, group_version=1)
+    # every surviving per-table version is pinned by the one manifest:
+    # the crashed publishers' unreferenced versions are gone from disk
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        _version_dirs,
+    )
+
+    pinned = _read_manifest(root, 2)
+    for t, v in pinned.items():
+        on_disk = [ver for ver, _ in _version_dirs(os.path.join(root, t))]
+        assert on_disk == [v], (t, on_disk, v)
 
 
 def test_concurrent_publishers_both_commit(spark, tmp_path):

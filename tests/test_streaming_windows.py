@@ -417,20 +417,49 @@ def test_streaming_curation_mixed_class_quarantined_both_orders(spark, tmp_path)
     assert batch_fps == {keep_fp}, "batch must quarantine both mixed classes"
 
     eval_docs = docs.filter(F.col("source") == DECON_EVAL_SOURCE)
-    for tag, clock in (("forward", F.col("doc_id")), ("reversed", 7 - F.col("doc_id"))):
+    # arrival order must be REAL, not cosmetic: dropDuplicatesWithinWatermark
+    # keeps the first row PROCESSED per key (ingest_ts never elects the
+    # survivor), so each doc lands as its own parquet file with a strictly
+    # increasing mtime and the stream paces one file per micro-batch —
+    # cross-batch state makes "doc X arrived before doc Y" well-defined.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    def write_sequential(src, order):
+        seen: set[str] = set()
+        base = _time.time() - 3600
+        for i, doc_id in enumerate(order):
+            one = docs.filter(F.col("doc_id") == doc_id).withColumn(
+                "ingest_ts",
+                F.lit(INGEST_BASE).cast("timestamp")
+                + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+            )
+            one.coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (base + i, base + i))
+                    seen.add(f)
+
+    for tag, order in (("forward", [1, 2, 3, 4, 5, 6]), ("reversed", [6, 5, 4, 3, 2, 1])):
         src = str(tmp_path / f"src_{tag}")
-        docs.withColumn(
-            "ingest_ts",
-            F.lit(INGEST_BASE).cast("timestamp")
-            + F.make_dt_interval(secs=clock.cast("double")),
-        ).write.mode("overwrite").parquet(src)
+        write_sequential(src, order)
+        ckpt = str(tmp_path / f"ckpt_{tag}")
         out = curation_stream(
             spark,
             src,
             str(tmp_path / f"out_{tag}"),
-            str(tmp_path / f"ckpt_{tag}"),
+            ckpt,
             eval_docs=eval_docs,
+            max_files_per_trigger=1,
         ).collect()
+        # the pacing must be real: 6 files at 1/trigger → ≥6 committed
+        # micro-batches, else the "order" below is one batch's task
+        # scheduling and the leg proves nothing
+        n_batches = len(
+            [n for n in _os.listdir(_os.path.join(ckpt, "offsets")) if not n.startswith(".")]
+        )
+        assert n_batches >= 6, f"{tag}: expected ≥6 micro-batches, got {n_batches}"
         got = {r["clean_fp"] for r in out}
         assert got == batch_fps, f"{tag} arrival order diverged from batch"
 
