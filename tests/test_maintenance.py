@@ -279,6 +279,56 @@ def test_concurrent_publishers_both_commit(spark, tmp_path):
         assert tags["fact"] == tags["dim"] and len(tags["fact"]) == 1, tags
 
 
+def test_reader_racing_publisher_never_sees_mixed_group(spark, tmp_path):
+    """The consistency claim under live concurrency: while a publisher
+    commits successive groups, a racing reader polling the latest group
+    only ever materializes homogeneous (fact, dim) sets — every row of
+    every table in one read carries the same publisher tag."""
+    import threading
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+    )
+
+    root = str(tmp_path / "live")
+    publish_tables(
+        {
+            "fact": spark.createDataFrame([(1, "g0")], ["id", "ver"]),
+            "dim": spark.createDataFrame([(7, "g0")], ["k", "ver"]),
+        },
+        root,
+    )
+    stop = threading.Event()
+    bad: list = []
+
+    def reader():
+        while not stop.is_set():
+            frames = read_published(spark, root)
+            tags = set()
+            for df in frames.values():
+                tags |= {r["ver"] for r in df.collect()}
+            if len(tags) != 1:
+                bad.append(tags)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 6):
+            publish_tables(
+                {
+                    "fact": spark.createDataFrame([(1, f"g{i}")], ["id", "ver"]),
+                    "dim": spark.createDataFrame([(7, f"g{i}")], ["k", "ver"]),
+                },
+                root,
+            )
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not bad, f"reader observed a torn group: {bad}"
+
+
 def test_publish_gold_consistent_group(spark, tmp_path):
     """publish_gold lands the five gold tables behind one manifest:
     read_published returns the full star schema at a single group
