@@ -119,8 +119,13 @@ _DRIVER_FRONT = [
     "embedding_label_centroids",
     "sql_daily_summary",
     # ---- 50-entry cap ----------------------------------------------------
-    # position 51: the deferred impl-changed entry — FRONTS r10
+    # r10 front, in order: q_promo_revenue_share (deferred impl change),
+    # the two ops NEW in late r9 (docs_contamination_report,
+    # dedup_cluster_stats — oracled + planted-tested now, first driver
+    # rows next round), then the r6-green block below.
     "q_promo_revenue_share",
+    "docs_contamination_report",
+    "dedup_cluster_stats",
     # then the r6-green block oldest-first (dedup_embedding_cosine_ivf and
     # similarity_cosine_topk lead it in r10 — their standing-bench drift
     # was re-measured isolated this round, BENCH_SCALING.md), then r7.

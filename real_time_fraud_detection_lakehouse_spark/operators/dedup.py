@@ -620,6 +620,43 @@ DEDUP_OPS["dedup_clusters"] = (
 )
 
 
+@_register("dedup_cluster_stats", None)  # SQL bound below (nests the cluster oracle)
+def dedup_cluster_stats(t: Frames) -> DataFrame:
+    """Cluster-size histogram over the exact duplicate clusters — the
+    dedup health report a curation run reads: per cluster size, how
+    many clusters exist, how many docs they hold, and how many of
+    those are redundant (non-keepers the dedup pass will drop). A fat
+    tail here means boilerplate families or a replicated source; a
+    spike at one size usually means a mirrored dump.
+
+    Scale design: one extra keyed agg over dedup_clusters' output
+    (docs-with-at-least-one-pair, far smaller than the corpus);
+    countDistinct(component_id) expands to the standard two-phase
+    distinct aggregate with map-side partials. Output is bounded by
+    the number of distinct cluster sizes — dashboard-tiny."""
+    clusters = dedup_clusters(t)
+    return clusters.groupBy("cluster_size").agg(
+        F.countDistinct("component_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.countDistinct("component_id")).cast("long").alias(
+            "n_redundant"
+        ),
+    )
+
+
+DEDUP_OPS["dedup_cluster_stats"] = (
+    dedup_cluster_stats,
+    f"""
+    WITH clusters AS ({DEDUP_OPS["dedup_clusters"][1]})
+    SELECT cluster_size,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT component_id) AS BIGINT) AS n_redundant
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+
+
 # --- end-to-end scale-path dedup: LSH candidates -> clusters -> keepers -----
 LSH_CLUSTER_JACCARD = 0.5  # estimated-Jaccard edge threshold
 

@@ -706,6 +706,69 @@ def docs_decontaminate(t: Frames) -> DataFrame:
     )
 
 
+def _contamination_report_sql() -> str:
+    """Oracle built by nesting the registered docs_decontaminate SQL as
+    the per-doc CTE — the two stay in lock-step by construction (the
+    corpus_to_batches idiom)."""
+    per_doc = TEXT_OPS["docs_decontaminate"][1]
+    return f"""
+    WITH per_doc AS ({per_doc}),
+    train_docs AS (
+      SELECT doc_id, source FROM documents
+      WHERE source <> '{DECON_EVAL_SOURCE}'
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.shared_grams) AS BIGINT) AS n_contaminated,
+           {dround_sql("COUNT(p.shared_grams) * 1.0 / COUNT(*)")} AS contamination_rate,
+           {dround_sql("COALESCE(AVG(p.shared_grams), 0.0)")} AS avg_shared_grams
+    FROM train_docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+
+
+def docs_contamination_report(t: Frames) -> DataFrame:
+    """Per-source contamination report — the operational dashboard a
+    curation platform reads before a training run: for every training
+    source, how many docs it contributes, how many share at least one
+    {DECON_GRAM}-gram with the eval set, the contamination rate, and
+    the mean shared-gram count among contaminated docs (0.0 for clean
+    sources). A source whose rate spikes is leaking the benchmark and
+    gets quarantined upstream.
+
+    Scale design: rides docs_decontaminate's plan (one corpus scan,
+    broadcast eval-gram join, partial-agg per-doc counts) plus one
+    column-pruned (doc_id, source) scan for the per-source totals; the
+    final agg is keyed on source — tiny output, map-side partials.
+    Docs shorter than {DECON_GRAM} tokens count in n_docs but can
+    never be gram-contaminated (no grams), matching the oracle's LEFT
+    JOIN semantics."""
+    per_doc = docs_decontaminate(t)
+    train = t["documents"].filter(F.col("source") != DECON_EVAL_SOURCE).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("shared_grams").cast("long").alias("n_contaminated"),
+            dround(F.count("shared_grams") * 1.0 / F.count("*")).alias(
+                "contamination_rate"
+            ),
+            dround(F.coalesce(F.avg("shared_grams"), F.lit(0.0))).alias(
+                "avg_shared_grams"
+            ),
+        )
+    )
+
+
+TEXT_OPS["docs_contamination_report"] = (
+    docs_contamination_report,
+    _contamination_report_sql(),
+)
+
+
 # --- BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) -------
 #: number of merge rules to learn (enough for the planted tests and a
 #: meaningful vocab over the synthetic corpus; raise for a real run)

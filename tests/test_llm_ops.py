@@ -1257,6 +1257,58 @@ def test_bpe_512_realistic_vocab_batches_rounds(spark, frames):
     assert all(r["pair_count"] > 0 for r in rows)
 
 
+def test_cluster_stats_planted_histogram(spark):
+    """Three identical docs + a separate identical pair + a singleton:
+    the histogram shows exactly one size-3 cluster (2 redundant) and
+    one size-2 cluster (1 redundant); singletons never appear (they
+    have no near-dup pair)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_cluster_stats,
+    )
+
+    tri = "alpha bravo charlie delta echo foxtrot golf hotel"
+    duo = "india juliett kilo lima mike november oscar papa"
+    uniq = "quebec romeo sierra tango uniform victor whiskey xray"
+    frames = _docs(spark, [tri, tri, tri, duo, duo, uniq])
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_redundant"])
+        for r in dedup_cluster_stats(frames).collect()
+    }
+    assert got == {3: (1, 3, 2), 2: (1, 2, 1)}
+
+
+def test_contamination_report_planted_rates(spark):
+    """One train source leaks the eval text verbatim, the other is
+    clean: the report shows rate 0.5 for the leaking source (1 of its
+    2 docs contaminated), 0.0 for the clean one, and counts every doc
+    in n_docs including gram-ineligible short ones."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        DECON_EVAL_SOURCE,
+        docs_contamination_report,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, DECON_EVAL_SOURCE, eval_text),
+        (2, "web", eval_text + " extra trailing words here"),  # leaks grams
+        (3, "web", "completely different content with no overlap at all"),
+        (4, "books", "unrelated prose that shares nothing with the benchmark"),
+        (5, "books", "tiny doc"),  # < DECON_GRAM tokens: counted, never contaminated
+    ]
+    frames = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["n_contaminated"], r["contamination_rate"])
+        for r in docs_contamination_report(frames).collect()
+    }
+    assert got["web"] == (2, 1, 0.5)
+    assert got["books"] == (2, 0, 0.0)
+    assert DECON_EVAL_SOURCE not in got
+
+
 def test_unigram_logprob_builds_lazily_and_shuffle_path_matches(spark, monkeypatch):
     """Round-9 regression pair for the scoring join's AQE size gate:
     (a) BUILDING the plan launches zero Spark jobs — the round-8 eager
