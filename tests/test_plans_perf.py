@@ -257,6 +257,26 @@ def test_scd2_dimension_never_shuffles_for_joins(spark):
     assert "SortMergeJoin" not in plan, "SCD2 dim side must not shuffle for the merge joins"
 
 
+def test_contamination_report_plan_shape(spark):
+    """docs_contamination_report: rides the decontamination plan — the
+    eval-gram join stays a broadcast hash join (never a corpus-side
+    shuffle or nested loop), the per-source totals scan is pruned to
+    (doc_id, source), and the final source agg keeps map-side
+    partials."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        docs_contamination_report,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(docs_contamination_report(frames))
+    assert "BroadcastHashJoin" in plan, "eval-gram join lost its broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, "no map-side partial agg"
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan.replace("\n", " "), (
+        "per-source totals scan reads more than (doc_id, source)"
+    )
+
+
 def test_q3_pushdown_topk_and_broadcast(spark):
     """q_shipping_priority: both date filters reach the parquet scans,
     the segment-pruned customer broadcasts, and the top-10 is
