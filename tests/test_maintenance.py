@@ -301,16 +301,25 @@ def test_reader_racing_publisher_never_sees_mixed_group(spark, tmp_path):
     )
     stop = threading.Event()
     bad: list = []
+    errors: list = []
+    reads = [0]
 
     def reader():
-        while not stop.is_set():
-            frames = read_published(spark, root)
-            tags = set()
-            for df in frames.values():
-                tags |= {r["ver"] for r in df.collect()}
-            if len(tags) != 1:
-                bad.append(tags)
-                return
+        # a torn read can surface as an EXCEPTION (partial manifest →
+        # JSONDecodeError, vacuumed path → FileNotFoundError), not just
+        # mixed tags — capture everything, never die silently
+        try:
+            while not stop.is_set():
+                frames = read_published(spark, root)
+                tags = set()
+                for df in frames.values():
+                    tags |= {r["ver"] for r in df.collect()}
+                reads[0] += 1
+                if len(tags) != 1:
+                    bad.append(tags)
+                    return
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            errors.append(exc)
 
     t = threading.Thread(target=reader)
     t.start()
@@ -326,7 +335,10 @@ def test_reader_racing_publisher_never_sees_mixed_group(spark, tmp_path):
     finally:
         stop.set()
         t.join(timeout=120)
+    assert not t.is_alive(), "reader thread hung"
+    assert not errors, f"reader raised during the race: {errors!r}"
     assert not bad, f"reader observed a torn group: {bad}"
+    assert reads[0] >= 1, "no read overlapped the race window — test was vacuous"
 
 
 def test_publish_gold_consistent_group(spark, tmp_path):
