@@ -244,6 +244,44 @@ def test_multi_table_publish_never_tears(spark, tmp_path):
         assert on_disk == [v], (t, on_disk, v)
 
 
+def test_vacuum_reaps_manifestless_crash_debris(spark, tmp_path):
+    """A publisher that dies before the FIRST-ever manifest leaves
+    committed-but-unreferenced per-table versions on a root with no
+    manifests at all; vacuum still reaps them (live set is empty), and
+    the root stays unreadable rather than half-born."""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "stillborn")
+
+    def crash(root_, *a, **k):
+        raise RuntimeError("died before first manifest")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snapshots, "_manifest_versions", crash)
+        with pytest.raises(RuntimeError, match="first manifest"):
+            publish_tables(
+                {"fact": spark.createDataFrame([(1, "x")], ["id", "ver"])}, root
+            )
+    # debris exists on disk but no group is visible
+    assert snapshots._version_dirs(os.path.join(root, "fact"))
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root)
+
+    assert vacuum_published(root, keep=1) == []  # no manifests removed...
+    assert snapshots._version_dirs(os.path.join(root, "fact")) == []  # ...debris gone
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root)
+
+
 def test_concurrent_publishers_both_commit(spark, tmp_path):
     """Two publishers racing on the same root: the manifest claim loop
     serializes them — both groups commit (distinct group versions),
