@@ -280,6 +280,29 @@ def read_published(
     }
 
 
+def publish_history(spark: SparkSession, root: str) -> DataFrame:
+    """The manifest ledger as a DataFrame — the ``DESCRIBE HISTORY``
+    analog for the multi-table store: one row per (group_version,
+    table_name, pinned_version), with ``available`` reflecting whether
+    the pinned per-table version still carries its commit marker on
+    disk (False exposes external tampering or a mis-sequenced manual
+    vacuum — never a state this module's own operations produce).
+
+    Driver-side cost is the manifest listing plus one stat per pinned
+    version — bounded by history length, the same object-store LIST
+    economics as ``_versions`` (promote to a compacted ledger file at
+    high version counts)."""
+    rows = []
+    for n in _manifest_versions(root):
+        for tbl, v in sorted(_read_manifest(root, n).items()):
+            marker = os.path.join(root, tbl, f"_v={v}", COMMIT_MARKER)
+            rows.append((n, tbl, v, os.path.isfile(marker)))
+    return spark.createDataFrame(
+        rows,
+        "group_version int, table_name string, pinned_version int, available boolean",
+    )
+
+
 def vacuum_published(root: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` manifests, then vacuum EVERY
     table store on disk down to exactly the versions some surviving

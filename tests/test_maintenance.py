@@ -244,6 +244,39 @@ def test_multi_table_publish_never_tears(spark, tmp_path):
         assert on_disk == [v], (t, on_disk, v)
 
 
+def test_publish_history_ledger(spark, tmp_path):
+    """publish_history is the DESCRIBE HISTORY analog: one row per
+    (group, table, pinned version), every pinned version available;
+    vacuum shrinks the ledger to the surviving manifests."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_history,
+        publish_tables,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "hist")
+    for tag in ("a", "b"):
+        publish_tables(
+            {
+                "fact": spark.createDataFrame([(1, tag)], ["id", "ver"]),
+                "dim": spark.createDataFrame([(7, tag)], ["k", "ver"]),
+            },
+            root,
+        )
+    hist = publish_history(spark, root).collect()
+    assert len(hist) == 4  # 2 groups x 2 tables
+    assert {r["group_version"] for r in hist} == {1, 2}
+    assert all(r["available"] for r in hist)
+    # group 2's fact pins version 2 of the fact store (append-only)
+    pins = {(r["group_version"], r["table_name"]): r["pinned_version"] for r in hist}
+    assert pins[(2, "fact")] == 2 and pins[(1, "fact")] == 1
+
+    vacuum_published(root, keep=1)
+    hist2 = publish_history(spark, root).collect()
+    assert {r["group_version"] for r in hist2} == {2}
+    assert all(r["available"] for r in hist2)
+
+
 def test_vacuum_reaps_manifestless_crash_debris(spark, tmp_path):
     """A publisher that dies before the FIRST-ever manifest leaves
     committed-but-unreferenced per-table versions on a root with no
