@@ -213,28 +213,13 @@ def _read_manifest(root: str, n: int) -> dict[str, int]:
         return {t: int(v) for t, v in json.load(fh)["tables"].items()}
 
 
-def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
-    """Atomically publish a consistent set of tables as one group
-    version; returns the group version N.
-
-    Each table lands as a per-table snapshot version first (invisible
-    to group readers until referenced), then one manifest pinning
-    {table: version} commits via fsync'd-tempfile + no-replace
-    ``os.link``. Group readers (``read_published``) resolve ONLY
-    through manifests, so a crash after any subset of the table writes
-    — or between them and the manifest — leaves the previous group
-    fully intact: all-old or all-new, never fact vN with dims vN-1.
-
-    Concurrent publishers race on the manifest number; the loser
-    retries with N+1, and both groups remain readable (their per-table
-    versions are disjoint by the per-table claim protocol)."""
+def _commit_manifest(root: str, pinned: dict[str, int]) -> int:
+    """Atomically publish a manifest pinning ``pinned``; returns the
+    claimed group version. fsync'd tempfile + no-replace ``os.link``
+    (EEXIST claim semantics with full-content visibility); the loser
+    of a claim race retries with N+1."""
     import json
 
-    if not dfs:
-        raise ValueError("publish_tables needs at least one table")
-    pinned = {
-        name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
-    }
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".manifest.{uuid.uuid4().hex}")
@@ -260,6 +245,29 @@ def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
     return group
 
 
+def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
+    """Atomically publish a consistent set of tables as one group
+    version; returns the group version N.
+
+    Each table lands as a per-table snapshot version first (invisible
+    to group readers until referenced), then one manifest pinning
+    {table: version} commits via fsync'd-tempfile + no-replace
+    ``os.link``. Group readers (``read_published``) resolve ONLY
+    through manifests, so a crash after any subset of the table writes
+    — or between them and the manifest — leaves the previous group
+    fully intact: all-old or all-new, never fact vN with dims vN-1.
+
+    Concurrent publishers race on the manifest number; the loser
+    retries with N+1, and both groups remain readable (their per-table
+    versions are disjoint by the per-table claim protocol)."""
+    if not dfs:
+        raise ValueError("publish_tables needs at least one table")
+    pinned = {
+        name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
+    }
+    return _commit_manifest(root, pinned)
+
+
 def read_published(
     spark: SparkSession, root: str, group_version: int | None = None
 ) -> dict[str, DataFrame]:
@@ -278,6 +286,27 @@ def read_published(
         name: read_snapshot(spark, os.path.join(root, name), version)
         for name, version in pinned.items()
     }
+
+
+def rollback_published(root: str, to_group: int) -> int:
+    """Make an old GROUP current again by committing a NEW manifest
+    that pins the same per-table versions — the multi-table
+    ``restoreToVersion``: history stays append-only, and because
+    versions are immutable the restore is O(1) metadata (no table data
+    moves or copies). The pinned versions must still exist (not
+    vacuumed); readers flip atomically with the manifest link, exactly
+    like a regular publish."""
+    versions = _manifest_versions(root)
+    if to_group not in versions:
+        raise ValueError(f"group {to_group} not in {versions} (vacuumed or never committed)")
+    pinned = _read_manifest(root, to_group)
+    for tbl, v in pinned.items():
+        marker = os.path.join(root, tbl, f"_v={v}", COMMIT_MARKER)
+        if not os.path.isfile(marker):
+            raise FileNotFoundError(
+                f"group {to_group} pins {tbl} _v={v}, which is gone — vacuumed externally?"
+            )
+    return _commit_manifest(root, pinned)
 
 
 def publish_history(spark: SparkSession, root: str) -> DataFrame:

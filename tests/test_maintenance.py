@@ -277,6 +277,59 @@ def test_publish_history_ledger(spark, tmp_path):
     assert all(r["available"] for r in hist2)
 
 
+def test_rollback_published_is_metadata_only(spark, tmp_path):
+    """rollback_published restores an old GROUP by committing a new
+    manifest pinning the same per-table versions: readers see the old
+    data again, history stays append-only, and NO new per-table
+    version directories appear (O(1) metadata restore). Rolling back
+    to a vacuumed group raises."""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+        rollback_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "rb")
+    for tag in ("old", "new"):
+        publish_tables(
+            {
+                "fact": spark.createDataFrame([(1, tag)], ["id", "ver"]),
+                "dim": spark.createDataFrame([(7, tag)], ["k", "ver"]),
+            },
+            root,
+        )
+
+    def table_versions():
+        return {
+            t: [v for v, _ in snapshots._version_dirs(os.path.join(root, t))]
+            for t in ("fact", "dim")
+        }
+
+    before = table_versions()
+    assert rollback_published(root, to_group=1) == 3
+    assert table_versions() == before, "rollback must not write table data"
+    got = {
+        t: {r["ver"] for r in df.collect()}
+        for t, df in read_published(spark, root).items()
+    }
+    assert got == {"fact": {"old"}, "dim": {"old"}}
+    # group 2 ("new") still readable — history is append-only
+    got2 = read_published(spark, root, group_version=2)
+    assert {r["ver"] for r in got2["fact"].collect()} == {"new"}
+
+    # vacuum keeps the newest manifest only (group 3 = restored "old");
+    # rolling back to the vacuumed group 2 now fails fast
+    vacuum_published(root, keep=1)
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        rollback_published(root, to_group=2)
+
+
 def test_vacuum_reaps_manifestless_crash_debris(spark, tmp_path):
     """A publisher that dies before the FIRST-ever manifest leaves
     committed-but-unreferenced per-table versions on a root with no
