@@ -250,6 +250,41 @@ def queries() -> dict[str, QueryFn]:
 
     q["sql_daily_summary"] = _sql_view
 
+    # the same SQL surface over the PUBLISHED gold group: publish the
+    # five tables as one atomic manifest group, register the pinned
+    # group + views in the catalog (the snapshot store's S10 step),
+    # query through spark.sql — shares the daily_summary oracle, so
+    # the driver proves the store round-trips the medallion exactly
+    def _sql_published_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.plans.gold import publish_gold
+        from real_time_fraud_detection_lakehouse_spark.plans.sql_views import (
+            register_published_views,
+        )
+
+        root = tempfile.mkdtemp(prefix="published_gold_")
+        publish_gold(spark, sf_dir, root)
+        register_published_views(spark, root)
+        return spark.sql("SELECT * FROM daily_summary")
+
+    q["sql_published_daily_summary"] = _sql_published_view
+
+    # publish-layer lifecycle ledger (rows-only: the DESCRIBE HISTORY
+    # analog over publish → re-publish → rollback; deterministic 15
+    # rows, asserted value-exactly in tests/test_maintenance.py)
+    def _published_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.plans.gold import (
+            published_gold_history,
+        )
+
+        root = tempfile.mkdtemp(prefix="published_hist_")
+        return published_gold_history(spark, sf_dir, root)
+
+    q["history_published_gold"] = _published_history
+
     # catalog introspection (SHOW TABLES / DESCRIBE — the chatbot's
     # schema-discovery surface, SURVEY §3.3); metadata-only, constant
     # oracles
@@ -497,6 +532,9 @@ def oracle_sql() -> dict[str, str]:
         o[name] = f"{prelude} {sql}"
     # the spark.sql view path computes the same daily_summary
     o["sql_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
+    # ... and so does the published-group path: publish → register →
+    # spark.sql must round-trip the medallion bit-exactly
+    o["sql_published_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
     from real_time_fraud_detection_lakehouse_spark.plans.introspection import (
         DESCRIBE_FACT_SQL,
         SHOW_TABLES_SQL,

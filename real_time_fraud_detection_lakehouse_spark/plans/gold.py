@@ -340,6 +340,32 @@ def publish_gold(spark, sf_dir: str | None, root: str) -> int:
     )
 
 
+def published_gold_history(spark, sf_dir: str | None, root: str):
+    """The publish-layer lifecycle as a queryable surface (round-10
+    verdict #7): publish the gold group, re-publish it (a second group
+    pinning fresh per-table versions), roll back to the first group
+    (O(1) metadata — the new manifest re-pins group 1's versions), and
+    return the manifest ledger (``publish_history``, the DESCRIBE
+    HISTORY analog) ordered for a deterministic rows-only check:
+    15 rows = 3 groups x 5 tables, with group 3 pinning group 1's
+    per-table versions and group 2 its own.
+
+    The re-publish reads the published parquet back rather than
+    rebuilding the medallion — history/rollback cost is the metadata
+    layer plus one parquet copy, never a second feature-chain run."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_history,
+        publish_tables,
+        read_published,
+        rollback_published,
+    )
+
+    first = publish_gold(spark, sf_dir, root)
+    publish_tables(read_published(spark, root, first), root)
+    rollback_published(root, first)
+    return publish_history(spark, root).orderBy("group_version", "table_name")
+
+
 def gold_prelude() -> str:
     """WITH-clause prelude exposing transactions/silver/fact + dims to
     oracle queries. DuckDB only materializes referenced CTEs."""

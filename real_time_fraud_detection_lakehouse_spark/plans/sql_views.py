@@ -157,3 +157,44 @@ def register_analytics_views(spark: SparkSession, sf_dir: str | None = None) -> 
     for name, select in SPARK_SQL_VIEWS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select}")
     return list(SPARK_SQL_VIEWS)
+
+
+#: published-group table name → the catalog name the SQL views expect
+_PUBLISHED_TO_VIEW = {
+    "fact": "fact_transactions",
+    "dim_customer": "dim_customer",
+    "dim_merchant": "dim_merchant",
+    "dim_time": "dim_time",
+    "dim_location": "dim_location",
+}
+
+
+def register_published_views(
+    spark: SparkSession, root: str, group_version: int | None = None
+) -> int:
+    """Register a PUBLISHED gold group (``plans/gold.publish_gold``
+    store) plus the analytics views in the session catalog — the S10
+    catalog-registration step for the snapshot store, the analog of
+    the reference registering its gold Delta tables so the SQL surface
+    can query them (`reference/spark/app/register_tables_to_hive.py:44-89`).
+
+    The registered tables are pinned by ONE manifest (latest, or
+    ``group_version`` = the multi-table ``VERSION AS OF``), so every
+    ``spark.sql`` against the views reads a CONSISTENT group: versions
+    are immutable and publishes append-only, which means a concurrent
+    publish can never tear or shift what these views resolve — readers
+    flip only when re-registered (tests/test_sql_views.py). Returns
+    the pinned group version."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        _latest_group,
+        read_published,
+    )
+
+    if group_version is None:
+        group_version = _latest_group(root)
+    frames = read_published(spark, root, group_version)
+    for published, view_name in _PUBLISHED_TO_VIEW.items():
+        frames[published].createOrReplaceTempView(view_name)
+    for name, select in SPARK_SQL_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select}")
+    return group_version

@@ -852,3 +852,26 @@ def test_rollback_vacuum_race_withdraws_torn_manifest(spark, tmp_path):
     # the torn manifest-3 was withdrawn: group 2 is still current and readable
     assert snap._latest_group(root) == 2
     assert snap.read_published(spark, root)["t"].collect()[0]["id"] == 1
+
+
+def test_published_gold_history_lifecycle(spark):
+    """Round-10 verdict #7: the publish → re-publish → rollback ledger
+    as a queryable surface. 15 deterministic rows (3 groups x 5
+    tables); group 3 (the restore) re-pins group 1's per-table
+    versions, group 2 pins its own."""
+    import tempfile
+
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import (
+        published_gold_history,
+    )
+
+    root = tempfile.mkdtemp(prefix="hist_demo_")
+    hist = published_gold_history(spark, "/root/testdata/sf0.001", root).collect()
+    assert len(hist) == 15
+    pins = {(r["group_version"], r["table_name"]): r["pinned_version"] for r in hist}
+    tables = {"fact", "dim_customer", "dim_merchant", "dim_time", "dim_location"}
+    assert {t for (_, t) in pins} == tables
+    assert all(pins[(1, t)] == 1 for t in tables)
+    assert all(pins[(2, t)] == 2 for t in tables)
+    assert all(pins[(3, t)] == 1 for t in tables)  # rollback re-pins group 1
+    assert all(r["available"] for r in hist)
