@@ -452,12 +452,6 @@ def queries() -> dict[str, QueryFn]:
         import os
         import tempfile
 
-        from pyspark.sql import functions as F
-
-        from real_time_fraud_detection_lakehouse_spark.core.catalog import table
-        from real_time_fraud_detection_lakehouse_spark.operators.text import (
-            DECON_EVAL_SOURCE,
-        )
         from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
             curation_stream,
             write_doc_stream_fixture,
@@ -466,15 +460,13 @@ def queries() -> dict[str, QueryFn]:
         tmp = tempfile.mkdtemp(prefix="curation_stream_")
         src = os.path.join(tmp, "src")
         write_doc_stream_fixture(spark, sf_dir, src)
-        eval_docs = table(spark, sf_dir, "documents").filter(
-            F.col("source") == DECON_EVAL_SOURCE
-        )
+        # both eval gates are DEFAULT-ON since round 10: the eval set
+        # derives from the fixture's own eval-source docs
         out = curation_stream(
             spark,
             src,
             os.path.join(tmp, "out"),
             os.path.join(tmp, "ckpt"),
-            eval_docs=eval_docs,
         )
         # deterministic projection for the rows-only check. fp is keyed
         # on lower/trim-NORMALIZED text while the other columns are

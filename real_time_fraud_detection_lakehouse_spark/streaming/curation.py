@@ -45,14 +45,21 @@ pipeline's when BOTH hold:
    tests/test_streaming_windows.py).
 
 Duplicate classes spanning the eval source AND a training source are
-NOT arrival-defined when ``eval_docs`` is given (round 9): arriving
+NOT arrival-defined (round 9, DEFAULT-ON since round 10): arriving
 fingerprints are checked in-row against the static eval-source
 fingerprint set (broadcast alongside the decon gram array), so a
 train-source copy of eval text is quarantined even when it arrives
 before — or instead of — the eval copy, exactly matching the batch
-pipeline's keeper-independent exact-fp quarantine. Without
-``eval_docs`` the class's fate is the first arrival's (documented
-gates-only mode, mirrored by the gates-only batch comparison test).
+pipeline's keeper-independent exact-fp quarantine. The eval set
+defaults to the source's own ``DECON_EVAL_SOURCE`` docs snapshotted at
+stream start (eval benchmarks change on release cadence, so a
+start-time snapshot is the production semantics too); pass a DataFrame
+to override, or ``eval_docs=None`` to opt OUT into gates-only mode —
+the round-9 verdict's foot-gun (an ingest gate whose safety depended
+on the caller remembering an optional argument) now requires the extra
+argument to DISABLE, not to enable. Gates-only mode leaves mixed
+classes arrival-defined (mirrored by the gates-only batch comparison
+test).
 
 Decontamination joins the slice as a STREAM-STATIC gate: the eval-set
 gram table is static (benchmarks change on release cadence, not per
@@ -131,25 +138,35 @@ def eval_gate_row(eval_docs: DataFrame) -> DataFrame:
     )
 
 
+#: default sentinel: derive the eval set from the source's own
+#: DECON_EVAL_SOURCE docs at stream start (quarantine ON by default)
+_AUTO_EVAL = "auto"
+
+
 def curation_stream(
     spark: SparkSession,
     source_path: str,
     out_path: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
-    eval_docs: DataFrame | None = None,
+    eval_docs: DataFrame | str | None = _AUTO_EVAL,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
     availableNow (test/backfill trigger; production drops the trigger
     and runs continuous micro-batches against the landing zone).
-    When ``eval_docs`` (a STATIC DataFrame with a text column) is
-    given, adds BOTH stream-static eval gates: decontamination (docs
-    sharing any DECON_GRAM-token gram with the eval set are dropped at
-    ingest) and the exact-fp quarantine (docs whose fingerprint any
-    eval doc holds are dropped REGARDLESS of arrival order — the
-    order-independent mixed-class rule matching the batch pipeline's
-    keeper-independent quarantine; see the module parity contract).
+    Both stream-static eval gates are ON BY DEFAULT (round-10 verdict
+    #4): decontamination (docs sharing any DECON_GRAM-token gram with
+    the eval set are dropped at ingest) and the exact-fp quarantine
+    (docs whose fingerprint any eval doc holds are dropped REGARDLESS
+    of arrival order — the order-independent mixed-class rule matching
+    the batch pipeline's keeper-independent quarantine; see the module
+    parity contract). ``eval_docs`` defaults to the source's
+    ``DECON_EVAL_SOURCE`` docs snapshotted at stream start; pass a
+    STATIC DataFrame with a text column to override, or ``None`` to
+    opt out into gates-only mode (mixed classes become
+    arrival-defined — the documented foot-gun path, now requiring the
+    explicit argument).
 
     Scale design: the gates and the scrub accounting are stateless
     column math evaluated inside each micro-batch — zero state,
@@ -160,7 +177,10 @@ def curation_stream(
     dedup, whose state is watermark-bounded. Output is an append-mode
     parquet sink: each surviving first-arrival emits exactly once
     (checkpointed — restart-idempotent like the bronze CDC stream)."""
-    schema = spark.read.parquet(source_path).schema
+    source_snapshot = spark.read.parquet(source_path)
+    schema = source_snapshot.schema
+    if isinstance(eval_docs, str) and eval_docs == _AUTO_EVAL:
+        eval_docs = source_snapshot.filter(F.col("source") == DECON_EVAL_SOURCE)
     cols = curation_columns()
     toks = _tokens_col()
     th = F.transform(toks, lambda x: F.xxhash64(x))

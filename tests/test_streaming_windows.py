@@ -294,8 +294,11 @@ def test_streaming_curation_equals_batch_gates(spark, tmp_path):
     src = str(tmp_path / "src")
     n_in = write_doc_stream_fixture(spark, SF_SMALL, src, replays=2)
     _assert_fixture_inside_watermark_horizon(spark, src)
+    # eval_docs=None is the EXPLICIT gates-only opt-out (round 10: the
+    # eval quarantine defaults ON; this test compares against the
+    # gates-only batch slice, so it must opt out)
     out = curation_stream(
-        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"), eval_docs=None
     ).collect()
     assert out, "stream must emit survivors"
     assert len(out) < n_in  # replays + failing docs were dropped
@@ -382,7 +385,10 @@ def test_streaming_curation_mixed_class_quarantined_both_orders(spark, tmp_path)
     eval gate under BOTH arrival orders, and the stream survivor fp set
     equals the batch docs_curate_pipeline survivor fp set each time.
     Covers both mixed-class shapes: eval member has the smaller doc_id
-    (S1) and the larger doc_id (S2)."""
+    (S1) and the larger doc_id (S2). Round 10: the stream is invoked
+    WITHOUT eval_docs — the quarantine must hold by DEFAULT (the eval
+    set derives from the source's own eval-source docs at stream
+    start), per the round-9 verdict's default-on requirement."""
     from real_time_fraud_detection_lakehouse_spark.operators.curation import (
         curation_columns,
         docs_curate_pipeline,
@@ -416,7 +422,6 @@ def test_streaming_curation_mixed_class_quarantined_both_orders(spark, tmp_path)
     ).collect()[0]["c"]
     assert batch_fps == {keep_fp}, "batch must quarantine both mixed classes"
 
-    eval_docs = docs.filter(F.col("source") == DECON_EVAL_SOURCE)
     # arrival order must be REAL, not cosmetic: dropDuplicatesWithinWatermark
     # keeps the first row PROCESSED per key (ingest_ts never elects the
     # survivor), so each doc lands as its own parquet file with a strictly
@@ -450,7 +455,6 @@ def test_streaming_curation_mixed_class_quarantined_both_orders(spark, tmp_path)
             src,
             str(tmp_path / f"out_{tag}"),
             ckpt,
-            eval_docs=eval_docs,
             max_files_per_trigger=1,
         ).collect()
         # the pacing must be real: 6 files at 1/trigger → ≥6 committed
