@@ -118,7 +118,19 @@ DIRECT = [
     "q_important_inventory",
     "q_late_shipment_priority",
     "corpus_to_batches",
+    # round-9 operators (timed from round 10 onward)
+    "docs_contamination_report",
+    "dedup_cluster_stats",
 ]
+
+#: phase 3 re-opens a fresh session every N timed entries: session
+#: heap/state wear is MONOTONE across a ~70-entry phase, so r9's
+#: back-to-back min-of-2 still recorded a uniform +0.15-0.25 s drift
+#: on entries timed late in the phase (≥6 movers >1.4x, all of which
+#: re-measured at their old numbers in a fresh session — round-10
+#: verdict #2). Bounding the wear window kills the artifact
+#: structurally instead of triaging it per round.
+FRESH_EVERY = 30
 
 #: queries re-timed (warm) at sf0.1 and at the key-shifted replica to
 #: produce the standing scaling block; SPARK_GRAFT_SCALING=0 skips it
@@ -268,7 +280,10 @@ def main() -> None:
             )
         timings["etl_silver_gold"] = round(time.time() - t0, 3)
 
-        # --- phase 2: analytics over materialized gold
+        # --- phase 2: analytics over materialized gold (fresh session:
+        # the ETL write's heap wear otherwise leaks into the view
+        # timings — state_summary was an untriaged r9 mover)
+        spark = _fresh_session(spark, "bench-views")
         mat = {
             name: spark.read.parquet(os.path.join(warehouse, name))
             for name in ("silver", "fact", "dim_customer", "dim_merchant", "dim_time", "dim_location")
@@ -295,12 +310,17 @@ def main() -> None:
             builder, _ = registry[name]
             timings[name] = _timed(lambda: builder(mat))
 
-        # --- phase 3: relational + LLM operators over raw testdata
-        frames = {name: table(spark, SF_DIR, name) for name in TESTDATA_TABLES}
+        # --- phase 3: relational + LLM operators over raw testdata.
+        # Fresh session at the phase boundary and every FRESH_EVERY
+        # entries: bounds the monotone heap wear that inflated
+        # late-phase timings (see FRESH_EVERY note).
         ops = {**RELATIONAL, **LLM_OPS}
-        for name in DIRECT:
-            if name not in ops:
-                continue  # forward-listed op not registered yet
+        timed_direct = [n for n in DIRECT if n in ops]
+        frames = None
+        for i, name in enumerate(timed_direct):
+            if i % FRESH_EVERY == 0:
+                spark = _fresh_session(spark, f"bench-direct-{i // FRESH_EVERY}")
+                frames = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
             builder, _ = ops[name]
             timings[name] = _timed(lambda: builder(frames))
 
@@ -314,6 +334,7 @@ def main() -> None:
             dedup_stream,
         )
 
+        spark = _fresh_session(spark, "bench-streaming")
         sdir = os.path.join(warehouse, "dedup_src")
         tx = transactions_df(spark, SF_DIR)
         tx.write.mode("overwrite").parquet(sdir)
@@ -364,6 +385,22 @@ def main() -> None:
             "dedup_sec": timings["streaming_dedup"],
             "dedup_rows_per_sec": round(n_dedup_in / timings["streaming_dedup"], 1),
         }
+
+        # --- phase 4c: publish-layer lifecycle (round-10 verdict #7).
+        # publish gold as one manifest group → re-publish (parquet
+        # copy, no feature-chain re-run) → O(1) metadata rollback →
+        # ledger read: the snapshot store's end-to-end cost at SF_DIR.
+        # Single sample — dominated by the two publishes' parquet
+        # writes, the same class of cost as etl_silver_gold.
+        from real_time_fraud_detection_lakehouse_spark.plans.gold import (
+            published_gold_history,
+        )
+
+        t0 = time.time()
+        published_gold_history(
+            spark, SF_DIR, os.path.join(warehouse, "published")
+        ).write.format("noop").mode("overwrite").save()
+        timings["history_published_gold"] = round(time.time() - t0, 3)
 
         # --- phase 5: standing scaling block (10x key-shifted replica;
         # warm-vs-warm so the ratio measures plan scaling, not codegen).
