@@ -44,103 +44,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: them, so every one of this round's 50 slots buys a hash-checked green;
 #: rows-only impl changes are re-verified in pytest instead (noted below).
 #:
-#: Round 9 fronts, in priority order:
-#: (a) the 22 oracled entries whose implementation changed in round 9 —
-#:     the sf-scaling broadcast-hint sweep across 19 relational queries
-#:     (plans/relational.py module policy), the AQE unigram gate, and the
-#:     exact-fp eval quarantine (docs_curate_pipeline + the two composed
-#:     oracles that nest its SQL);
-#: (b) the 28 remaining entries whose latest green row is r5 (the r8
-#:     verdict's Next #1; q_brand_revenue_share is the 29th but already
-#:     sits in (a) as impl-changed). After this round no oracled entry's
-#:     latest green row is older than r6.
-#: 22 + 28 = exactly the 50-entry cap. One impl-changed entry had to slip
-#: past it: q_promo_revenue_share (position 51, hint-only change) — it
-#: stays covered this round by the parametrized pytest oracle
-#: (tests/test_relational.py::test_relational_matches_oracle) and an
-#: in-round scripts/validate_driver.py sf0.01 pass; it FRONTS r10.
-#: Rows-only entries whose impl changed in r9 (docs_curate_pipeline_scored,
-#: streaming_curation — both compose the quarantined pipeline) are
-#: re-verified by the batch-equivalence + planted mixed-class tests in
-#: tests/test_streaming_windows.py and the scored-gate tests in
-#: tests/test_llm_ops.py.
+#: Round 10 fronts, in priority order (executes the r9 verdict's
+#: documented rotation, Next #1):
+#: (a) q_promo_revenue_share — the r9 hint-only impl change deferred at
+#:     position 51 (covered in-round by the parametrized pytest oracle);
+#: (b) docs_contamination_report + dedup_cluster_stats — the late-r9
+#:     ops' FIRST driver rows (judge-validated oracle-ok at sf0.01 in
+#:     r9); after this round all registered queries have driver rows;
+#: (c) sql_published_daily_summary — NEW in r10 (the published-group
+#:     SQL catalog path, shares the daily_summary oracle);
+#: (d) the full 28-entry r6-green block, led by dedup_embedding_cosine_ivf
+#:     + similarity_cosine_topk (their standing bench band was isolated
+#:     and root-caused in r9);
+#: (e) the 18 oldest r7-green entries to the 50 cap.
+#: 1 + 2 + 1 + 28 + 18 = exactly 50. After this round no oracled
+#: entry's latest green row is older than r7; the remaining 15 r7-green
+#: entries (rule_predictions, dash_model_accuracy, confusion_matrix,
+#: class_distribution, q_pricing_summary, q_order_priority, text_chunks,
+#: docs_stratified_sample, docs_per_source_cap, q_ewma_daily_value,
+#: q_quality_report, q_events_variant, text_char_entropy,
+#: q_priority_order_check, dash_age_group) lead the r11 refresh.
+#: history_published_gold (NEW, rows-only) takes no front slot per the
+#: r8 rule; it is value-asserted in tests/test_maintenance.py.
+#: streaming_curation's r10 impl change (default-on eval quarantine) is
+#: rows-only and re-verified by the both-orders planted fixture in
+#: tests/test_streaming_windows.py.
 _DRIVER_FRONT = [
-    # (a) impl changed in round 9 — re-verify against the oracle
-    "docs_curate_pipeline",  # exact-fp eval quarantine added
-    "corpus_to_batches",  # nests the curate oracle → SQL changed
-    "docs_token_budget_report",  # nests corpus_to_batches → SQL changed
-    "docs_unigram_logprob",  # eager count gate → AQE size decision
-    "q_local_supplier_volume",  # broadcast-hint sweep (19 queries)
-    "q_market_share",
-    "q_product_profit",
-    "q_parts_supplier_relationship",
-    "q_important_inventory",
-    "q_returned_item_customers",
-    "q_disjunctive_revenue",
-    "q_dominant_suppliers",
-    "q_top_customers",
-    "q_regional_revenue",
-    "q_brand_revenue_share",  # impl-changed AND the 29th r5-stale entry
-    "q_top_supplier_revenue",
-    "q_small_qty_revenue",
-    "q_shipping_priority",
-    "q_nation_trade_volume",
-    "q_large_volume_customers",
-    "q_suppliers_kept_waiting",
-    "q_min_cost_supplier",
-    # (b) r5-green refreshes — every remaining entry whose latest green
-    # driver row is r5 (CORRECTNESS_r05.json), oldest debt in the ledger
-    "q_customers_without_orders",
-    "q_parts_ordered",
-    "q_selective_revenue",
-    "q_cube_returnflag_status",
-    "q_user_sessions",
-    "q_events_hourly_window",
-    "q_distinct_users",
-    "q_quantity_quantiles",
-    "q_supplier_order_volume",
-    "q_asof_click_purchase",
-    "q_grouping_sets_priority",
-    "q_customer_order_gaps",
-    "q_pivot_status_by_priority",
-    "q_order_count_distribution",
-    "q_price_histogram",
-    "q_rolling_7d_spend",
-    "q_price_rank_distribution",
-    "q_user_retention_cohorts",
-    "q_funnel_conversion",
-    "q_revenue_anomaly_zscore",
-    "q_salted_skew_agg",
-    "q_weighted_sample",
-    "q_salted_join_parts",
-    "text_tfidf_topk",
-    "text_top_ngrams",
-    "docs_pack_sequences",
-    "embedding_label_centroids",
-    "sql_daily_summary",
-    # ---- 50-entry cap ----------------------------------------------------
-    # r10 front, in order: q_promo_revenue_share (deferred impl change),
-    # the two ops NEW in late r9 (docs_contamination_report,
-    # dedup_cluster_stats — oracled + planted-tested now, first driver
-    # rows next round), then the r6-green block below.
+    # (a) deferred r9 impl change
     "q_promo_revenue_share",
+    # (b) first driver rows for the late-r9 ops
     "docs_contamination_report",
     "dedup_cluster_stats",
-    # then the r6-green block oldest-first (dedup_embedding_cosine_ivf and
-    # similarity_cosine_topk lead it in r10 — their standing-bench drift
-    # was re-measured isolated this round, BENCH_SCALING.md), then r7.
+    # (c) new in r10
+    "sql_published_daily_summary",
+    # (d) the r6-green block (oldest oracled debt), drift pair first
     "dedup_embedding_cosine_ivf",
     "similarity_cosine_topk",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "text_corpus_stats",
     "dedup_exact",
-    "docs_bm25_search",
+    "embedding_norms",
+    "dedup_embedding_cosine",
+    "corpus_sample_hash",
     "docs_clean_pipeline",
-    "docs_dsir_weights",
-    "docs_epoch_shuffle",
-    "docs_hybrid_rrf",
-    "docs_mix_weights",
-    "docs_pii_scrub",
-    "docs_repetition_stats",
+    "q_repeat_engagers",
+    "q_clickers_not_purchasers",
+    "q_unpivot_lineitem_stats",
     "docs_strip_boilerplate",
+    "docs_repetition_stats",
+    "docs_pii_scrub",
+    "docs_mix_weights",
+    "docs_epoch_shuffle",
+    "docs_bm25_search",
+    "docs_hybrid_rrf",
+    "q_scd2_customer_history",
+    "q_sales_opportunity",
+    "q_events_gapfill_ffill",
+    "docs_dsir_weights",
+    "q_shuffled_hash_join",
+    # (e) the 18 oldest r7-green entries
+    "gold_dim_merchant",
+    "gold_dim_time",
+    "gold_dim_location",
+    "daily_summary",
+    "hourly_summary",
+    "state_summary",
+    "category_summary",
+    "amount_summary",
+    "fraud_patterns",
+    "merchant_analysis",
+    "time_period_analysis",
+    "dash_fraud_rate",
+    "dash_high_risk",
+    "dash_hourly_fraud",
+    "dash_distance_range",
+    "dash_category",
+    "dash_amount_range",
+    "dash_high_value",
 ]
 
 
