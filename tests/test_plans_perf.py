@@ -543,3 +543,32 @@ def test_q12_date_lag_is_join_residual(spark):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:600], "year window not pushed"
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_published_view_plan_prunes_to_pinned_version(spark, tmp_path):
+    """sql_published_daily_summary's plan (round 10): the registered
+    view reads ONLY the manifest-pinned version directory of the
+    published fact table, prunes the scan to the 4 referenced columns,
+    and aggregates with map-side partials through exactly one
+    exchange — the published path must not cost more than a plain
+    parquet scan."""
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import publish_gold
+    from real_time_fraud_detection_lakehouse_spark.plans.sql_views import (
+        register_published_views,
+    )
+
+    root = str(tmp_path / "store")
+    publish_gold(spark, SF_SMALL, root)
+    register_published_views(spark, root)
+    df = spark.sql("SELECT * FROM daily_summary")
+    files = df.inputFiles()
+    assert files and all(
+        "/fact/_v=1/" in f for f in files
+    ), "scan is not pinned to the manifest's version dir"
+    plan = _plan(df).replace("\n", " ")
+    assert (
+        "ReadSchema: struct<transaction_amount:double,is_fraud:int,"
+        "transaction_timestamp:timestamp,distance_km:double>" in plan
+    ), "published fact scan reads more than the 4 referenced columns"
+    assert plan.count("Exchange") == 1, "daily_summary needs exactly one shuffle"
+    assert "partial_count" in plan or "partial_sum" in plan
