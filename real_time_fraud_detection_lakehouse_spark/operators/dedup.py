@@ -731,6 +731,96 @@ DEDUP_OPS["docs_dedup_apply"] = (
 )
 
 
+# --- quality-aware keeper election (round 10) --------------------------------
+_KEEP_BEST_ORACLE = (
+    _CLUSTER_COMP_CTE
+    + """
+, scored AS (
+  SELECT c.doc_id, c.component_id, {quality} AS qs
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY qs DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+"""
+)
+
+
+@_register("docs_dedup_keep_best", None)  # real SQL bound below
+def docs_dedup_keep_best(t: Frames) -> DataFrame:
+    """``docs_dedup_apply`` with QUALITY-aware keeper election: each
+    near-dup cluster keeps its highest-quality member (curation's
+    length/diversity score, doc_id as the deterministic tiebreak)
+    instead of the arbitrary min-doc_id — the election production
+    pre-training pipelines actually want, since near-dup classes mix a
+    clean original with boilerplate-wrapped or truncated variants and
+    min-id keeps whichever was crawled first. Singletons pass through
+    untouched; output = the deduplicated corpus metadata, same shape
+    as ``docs_dedup_apply``.
+
+    Scale design: cluster members (docs with at least one near-dup
+    pair) are a small fraction of the corpus, so the quality join and
+    the per-component row_number rank run on that fraction only —
+    quality is computed per member row during the equi-join scan,
+    never materialized corpus-wide; AQE sizes both the member join and
+    the final anti-join (module broadcast policy: no hints on
+    sf-scaling frames). The rank window shuffles on component_id,
+    whose partitions are cluster-sized (bounded by the largest
+    duplicate family).
+
+    Election ties are impossible cross-engine by construction: the
+    score is rounded (dround) BEFORE ranking — the oracle discipline
+    for doubles — and equal rounded scores fall back to doc_id.
+
+    Oracle: the recursive-CTE transitive closure + the same quality
+    SQL fragment the curation oracles use (text._QUALITY_SQL, bound in
+    _bind_keep_best_oracle), ranked per component."""
+    toks = _tokens()
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
+    quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
+    members = dedup_clusters(t).select("doc_id", "component_id")
+    scored = members.join(
+        t["documents"].select("doc_id", quality.alias("quality_score")), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    drops = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        t["documents"]
+        .join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+        )
+    )
+
+
+def _bind_keep_best_oracle() -> None:
+    from real_time_fraud_detection_lakehouse_spark.operators.text import _QUALITY_SQL
+
+    DEDUP_OPS["docs_dedup_keep_best"] = (
+        docs_dedup_keep_best,
+        _KEEP_BEST_ORACLE.format(
+            ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1],
+            quality=dround_sql(_QUALITY_SQL),
+        ),
+    )
+
+
+_bind_keep_best_oracle()
+
+
 # --- ExactSubstr span dedup (Lee et al. 2022, arXiv:2107.06499) -------------
 #: Token-window width for duplicated-span detection. 8 tokens ≈ the
 #: paper's 50-BPE-token threshold scaled to this corpus's short docs.

@@ -1371,3 +1371,35 @@ def test_decon_gram_hashes_short_doc_guard(spark):
     ).collect()}
     assert rows[0] == [] and rows[2] == []
     assert len(rows[1]) == 1
+
+
+def test_keep_best_elects_quality_keeper_not_min_id(spark):
+    """docs_dedup_keep_best (round 10): a planted near-dup cluster
+    whose LOWEST-quality member has the SMALLEST doc_id — min-id
+    election (docs_dedup_apply) keeps the degraded copy, the
+    quality-aware election must keep the clean one. Singletons pass
+    through both."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_apply,
+        docs_dedup_keep_best,
+    )
+
+    base_tokens = [f"tok{i:02d}" for i in range(25)]
+    clean = " ".join(base_tokens)  # 25 distinct/25 → diversity 1.0
+    degraded = clean + " " + clean  # same gram set (J≈0.92), diversity 0.5
+    rows = [
+        (1, "en", "web", degraded),  # min id = the WORSE copy
+        (2, "en", "web", clean),
+        (9, "en", "web", " ".join(f"other{i:02d}" for i in range(30))),  # singleton
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    t = {"documents": docs}
+
+    min_id_kept = {r["doc_id"] for r in docs_dedup_apply(t).collect()}
+    best_kept = {r["doc_id"] for r in docs_dedup_keep_best(t).collect()}
+    assert min_id_kept == {1, 9}, "fixture broken: min-id must keep the degraded copy"
+    assert best_kept == {2, 9}, "quality election must keep the clean copy + singleton"
