@@ -51,6 +51,51 @@ def _tokens(col="text"):
     return F.filter(F.split(F.col(col), " "), lambda x: x != "")
 
 
+def _gram_projection(t: Frames) -> DataFrame:
+    """(doc_id, bucket, grams) — the shared candidate-pair projection:
+    a 4-token-prefix bucket key (8-byte hash; join semantics identical
+    to the oracle's md5 bucket — both encode prefix equality — but the
+    shuffle key is 4x smaller) and the distinct hashed 3-gram set
+    (chained per-token xxhash64: tokens hash once, one
+    xxhash64(l1,l2,l3) per position — the round-7 shingle fix,
+    measured 12x at a 100x corpus; |intersect(h(A), h(B))| ==
+    |intersect(A, B)| while the composite hash stays injective on the
+    observed grams, collision odds ~n²/2⁶⁵, so the string-based DuckDB
+    oracle is unchanged and exact). <3-token docs get an explicit
+    empty-grams branch: sequence(1, size-2) would DESCEND there and
+    slice() throws under ANSI; DuckDB's range(1, len-1) is empty.
+
+    Lazily localCheckpointed: both sides of any candidate join read
+    the materialized blocks instead of recomputing tokenize+gram+hash
+    per side (measured 3.6 s vs 2.1 s at sf0.1 — viable only with
+    hashed-long grams; the string-gram projection was as expensive to
+    materialize as to recompute, the r5 rejection)."""
+    toks = _tokens()
+    grams = F.when(
+        F.size(F.col("th")) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("th")) - 2),
+                lambda i: F.xxhash64(
+                    F.element_at(F.col("th"), i),
+                    F.element_at(F.col("th"), i + 1),
+                    F.element_at(F.col("th"), i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    docs = (
+        spread_small_input(t["documents"])
+        .select(
+            "doc_id",
+            F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+        )
+        .select("doc_id", "bucket", grams.alias("grams"))
+    )
+    return docs.localCheckpoint(eager=False)
+
+
 # --- exact dedup on normalized fingerprint ----------------------------------
 @_register(
     "dedup_exact",
@@ -96,58 +141,10 @@ _BUCKET = f"md5(array_to_string(list_slice({_TOKENS}, 1, 4), ' '))"
     """,
 )
 def dedup_ngram_jaccard(t: Frames) -> DataFrame:
-    toks = _tokens()
-    # guard <3-token docs: sequence(1, size-2) would DESCEND (e.g.
-    # [1, 0]) and slice(toks, 0, 3) throws; the DuckDB twin's
-    # range(1, len-1) yields an empty list there, so mirror that with
-    # an explicit empty-grams branch.
-    #
-    # SHINGLE HASHING (the scale lever): each 3-gram hashes to a
-    # 64-bit int BEFORE the bucket self-join, so the shuffle carries
-    # array<bigint> payloads (8 bytes/gram) instead of ~20-40 byte
-    # strings, and the within-pair intersection compares longs.
-    # Round 7: the gram hash is a chain of per-token hashes (tokens
-    # hash once, one xxhash64(l1,l2,l3) per position) instead of
-    # hashing a freshly-joined string per position — the minhash-
-    # shingle fix; measured 12× on that stage at a 100× corpus.
-    # |intersect(h(A), h(B))| == |intersect(A, B)| as long as the
-    # composite hash is injective on the observed grams (collision
-    # odds ~n²/2⁶⁵ — negligible at any corpus size that fits a
-    # cluster), so the string-based DuckDB oracle is unchanged and
-    # stays exact.
-    grams = F.when(
-        F.size(F.col("th")) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("th")) - 2),
-                lambda i: F.xxhash64(
-                    F.element_at(F.col("th"), i),
-                    F.element_at(F.col("th"), i + 1),
-                    F.element_at(F.col("th"), i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    docs = (
-        spread_small_input(t["documents"])
-        .select(
-            "doc_id",
-            # bucket key: 8-byte hash of the 4-token prefix (join
-            # semantics identical to the oracle's md5 bucket — both
-            # encode prefix equality — but the shuffle key is 4x
-            # smaller). One per doc: the string join stays.
-            F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
-            F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
-        )
-        .select("doc_id", "bucket", grams.alias("grams"))
-    )
-    # materialize the gram projection ONCE (lazy checkpoint: blocks
-    # land on first action and both sides of the self-join read them).
-    # Without this the join recomputes tokenize+gram+hash for BOTH
-    # sides — measured 3.6 s vs 2.1 s at sf0.1. Viable only now that
-    # grams are hashed longs (the string-gram projection was as
-    # expensive to materialize as to recompute — the r5 rejection).
-    docs = docs.localCheckpoint(eager=False)
+    # shared prefix-bucket + hashed-shingle projection (scale notes on
+    # _gram_projection); candidate pairs only WITHIN a bucket — the
+    # self-join below is the only shuffle and never goes all-pairs
+    docs = _gram_projection(t)
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -819,6 +816,110 @@ def _bind_keep_best_oracle() -> None:
 
 
 _bind_keep_best_oracle()
+
+
+# --- incremental arrival dedup (round 10) ------------------------------------
+#: the arrival split for the registered fixture: docs above 80% of the
+#: max doc_id are "new arrivals", the rest is the standing corpus —
+#: deterministic at every SF and in both engines
+_INCR_HWM_FRACTION = 0.8
+
+_INCR_ORACLE = f"""
+WITH hwm AS (
+  SELECT CAST(FLOOR(MAX(doc_id) * {_INCR_HWM_FRACTION}) AS BIGINT) AS h FROM documents
+),
+fps AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp,
+         MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS fp_min
+  FROM documents
+),
+near_drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({{ngram_pairs}}), hwm
+  WHERE jaccard >= {{threshold}} AND doc_b > h
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN fps f ON d.doc_id = f.doc_id, hwm
+WHERE d.doc_id > hwm.h
+  AND f.doc_id = f.fp_min
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_drops)
+"""
+
+
+@_register("docs_dedup_incremental", None)  # real SQL bound below
+def docs_dedup_incremental(t: Frames) -> DataFrame:
+    """Dedup NEW ARRIVALS against the standing corpus without
+    re-clustering the corpus — the lakehouse ingest pattern (the HWM
+    incremental idiom from plans/incremental.py applied to dedup).
+    Arrivals (doc_id above the fixture HWM, _INCR_HWM_FRACTION of
+    max doc_id) survive iff (a) no exact-fingerprint twin exists in
+    the corpus or among smaller-id arrivals, and (b) no near-dup pair
+    (prefix-bucket n-gram Jaccard >= CLUSTER_JACCARD) connects them to
+    ANY smaller-id document. Output: the arrivals the ingest admits.
+
+    Scale design — the costs are ARRIVAL-proportional, never
+    corpus-quadratic: the exact stage is one fp-keyed anti-join of
+    arrivals against the corpus fingerprint column (at 100 TB the
+    nightly pass maintains that fp table; here it is a pruned
+    (doc_id, text→fp) scan) plus a tiny arrivals-only fp window; the
+    near-dup stage joins the ARRIVALS' gram projection against the
+    shared bucket projection (arrivals x bucket-mates, not corpus x
+    corpus — the right side of the candidate join is pre-filtered to
+    arrivals before the shuffle). Both sides reuse the checkpointed
+    _gram_projection blocks.
+
+    Contract note: arrival-vs-arrival near-dups resolve pairwise
+    (smaller doc_id wins), not transitively — transitive re-clustering
+    is the nightly full pass's job (dedup_clusters); an ingest gate
+    must decide per document without global state.
+
+    Oracle: same fp window + the registered n-gram pair SQL restricted
+    to drop-side arrivals."""
+    docs = t["documents"]
+    hwm = docs.agg(
+        F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long").alias("h")
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("fp")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        fp.alias("fp"),
+    ).withColumn("fp_min", F.min("doc_id").over(w))
+
+    grams = _gram_projection(t)
+    arr_grams = grams.crossJoin(F.broadcast(hwm)).filter(F.col("doc_id") > F.col("h"))
+    a = grams.alias("a")
+    b = arr_grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    near_drops = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.size(F.col("a.grams")) + F.size(F.col("b.grams")) > 0)
+        .where(dround(inter.cast("double") / union) >= CLUSTER_JACCARD)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        fps.crossJoin(F.broadcast(hwm))
+        .filter((F.col("doc_id") > F.col("h")) & (F.col("doc_id") == F.col("fp_min")))
+        .join(near_drops, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+DEDUP_OPS["docs_dedup_incremental"] = (
+    docs_dedup_incremental,
+    _INCR_ORACLE.format(
+        ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1],
+        threshold=CLUSTER_JACCARD,
+    ),
+)
 
 
 # --- ExactSubstr span dedup (Lee et al. 2022, arXiv:2107.06499) -------------

@@ -1403,3 +1403,34 @@ def test_keep_best_elects_quality_keeper_not_min_id(spark):
     best_kept = {r["doc_id"] for r in docs_dedup_keep_best(t).collect()}
     assert min_id_kept == {1, 9}, "fixture broken: min-id must keep the degraded copy"
     assert best_kept == {2, 9}, "quality election must keep the clean copy + singleton"
+
+
+def test_incremental_dedup_admits_only_fresh_arrivals(spark):
+    """docs_dedup_incremental (round 10): arrivals (doc_id above 80%
+    of max) are gated against the standing corpus — exact-fp twin of a
+    corpus doc dropped, near-dup of a corpus doc dropped, exact-fp
+    twin of a SMALLER-id arrival dropped, genuinely fresh doc
+    admitted. The corpus itself is never emitted."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_incremental,
+    )
+
+    base = " ".join(f"tok{i:02d}" for i in range(25))
+    near = base + " extraa extrab extrac"  # same prefix bucket, J≈0.82
+    fresh = " ".join(f"new{i:02d}" for i in range(25))
+    rows = [
+        (1, "en", "web", base),    # corpus
+        (2, "en", "web", fresh.replace("new", "old")),  # corpus, unrelated
+        # hwm = floor(16 * 0.8) = 12 → arrivals are 13..16
+        (13, "en", "web", base),   # exact twin of corpus doc 1 → dropped
+        (14, "en", "web", near),   # near-dup of corpus doc 1 → dropped
+        (15, "en", "web", fresh),  # fresh → ADMITTED
+        (16, "en", "web", fresh),  # exact twin of arrival 15 → dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    out = docs_dedup_incremental({"documents": docs}).collect()
+    assert {r["doc_id"] for r in out} == {15}
