@@ -777,12 +777,19 @@ def docs_dedup_keep_best(t: Frames) -> DataFrame:
     Oracle: the recursive-CTE transitive closure + the same quality
     SQL fragment the curation oracles use (text._QUALITY_SQL, bound in
     _bind_keep_best_oracle), ranked per component."""
+    return _elect_best(t, dedup_clusters(t))
+
+
+def _elect_best(t: Frames, clusters: DataFrame) -> DataFrame:
+    """Shared quality election: keep the highest-quality member per
+    cluster (rounded score, doc_id tiebreak), drop the rest, pass
+    singletons through. ``clusters`` needs (doc_id, component_id)."""
     toks = _tokens()
     n = F.size(toks)
     diversity = F.size(F.array_distinct(toks)).cast("double") / n
     length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
     quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
-    members = dedup_clusters(t).select("doc_id", "component_id")
+    members = clusters.select("doc_id", "component_id")
     scored = members.join(
         t["documents"].select("doc_id", quality.alias("quality_score")), "doc_id"
     )
@@ -801,6 +808,17 @@ def docs_dedup_keep_best(t: Frames) -> DataFrame:
             "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
         )
     )
+
+
+@_register("docs_dedup_keep_best_lsh", None)
+def docs_dedup_keep_best_lsh(t: Frames) -> DataFrame:
+    """The SCALE-PATH twin of ``docs_dedup_keep_best``: quality
+    election over MinHash-LSH clusters (``dedup_clusters_lsh`` — banded
+    candidates, never all-pairs) instead of exact n-gram clusters. The
+    composition a 100 TB corpus runs; rows-only (xxhash64 minhashes are
+    engine-specific) with keeper agreement against the exact oracled
+    twin asserted in tests/test_llm_ops.py."""
+    return _elect_best(t, dedup_clusters_lsh(t))
 
 
 def _bind_keep_best_oracle() -> None:

@@ -1434,3 +1434,18 @@ def test_incremental_dedup_admits_only_fresh_arrivals(spark):
     ).withColumn("n_chars", F.length("text"))
     out = docs_dedup_incremental({"documents": docs}).collect()
     assert {r["doc_id"] for r in out} == {15}
+
+
+def test_keep_best_lsh_agrees_with_exact_twin(spark, frames):
+    """The scale-path quality election (LSH clusters) keeps exactly
+    the docs its exact-n-gram oracled twin keeps at this SF — the
+    cluster-agreement guarantee (asserted above for the component
+    sets) must carry through the election."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_keep_best,
+        docs_dedup_keep_best_lsh,
+    )
+
+    exact = {r["doc_id"] for r in docs_dedup_keep_best(frames).collect()}
+    lsh = {r["doc_id"] for r in docs_dedup_keep_best_lsh(frames).collect()}
+    assert exact == lsh
