@@ -399,10 +399,15 @@ def rollback_published(root: str, to_group: int) -> int:
     a vacuum running concurrently can reap the pinned per-table
     versions between this function's pre-check and its commit (TOCTOU,
     round-10 advice). As a backstop the markers are RE-verified after
-    the manifest lands: if any vanished, the torn manifest is unlinked
-    (no reader can have resolved a consistent group through it — its
-    data is already gone) and the race surfaces as a RuntimeError
-    instead of an unreadable current group."""
+    the manifest lands: if any vanished, the torn restore is withdrawn
+    by committing a REVERT manifest that re-pins the group that was
+    current before it (history stays append-only and manifest numbers
+    stay dense — unlinking would break both, and a rival publisher may
+    already hold the next number), then the race surfaces as a
+    RuntimeError instead of an unreadable current group. The torn
+    manifest remains in the ledger with ``available = False`` rows in
+    ``publish_history`` — deliberate observability, never resolvable
+    damage."""
     try:
         pinned = _read_manifest(root, to_group)
     except FileNotFoundError:
@@ -422,17 +427,21 @@ def rollback_published(root: str, to_group: int) -> int:
         raise FileNotFoundError(
             f"group {to_group} pins {', '.join(gone)}, which are gone — vacuumed externally?"
         )
+    prev = _latest_group(root)
     group = _commit_manifest(root, pinned)
     gone = _missing()
     if gone:  # a concurrent vacuum won the TOCTOU race — undo loudly
-        try:
-            os.unlink(_manifest_path(root, group))
-        except FileNotFoundError:
-            pass
+        reverted = ""
+        if prev is not None:
+            try:
+                _commit_manifest(root, _read_manifest(root, prev))
+                reverted = f"; reverted current to group {prev}'s pins"
+            except FileNotFoundError:
+                pass  # prev itself vacuumed mid-race: nothing to re-pin
         raise RuntimeError(
             f"rollback to group {to_group} lost a race with vacuum_published: "
-            f"{', '.join(gone)} were reaped mid-restore; manifest {group} "
-            "withdrawn. Run restores and vacuums from one maintenance actor."
+            f"{', '.join(gone)} were reaped mid-restore; manifest {group} is "
+            f"torn{reverted}. Run restores and vacuums from one maintenance actor."
         )
     return group
 

@@ -821,9 +821,11 @@ def test_publish_tables_rejects_unsafe_names(spark, tmp_path):
 def test_rollback_vacuum_race_withdraws_torn_manifest(spark, tmp_path):
     """Round-10 advice: rollback_published re-verifies the pinned
     per-table markers AFTER its manifest commit. If a concurrent
-    vacuum reaped them in the TOCTOU window, the torn manifest is
-    withdrawn and the race surfaces as a RuntimeError — the current
-    group never becomes unreadable."""
+    vacuum reaped them in the TOCTOU window, the torn restore is
+    withdrawn by an append-only REVERT manifest (numbers stay dense —
+    never an unlink) and the race surfaces as a RuntimeError; the
+    current group stays readable and the torn manifest shows up as
+    available=False in the ledger."""
     import os
     import shutil
 
@@ -836,11 +838,15 @@ def test_rollback_vacuum_race_withdraws_torn_manifest(spark, tmp_path):
         snap.publish_tables({"t": spark.createDataFrame([(i,)], ["id"])}, root)
 
     real_commit = snap._commit_manifest
+    calls = {"n": 0}
 
     def vacuum_wins_the_window(r, pinned):
         # emulate a concurrent vacuum_published(keep=1) reaping group
-        # 1's per-table version between the pre-check and the commit
-        shutil.rmtree(os.path.join(root, "t", "_v=1"))
+        # 1's per-table version between the pre-check and the FIRST
+        # commit (the revert commit must go through untouched)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            shutil.rmtree(os.path.join(root, "t", "_v=1"))
         return real_commit(r, pinned)
 
     snap._commit_manifest = vacuum_wins_the_window
@@ -849,9 +855,13 @@ def test_rollback_vacuum_race_withdraws_torn_manifest(spark, tmp_path):
             snap.rollback_published(root, to_group=1)
     finally:
         snap._commit_manifest = real_commit
-    # the torn manifest-3 was withdrawn: group 2 is still current and readable
-    assert snap._latest_group(root) == 2
+    # manifest 3 = the torn restore, manifest 4 = the revert re-pinning
+    # group 2: current resolves to group 2's DATA and stays readable
+    assert snap._latest_group(root) == 4
     assert snap.read_published(spark, root)["t"].collect()[0]["id"] == 1
+    hist = snap.publish_history(spark, root).collect()
+    avail = {r["group_version"]: r["available"] for r in hist}
+    assert avail == {1: False, 2: True, 3: False, 4: True}
 
 
 def test_published_gold_history_lifecycle(spark):
