@@ -783,12 +783,14 @@ def docs_dedup_keep_best(t: Frames) -> DataFrame:
 def _elect_best(t: Frames, clusters: DataFrame) -> DataFrame:
     """Shared quality election: keep the highest-quality member per
     cluster (rounded score, doc_id tiebreak), drop the rest, pass
-    singletons through. ``clusters`` needs (doc_id, component_id)."""
-    toks = _tokens()
-    n = F.size(toks)
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n
-    length_ok = F.when(n.between(20, 1000), 1.0).otherwise(0.0)
-    quality = dround(F.lit(0.5) * length_ok + F.lit(0.5) * diversity)
+    singletons through. ``clusters`` needs (doc_id, component_id).
+    The score is the ONE curation definition (curation_columns —
+    already dround'ed, twin of text._QUALITY_SQL), not a local copy."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        curation_columns,  # no cycle: curation imports only text
+    )
+
+    quality = curation_columns()["quality_score"]
     members = clusters.select("doc_id", "component_id")
     scored = members.join(
         t["documents"].select("doc_id", quality.alias("quality_score")), "doc_id"

@@ -227,7 +227,8 @@ def _read_checkpoint(root: str) -> int | None:
     try:
         with open(os.path.join(root, _MANIFEST_DIR, _CHECKPOINT), encoding="utf-8") as fh:
             return int(json.load(fh)["group"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: valid JSON that is not an object (null, list, ...)
         return None
 
 
@@ -427,17 +428,31 @@ def rollback_published(root: str, to_group: int) -> int:
         raise FileNotFoundError(
             f"group {to_group} pins {', '.join(gone)}, which are gone — vacuumed externally?"
         )
-    prev = _latest_group(root)
     group = _commit_manifest(root, pinned)
     gone = _missing()
     if gone:  # a concurrent vacuum won the TOCTOU race — undo loudly
+        # Revert to the newest group below ours whose pins are still
+        # intact, re-resolved AFTER our commit: a snapshot taken before
+        # it could be stale (a rival publisher's fresher group would be
+        # shadowed by older data) or itself reaped by the same vacuum.
+        # Walking down stays inside the live manifest range (numbers
+        # are dense; the first missing manifest marks the vacuumed
+        # floor), so this is O(torn groups) opens on the failure path.
         reverted = ""
-        if prev is not None:
+        candidate = group - 1
+        while candidate >= 1:
             try:
-                _commit_manifest(root, _read_manifest(root, prev))
-                reverted = f"; reverted current to group {prev}'s pins"
+                pins = _read_manifest(root, candidate)
             except FileNotFoundError:
-                pass  # prev itself vacuumed mid-race: nothing to re-pin
+                break  # below the live range — nothing intact to re-pin
+            if all(
+                os.path.isfile(os.path.join(root, tbl, f"_v={v}", COMMIT_MARKER))
+                for tbl, v in pins.items()
+            ):
+                _commit_manifest(root, pins)
+                reverted = f"; reverted current to group {candidate}'s pins"
+                break
+            candidate -= 1
         raise RuntimeError(
             f"rollback to group {to_group} lost a race with vacuum_published: "
             f"{', '.join(gone)} were reaped mid-restore; manifest {group} is "

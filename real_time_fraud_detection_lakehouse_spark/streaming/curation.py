@@ -139,8 +139,11 @@ def eval_gate_row(eval_docs: DataFrame) -> DataFrame:
 
 
 #: default sentinel: derive the eval set from the source's own
-#: DECON_EVAL_SOURCE docs at stream start (quarantine ON by default)
-_AUTO_EVAL = "auto"
+#: DECON_EVAL_SOURCE docs at stream start (quarantine ON by default).
+#: A private object(), not a string — the public parameter type stays
+#: DataFrame | None, and no accidental string value can slip past the
+#: identity check into the DataFrame path.
+_AUTO_EVAL: object = object()
 
 
 def curation_stream(
@@ -149,7 +152,7 @@ def curation_stream(
     out_path: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
-    eval_docs: DataFrame | str | None = _AUTO_EVAL,
+    eval_docs: DataFrame | None = _AUTO_EVAL,  # type: ignore[assignment]
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
@@ -179,7 +182,7 @@ def curation_stream(
     (checkpointed — restart-idempotent like the bronze CDC stream)."""
     source_snapshot = spark.read.parquet(source_path)
     schema = source_snapshot.schema
-    if isinstance(eval_docs, str) and eval_docs == _AUTO_EVAL:
+    if eval_docs is _AUTO_EVAL:
         eval_docs = source_snapshot.filter(F.col("source") == DECON_EVAL_SOURCE)
     cols = curation_columns()
     toks = _tokens_col()

@@ -864,19 +864,19 @@ def test_rollback_vacuum_race_withdraws_torn_manifest(spark, tmp_path):
     assert avail == {1: False, 2: True, 3: False, 4: True}
 
 
-def test_published_gold_history_lifecycle(spark):
+def test_published_gold_history_lifecycle(spark, tmp_path):
     """Round-10 verdict #7: the publish → re-publish → rollback ledger
     as a queryable surface. 15 deterministic rows (3 groups x 5
     tables); group 3 (the restore) re-pins group 1's per-table
     versions, group 2 pins its own."""
-    import tempfile
+    from tests.conftest import SF_SMALL
 
     from real_time_fraud_detection_lakehouse_spark.plans.gold import (
         published_gold_history,
     )
 
-    root = tempfile.mkdtemp(prefix="hist_demo_")
-    hist = published_gold_history(spark, "/root/testdata/sf0.001", root).collect()
+    root = str(tmp_path / "hist_demo")
+    hist = published_gold_history(spark, SF_SMALL, root).collect()
     assert len(hist) == 15
     pins = {(r["group_version"], r["table_name"]): r["pinned_version"] for r in hist}
     tables = {"fact", "dim_customer", "dim_merchant", "dim_time", "dim_location"}
