@@ -121,6 +121,9 @@ DIRECT = [
     # round-9 operators (timed from round 10 onward)
     "docs_contamination_report",
     "dedup_cluster_stats",
+    # round-10 operators
+    "docs_dedup_keep_best",
+    "docs_dedup_incremental",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -165,6 +168,11 @@ SCALING_100X_QUERIES = [
     # (isolated probe: base ~7.7 s, scaled ~35 s min-of-2), and timing
     # it twice would grow the suite for no extra signal.
     "text_bpe_merges_512",
+    # r10: the incremental ingest dedup's arrival-proportional claim
+    # gets a 100x datapoint — arrivals are the top ~20% of doc_ids of
+    # the replica, so the candidate join's right side grows with
+    # arrivals while the left side is the full 100x corpus projection
+    "docs_dedup_incremental",
 ]
 
 #: the ~15 queries carried on the compact final JSON line (the full
