@@ -66,10 +66,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: q_priority_order_check, dash_age_group) lead the r11 refresh.
 #: history_published_gold (NEW, rows-only) takes no front slot per the
 #: r8 rule; it is value-asserted in tests/test_maintenance.py.
-#: docs_dedup_keep_best + docs_dedup_incremental (late-r10, oracled +
-#: planted-tested + validated oracle-ok at sf0.01 in-round) landed
-#: after this front froze — they FRONT r11, the same scheduling note
-#: the late-r9 ops carried. docs_dedup_keep_best_lsh (their scale
+#: docs_dedup_keep_best + docs_dedup_incremental +
+#: docs_split_leakage_safe (late-r10, oracled + planted/property-tested
+#: + validated oracle-ok at sf0.01 in-round) landed after this front
+#: froze — they FRONT r11, the same scheduling note the late-r9 ops
+#: carried. docs_dedup_keep_best_lsh (their scale
 #: twin) is rows-only — exact-twin agreement asserted in pytest, no
 #: front slot per the r8 rule.
 #: streaming_curation's r10 impl change (default-on eval quarantine) is

@@ -838,6 +838,70 @@ def _bind_keep_best_oracle() -> None:
 _bind_keep_best_oracle()
 
 
+# --- leakage-safe train/test split (round 10) --------------------------------
+SPLIT_TEST_PCT = 20  # test share, percent
+#: Knuth multiplicative constant — the split hash is PLAIN BIGINT
+#: arithmetic ((key * C) % 100), bit-identical in Spark and DuckDB, so
+#: the oracle checks the exact assignment, not just proportions
+_SPLIT_MIX = 2654435761
+
+_SPLIT_ORACLE = (
+    _CLUSTER_COMP_CTE
+    + f"""
+SELECT d.doc_id, d.source,
+       COALESCE(c.component_id, d.doc_id) AS split_key,
+       CASE WHEN (COALESCE(c.component_id, d.doc_id) * {_SPLIT_MIX}) % 100
+                 < {100 - SPLIT_TEST_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+)
+
+
+@_register("docs_split_leakage_safe", None)  # real SQL bound below
+def docs_split_leakage_safe(t: Frames) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: the split unit is the near-dup CLUSTER (connected
+    component), not the document — a random per-doc split (M2's
+    randomSplit) puts one member of a duplicate class in train and its
+    twin in test, silently inflating eval scores; hashing the
+    component id instead lands every class wholly on one side.
+    Singletons hash their own doc_id. The assignment is a
+    deterministic multiplicative hash in plain BIGINT arithmetic
+    (key * Knuth-constant mod 100 vs the train percentage), so the
+    split is reproducible across runs, engines, and cluster sizes —
+    no RNG, no seed management.
+
+    Scale design: one left join of the corpus against the (small)
+    cluster membership plus per-row arithmetic — the split itself
+    adds no shuffle beyond dedup_clusters' own; at 100 TB the cluster
+    table is the standing output of the nightly dedup pass.
+
+    Oracle: the recursive-CTE transitive closure + identical integer
+    arithmetic (exact assignment equality, not a proportion check)."""
+    clusters = dedup_clusters(t).select("doc_id", "component_id")
+    comp = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    bucket = (comp * F.lit(_SPLIT_MIX)) % 100
+    return (
+        t["documents"]
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            comp.alias("split_key"),
+            F.when(bucket < 100 - SPLIT_TEST_PCT, "train")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+DEDUP_OPS["docs_split_leakage_safe"] = (
+    docs_split_leakage_safe,
+    _SPLIT_ORACLE.format(ngram_pairs=DEDUP_OPS["dedup_ngram_jaccard"][1]),
+)
+
+
 # --- incremental arrival dedup (round 10) ------------------------------------
 #: the arrival split for the registered fixture: docs above 80% of the
 #: max doc_id are "new arrivals", the rest is the standing corpus —

@@ -1449,3 +1449,24 @@ def test_keep_best_lsh_agrees_with_exact_twin(spark, frames):
     exact = {r["doc_id"] for r in docs_dedup_keep_best(frames).collect()}
     lsh = {r["doc_id"] for r in docs_dedup_keep_best_lsh(frames).collect()}
     assert exact == lsh
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, frames):
+    """docs_split_leakage_safe (round 10): every near-dup cluster
+    lands wholly in one split (the leakage guard randomSplit cannot
+    give), proportions sit near the 80/20 target, and the assignment
+    is deterministic across invocations."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_split_leakage_safe,
+    )
+
+    rows = docs_split_leakage_safe(frames).collect()
+    by_key: dict[int, set[str]] = {}
+    for r in rows:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    multi = {k: v for k, v in by_key.items() if len(v) > 1}
+    assert not multi, f"clusters straddle the split: {list(multi)[:3]}"
+    train = sum(1 for r in rows if r["split"] == "train")
+    assert 0.7 <= train / len(rows) <= 0.9
+    again = docs_split_leakage_safe(frames).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
