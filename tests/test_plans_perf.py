@@ -572,3 +572,30 @@ def test_published_view_plan_prunes_to_pinned_version(spark, tmp_path):
     ), "published fact scan reads more than the 4 referenced columns"
     assert plan.count("Exchange") == 1, "daily_summary needs exactly one shuffle"
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """docs_dedup_incremental (round 10): the near-dup candidate join
+    stays an EQUI-join on the prefix bucket (never a cartesian), its
+    right side is pre-filtered to arrivals BEFORE the join (the
+    arrival-proportional claim), the HWM is a broadcast 1-row
+    aggregate, and the final subtraction is a left-anti join."""
+    import re
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_incremental,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(docs_dedup_incremental(frames)).replace("\n", " ")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\s*\[?bucket", plan
+    ), "candidate join is not keyed on the prefix bucket"
+    assert "LeftAnti" in plan, "final subtraction lost its anti-join"
+    # the arrival filter (doc_id > h) appears on the candidate join's
+    # input side, not only on the final projection — i.e. at least
+    # twice in the plan (once per hwm cross)
+    assert len(re.findall(r"doc_id#\d+L? > h#\d+L?", plan)) >= 2, (
+        "arrivals are not pre-filtered below the candidate join"
+    )
