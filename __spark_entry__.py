@@ -64,8 +64,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: docs_stratified_sample, docs_per_source_cap, q_ewma_daily_value,
 #: q_quality_report, q_events_variant, text_char_entropy,
 #: q_priority_order_check, dash_age_group) lead the r11 refresh.
-#: history_published_gold (NEW, rows-only) takes no front slot per the
-#: r8 rule; it is value-asserted in tests/test_maintenance.py.
+#: history_published_gold (NEW) carries a CONSTANT oracle (the ledger
+#: is fully deterministic: 3 groups x 5 tables, pins 1/2/1 — the
+#: introspection-entry precedent) — it FRONTS r11 with the other late
+#: ops; also value-asserted in tests/test_maintenance.py.
 #: docs_dedup_keep_best + docs_dedup_incremental +
 #: docs_split_leakage_safe (late-r10, oracled + planted/property-tested
 #: + validated oracle-ok at sf0.01 in-round) landed after this front
@@ -525,6 +527,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["sql_show_tables"] = SHOW_TABLES_SQL
     o["sql_describe_fact"] = DESCRIBE_FACT_SQL
+    # the publish lifecycle ledger is FULLY deterministic at every sf
+    # (3 groups x 5 tables; the restore re-pins group 1's versions, so
+    # pins are 1/2/1 and every pinned version stays available) —
+    # constant oracle, the introspection-entry precedent
+    _gold_tables = ("dim_customer", "dim_location", "dim_merchant", "dim_time", "fact")
+    _ledger_rows = ", ".join(
+        f"({g}, '{t}', {v}, TRUE)" for g, v in ((1, 1), (2, 2), (3, 1)) for t in _gold_tables
+    )
+    o["history_published_gold"] = (
+        f"SELECT * FROM (VALUES {_ledger_rows}) "
+        "AS t(group_version, table_name, pinned_version, available)"
+    )
     for name, (_builder, sql) in RELATIONAL.items():
         if sql is not None:
             o[name] = sql
