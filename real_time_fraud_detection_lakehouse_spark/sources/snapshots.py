@@ -311,7 +311,16 @@ def _commit_manifest(root: str, pinned: dict[str, int]) -> int:
         os.unlink(tmp)
     _fsync_dir(mdir)
     if group % CHECKPOINT_EVERY == 0:
-        _write_checkpoint(root, group)
+        # The checkpoint is an ADVISORY resolution hint: by the time we
+        # get here the manifest link has committed, so a failure to
+        # write the hint (ENOSPC, perms) must not make the caller
+        # report a publish that actually succeeded as failed — a
+        # retrying caller would double-publish (round-11 advice fix).
+        # Readers fall back to forward-probing from an older hint.
+        try:
+            _write_checkpoint(root, group)
+        except OSError:
+            pass
     return group
 
 
@@ -405,7 +414,12 @@ def rollback_published(root: str, to_group: int) -> int:
     current before it (history stays append-only and manifest numbers
     stay dense — unlinking would break both, and a rival publisher may
     already hold the next number), then the race surfaces as a
-    RuntimeError instead of an unreadable current group. The torn
+    RuntimeError instead of an unreadable current group. If the same
+    rogue vacuum also reaped EVERY lower group's pins there is nothing
+    intact to revert to: the RuntimeError then states explicitly that
+    the current group is unreadable until the next successful publish
+    (round-11 advice fix) — resolvable only because it required two
+    forbidden concurrent maintenance actors. The torn
     manifest remains in the ledger with ``available = False`` rows in
     ``publish_history`` — deliberate observability, never resolvable
     damage."""
@@ -438,7 +452,16 @@ def rollback_published(root: str, to_group: int) -> int:
         # Walking down stays inside the live manifest range (numbers
         # are dense; the first missing manifest marks the vacuumed
         # floor), so this is O(torn groups) opens on the failure path.
-        reverted = ""
+        # If NO candidate survives (every lower pin reaped or below the
+        # vacuumed floor — only reachable via the forbidden concurrent
+        # vacuum), the torn manifest stays latest and read_published
+        # resolves to data that is gone: say so explicitly instead of
+        # implying a revert happened (round-11 advice fix).
+        reverted = (
+            "; no intact lower group survived to revert to — the "
+            "current group is UNREADABLE until the next successful "
+            "publish"
+        )
         candidate = group - 1
         while candidate >= 1:
             try:

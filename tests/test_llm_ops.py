@@ -1470,3 +1470,89 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, frames):
     assert 0.7 <= train / len(rows) <= 0.9
     again = docs_split_leakage_safe(frames).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_leakage_safe_split_survives_huge_doc_ids_ansi_both_engines(spark, tmp_path):
+    """Round-11 overflow fix: the split hash reduces the key modulo
+    2^31-1 BEFORE the Knuth multiply, so the product stays inside
+    int64 for EVERY BIGINT doc_id. The raw ``key * 2654435761`` wraps
+    int64 at key >= ~3.47e9 — Spark ANSI and DuckDB both ERROR there —
+    and 100 TB corpora routinely carry doc_ids > 2^32. Exercised at
+    ids from 2^33 up to Long.MAX, exact assignment equality against
+    the registered DuckDB oracle under ANSI in both engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        DEDUP_OPS,
+        docs_split_leakage_safe,
+    )
+    from tests.conftest import compare_frames
+
+    big_ids = [
+        2**33,               # first decade past the old overflow point
+        2**33 + 1,
+        3_470_000_000 + 7,   # right at the old wrap boundary
+        2**40 + 123,
+        2**52 + 7,
+        2**62 + 11,
+        9223372036854775807,  # Long.MAX itself
+    ]
+    rows = [
+        (i, "en", "web", " ".join(f"uniq{k:02d}tok{j:02d}" for j in range(25)))
+        for k, i in enumerate(big_ids)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        out = docs_split_leakage_safe({"documents": spark.read.parquet(pq)})
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+        )
+        compare_frames(out, con.sql(DEDUP_OPS["docs_split_leakage_safe"][1]))
+        con.close()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_incremental_maintained_agrees_with_recompute_twin(spark, frames, tmp_path):
+    """Round-11 verdict #4: the maintained-corpus ingest gate
+    (docs_dedup_incremental_maintained reading build_corpus_index's
+    published group) admits EXACTLY the arrivals the recompute twin
+    admits on the same corpus/arrival split — full-row agreement at
+    this SF, and the index build publishes both projections under one
+    manifest."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _INCR_HWM_FRACTION,
+        build_corpus_index,
+        docs_dedup_incremental,
+        docs_dedup_incremental_maintained,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import read_published
+
+    docs = frames["documents"]
+    h = docs.agg(
+        F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+    ).first()[0]
+    root = str(tmp_path / "corpus_index")
+    group = build_corpus_index({"documents": docs.filter(F.col("doc_id") <= h)}, root)
+    assert group == 1
+    assert set(read_published(spark, root)) == {"corpus_fps", "corpus_grams"}
+
+    maintained = docs_dedup_incremental_maintained(
+        spark, docs.filter(F.col("doc_id") > h), root
+    )
+    recompute = docs_dedup_incremental(frames)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, maintained.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, recompute.collect()), key=lambda t: t[0]
+    )

@@ -599,3 +599,34 @@ def test_incremental_dedup_plan_shape(spark):
     assert len(re.findall(r"doc_id#\d+L? > h#\d+L?", plan)) >= 2, (
         "arrivals are not pre-filtered below the candidate join"
     )
+
+
+def test_dedup_apply_drop_list_not_force_broadcast(spark):
+    """Round-11 policy fix: the drop list in docs_dedup_apply (cluster
+    non-keepers) SCALES WITH THE CORPUS — web-crawl dup rates run
+    30-50%, i.e. billions of rows at 100 TB — so it must not carry a
+    driver-side F.broadcast hint (module policy: hints only on
+    fixed-cardinality frames). With autoBroadcastJoinThreshold=-1 (the
+    state a scale-up reaches) the whole plan must contain ZERO
+    broadcast joins; a surviving hint would defeat the threshold and
+    show up here. The keep_best election's anti-join follows the same
+    policy — assert plan agreement between the two paths."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_apply,
+        docs_dedup_keep_best,
+    )
+
+    t = {"documents": table(spark, SF_SMALL, "documents")}
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for op in (docs_dedup_apply, docs_dedup_keep_best):
+            plan = _plan(op(t))
+            assert "BroadcastHashJoin" not in plan, (
+                op.__name__, "an sf-scaling frame is force-broadcast"
+            )
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
