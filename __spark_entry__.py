@@ -507,6 +507,58 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_curation"] = _stream_curation
 
+    # the streaming near-dup ingest gate (round 11, rows-only): exact
+    # twins AND near-dups of the standing corpus gated at ingest via
+    # stream-static joins against the published corpus index;
+    # batch-equivalence vs docs_dedup_incremental asserted under both
+    # arrival orders in tests/test_streaming_windows.py
+    def _stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            _INCR_HWM_FRACTION,
+            build_corpus_index,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            INGEST_BASE,
+            incremental_dedup_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+        docs = table(spark, sf_dir, "documents")
+        h = docs.agg(
+            F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+        ).first()[0]
+        build_corpus_index(
+            {"documents": docs.filter(F.col("doc_id") <= h)},
+            os.path.join(tmp, "index"),
+        )
+        src = os.path.join(tmp, "src")
+        arrivals = docs.filter(F.col("doc_id") > h).withColumn(
+            "ingest_ts",
+            F.lit(INGEST_BASE).cast("timestamp")
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+        )
+        arrivals.write.mode("overwrite").parquet(src)
+        arrivals.write.mode("append").parquet(src)  # at-least-once replay
+        out = incremental_dedup_stream(
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            os.path.join(tmp, "index"),
+        )
+        # deterministic projection: fp identifies the admitted class
+        # regardless of which replay replica won the within-watermark
+        # election (replicas are byte-identical, so every projected
+        # column agrees; doc_id would too here, but fp is the key)
+        return out.select("fp", "source", "n_chars").orderBy("fp")
+
+    q["streaming_incremental_dedup"] = _stream_incremental_dedup
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -51,6 +51,45 @@ def _tokens(col="text"):
     return F.filter(F.split(F.col(col), " "), lambda x: x != "")
 
 
+def gram_cols() -> dict[str, F.Column]:
+    """Stage-ONE of the candidate-pair projection as COLUMN
+    EXPRESSIONS over a ``text`` column — {"bucket": 4-token-prefix
+    xxhash64, "th": per-token xxhash64 array} — shared by the batch
+    ``_gram_projection`` and the streaming ingest gate (the one-
+    definition idiom from functions/features.py: batch and stream
+    CANNOT drift on what counts as a near-dup candidate). Select these
+    FIRST (one tokenize+hash per row), then ``grams_from_th`` over the
+    NAMED th column: higher-order lambdas are interpreted per element,
+    so inlining the token chain into the 3-gram transform would
+    re-tokenize per gram position. Pure column math (no shuffle, no
+    state), so both stages drop into a streaming select unchanged."""
+    toks = _tokens()
+    return {
+        "bucket": F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")),
+        "th": F.transform(toks, lambda x: F.xxhash64(x)),
+    }
+
+
+def grams_from_th(col: str = "th") -> F.Column:
+    """Stage-TWO: the distinct chained-xxhash64 3-gram array from a
+    MATERIALIZED per-token hash column (see ``gram_cols``). <3-token
+    docs get an explicit empty-grams branch: sequence(1, size-2) would
+    DESCEND there and slice() throws under ANSI."""
+    return F.when(
+        F.size(F.col(col)) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(col)) - 2),
+                lambda i: F.xxhash64(
+                    F.element_at(F.col(col), i),
+                    F.element_at(F.col(col), i + 1),
+                    F.element_at(F.col(col), i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _gram_projection(t: Frames) -> DataFrame:
     """(doc_id, bucket, grams) — the shared candidate-pair projection:
     a 4-token-prefix bucket key (8-byte hash; join semantics identical
@@ -70,28 +109,15 @@ def _gram_projection(t: Frames) -> DataFrame:
     per side (measured 3.6 s vs 2.1 s at sf0.1 — viable only with
     hashed-long grams; the string-gram projection was as expensive to
     materialize as to recompute, the r5 rejection)."""
-    toks = _tokens()
-    grams = F.when(
-        F.size(F.col("th")) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("th")) - 2),
-                lambda i: F.xxhash64(
-                    F.element_at(F.col("th"), i),
-                    F.element_at(F.col("th"), i + 1),
-                    F.element_at(F.col("th"), i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    stage1 = gram_cols()
     docs = (
         spread_small_input(t["documents"])
         .select(
             "doc_id",
-            F.xxhash64(F.array_join(F.slice(toks, 1, 4), " ")).alias("bucket"),
-            F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+            stage1["bucket"].alias("bucket"),
+            stage1["th"].alias("th"),
         )
-        .select("doc_id", "bucket", grams.alias("grams"))
+        .select("doc_id", "bucket", grams_from_th("th").alias("grams"))
     )
     return docs.localCheckpoint(eager=False)
 

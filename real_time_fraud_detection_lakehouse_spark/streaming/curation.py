@@ -250,3 +250,113 @@ def curation_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    index_root: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAM twin of ``operators/dedup.docs_dedup_incremental``
+    (round-11 verdict #5): gate each arriving document against the
+    STANDING CORPUS INDEX — ``build_corpus_index``'s published
+    (corpus_fps, corpus_grams) group — so exact twins AND near-dups of
+    the corpus are dropped at ingest, before they ever land.
+
+    Three gates, in order:
+
+    1. arrival-vs-arrival EXACT dedup: ``dropDuplicatesWithinWatermark``
+       on the lowercase-trimmed md5 fingerprint (watermark-bounded
+       state, the curation_stream idiom) — replays and same-batch
+       twins collapse to one representative;
+    2. corpus EXACT gate: stream-static LEFT ANTI join against
+       ``corpus_fps`` on fp — stateless, re-planned per micro-batch;
+    3. corpus NEAR-DUP gate: stream-static LEFT ANTI join against
+       ``corpus_grams`` keyed on the shared prefix bucket with the
+       n-gram Jaccard >= CLUSTER_JACCARD condition inline — an arrival
+       is dropped iff ANY corpus bucket-mate clears the threshold. The
+       bucket/gram expressions come from ``operators/dedup.gram_cols``
+       / ``grams_from_th`` — the one-definition idiom, so batch and
+       stream CANNOT drift on candidate semantics.
+
+    Contract (the batch twin's note, sharpened for ingest):
+    arrival-vs-arrival NEAR-dups are NOT gated here — that is the
+    nightly pass's job (``build_corpus_index`` over yesterday's
+    admissions makes tomorrow's near-dups of them corpus near-dups).
+    An ingest gate decides per document against the published index,
+    never against in-flight peers: cross-arrival near-dup state would
+    be unbounded (gram sets, not fingerprints) and arrival-order-
+    defined. The batch-equivalence test pins both the agreement on
+    exact/corpus classes AND this documented deferral.
+
+    Scale design: gates 2-3 are STATELESS stream-static joins — the
+    static side is the maintained index read once per micro-batch plan
+    (Spark re-resolves static frames per batch, picking up nightly
+    re-publishes on restart); the join is keyed (fp / bucket), never
+    all-pairs, and the arrival micro-batch is the small side (AQE
+    broadcasts it at runtime — no hint, module broadcast policy). The
+    only state is gate 1's fingerprint set, watermark-bounded. Output
+    is an append parquet sink, checkpointed (restart-idempotent)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        CLUSTER_JACCARD,
+        gram_cols,
+        grams_from_th,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    idx = read_published(spark, index_root)
+    corpus_fps = idx["corpus_fps"].select("fp").distinct()
+    corpus_grams = idx["corpus_grams"].select(
+        F.col("bucket").alias("c_bucket"), F.col("grams").alias("c_grams")
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stage1 = gram_cols()
+    stream = (
+        reader.parquet(source_path)
+        .withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "ingest_ts",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+            stage1["bucket"].alias("bucket"),
+            stage1["th"].alias("th"),
+        )
+        .select("doc_id", "source", "n_chars", "ingest_ts", "fp", "bucket",
+                grams_from_th("th").alias("grams"))
+        .dropDuplicatesWithinWatermark(["fp"])
+        .join(corpus_fps, "fp", "left_anti")
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround
+
+    inter = F.size(F.array_intersect(F.col("grams"), F.col("c_grams")))
+    union = F.size(F.col("grams")) + F.size(F.col("c_grams")) - inter
+    near_cond = (
+        (F.col("bucket") == F.col("c_bucket"))
+        & (F.size(F.col("grams")) + F.size(F.col("c_grams")) > 0)
+        & (dround(inter.cast("double") / union) >= CLUSTER_JACCARD)
+    )
+    stream = stream.join(corpus_grams, near_cond, "left_anti").select(
+        "doc_id", "source", "n_chars", "ingest_ts", "fp"
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
