@@ -7,13 +7,21 @@ multimodal column plumbing. Registries:
   against exact ground truth instead.
 """
 
+from real_time_fraud_detection_lakehouse_spark.operators.corpus import CORPUS_OPS  # noqa: F401
 from real_time_fraud_detection_lakehouse_spark.operators.curation import CURATION_OPS  # noqa: F401
 from real_time_fraud_detection_lakehouse_spark.operators.dedup import DEDUP_OPS  # noqa: F401
 from real_time_fraud_detection_lakehouse_spark.operators.retrieval import RETRIEVAL_OPS  # noqa: F401
 from real_time_fraud_detection_lakehouse_spark.operators.similarity import SIMILARITY_OPS  # noqa: F401
 from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS  # noqa: F401
 
-LLM_OPS = {**TEXT_OPS, **DEDUP_OPS, **SIMILARITY_OPS, **CURATION_OPS, **RETRIEVAL_OPS}
+LLM_OPS = {
+    **TEXT_OPS,
+    **DEDUP_OPS,
+    **SIMILARITY_OPS,
+    **CURATION_OPS,
+    **RETRIEVAL_OPS,
+    **CORPUS_OPS,
+}
 
 #: QUARANTINE: correctness/oracle baselines with deliberately
 #: non-scalable plans (all-pairs or broadcast nested-loop). They exist

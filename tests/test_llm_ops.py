@@ -1556,3 +1556,44 @@ def test_incremental_maintained_agrees_with_recompute_twin(spark, frames, tmp_pa
     assert sorted(map(tuple, maintained.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, recompute.collect()), key=lambda t: t[0]
     )
+
+
+def test_corpus_build_composes_stages_and_packs_gapless(spark, frames):
+    """docs_corpus_build (round 11): the survivor set is EXACTLY
+    curated ∩ keep-best keepers, each row carries its leakage-safe
+    split assignment, test docs are unpacked (NULL seq columns), and
+    the train pack is gapless — ordering train rows by their packed
+    position reproduces the running token total exactly (zero padding
+    waste, no overlap)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.corpus import (
+        docs_corpus_build,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        docs_curate_pipeline,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_keep_best,
+        docs_split_leakage_safe,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+
+    rows = docs_corpus_build(frames).collect()
+    curated = {r["doc_id"] for r in docs_curate_pipeline(frames).collect()}
+    kept = {r["doc_id"] for r in docs_dedup_keep_best(frames).collect()}
+    split = {r["doc_id"]: r["split"] for r in docs_split_leakage_safe(frames).collect()}
+    assert {r["doc_id"] for r in rows} == curated & kept
+    assert all(r["split"] == split[r["doc_id"]] for r in rows)
+
+    test_rows = [r for r in rows if r["split"] == "test"]
+    assert test_rows and all(
+        r["seq_id"] is None and r["seq_offset"] is None for r in test_rows
+    )
+    train = sorted(
+        (r for r in rows if r["split"] == "train"),
+        key=lambda r: (r["seq_id"], r["seq_offset"]),
+    )
+    assert train and all(0 <= r["seq_offset"] < SEQ_LEN for r in train)
+    cum = 0
+    for r in train:
+        assert r["seq_id"] * SEQ_LEN + r["seq_offset"] == cum, r
+        cum += r["n_tokens"]
