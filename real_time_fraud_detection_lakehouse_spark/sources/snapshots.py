@@ -64,6 +64,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -507,14 +508,29 @@ def publish_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def vacuum_published(root: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest ``keep`` manifests, then vacuum EVERY
-    table store on disk down to exactly the versions some surviving
-    manifest still pins — including stores a crashed publisher left
-    fully unreferenced (no manifest ever committed) and tables that
-    only doomed manifests pinned — plus stage/torn debris and orphaned
-    ``.manifest.*`` temp files a killed publisher left behind. Returns
-    the group versions removed.
+def vacuum_published(
+    root: str, keep: int = 2, retain_hours: float | None = None
+) -> list[int]:
+    """Drop old manifests, then vacuum EVERY table store on disk down
+    to exactly the versions some surviving manifest still pins —
+    including stores a crashed publisher left fully unreferenced (no
+    manifest ever committed) and tables that only doomed manifests
+    pinned — plus stage/torn debris and orphaned ``.manifest.*`` temp
+    files a killed publisher left behind. Returns the group versions
+    removed.
+
+    Two retention modes (round-11 verdict #8, the reference runbook's
+    ``VACUUM ... RETAIN N HOURS`` shape):
+
+    - count (default): all but the newest ``keep`` manifests go.
+    - age (``retain_hours`` set): only manifests whose FILE MTIME is
+      older than the wall-clock cutoff go — and ``keep`` still acts as
+      a FLOOR: the newest ``keep`` manifests survive regardless of
+      age, so the current group (and rollback's re-pin of an old one,
+      which commits as a NEW manifest with a fresh mtime) can never be
+      reaped by an aggressive window. Manifest files are immutable
+      after commit, so mtime IS commit time. Wall-clock age is a
+      maintenance-only concept — nothing in any oracle path reads it.
 
     Concurrency caveats (stronger than ``vacuum_snapshots``'s): don't
     run concurrently with (a) a publisher — its freshly-written,
@@ -531,9 +547,21 @@ def vacuum_published(root: str, keep: int = 2) -> list[int]:
     applies to OPTIMIZE."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    if retain_hours is not None and retain_hours < 0:
+        raise ValueError("retain_hours must be >= 0")
     versions = _manifest_versions(root)
-    doomed = versions[:-keep]
     mdir = os.path.join(root, _MANIFEST_DIR)
+    doomed = versions[:-keep]
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600.0
+        aged = []
+        for n in doomed:
+            try:
+                if os.path.getmtime(_manifest_path(root, n)) < cutoff:
+                    aged.append(n)
+            except OSError:
+                aged.append(n)  # a rival vacuum got the file; count it
+        doomed = aged
     for n in doomed:
         try:
             os.unlink(os.path.join(mdir, f"manifest-{n}.json"))
@@ -552,7 +580,10 @@ def vacuum_published(root: str, keep: int = 2) -> list[int]:
         # manifest would degrade every reader to the listing path
         _write_checkpoint(root, versions[-1])
     live: dict[str, set[int]] = {}
-    for n in versions[-keep:]:
+    doomed_set = set(doomed)
+    for n in versions:
+        if n in doomed_set:
+            continue
         for t, v in _read_manifest(root, n).items():
             live.setdefault(t, set()).add(v)
     table_dirs = (

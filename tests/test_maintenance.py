@@ -885,3 +885,77 @@ def test_published_gold_history_lifecycle(spark, tmp_path):
     assert all(pins[(2, t)] == 2 for t in tables)
     assert all(pins[(3, t)] == 1 for t in tables)  # rollback re-pins group 1
     assert all(r["available"] for r in hist)
+
+
+def test_vacuum_published_age_retention_and_rollback_interplay(spark, tmp_path):
+    """Round-11 verdict #8: age-based retention (the reference
+    runbook's VACUUM ... RETAIN N HOURS shape) — only manifests whose
+    mtime is older than the window go, ``keep`` stays a floor the
+    window can never breach, and a rollback's re-pin manifest (fresh
+    mtime, OLD table versions) keeps those old versions alive through
+    an age vacuum that reaps the original manifests pinning them."""
+    import os
+    import time
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+        rollback_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "gold")
+
+    def group(tag):
+        return {
+            "fact": spark.createDataFrame([(1, tag)], ["id", "ver"]),
+            "dim": spark.createDataFrame([(9, tag)], ["k", "ver"]),
+        }
+
+    def read_tags(g=None):
+        frames = read_published(spark, root, group_version=g)
+        return {t: {r["ver"] for r in df.collect()} for t, df in frames.items()}
+
+    def age_manifest(n, days):
+        p = os.path.join(root, "_manifests", f"manifest-{n}.json")
+        old = time.time() - days * 86400
+        os.utime(p, (old, old))
+
+    for tag in ("v1", "v2", "v3"):
+        publish_tables(group(tag), root)
+
+    # window wider than any age: nothing goes, all groups readable
+    assert vacuum_published(root, keep=1, retain_hours=24 * 365) == []
+    assert read_tags(1) == {"fact": {"v1"}, "dim": {"v1"}}
+
+    # manifests 1-2 aged past a 168h window, 3 fresh: exactly 1-2 go
+    age_manifest(1, 10)
+    age_manifest(2, 10)
+    assert vacuum_published(root, keep=1, retain_hours=168) == [1, 2]
+    assert read_tags() == {"fact": {"v3"}, "dim": {"v3"}}
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        read_published(spark, root, group_version=1)
+
+    # keep is a FLOOR: even with everything aged out, the newest
+    # ``keep`` manifests (and their pinned table versions) survive
+    publish_tables(group("v4"), root)  # groups now 3, 4
+    age_manifest(3, 10)
+    age_manifest(4, 10)
+    assert vacuum_published(root, keep=2, retain_hours=1) == []
+    assert read_tags(3) == {"fact": {"v3"}, "dim": {"v3"}}
+
+    # rollback-then-age-vacuum: the restore commits a NEW manifest
+    # (fresh mtime) re-pinning group 3's OLD table versions; an age
+    # vacuum then reaps the AGED manifests 3 and 4 — but the pinned
+    # versions live on because the fresh re-pin manifest holds them
+    g5 = rollback_published(root, 3)
+    assert g5 == 5
+    assert vacuum_published(root, keep=1, retain_hours=168) == [3, 4]
+    assert read_tags() == {"fact": {"v3"}, "dim": {"v3"}}, (
+        "rollback's re-pin must keep the restored data alive through age vacuum"
+    )
+    # and the reaped groups are really gone
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        read_published(spark, root, group_version=4)
