@@ -920,7 +920,16 @@ def docs_split_leakage_safe(t: Frames) -> DataFrame:
 
     Oracle: the recursive-CTE transitive closure + identical integer
     arithmetic (exact assignment equality, not a proportion check)."""
-    clusters = dedup_clusters(t).select("doc_id", "component_id")
+    return _split_assign(t, dedup_clusters(t).select("doc_id", "component_id"))
+
+
+def _split_assign(t: Frames, clusters: DataFrame) -> DataFrame:
+    """The split assignment given a (doc_id, component_id) cluster
+    membership frame — factored out so ``docs_corpus_build`` can reuse
+    ONE cluster computation across the election and the split (the
+    composed path would otherwise run dedup_clusters twice). The hash
+    discipline lives here only; the registered op and the composed
+    oracle both route through it."""
     comp = F.coalesce(F.col("component_id"), F.col("doc_id"))
     bucket = ((comp % _SPLIT_PRIME) * F.lit(_SPLIT_MIX)) % 100
     return (
@@ -985,8 +994,12 @@ def docs_dedup_incremental(t: Frames) -> DataFrame:
     Scale design — the costs are ARRIVAL-proportional, never
     corpus-quadratic: the exact stage is one fp-keyed anti-join of
     arrivals against the corpus fingerprint column (at 100 TB the
-    nightly pass maintains that fp table; here it is a pruned
-    (doc_id, text→fp) scan) plus a tiny arrivals-only fp window; the
+    nightly pass maintains that fp table — REAL since round 11:
+    ``build_corpus_index`` publishes it and
+    ``docs_dedup_incremental_maintained`` reads it; this REGISTERED
+    form recomputes from a pruned (doc_id, text→fp) scan so the
+    DuckDB oracle stays closed over the documents table) plus a tiny
+    arrivals-only fp window; the
     near-dup stage joins the ARRIVALS' gram projection against the
     shared bucket projection (arrivals x bucket-mates, not corpus x
     corpus — the right side of the candidate join is pre-filtered to
