@@ -124,6 +124,9 @@ DIRECT = [
     # round-10 operators
     "docs_dedup_keep_best",
     "docs_dedup_incremental",
+    # round-11 operators
+    "docs_split_leakage_safe",
+    "docs_corpus_build",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -173,6 +176,10 @@ SCALING_100X_QUERIES = [
     # the replica, so the candidate join's right side grows with
     # arrivals while the left side is the full 100x corpus projection
     "docs_dedup_incremental",
+    # r11 (verdict #7): the composed corpus build — curation + ONE
+    # cluster computation (election + split) + pack — gets its
+    # two-decade datapoint
+    "docs_corpus_build",
 ]
 
 #: the ~15 queries carried on the compact final JSON line (the full
@@ -398,17 +405,22 @@ def main() -> None:
         # publish gold as one manifest group → re-publish (parquet
         # copy, no feature-chain re-run) → O(1) metadata rollback →
         # ledger read: the snapshot store's end-to-end cost at SF_DIR.
-        # Single sample — dominated by the two publishes' parquet
-        # writes, the same class of cost as etl_silver_gold.
+        # min-of-2 like every other timed entry (round-11 verdict #6 —
+        # the suite's #2-cost entry was its only single-sample one);
+        # fresh store root per sample, the streaming_dedup idiom: a
+        # reused root would append groups and change the measured work.
         from real_time_fraud_detection_lakehouse_spark.plans.gold import (
             published_gold_history,
         )
 
-        t0 = time.time()
-        published_gold_history(
-            spark, SF_DIR, os.path.join(warehouse, "published")
-        ).write.format("noop").mode("overwrite").save()
-        timings["history_published_gold"] = round(time.time() - t0, 3)
+        hist_samples = []
+        for i in range(2):
+            t0 = time.time()
+            published_gold_history(
+                spark, SF_DIR, os.path.join(warehouse, f"published{i}")
+            ).write.format("noop").mode("overwrite").save()
+            hist_samples.append(time.time() - t0)
+        timings["history_published_gold"] = round(min(hist_samples), 3)
 
         # --- phase 5: standing scaling block (10x key-shifted replica;
         # warm-vs-warm so the ratio measures plan scaling, not codegen).
@@ -555,6 +567,56 @@ def main() -> None:
                 "queries": results100,
             }
 
+            # --- phase 6c: maintained-corpus ingest gate anchor
+            # (round-11 verdict #4): corpus 100x (the perturbed
+            # replica, ids shifted BELOW the fixed arrival set so the
+            # smaller-id-wins ordering holds), arrivals FIXED — the
+            # gate's per-run cost must move sublinearly in corpus size.
+            # The index build is the NIGHTLY pass: timed separately
+            # (it scales with the corpus by design); the gate itself
+            # never re-tokenizes corpus text. Fresh session, same
+            # rationale as every scaling block.
+            from pyspark.sql import functions as F
+
+            from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+                _INCR_HWM_FRACTION,
+                build_corpus_index,
+                docs_dedup_incremental_maintained,
+            )
+
+            spark = _fresh_session(spark, "bench-incr-maintained")
+            docs_base = table(spark, SF_DIR, "documents")
+            h = docs_base.agg(
+                F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+            ).first()[0]
+            arrivals = docs_base.filter(F.col("doc_id") > h)
+            rep_docs = table(spark, huge_dir, "documents")
+            rep_off = rep_docs.agg(F.max("doc_id")).first()[0] + 1
+            maint: dict[str, float] = {}
+            for label, corpus in (
+                ("base", docs_base.filter(F.col("doc_id") <= h)),
+                (
+                    "scaled",
+                    rep_docs.withColumn(
+                        "doc_id", F.col("doc_id") - F.lit(rep_off)
+                    ),
+                ),
+            ):
+                idx_root = os.path.join(warehouse, f"incr_index_{label}")
+                t0 = time.time()
+                build_corpus_index({"documents": corpus}, idx_root)
+                maint[f"{label}_index_build_sec"] = round(time.time() - t0, 1)
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    docs_dedup_incremental_maintained(
+                        spark, arrivals, idx_root
+                    ).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                maint[label] = round(min(samples), 3)
+            maint["ratio"] = round(maint["scaled"] / maint["base"], 2)
+            scaling_100x["incremental_maintained_100x"] = maint
+
             # --- phase 6b: SemDeDup at 100x NEW embeddings (same
             # perturbed-replica + scaled-k protocol as phase 5b). Added
             # in r7 after the matmul assignment fix took the op from
@@ -650,6 +712,9 @@ def main() -> None:
                 k: v["scaled"] for k, v in scaling_100x["queries"].items()
             },
             "semdedup_scaled_sec": scaling_100x.get("semdedup_100x", {}).get("scaled"),
+            "incr_maintained_gate_ratio": scaling_100x.get(
+                "incremental_maintained_100x", {}
+            ).get("ratio"),
         }
     out["streaming_throughput"] = {
         "bronze_rows_per_sec": streaming_throughput["bronze_rows_per_sec"],

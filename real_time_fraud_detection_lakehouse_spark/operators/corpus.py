@@ -58,16 +58,24 @@ def docs_corpus_build(t: Frames) -> DataFrame:
         docs_curate_pipeline,
     )
     from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
-        docs_dedup_keep_best,
-        docs_split_leakage_safe,
+        _elect_best,
+        _split_assign,
+        dedup_clusters,
     )
     from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
 
     curated = docs_curate_pipeline(t).select(
         "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
     )
-    kept = docs_dedup_keep_best(t).select("doc_id")
-    split = docs_split_leakage_safe(t).select("doc_id", "split")
+    # ONE cluster computation feeds both the election and the split
+    # (the standalone ops each run their own; composed, that would
+    # double the dominant cost) — semantics identical by construction:
+    # both registered ops are thin wrappers over these two helpers
+    clusters = (
+        dedup_clusters(t).select("doc_id", "component_id").localCheckpoint(eager=False)
+    )
+    kept = _elect_best(t, clusters).select("doc_id")
+    split = _split_assign(t, clusters).select("doc_id", "split")
     # feeds the train pack AND the final left join-back — materialize
     # the three-stage pipeline once (the _gram_projection idiom)
     survivors = (

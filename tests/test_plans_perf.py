@@ -630,3 +630,19 @@ def test_dedup_apply_drop_list_not_force_broadcast(spark):
             assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_corpus_build_pack_no_global_window(spark):
+    """docs_corpus_build: the train pack must ride the bucketed
+    distributed prefix sum — the within-bucket cumsum window carries
+    the bucket partition spec, and the only ordered-only window runs
+    on the tiny bucket-totals table (same discipline as
+    corpus_to_batches); election windows partition by component_id."""
+    from real_time_fraud_detection_lakehouse_spark.operators.corpus import (
+        docs_corpus_build,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(docs_corpus_build(frames))
+    assert "windowspecdefinition(bucket" in plan, "bucketed cumsum window lost"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
