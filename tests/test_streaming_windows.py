@@ -597,3 +597,40 @@ def test_streaming_incremental_dedup_matches_batch_both_orders(spark, tmp_path):
         spark, src2, str(tmp_path / "out_fresh"), str(tmp_path / "ckpt_fresh"), root2
     ).collect()
     assert fresh_idx == [], "re-indexed gate must drop the near-dup of an admission"
+
+
+def test_streaming_incremental_dedup_restart_is_idempotent(spark, tmp_path):
+    """Exactly-once on checkpoint reuse for the ingest gate: a re-run
+    against the same source + checkpoint + index emits nothing new —
+    the curation-stream restart contract applied to the near-dup
+    gate."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _INCR_HWM_FRACTION,
+        build_corpus_index,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        incremental_dedup_stream,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    h = docs.agg(
+        F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+    ).first()[0]
+    root = str(tmp_path / "index")
+    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= h)}, root)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") > h).withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    ).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    first = incremental_dedup_stream(spark, src, out, ckpt, root).collect()
+    second = incremental_dedup_stream(spark, src, out, ckpt, root).collect()
+    assert first and sorted(r["doc_id"] for r in second) == sorted(
+        r["doc_id"] for r in first
+    )
