@@ -51,6 +51,34 @@ def _tokens(col="text"):
     return F.filter(F.split(F.col(col), " "), lambda x: x != "")
 
 
+def fp_col(col: str = "text") -> F.Column:
+    """The exact-duplicate fingerprint — md5 of the lowercase-trimmed
+    text — as ONE definition shared by every exact gate (recompute op,
+    corpus index build, maintained gate, streaming ingest gate). If a
+    normalization change lands in one site but not another, the
+    published ``corpus_fps`` silently stops matching the gate's fp and
+    every corpus twin is admitted — so the expression is named once
+    (round-11 self-review), the same one-definition idiom as
+    ``gram_cols``."""
+    return F.md5(F.lower(F.trim(F.col(col))))
+
+
+def near_pair_cond(a_grams: F.Column, b_grams: F.Column) -> F.Column:
+    """The near-dup PAIR predicate — non-empty gram union AND exact
+    n-gram Jaccard >= CLUSTER_JACCARD (dround'ed, the oracle
+    discipline) — shared by the recompute ingest gate, the maintained
+    gate, and the streaming gate's join condition, so a threshold or
+    guard change cannot land in one path only (their agreement IS the
+    twin contract). Join-key (bucket) equality and id ordering stay at
+    the call sites: they differ between frame-join and stream-static
+    shapes."""
+    inter = F.size(F.array_intersect(a_grams, b_grams))
+    union = F.size(a_grams) + F.size(b_grams) - inter
+    return (F.size(a_grams) + F.size(b_grams) > 0) & (
+        dround(inter.cast("double") / union) >= CLUSTER_JACCARD
+    )
+
+
 def gram_cols() -> dict[str, F.Column]:
     """Stage-ONE of the candidate-pair projection as COLUMN
     EXPRESSIONS over a ``text`` column — {"bucket": 4-token-prefix
@@ -1017,32 +1045,17 @@ def docs_dedup_incremental(t: Frames) -> DataFrame:
     hwm = docs.agg(
         F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long").alias("h")
     )
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
     w = Window.partitionBy("fp")
     fps = docs.select(
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        fp.alias("fp"),
+        fp_col().alias("fp"),
     ).withColumn("fp_min", F.min("doc_id").over(w))
 
     grams = _gram_projection(t)
     arr_grams = grams.crossJoin(F.broadcast(hwm)).filter(F.col("doc_id") > F.col("h"))
-    a = grams.alias("a")
-    b = arr_grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    near_drops = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.size(F.col("a.grams")) + F.size(F.col("b.grams")) > 0)
-        .where(dround(inter.cast("double") / union) >= CLUSTER_JACCARD)
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
-    )
+    near_drops = _near_drop_ids(grams, arr_grams)
     return (
         fps.crossJoin(F.broadcast(hwm))
         .filter((F.col("doc_id") > F.col("h")) & (F.col("doc_id") == F.col("fp_min")))
@@ -1058,6 +1071,27 @@ DEDUP_OPS["docs_dedup_incremental"] = (
         threshold=CLUSTER_JACCARD,
     ),
 )
+
+
+def _near_drop_ids(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+    """Distinct b-side doc_ids with at least one near-dup pair against
+    a SMALLER-id a-side bucket-mate — the drop set of both incremental
+    ingest gates (recompute and maintained), factored so the candidate
+    join, the ordering predicate, and the pair condition cannot drift
+    between them (round-11 self-review). Both inputs carry
+    (doc_id, bucket, grams)."""
+    a = a_side.alias("a")
+    b = b_side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(near_pair_cond(F.col("a.grams"), F.col("b.grams")))
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
 
 
 # --- maintained-corpus incremental dedup (round 11) --------------------------
@@ -1091,7 +1125,7 @@ def build_corpus_index(t: Frames, root: str) -> int:
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        fp_col().alias("fp"),
     )
     grams = _gram_projection(t)
     return publish_tables(
@@ -1132,33 +1166,21 @@ def docs_dedup_incremental_maintained(
     idx = read_published(spark, root)
     corpus_fps, corpus_grams = (idx[n] for n in CORPUS_INDEX_TABLES)
 
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
     w = Window.partitionBy("fp")
     arr_fps = (
         arrivals.select(
             "doc_id",
             "source",
             F.col("n_chars").cast("long").alias("n_chars"),
-            fp.alias("fp"),
+            fp_col().alias("fp"),
         )
         .withColumn("fp_min", F.min("doc_id").over(w))
     )
 
     arr_grams = _gram_projection({"documents": arrivals})
-    a = corpus_grams.select("doc_id", "bucket", "grams").unionByName(arr_grams).alias("a")
-    b = arr_grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    near_drops = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.size(F.col("a.grams")) + F.size(F.col("b.grams")) > 0)
-        .where(dround(inter.cast("double") / union) >= CLUSTER_JACCARD)
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
+    near_drops = _near_drop_ids(
+        corpus_grams.select("doc_id", "bucket", "grams").unionByName(arr_grams),
+        arr_grams,
     )
     return (
         arr_fps.filter(F.col("doc_id") == F.col("fp_min"))

@@ -523,14 +523,19 @@ def vacuum_published(
     ``VACUUM ... RETAIN N HOURS`` shape):
 
     - count (default): all but the newest ``keep`` manifests go.
-    - age (``retain_hours`` set): only manifests whose FILE MTIME is
-      older than the wall-clock cutoff go — and ``keep`` still acts as
-      a FLOOR: the newest ``keep`` manifests survive regardless of
-      age, so the current group (and rollback's re-pin of an old one,
-      which commits as a NEW manifest with a fresh mtime) can never be
-      reaped by an aggressive window. Manifest files are immutable
-      after commit, so mtime IS commit time. Wall-clock age is a
-      maintenance-only concept — nothing in any oracle path reads it.
+    - age (``retain_hours`` set): the OLDEST-FIRST PREFIX of manifests
+      whose file mtime is older than the wall-clock cutoff goes —
+      dooming stops at the first in-window manifest, so the surviving
+      range stays dense (racing publishers can invert sub-second
+      mtimes across adjacent numbers; a mid-range hole would read as
+      the vacuumed floor to rollback's walk-down and _latest_group's
+      forward probe). ``keep`` still acts as a FLOOR: the newest
+      ``keep`` manifests survive regardless of age, so the current
+      group (and rollback's re-pin of an old one, which commits as a
+      NEW manifest with a fresh mtime) can never be reaped by an
+      aggressive window. Manifest files are immutable after commit, so
+      mtime is commit time. Wall-clock age is a maintenance-only
+      concept — nothing in any oracle path reads it.
 
     Concurrency caveats (stronger than ``vacuum_snapshots``'s): don't
     run concurrently with (a) a publisher — its freshly-written,
@@ -557,10 +562,26 @@ def vacuum_published(
         aged = []
         for n in doomed:
             try:
-                if os.path.getmtime(_manifest_path(root, n)) < cutoff:
-                    aged.append(n)
-            except OSError:
+                is_old = os.path.getmtime(_manifest_path(root, n)) < cutoff
+            except FileNotFoundError:
                 aged.append(n)  # a rival vacuum got the file; count it
+                continue
+            except OSError:
+                # a transient stat failure (EIO/EACCES) must NOT count
+                # as aged — deleting would destroy data inside the
+                # promised retention window (round-11 self-review).
+                # Keeping is always safe; the next vacuum retries.
+                break
+            if not is_old:
+                # stop at the first in-window manifest even if an older
+                # NUMBER were somehow younger by mtime (racing
+                # publishers can invert sub-second mtimes): age-dooming
+                # only a PREFIX preserves the dense-numbering invariant
+                # that rollback's walk-down and _latest_group's forward
+                # probe both rely on — a mid-range hole would read as
+                # the vacuumed floor (round-11 self-review).
+                break
+            aged.append(n)
         doomed = aged
     for n in doomed:
         try:

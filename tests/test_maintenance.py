@@ -959,3 +959,13 @@ def test_vacuum_published_age_retention_and_rollback_interplay(spark, tmp_path):
     # and the reaped groups are really gone
     with pytest.raises(ValueError, match="vacuumed or never committed"):
         read_published(spark, root, group_version=4)
+
+    # density invariant: age-dooming is PREFIX-ONLY — racing publishers
+    # can invert sub-second mtimes across adjacent numbers, and a
+    # mid-range hole would read as the vacuumed floor to rollback's
+    # walk-down. With group 6 IN-window but group 7 aged, nothing goes.
+    publish_tables(group("v6"), root)  # groups now 5, 6, 7
+    publish_tables(group("v7"), root)
+    age_manifest(6, 10)  # 6 aged, but 5 (the re-pin) is younger: inversion
+    assert vacuum_published(root, keep=1, retain_hours=168) == []
+    assert read_tags(6) == {"fact": {"v6"}, "dim": {"v6"}}

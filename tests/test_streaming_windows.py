@@ -591,8 +591,12 @@ def test_streaming_incremental_dedup_matches_batch_both_orders(spark, tmp_path):
         spark, src2, str(tmp_path / "out_stale"), str(tmp_path / "ckpt_stale"), root
     ).collect()
     assert {r["doc_id"] for r in stale} == {17}, "stale index must admit the peer near-dup"
+    # the nightly input is corpus + ADMISSIONS (1, 2, 15) — NOT the
+    # rejected arrivals 13/14; the pass must not depend on them
     root2 = str(tmp_path / "corpus_index_day2")
-    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= 15)}, root2)
+    build_corpus_index(
+        {"documents": docs.filter(F.col("doc_id").isin(1, 2, 15))}, root2
+    )
     fresh_idx = incremental_dedup_stream(
         spark, src2, str(tmp_path / "out_fresh"), str(tmp_path / "ckpt_fresh"), root2
     ).collect()
