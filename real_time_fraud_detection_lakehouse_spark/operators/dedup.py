@@ -1133,6 +1133,76 @@ def build_corpus_index(t: Frames, root: str) -> int:
     )
 
 
+def update_corpus_index(t: Frames, root: str) -> int:
+    """The incremental nightly pass (round-11 stretch): FOLD the
+    admitted arrivals into the standing index by appending their fp +
+    gram projections as DELTA tables (``corpus_fps_dK`` /
+    ``corpus_grams_dK``) pinned alongside the existing tables in one
+    atomic group extension — write cost O(arrivals), the corpus is
+    never rewritten or re-tokenized. ``t["documents"]`` is the
+    ADMITTED arrival set (what ``docs_dedup_incremental_maintained``
+    emitted — rejected arrivals must not enter the index). Returns the
+    new group version.
+
+    Compaction: deltas accumulate one table per fold-in; a periodic
+    full ``build_corpus_index`` publishes a fresh base-only group, and
+    the next ``vacuum_published`` reaps every delta version no
+    surviving manifest pins — the classic delta-then-compact cycle,
+    here at the granularity of whole pinned tables.
+
+    Readers (``_read_corpus_index``) union base + deltas by name
+    prefix from ONE manifest, so a gate never sees a half-folded
+    index."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        _latest_group,
+        _read_manifest,
+        extend_published,
+    )
+
+    latest = _latest_group(root)
+    if latest is None:
+        raise FileNotFoundError(f"no corpus index at {root} — build_corpus_index first")
+    pinned = _read_manifest(root, latest)
+    k = 1 + max(
+        (int(n.rsplit("_d", 1)[1]) for n in pinned if "_d" in n and n.rsplit("_d", 1)[1].isdigit()),
+        default=0,
+    )
+    docs = t["documents"]
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        fp_col().alias("fp"),
+    )
+    grams = _gram_projection(t)
+    return extend_published(
+        {f"corpus_fps_d{k}": fps, f"corpus_grams_d{k}": grams}, root
+    )
+
+
+def _read_corpus_index(spark, root: str):
+    """(corpus_fps, corpus_grams) as the UNION of the base tables and
+    every folded delta, resolved through ONE manifest — the read side
+    of the delta-then-compact index lifecycle. Prefix-matched on the
+    CORPUS_INDEX_TABLES names, sorted for deterministic union order."""
+    from functools import reduce
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    idx = read_published(spark, root)
+    out = []
+    for base in CORPUS_INDEX_TABLES:
+        parts = [
+            df
+            for name, df in sorted(idx.items())
+            if name == base or name.startswith(f"{base}_d")
+        ]
+        out.append(reduce(lambda a, b: a.unionByName(b), parts))
+    return tuple(out)
+
+
 def docs_dedup_incremental_maintained(
     spark, arrivals: DataFrame, root: str
 ) -> DataFrame:
@@ -1161,10 +1231,7 @@ def docs_dedup_incremental_maintained(
     the arrival side is tiny, so AQE broadcasts it and the corpus side
     is scanned once without shuffling. Bench records the anchor:
     corpus 10x with arrivals fixed must move the gate sublinearly."""
-    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import read_published
-
-    idx = read_published(spark, root)
-    corpus_fps, corpus_grams = (idx[n] for n in CORPUS_INDEX_TABLES)
+    corpus_fps, corpus_grams = _read_corpus_index(spark, root)
 
     w = Window.partitionBy("fp")
     arr_fps = (

@@ -343,26 +343,78 @@ def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
     if not dfs:
         raise ValueError("publish_tables needs at least one table")
     for name in dfs:
-        # layout safety (round-10 advice fix): a table named like the
-        # manifest dir would collide with the ledger, a dot-prefixed
-        # name matches the stage/temp-debris patterns vacuum reaps,
-        # and a path separator would escape the store root entirely.
-        bad_seps = [s for s in (os.sep, os.altsep) if s]
-        if (
-            not name
-            or name == _MANIFEST_DIR
-            or name.startswith(".")
-            or any(s in name for s in bad_seps)
-        ):
-            raise ValueError(
-                f"invalid table name {name!r}: must be non-empty, not "
-                f"{_MANIFEST_DIR!r}, not dot-prefixed, and contain no "
-                "path separator"
-            )
+        _validate_table_name(name)
     pinned = {
         name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
     }
     return _commit_manifest(root, pinned)
+
+
+def _validate_table_name(name: str) -> None:
+    """Layout safety (round-10 advice fix): a table named like the
+    manifest dir would collide with the ledger, a dot-prefixed name
+    matches the stage/temp-debris patterns vacuum reaps, and a path
+    separator would escape the store root entirely."""
+    bad_seps = [s for s in (os.sep, os.altsep) if s]
+    if (
+        not name
+        or name == _MANIFEST_DIR
+        or name.startswith(".")
+        or any(s in name for s in bad_seps)
+    ):
+        raise ValueError(
+            f"invalid table name {name!r}: must be non-empty, not "
+            f"{_MANIFEST_DIR!r}, not dot-prefixed, and contain no "
+            "path separator"
+        )
+
+
+def extend_published(dfs: dict[str, DataFrame], root: str) -> int:
+    """ADD tables to the latest published group WITHOUT rewriting the
+    existing ones — the multi-table ``ALTER GROUP ADD TABLE``: write
+    only the NEW tables' snapshot versions, then commit one manifest
+    pinning {the latest group's pins} ∪ {the new tables}. Returns the
+    new group version. Readers of the previous group are untouched
+    (manifests are immutable); readers of latest atomically see the
+    widened group.
+
+    The write cost is O(new tables' data) — nothing existing moves or
+    copies — which is what makes incremental index maintenance
+    (operators/dedup.update_corpus_index) an append, not a corpus
+    rewrite, at 100 TB. The additive manifest keeps the store's
+    invariants: dense numbering, per-table immutable versions, vacuum
+    reaps a delta table's versions only once NO surviving manifest
+    pins them (the compaction story: a later full publish that pins
+    only the base tables releases every delta at the next vacuum).
+
+    Raises FileNotFoundError if no group exists yet (publish first)
+    and ValueError on a name collision with a pinned table — REPLACING
+    a member is publish_tables' job (all-or-nothing republish), not an
+    extension.
+
+    Concurrency: an extension is a MANIFEST COMMITTER — same
+    single-maintenance-actor discipline with vacuum/rollback as every
+    other committer; concurrent publishers race the manifest number
+    and the loser retries, both groups stay readable."""
+    if not dfs:
+        raise ValueError("extend_published needs at least one table")
+    latest = _latest_group(root)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no published manifests at {root} — publish_tables first"
+        )
+    pinned = _read_manifest(root, latest)
+    for name in dfs:
+        _validate_table_name(name)
+        if name in pinned:
+            raise ValueError(
+                f"table {name!r} is already pinned by group {latest}; "
+                "extensions only ADD tables — republish to replace"
+            )
+    new_pins = {
+        name: snapshot_write(df, os.path.join(root, name)) for name, df in dfs.items()
+    }
+    return _commit_manifest(root, {**pinned, **new_pins})
 
 
 def read_published(

@@ -302,22 +302,22 @@ def incremental_dedup_stream(
     only state is gate 1's fingerprint set, watermark-bounded. Output
     is an append parquet sink, checkpointed (restart-idempotent)."""
     from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _read_corpus_index,
         fp_col,
         gram_cols,
         grams_from_th,
         near_pair_cond,
     )
-    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
-        read_published,
-    )
 
-    idx = read_published(spark, index_root)
-    # no .distinct(): LEFT ANTI is duplicate-insensitive on its right
-    # side, and the static plan re-executes per micro-batch — a
-    # corpus-wide shuffle+agg here would be exactly the per-batch
-    # corpus cost this gate exists to avoid (round-11 self-review)
-    corpus_fps = idx["corpus_fps"].select("fp")
-    corpus_grams = idx["corpus_grams"].select(
+    # base ∪ folded deltas, resolved through ONE manifest (the
+    # update_corpus_index lifecycle); no .distinct(): LEFT ANTI is
+    # duplicate-insensitive on its right side, and the static plan
+    # re-executes per micro-batch — a corpus-wide shuffle+agg here
+    # would be exactly the per-batch corpus cost this gate exists to
+    # avoid (round-11 self-review)
+    idx_fps, idx_grams = _read_corpus_index(spark, index_root)
+    corpus_fps = idx_fps.select("fp")
+    corpus_grams = idx_grams.select(
         F.col("bucket").alias("c_bucket"), F.col("grams").alias("c_grams")
     )
 

@@ -969,3 +969,112 @@ def test_vacuum_published_age_retention_and_rollback_interplay(spark, tmp_path):
     age_manifest(6, 10)  # 6 aged, but 5 (the re-pin) is younger: inversion
     assert vacuum_published(root, keep=1, retain_hours=168) == []
     assert read_tags(6) == {"fact": {"v6"}, "dim": {"v6"}}
+
+
+def test_extend_published_adds_tables_atomically(spark, tmp_path):
+    """Round-11 stretch: extend_published ADDs tables to the latest
+    group without rewriting existing ones — previous groups stay
+    readable AS OF, the widened group pins old versions unchanged,
+    collisions and empty extensions are rejected, and a later full
+    publish + vacuum reaps the delta tables entirely (the
+    delta-then-compact cycle at whole-table granularity)."""
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        extend_published,
+        publish_tables,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, "base")], ["id", "tag"])
+    delta = spark.createDataFrame([(2, "delta")], ["id", "tag"])
+
+    with pytest.raises(FileNotFoundError, match="publish_tables first"):
+        extend_published({"d1": delta}, root)
+    assert publish_tables({"t": base}, root) == 1
+    with pytest.raises(ValueError, match="needs at least one table"):
+        extend_published({}, root)
+    with pytest.raises(ValueError, match="already pinned"):
+        extend_published({"t": delta}, root)
+
+    g2 = extend_published({"d1": delta}, root)
+    assert g2 == 2
+    # group 1 untouched; group 2 = old pin + new table
+    assert set(read_published(spark, root, 1)) == {"t"}
+    frames = read_published(spark, root)
+    assert set(frames) == {"t", "d1"}
+    assert [r["tag"] for r in frames["t"].collect()] == ["base"]
+    assert [r["tag"] for r in frames["d1"].collect()] == ["delta"]
+    # the extension wrote ONLY the delta: t still has exactly one version
+    assert sorted(os.listdir(os.path.join(root, "t"))) == ["_v=1"]
+
+    # compact: a full republish pins only the base table; vacuum to the
+    # newest group reaps every delta version (no surviving manifest
+    # pins them) and the delta table dir empties
+    publish_tables({"t": base.unionByName(delta)}, root)
+    vacuum_published(root, keep=1)
+    assert set(read_published(spark, root)) == {"t"}
+    assert os.listdir(os.path.join(root, "d1")) == []
+
+
+def test_update_corpus_index_fold_in_equals_full_rebuild(spark, tmp_path):
+    """The incremental nightly pass: folding admitted arrivals into
+    the index (update_corpus_index) gates the NEXT day's arrivals
+    exactly like a full rebuild over corpus+admissions — and the
+    fold-in writes only the arrival projections (base index versions
+    untouched on disk)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_corpus_index,
+        docs_dedup_incremental_maintained,
+        update_corpus_index,
+    )
+
+    base = " ".join(f"tok{i:02d}" for i in range(25))
+    fresh = " ".join(f"new{i:02d}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", base),
+            (2, "en", "web", fresh.replace("new", "old")),
+            (15, "en", "web", fresh),  # day-1 ADMITTED arrival
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+    day2 = spark.createDataFrame(
+        [
+            (17, "en", "web", fresh + " extraa extrab extrac"),  # near-dup of 15
+            (18, "en", "web", " ".join(f"day2{i:02d}" for i in range(25))),
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+
+    folded = str(tmp_path / "folded")
+    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= 2)}, folded)
+    v_before = sorted(os.listdir(os.path.join(folded, "corpus_fps")))
+    assert update_corpus_index(
+        {"documents": docs.filter(F.col("doc_id") == 15)}, folded
+    ) == 2
+    # base versions untouched; the fold-in added delta tables only
+    assert sorted(os.listdir(os.path.join(folded, "corpus_fps"))) == v_before
+    assert os.path.isdir(os.path.join(folded, "corpus_fps_d1"))
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_corpus_index({"documents": docs}, rebuilt)
+
+    out_folded = docs_dedup_incremental_maintained(spark, day2, folded).collect()
+    out_rebuilt = docs_dedup_incremental_maintained(spark, day2, rebuilt).collect()
+    assert sorted(map(tuple, out_folded)) == sorted(map(tuple, out_rebuilt))
+    assert {r["doc_id"] for r in out_folded} == {18}, (
+        "near-dup of a folded admission must be gated; fresh doc admitted"
+    )
+
+    # a second fold-in numbers the next delta
+    assert update_corpus_index({"documents": day2.filter(F.col("doc_id") == 18)}, folded) == 3
+    assert os.path.isdir(os.path.join(folded, "corpus_fps_d2"))
