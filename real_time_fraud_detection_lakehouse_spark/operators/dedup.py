@@ -1180,6 +1180,31 @@ def update_corpus_index(t: Frames, root: str) -> int:
     )
 
 
+def corpus_ingest_cycle(spark, arrivals: DataFrame, root: str) -> DataFrame:
+    """ONE ingest cycle, composed: gate the arrival batch against the
+    standing index (``docs_dedup_incremental_maintained``), FOLD the
+    admissions into the index (``update_corpus_index`` — so the next
+    batch's near-dups of today's admissions are gated), and return the
+    admitted documents (doc_id, source, n_chars — the gate's shape).
+    This is the call a production ingest loop makes per batch/day.
+
+    Laziness discipline: the admitted set is MATERIALIZED (eager
+    localCheckpoint of the text-bearing semi-join) before the fold-in
+    commits, so the returned frame never re-runs the gate — and even a
+    re-run would be safe, because ``_read_corpus_index`` resolved the
+    manifest into concrete pinned ``_v=N`` paths at gate-build time
+    (immutable versions: the fold-in's new group cannot leak into an
+    already-built plan)."""
+    admitted = docs_dedup_incremental_maintained(spark, arrivals, root)
+    kept = arrivals.join(
+        admitted.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    update_corpus_index({"documents": kept}, root)
+    return kept.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def _read_corpus_index(spark, root: str):
     """(corpus_fps, corpus_grams) as the UNION of the base tables and
     every folded delta, resolved through ONE manifest — the read side

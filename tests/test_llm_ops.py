@@ -1597,3 +1597,51 @@ def test_corpus_build_composes_stages_and_packs_gapless(spark, frames):
     for r in train:
         assert r["seq_id"] * SEQ_LEN + r["seq_offset"] == cum, r
         cum += r["n_tokens"]
+
+
+def test_corpus_ingest_cycle_two_days(spark, tmp_path):
+    """corpus_ingest_cycle (round-11 stretch): the production loop —
+    gate, fold admissions, return admitted — run for two days. Day 1
+    admits the fresh doc and folds it; day 2's near-dup of that
+    admission is gated by the folded index (the whole point of the
+    fold-in) while a genuinely new doc is admitted and folded in turn."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_corpus_index,
+        corpus_ingest_cycle,
+    )
+
+    base = " ".join(f"tok{i:02d}" for i in range(25))
+    fresh = " ".join(f"new{i:02d}" for i in range(25))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+
+    root = str(tmp_path / "index")
+    build_corpus_index(
+        {"documents": mk([(1, "en", "web", base), (2, "en", "web", fresh.replace("new", "old"))])},
+        root,
+    )
+
+    day1 = mk([
+        (13, "en", "web", base),   # exact twin of corpus → dropped
+        (15, "en", "web", fresh),  # admitted + folded
+    ])
+    out1 = corpus_ingest_cycle(spark, day1, root)
+    assert {r["doc_id"] for r in out1.collect()} == {15}
+    # the returned frame is stable across actions (materialized, not
+    # a lazy re-run of the gate)
+    assert {r["doc_id"] for r in out1.collect()} == {15}
+
+    day2 = mk([
+        (17, "en", "web", fresh + " extraa extrab extrac"),  # near-dup of folded 15
+        (18, "en", "web", " ".join(f"day2{i:02d}" for i in range(25))),
+    ])
+    out2 = corpus_ingest_cycle(spark, day2, root)
+    assert {r["doc_id"] for r in out2.collect()} == {18}
+
+    day3 = mk([(21, "en", "web", " ".join(f"day2{i:02d}" for i in range(25)))])
+    assert corpus_ingest_cycle(spark, day3, root).collect() == [], (
+        "day-3 exact twin of day-2's folded admission must be gated"
+    )
