@@ -220,6 +220,165 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
     )
 
 
+# --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------
+@_register(
+    "docs_cross_overlap",
+    f"""
+    WITH src_grams AS (
+      SELECT DISTINCT source, unnest({_NGRAMS}) AS gram FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM src_grams GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_grams
+      FROM src_grams a JOIN src_grams b
+        ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+           s.shared_grams,
+           {dround_sql("CAST(s.shared_grams AS DOUBLE) / ta.n_grams")} AS overlap_a,
+           {dround_sql("CAST(s.shared_grams AS DOUBLE) / tb.n_grams")} AS overlap_b
+    FROM shared s
+    JOIN totals ta ON s.src_a = ta.source
+    JOIN totals tb ON s.src_b = tb.source
+    """,
+)
+def docs_cross_overlap(t: Frames) -> DataFrame:
+    """Pairwise cross-SOURCE 3-gram containment — the corpus-vs-corpus
+    overlap report a curation platform reads before mixing sources:
+    for every source pair that shares at least one gram, the distinct
+    gram counts of each side, the shared count, and both directed
+    containments (``overlap_a`` = |A∩B|/|A|: how much of source A's
+    content source B already carries). A mirror/scrape pair shows up
+    as overlap near 1.0 and gets collapsed upstream instead of double
+    counted in the mixture; ``docs_contamination_report`` is the
+    eval-vs-train special case of the same question.
+
+    Scale design: the per-source DISTINCT gram table is the only
+    corpus-sized intermediate (gram-keyed shuffle, map-side partial
+    distinct), localCheckpointed once and read by all three consumers
+    (totals + both join sides). The self-join is gram-keyed and emits
+    at most |sources|² rows per gram — sources are a bounded domain
+    (dozens at 100 TB), never a doc-count blow-up. Per-source totals
+    stay un-hinted (AQE broadcasts the tiny side at runtime; the
+    module's broadcast policy reserves hints for fixed-cardinality
+    frames, and |sources| is data-dependent). Grams are the shared
+    chained-xxhash64 longs from ``grams_from_th`` — distinct counts
+    match the oracle's string grams by injectivity on the observed
+    corpus (the ``dedup_ngram_jaccard`` argument). Zero-overlap pairs
+    are absent in both engines (inner-join semantics)."""
+    stage1 = gram_cols()
+    src_grams = (
+        spread_small_input(t["documents"])
+        .select("source", stage1["th"].alias("th"))
+        .select("source", F.explode(grams_from_th("th")).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    totals = src_grams.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a, b = src_grams.alias("a"), src_grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    return (
+        shared.join(ta, F.col("src_a") == F.col("ta.source"))
+        .join(tb, F.col("src_b") == F.col("tb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("ta.n_grams").alias("grams_a"),
+            F.col("tb.n_grams").alias("grams_b"),
+            "shared_grams",
+            dround(
+                F.col("shared_grams").cast("double") / F.col("ta.n_grams")
+            ).alias("overlap_a"),
+            dround(
+                F.col("shared_grams").cast("double") / F.col("tb.n_grams")
+            ).alias("overlap_b"),
+        )
+    )
+
+
+@_register(
+    "docs_ngram_novelty",
+    f"""
+    WITH pg AS (
+      SELECT doc_id, unnest({_NGRAMS}) AS gram FROM documents
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM pg GROUP BY gram
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           {dround_sql(
+             "CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)"
+             " / COUNT(*)"
+           )} AS novelty
+    FROM pg p JOIN firsts f ON p.gram = f.gram
+    GROUP BY p.doc_id
+    """,
+)
+def docs_ngram_novelty(t: Frames) -> DataFrame:
+    """Per-document n-gram NOVELTY in ingestion (doc_id) order: the
+    fraction of a document's distinct 3-grams whose earliest corpus
+    occurrence is this document. The data-valuation signal behind
+    "keep documents that add content": a doc scoring ~0 restates what
+    the corpus already holds (boilerplate, near-dup tails the
+    cluster pass missed), a doc scoring ~1 is fresh text — curation
+    pipelines upsample high-novelty strata and trim the low end.
+
+    Scale design: rides the shared ``_gram_projection`` (one
+    tokenize+hash, checkpointed), exploded to (doc_id, gram) pairs —
+    per-doc-distinct by construction (``grams_from_th`` applies
+    array_distinct). One gram-keyed agg computes each gram's earliest
+    doc (partial MIN map-side), one gram-keyed join annotates the
+    pairs (firsts is 1 row per gram — no fan-out), one doc-keyed agg
+    folds the flags. All three shuffles are on natural keys; a
+    heavy-tail gram contributes many pair rows but joins a single
+    firsts row, so skew degrades no worse than the pair table itself.
+    Hashed grams match the oracle's string grams by injectivity
+    (the ``dedup_ngram_jaccard`` argument). Docs with <3 tokens have
+    no grams and no signal; they are absent in both engines (explode
+    drops them, matching the oracle's inner join)."""
+    pg = _gram_projection(t).select("doc_id", F.explode("grams").alias("gram"))
+    firsts = pg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pg.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            dround(
+                F.col("novel_grams").cast("double") / F.col("n_grams")
+            ).alias("novelty"),
+        )
+    )
+
+
 # --- MinHash + LSH banding (Spark-specific hashes → rows-only) --------------
 MINHASH_K = 32
 LSH_BANDS = 8  # 8 bands × 4 rows

@@ -527,6 +527,145 @@ def text_top_ngrams(t: Frames) -> DataFrame:
     )
 
 
+# --- vocabulary coverage (tokenizer-budget planning) ------------------------
+#: top-K tokens by corpus frequency that count as "in vocabulary" —
+#: small against the 31-type synthetic vocab so the OOV signal is
+#: non-trivial at every sf; a real run sets this to the tokenizer's
+#: vocab budget
+VOCAB_K = 16
+
+
+@_register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT {VOCAB_K}
+      )
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           {dround_sql(
+             "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+             " / COUNT(*)"
+           )} AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage(t: Frames) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-{VOCAB_K}
+    token vocabulary — the tokenizer-budget planning pass: before
+    training a tokenizer of a given vocab size, measure what fraction
+    of each document's token OCCURRENCES fall outside the would-be
+    vocabulary (documents dominated by OOV mass fragment into long
+    byte-level sequences and blow the token budget estimate).
+
+    Scale design: two passes over a (doc_id, token)-pruned scan. Pass
+    one is a token-keyed count (map-side partials over a bounded
+    vocabulary) cut to the top-K by TakeOrderedAndProject — K is a
+    compile-time constant, so the vocab frame is fixed-cardinality
+    and the join-back is legitimately ``F.broadcast`` under the
+    module broadcast policy (the ``docs_decontaminate`` eval-gram
+    precedent). Pass two left-joins each token occurrence against the
+    broadcast vocab and folds per-doc counts — one doc-keyed agg, no
+    corpus-sized materialization between the passes. Deterministic at
+    the LIMIT boundary: ties break on the token string in both
+    engines. Token-less docs have no occurrences and no OOV signal;
+    absent in both engines."""
+    tok = spread_small_input(t["documents"]).select(
+        "doc_id", F.explode(_tokens_col()).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            dround(F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+# --- Zipf fit (corpus-health diagnostic) ------------------------------------
+@_register(
+    "text_zipf_fit",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS DOUBLE))
+               AS lx,
+             ln(CAST(n AS DOUBLE)) AS ly
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           {dround_sql("covar_pop(lx, ly) / var_pop(lx)")} AS zipf_slope,
+           {dround_sql(
+             "AVG(ly) - (covar_pop(lx, ly) / var_pop(lx)) * AVG(lx)"
+           )} AS zipf_intercept,
+           {dround_sql("corr(lx, ly) * corr(lx, ly)")} AS zipf_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(t: Frames) -> DataFrame:
+    """Least-squares fit of log(frequency) against log(rank) over the
+    corpus token distribution — the Zipf-law corpus-health diagnostic:
+    natural text sits near slope −1; a slope collapsing toward 0 means
+    the corpus is template/boilerplate-heavy, a cliff in r² means a
+    mixture of unrelated registers. Curation dashboards track the
+    (slope, r²) pair per snapshot to catch a scrape gone wrong before
+    it trains.
+
+    Scale design: the corpus-sized work is ONE token-keyed count with
+    map-side partials; everything after runs on the VOCABULARY frame
+    (distinct types — bounded by the tokenizer's universe, ~10⁷ rows
+    at web scale, not corpus-sized). The rank window is ordered-only
+    but over that bounded frame — the same exception the module
+    grants bucket-totals windows; the corpus itself is never globally
+    sorted. The closed-form slope/intercept/r² come from
+    covar_pop/var_pop/corr aggregates (single partial-agg pass, no
+    iteration); ranks tie-break on the token string so both engines
+    rank identically."""
+    counts = (
+        spread_small_input(t["documents"])
+        .select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        dround(slope).alias("zipf_slope"),
+        dround(F.avg("ly") - slope * F.avg("lx")).alias("zipf_intercept"),
+        dround(F.corr("lx", "ly") * F.corr("lx", "ly")).alias("zipf_r2"),
+    )
+
+
 # --- sequence packing (training-batch prep: concat-and-cut at SEQ_LEN) ------
 SEQ_LEN = 256  # tokens per packed training sequence
 _PACK_BUCKETS = 1024  # fixed bucket count for the distributed prefix sum

@@ -1645,3 +1645,114 @@ def test_corpus_ingest_cycle_two_days(spark, tmp_path):
     assert corpus_ingest_cycle(spark, day3, root).collect() == [], (
         "day-3 exact twin of day-2's folded admission must be gated"
     )
+
+
+# --- corpus-gram analytics (round 11: overlap / novelty / vocab / zipf) ------
+def test_cross_overlap_planted_mirror_pair(spark):
+    """Source B carries an exact copy of source A's only document (plus
+    one extended doc): every A gram is contained in B (overlap_a = 1.0)
+    while B's extension dilutes the reverse direction; source C is
+    gram-disjoint and forms no pair row (inner-join semantics)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import docs_cross_overlap
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "A", 30),
+        (1, "alpha beta gamma delta epsilon", "en", "B", 30),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "B", 36),
+        (3, "one two three four five six", "en", "C", 27),
+    ]
+    t = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    out = {(r.src_a, r.src_b): r for r in docs_cross_overlap(t).collect()}
+    assert set(out) == {("A", "B")}, "disjoint source C must pair with nobody"
+    r = out[("A", "B")]
+    # A: 3 distinct 3-grams from its 5 tokens, all present in B's copy
+    assert (r.grams_a, r.grams_b, r.shared_grams) == (3, 4, 3)
+    assert r.overlap_a == 1.0 and r.overlap_b == 0.75
+
+
+def test_ngram_novelty_planted(spark):
+    """Ingestion-order novelty: the first doc introduces every gram
+    (1.0), its exact later copy introduces none (0.0), fresh text is
+    fully novel, and a one-token extension of doc 0 adds exactly one
+    new gram in four (0.25)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import docs_ngram_novelty
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "A", 30),
+        (1, "alpha beta gamma delta epsilon", "en", "A", 30),
+        (2, "one two three four five six", "en", "A", 27),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "A", 36),
+    ]
+    t = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    out = {r.doc_id: r for r in docs_ngram_novelty(t).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_grams == 3
+    assert out[1].novelty == 0.0 and out[1].novel_grams == 0
+    assert out[2].novelty == 1.0
+    assert (out[3].n_grams, out[3].novel_grams, out[3].novelty) == (4, 1, 0.25)
+
+
+def test_vocab_coverage_planted(spark):
+    """With 17 distinct tokens and VOCAB_K = 16, exactly the rarest
+    token falls out of vocabulary: the doc carrying it counts one OOV
+    occurrence, the all-vocab doc counts zero."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        VOCAB_K,
+        text_vocab_coverage,
+    )
+
+    assert VOCAB_K == 16, "fixture is built for the registered vocab budget"
+    toks = [f"t{i:02d}" for i in range(16)]
+    rows = [
+        (0, " ".join(toks), "en", "A", 0),
+        (1, " ".join(toks) + " rare", "en", "A", 0),
+    ]
+    t = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    out = {r.doc_id: r for r in text_vocab_coverage(t).collect()}
+    assert out[0].n_oov == 0 and out[0].oov_rate == 0.0
+    assert (out[1].n_tokens, out[1].n_oov) == (17, 1)
+    assert abs(out[1].oov_rate - round(1 / 17, 6)) < 1e-6
+
+
+def test_zipf_fit_matches_closed_form(spark):
+    """The fitted slope/intercept/r² equal the numpy least-squares
+    closed form on a planted 8/4/2/1 frequency ladder (ranks tie-free
+    by construction), under the shared dround discipline."""
+    import math
+
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.text import text_zipf_fit
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    t = {
+        "documents": spark.createDataFrame(
+            [(0, text, "en", "A", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    row = text_zipf_fit(t).collect()[0]
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    intercept = y.mean() - slope * x.mean()
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+
+    def dr(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert row.n_types == 4
+    assert row.zipf_slope == dr(slope)
+    assert row.zipf_intercept == dr(intercept)
+    assert row.zipf_r2 == dr(r2)
