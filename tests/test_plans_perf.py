@@ -646,3 +646,77 @@ def test_corpus_build_pack_no_global_window(spark):
     plan = _plan(docs_corpus_build(frames))
     assert "windowspecdefinition(bucket" in plan, "bucketed cumsum window lost"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_overlap_plan_shape(spark):
+    """docs_cross_overlap: the gram self-join must stay a gram-keyed
+    equi join (Catalyst extracts gram equality from the composite
+    condition; the source inequality is the residual filter) — never a
+    nested loop — and with no forced broadcast anywhere: the per-source
+    totals are data-dependent cardinality, so under threshold -1 the
+    whole plan must degrade to shuffle joins, per the module broadcast
+    policy."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_cross_overlap,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(docs_cross_overlap(frames))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" not in plan, "an sf-scaling frame is force-broadcast"
+        assert "partial_count" in plan, "no map-side partials on the keyed aggs"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_ngram_novelty_plan_shape(spark):
+    """docs_ngram_novelty: the gram-first agg keeps a map-side partial
+    MIN, the join-back stays a gram-keyed equi join, and no stage goes
+    nested-loop."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_ngram_novelty,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(docs_ngram_novelty(frames))
+    assert "partial_min" in plan, "gram-first agg lost its map-side partial"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_plan_shape(spark):
+    """text_vocab_coverage: the top-K vocab cut must be
+    TakeOrderedAndProject (fixed K, heap per partition — never a global
+    sort), the join-back against the fixed-cardinality vocab must keep
+    its legitimate forced broadcast, and the token scan must prune to
+    (doc_id, text)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        text_vocab_coverage,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(text_vocab_coverage(frames))
+    assert "TakeOrderedAndProject" in plan, "vocab top-K lost its TakeOrdered"
+    assert "BroadcastHashJoin" in plan, "vocab join-back lost its broadcast"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan.replace("\n", " "), (
+        "token scan reads more than (doc_id, text)"
+    )
+
+
+def test_zipf_fit_plan_shape(spark):
+    """text_zipf_fit: the corpus-sized stage is the token count with
+    map-side partials; the ordered-only rank window runs AFTER that agg
+    (on the vocabulary frame), so the plan's single Window sits above
+    the count aggregate, and the final regression is one aggregate —
+    no join, no nested loop."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import text_zipf_fit
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(text_zipf_fit(frames))
+    assert "partial_count" in plan, "token count lost its map-side partial"
+    assert plan.count("Window") >= 1 and "row_number" in plan
+    assert "Join" not in plan, "zipf fit should be agg-window-agg, join-free"
