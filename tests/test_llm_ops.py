@@ -1756,3 +1756,43 @@ def test_zipf_fit_matches_closed_form(spark):
     assert row.zipf_slope == dr(slope)
     assert row.zipf_intercept == dr(intercept)
     assert row.zipf_r2 == dr(r2)
+
+
+def test_novelty_mass_conservation(spark, frames):
+    """Conservation law on the real corpus: every distinct gram is
+    novel for exactly one document (its earliest), so novel_grams sums
+    to the corpus's distinct-gram count — ties the per-doc report to
+    the corpus total with no reference to the implementation."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _gram_projection,
+        docs_ngram_novelty,
+    )
+
+    out = docs_ngram_novelty(frames)
+    total_novel = out.agg(F.sum("novel_grams")).first()[0]
+    distinct_grams = (
+        _gram_projection(frames)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_grams
+
+
+def test_cross_overlap_bounds_on_real_corpus(spark, frames):
+    """Sanity bounds on the real corpus: shared grams never exceed
+    either side's total, containments live in (0, 1], and the pair
+    (src_a < src_b) never repeats."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import docs_cross_overlap
+
+    rows = docs_cross_overlap(frames).collect()
+    assert rows, "the synthetic corpus's shared vocab must overlap somewhere"
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert 0 < r.shared_grams <= min(r.grams_a, r.grams_b)
+        assert 0 < r.overlap_a <= 1.0 and 0 < r.overlap_b <= 1.0
