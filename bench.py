@@ -127,6 +127,12 @@ DIRECT = [
     # round-11 operators
     "docs_split_leakage_safe",
     "docs_corpus_build",
+    # round-11 corpus-analytics quartet + the bounded-memory top-K twin
+    "docs_cross_overlap",
+    "docs_ngram_novelty",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "text_top_ngrams_mg",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -483,6 +483,23 @@ def docs_per_source_cap(t: Frames) -> DataFrame:
 TOP_NGRAMS_K = 20
 
 
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """One ``bigram`` row per adjacent token pair — the shared input of
+    the exact top-K pass and its Misra-Gries twin (one definition: the
+    two paths CANNOT drift on what counts as a bigram). zip_with over
+    two array slices is a narrow per-row transform — no self-join of
+    token positions."""
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    return (
+        docs.select(_tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+    )
+
+
 @_register(
     "text_top_ngrams",
     f"""
@@ -504,27 +521,93 @@ def text_top_ngrams(t: Frames) -> DataFrame:
     vocabulary-induction pass (BPE merges, stop-phrase lists, boilerplate
     detection all start here).
 
-    Scale design: bigrams come from zip_with over two array slices —
-    a narrow per-row transform, no self-join of token positions — then
-    one explode feeding a keyed count whose partial aggregation
-    collapses each map partition to its distinct-bigram counts before
-    the shuffle. The top-K is TakeOrderedAndProject (heap per
-    partition), never a global sort. Ties break on the bigram string so
-    the cut is deterministic across engines."""
-    bigrams = F.expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-        " (x, y) -> concat(x, ' ', y))"
-    )
+    Scale design: the shared ``_bigram_stream`` feeds a keyed count
+    whose partial aggregation collapses each map partition to its
+    distinct-bigram counts before the shuffle. The top-K is
+    TakeOrderedAndProject (heap per partition), never a global sort.
+    Ties break on the bigram string so the cut is deterministic across
+    engines. The shuffle carries one row per DISTINCT bigram per map
+    partition — see ``text_top_ngrams_mg`` for the bounded-memory twin
+    when the n-gram type space itself explodes."""
     return (
-        t["documents"]
-        .select(_tokens_col().alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        _bigram_stream(t["documents"])
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOP_NGRAMS_K)
     )
+
+
+#: Misra-Gries counter budget per partition summary — a compile-time
+#: constant, so executor memory for the sketch is corpus-independent
+MG_CAPACITY = 1024
+
+
+def _mg_partial(batches):
+    """Per-partition Misra-Gries summary over the bigram stream,
+    merged at Arrow-batch granularity (Agarwal et al., "Mergeable
+    Summaries", PODS 2012): each batch's exact value_counts is added
+    to the running summary; on overflow the (capacity+1)-th largest
+    counter value is subtracted from all and non-positives drop —
+    the classic decrement step, vectorized. Emits the surviving
+    candidate keys. Guarantee: any bigram with partition frequency
+    > n_p/(capacity+1) survives its partition's summary."""
+    import pandas as pd
+
+    counts = pd.Series(dtype="float64")
+    for pdf in batches:
+        counts = counts.add(pdf["bigram"].value_counts(), fill_value=0)
+        if len(counts) > MG_CAPACITY:
+            counts = counts.sort_values(ascending=False)
+            cut = counts.iloc[MG_CAPACITY]
+            counts = (counts.iloc[:MG_CAPACITY] - cut).loc[lambda s: s > 0]
+    yield pd.DataFrame({"bigram": counts.index.astype(str)})
+
+
+@_register("text_top_ngrams_mg", None)  # shares the exact twin's oracle below
+def text_top_ngrams_mg(t: Frames) -> DataFrame:
+    """Bounded-memory twin of ``text_top_ngrams``: Misra-Gries
+    candidate generation, then an EXACT recount of the candidates
+    only. Same output contract as the exact pass.
+
+    Why it exists: the exact pass's shuffle carries one row per
+    distinct n-gram per map partition — fine for bigrams over a
+    bounded vocabulary, but the n-gram TYPE space explodes
+    combinatorially as n grows (5-grams over web text: billions of
+    types), and the corpus-wide count shuffle becomes the bottleneck.
+    Here each partition reduces to ≤ MG_CAPACITY candidate keys
+    inside the Arrow kernel (no shuffle), the union of candidates is
+    a bounded frame (capacity × partitions — config-sized, not
+    data-sized, hence the legitimate ``F.broadcast``), and the only
+    corpus-sized operation left is a broadcast-join recount whose
+    aggregate is pre-filtered to candidates.
+
+    Exactness condition (documented, not silent): the candidate union
+    contains every bigram with global frequency > N/(MG_CAPACITY+1)
+    (per-partition pigeonhole), and recounting is exact — so the
+    returned top-K equals the exact twin's whenever the true K-th
+    count clears that threshold. On corpora whose per-partition type
+    count fits the capacity the sketch never evicts and the twins
+    agree unconditionally (the registered oracle's regime; the
+    eviction regime is pinned by the planted adversarial test)."""
+    bigrams = _bigram_stream(t["documents"]).localCheckpoint(eager=False)
+    cands = bigrams.mapInPandas(_mg_partial, "bigram string").distinct()
+    return (
+        bigrams.join(F.broadcast(cands), "bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+# bind the shared oracle now that both twins exist: same output
+# contract, and the driver corpora sit in the no-eviction regime where
+# agreement is unconditional (see docstring)
+TEXT_OPS["text_top_ngrams_mg"] = (
+    text_top_ngrams_mg,
+    TEXT_OPS["text_top_ngrams"][1],
+)
 
 
 # --- vocabulary coverage (tokenizer-budget planning) ------------------------

@@ -1796,3 +1796,50 @@ def test_cross_overlap_bounds_on_real_corpus(spark, frames):
         seen.add((r.src_a, r.src_b))
         assert 0 < r.shared_grams <= min(r.grams_a, r.grams_b)
         assert 0 < r.overlap_a <= 1.0 and 0 < r.overlap_b <= 1.0
+
+
+def test_top_ngrams_mg_twin_agreement_no_eviction(spark, frames):
+    """On the real corpus the per-partition bigram type count fits
+    MG_CAPACITY, so the sketch never evicts and the twins must agree
+    row-for-row, order included."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        text_top_ngrams,
+        text_top_ngrams_mg,
+    )
+
+    exact = [tuple(r) for r in text_top_ngrams(frames).collect()]
+    sketch = [tuple(r) for r in text_top_ngrams_mg(frames).collect()]
+    assert exact == sketch
+
+
+def test_top_ngrams_mg_heavy_hitters_survive_eviction(spark):
+    """Adversarial regime: one partition holds far more distinct
+    bigrams than MG_CAPACITY (eviction provably fires), yet every
+    bigram above the N/(capacity+1) frequency threshold must surface
+    with its EXACT count — the per-partition pigeonhole guarantee plus
+    the exact recount."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        MG_CAPACITY,
+        _bigram_stream,
+        _mg_partial,
+        text_top_ngrams_mg,
+    )
+
+    rare = " ".join(f"u{i:04d}" for i in range(3000))  # 2999 distinct, once each
+    rows = [
+        (0, rare, "en", "A", 0),
+        (1, " ".join(["hot"] * 501), "en", "A", 0),   # "hot hot" x 500
+        (2, " ".join(["warm"] * 51), "en", "A", 0),   # "warm warm" x 50
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1)  # force every bigram into ONE partition: eviction must fire
+
+    n_distinct = _bigram_stream(docs).distinct().count()
+    assert n_distinct > MG_CAPACITY, "fixture must exceed the counter budget"
+    n_cands = _bigram_stream(docs).mapInPandas(_mg_partial, "bigram string").count()
+    assert n_cands <= MG_CAPACITY < n_distinct, "eviction did not fire"
+
+    top = [tuple(r) for r in text_top_ngrams_mg({"documents": docs}).collect()]
+    assert top[0] == ("hot hot", 500)
+    assert top[1] == ("warm warm", 50)

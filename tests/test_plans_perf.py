@@ -720,3 +720,20 @@ def test_zipf_fit_plan_shape(spark):
     assert "partial_count" in plan, "token count lost its map-side partial"
     assert plan.count("Window") >= 1 and "row_number" in plan
     assert "Join" not in plan, "zipf fit should be agg-window-agg, join-free"
+
+
+def test_top_ngrams_mg_plan_shape(spark):
+    """text_top_ngrams_mg: the recount join must keep its legitimate
+    forced broadcast (candidates are capacity × partitions — config-
+    sized, not data-sized), the final cut stays TakeOrderedAndProject,
+    and the recount agg keeps map-side partials."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        text_top_ngrams_mg,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(text_top_ngrams_mg(frames))
+    assert "BroadcastHashJoin" in plan, "candidate recount join lost its broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-K lost its TakeOrdered"
+    assert "partial_count" in plan, "recount lost its map-side partial"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
