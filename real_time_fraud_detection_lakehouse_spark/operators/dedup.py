@@ -1407,14 +1407,23 @@ def docs_dedup_incremental_maintained(
 
     Scale design — every per-run cost is ARRIVAL-proportional: the
     corpus index is READ, not built (two parquet scans of (fp) and
-    (bucket, grams) — no corpus tokenization, no corpus text scan);
-    the exact stage is one fp-keyed anti-join of arrivals against
-    ``corpus_fps`` plus an arrivals-only window; the near-dup stage
-    joins the arrivals' gram projection (built from the arrival batch
-    alone) against ``corpus_grams ∪ arrival_grams`` keyed on bucket —
-    the arrival side is tiny, so AQE broadcasts it and the corpus side
-    is scanned once without shuffling. Bench records the anchor:
-    corpus 10x with arrivals fixed must move the gate sublinearly."""
+    (bucket, grams) — no corpus tokenization, no corpus text scan).
+    The exact stage is written as ``anti(arrivals, semi(corpus_fps,
+    arrivals))``, NOT ``anti(arrivals, corpus_fps)``: a broadcast
+    anti-join can only BUILD its right side, so the direct form
+    degrades to a full corpus_fps shuffle once the fp table outgrows
+    the broadcast threshold — per ingest batch. The semi-first form
+    keeps the corpus side scan-only at ANY corpus size with zero
+    forced hints: AQE broadcasts the arrivals' distinct-fp frame for
+    the LeftSemi (BuildRight), the semi output is arrival-bounded,
+    and the LeftAnti builds THAT. Identical set semantics
+    (``x ∉ C ⟺ x ∉ (C ⋉ A)`` for ``x ∈ A``); plan shape pinned in
+    tests/test_plans_perf.py. The near-dup stage joins the arrivals'
+    gram projection (built from the arrival batch alone) against
+    ``corpus_grams ∪ arrival_grams`` keyed on bucket — the arrival
+    side is tiny, so AQE broadcasts it and the corpus side is scanned
+    once without shuffling. Bench records the anchor: corpus 10x with
+    arrivals fixed must move the gate sublinearly."""
     corpus_fps, corpus_grams = _read_corpus_index(spark, root)
 
     w = Window.partitionBy("fp")
@@ -1433,9 +1442,12 @@ def docs_dedup_incremental_maintained(
         corpus_grams.select("doc_id", "bucket", "grams").unionByName(arr_grams),
         arr_grams,
     )
+    corpus_fp_hits = corpus_fps.select("fp").join(
+        arr_fps.select("fp").distinct(), "fp", "left_semi"
+    )
     return (
         arr_fps.filter(F.col("doc_id") == F.col("fp_min"))
-        .join(corpus_fps.select("fp"), "fp", "left_anti")
+        .join(corpus_fp_hits, "fp", "left_anti")
         .join(near_drops, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )

@@ -737,3 +737,49 @@ def test_top_ngrams_mg_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, "top-K lost its TakeOrdered"
     assert "partial_count" in plan, "recount lost its map-side partial"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_maintained_fp_stage_is_semi_first(spark, tmp_path):
+    """The maintained gate's exact-fp stage must be written
+    anti(arrivals, semi(corpus_fps, arrivals)), never
+    anti(arrivals, corpus_fps): a broadcast anti-join can only BUILD
+    its right side, so the direct form degrades to a full corpus_fps
+    shuffle per ingest batch once the fp table outgrows the broadcast
+    threshold. The semi-first form keeps the corpus side scan-only at
+    any corpus size — AQE broadcasts the arrivals' distinct-fp frame
+    into the LeftSemi and the arrival-bounded semi output into the
+    LeftAnti — with ZERO forced hints (module policy: the corpus index
+    is sf-scaling). Pins: a LeftSemi exists in the executed plan, both
+    anti-joins survive, and no forced broadcast survives
+    autoBroadcastJoinThreshold=-1."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _INCR_HWM_FRACTION,
+        build_corpus_index,
+        docs_dedup_incremental_maintained,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    h = docs.agg(
+        F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+    ).first()[0]
+    root = str(tmp_path / "corpus_index")
+    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= h)}, root)
+    arrivals = docs.filter(F.col("doc_id") > h)
+
+    plan = _plan(docs_dedup_incremental_maintained(spark, arrivals, root))
+    assert "LeftSemi" in plan, "exact-fp stage lost its semi-first rewrite"
+    assert plan.count("LeftAnti") >= 2, "fp or near-dup subtraction lost its anti-join"
+    assert "CartesianProduct" not in plan
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cold = _plan(docs_dedup_incremental_maintained(spark, arrivals, root))
+        assert "BroadcastHashJoin" not in cold, (
+            "an sf-scaling frame is force-broadcast in the maintained gate"
+        )
+        assert "LeftSemi" in cold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
