@@ -83,7 +83,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: streaming_incremental_dedup is batch-equivalence-tested under both
 #: arrival orders in tests/test_streaming_windows.py;
 #: corpus_ingest_cycle's three-day admission contract is pinned in
-#: tests/test_llm_ops.py.
+#: tests/test_llm_ops.py; streaming_top_ngrams (the heavy-hitter
+#: stream) is pinned row-for-row to the exact batch pass under both
+#: arrival orders plus a bounded-state eviction-regime test in
+#: tests/test_streaming_windows.py.
 _DRIVER_FRONT = [
     # (a) r11 impl change (broadcast-hint removal)
     "docs_dedup_apply",
@@ -590,6 +593,27 @@ def queries() -> dict[str, QueryFn]:
         return out.select("fp", "source", "n_chars").orderBy("fp")
 
     q["streaming_incremental_dedup"] = _stream_incremental_dedup
+
+    # rows-only (streaming MG state; no SQL analog): row-for-row
+    # equality with the exact batch pass in the no-eviction regime and
+    # the bounded-state eviction contract are both pinned in
+    # tests/test_streaming_windows.py
+    def _stream_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+            heavy_hitters_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="hh_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "documents").write.mode("overwrite").parquet(src)
+        return heavy_hitters_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_top_ngrams"] = _stream_top_ngrams
 
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os

@@ -543,24 +543,36 @@ def text_top_ngrams(t: Frames) -> DataFrame:
 MG_CAPACITY = 1024
 
 
+def _mg_add(counts, incoming, capacity: int = MG_CAPACITY):
+    """ONE Misra-Gries merge step (Agarwal et al., "Mergeable
+    Summaries", PODS 2012): add an exact batch count (a value_counts
+    Series) to the running summary; on overflow the (capacity+1)-th
+    largest counter value is subtracted from all and non-positives
+    drop — the classic decrement step, vectorized. Shared by the
+    batch candidate kernel and the streaming heavy-hitter state
+    update (one definition: the two surfaces cannot drift on the
+    decrement rule). Guarantee: any key with stream frequency
+    > n/(capacity+1) keeps a positive counter, and every surviving
+    counter under-counts by at most n/(capacity+1)."""
+    counts = counts.add(incoming, fill_value=0)
+    if len(counts) > capacity:
+        counts = counts.sort_values(ascending=False)
+        cut = counts.iloc[capacity]
+        counts = (counts.iloc[:capacity] - cut).loc[lambda s: s > 0]
+    return counts
+
+
 def _mg_partial(batches):
     """Per-partition Misra-Gries summary over the bigram stream,
-    merged at Arrow-batch granularity (Agarwal et al., "Mergeable
-    Summaries", PODS 2012): each batch's exact value_counts is added
-    to the running summary; on overflow the (capacity+1)-th largest
-    counter value is subtracted from all and non-positives drop —
-    the classic decrement step, vectorized. Emits the surviving
-    candidate keys. Guarantee: any bigram with partition frequency
-    > n_p/(capacity+1) survives its partition's summary."""
+    merged at Arrow-batch granularity via the shared ``_mg_add`` step.
+    Emits the surviving candidate keys. Guarantee: any bigram with
+    partition frequency > n_p/(MG_CAPACITY+1) survives its
+    partition's summary."""
     import pandas as pd
 
     counts = pd.Series(dtype="float64")
     for pdf in batches:
-        counts = counts.add(pdf["bigram"].value_counts(), fill_value=0)
-        if len(counts) > MG_CAPACITY:
-            counts = counts.sort_values(ascending=False)
-            cut = counts.iloc[MG_CAPACITY]
-            counts = (counts.iloc[:MG_CAPACITY] - cut).loc[lambda s: s > 0]
+        counts = _mg_add(counts, pdf["bigram"].value_counts())
     yield pd.DataFrame({"bigram": counts.index.astype(str)})
 
 

@@ -21,7 +21,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -93,6 +94,127 @@ def velocity_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+# --- streaming heavy hitters (Misra-Gries state, round 11) ------------------
+#: shard count for the heavy-hitter state: state is O(shards x
+#: capacity) TOTAL — config-sized, never O(distinct n-gram types).
+#: More shards = more parallelism in the state store, same bound.
+HH_SHARDS = 16
+HH_OUTPUT_SCHEMA = "shard int, bigram string, n long, emit_seq long"
+HH_STATE_SCHEMA = "keys array<string>, counts array<long>, emit_seq long"
+
+
+def _hh_tracker(capacity: int):
+    """Build the per-shard state function with ``capacity`` CLOSED
+    OVER (closures ship to the Python workers, so tests can shrink the
+    budget to force the eviction regime — a driver-side monkeypatch of
+    the module constant would never reach the worker processes)."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from real_time_fraud_detection_lakehouse_spark.operators.text import _mg_add
+
+        (shard,) = key
+        if state.exists:
+            keys, counts, seq = state.get
+            s = pd.Series([float(c) for c in counts], index=list(keys))
+        else:
+            s, seq = pd.Series(dtype="float64"), 0
+        for pdf in pdfs:
+            s = _mg_add(s, pdf["bigram"].value_counts(), capacity)
+        seq += 1
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "bigram": s.index.astype(str),
+                "n": s.astype("int64").values,
+                "emit_seq": seq,
+            }
+        )
+        state.update((list(s.index), [int(v) for v in s.values], seq))
+
+    return track
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    shards: int = HH_SHARDS,
+    capacity: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Continuous top-K bigrams over a document stream — the streaming
+    twin of ``operators.text.text_top_ngrams_mg`` (trending-phrase /
+    stop-phrase monitoring at ingest, no nightly batch pass needed).
+
+    Per micro-batch: the shared ``_bigram_stream`` definition explodes
+    arrivals' bigrams, each hashes to one of ``shards`` state keys,
+    and the per-shard Misra-Gries summary absorbs the batch through
+    the SAME ``_mg_add`` decrement step the batch kernel uses. Each
+    shard re-emits its full summary (``emit_seq``-stamped) every
+    batch; the returned frame keeps the LATEST emission per shard and
+    cuts the global top-K on (n desc, bigram).
+
+    Honesty contract: emitted ``n`` is the MG counter — a LOWER BOUND
+    that under-counts by at most n_shard/(capacity+1). In the
+    no-eviction regime (per-shard type count within capacity) counters
+    are exact and the result equals the exact batch pass row-for-row
+    (pinned by test under both arrival orders); the batch twin's
+    recount step has no streaming analog, so under eviction the counts
+    are bounds, not totals — documented, not silent.
+
+    Scale design: state is O(shards x capacity) — config-sized, not
+    type-space-sized (a dropDuplicates-style exact state would be
+    O(distinct types): the thing that explodes for n-grams). The only
+    shuffle is the state store's hash exchange on ``shard``; sizing
+    ``shards`` to the cluster spreads it. Emission volume per batch is
+    likewise bounded by shards x capacity rows.
+    """
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        MG_CAPACITY,
+        TOP_NGRAMS_K,
+        _bigram_stream,
+    )
+
+    capacity = MG_CAPACITY if capacity is None else capacity
+    k = TOP_NGRAMS_K if k is None else k
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bigrams = _bigram_stream(reader.parquet(source_path)).withColumn(
+        "shard", F.pmod(F.xxhash64("bigram"), F.lit(shards)).cast("int")
+    )
+    tracked = bigrams.groupBy("shard").applyInPandasWithState(
+        _hh_tracker(capacity),
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_path)
+    latest = Window.partitionBy("shard")
+    return (
+        emitted.withColumn("max_seq", F.max("emit_seq").over(latest))
+        .filter(F.col("emit_seq") == F.col("max_seq"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+        .select("bigram", "n")
+    )
 
 
 # --- transformWithState twin (Spark 4.x arbitrary-state API) ----------------

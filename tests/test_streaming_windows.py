@@ -638,3 +638,101 @@ def test_streaming_incremental_dedup_restart_is_idempotent(spark, tmp_path):
     assert first and sorted(r["doc_id"] for r in second) == sorted(
         r["doc_id"] for r in first
     )
+
+
+def test_streaming_top_ngrams_matches_batch_both_orders(spark, tmp_path):
+    """heavy_hitters_stream (round 11): in the no-eviction regime
+    (corpus bigram type count within MG capacity) the per-shard MG
+    counters are exact, so the streamed top-K must equal the exact
+    batch pass row-for-row, order included — under BOTH arrival
+    orders, with state accumulating across >= 3 micro-batches."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        MG_CAPACITY,
+        _bigram_stream,
+        text_top_ngrams,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    assert _bigram_stream(docs).distinct().count() <= MG_CAPACITY, (
+        "fixture must sit in the no-eviction regime for exact equality"
+    )
+    batch = [tuple(r) for r in text_top_ngrams({"documents": docs}).collect()]
+
+    thirds = [
+        docs.filter(F.col("doc_id") % 3 == i).localCheckpoint() for i in range(3)
+    ]
+    for tag, order in (("forward", [0, 1, 2]), ("reversed", [2, 1, 0])):
+        src = str(tmp_path / f"src_{tag}")
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, part in enumerate(order):
+            thirds[part].coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        out = heavy_hitters_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_{tag}"),
+            ckpt,
+            max_files_per_trigger=1,
+        )
+        n_batches = len(
+            [n for n in _os.listdir(_os.path.join(ckpt, "offsets")) if not n.startswith(".")]
+        )
+        assert n_batches >= 3, f"{tag}: expected >= 3 micro-batches, got {n_batches}"
+        assert [tuple(r) for r in out.collect()] == batch, f"{tag} diverged from batch"
+
+
+def test_streaming_top_ngrams_bounded_state_under_eviction(spark, tmp_path):
+    """Adversarial regime: one shard, capacity 64, ~3000 distinct
+    bigram types — eviction provably fires, yet (a) the emitted
+    summary never exceeds the capacity (the bounded-state claim: state
+    is config-sized, not type-space-sized) and (b) the planted heavy
+    hitters surface with MG counters that are lower bounds within the
+    n/(capacity+1) error band."""
+    cap = 64
+    rare = " ".join(f"u{i:04d}" for i in range(3000))  # 2999 distinct, once each
+    rows = [
+        (0, rare, "en", "A", 0),
+        (1, " ".join(["hot"] * 501), "en", "A", 0),   # "hot hot" x 500
+        (2, " ".join(["warm"] * 101), "en", "A", 0),  # "warm warm" x 100
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    out = heavy_hitters_stream(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        shards=1,
+        capacity=cap,
+        k=cap + 100,  # no top-K cut: observe the whole surviving summary
+    ).collect()
+    n_stream = 2999 + 500 + 100  # total bigram occurrences
+    err = n_stream // (cap + 1)
+    assert len(out) <= cap, "summary exceeded the counter budget"
+    got = {r["bigram"]: r["n"] for r in out}
+    for bigram, true in (("hot hot", 500), ("warm warm", 100)):
+        assert bigram in got, f"heavy hitter {bigram!r} evicted"
+        assert true - err <= got[bigram] <= true, (
+            f"{bigram!r}: counter {got[bigram]} outside [{true - err}, {true}]"
+        )
