@@ -565,45 +565,81 @@ def _mg_add(counts, incoming, capacity: int = MG_CAPACITY):
 def _mg_partial(batches):
     """Per-partition Misra-Gries summary over the bigram stream,
     merged at Arrow-batch granularity via the shared ``_mg_add`` step.
-    Emits the surviving candidate keys. Guarantee: any bigram with
-    partition frequency > n_p/(MG_CAPACITY+1) survives its
-    partition's summary."""
+    Emits the surviving (bigram, counter) rows — MG lower bounds whose
+    per-partition total error is <= n_p/(MG_CAPACITY+1), so any bigram
+    with partition frequency > n_p/(MG_CAPACITY+1) survives with a
+    positive counter."""
     import pandas as pd
 
     counts = pd.Series(dtype="float64")
     for pdf in batches:
         counts = _mg_add(counts, pdf["bigram"].value_counts())
-    yield pd.DataFrame({"bigram": counts.index.astype(str)})
+    yield pd.DataFrame(
+        {"bigram": counts.index.astype(str), "n": counts.astype("int64").values}
+    )
 
 
-@_register("text_top_ngrams_mg", None)  # shares the exact twin's oracle below
+# shares the exact twin's oracle: same output contract, and the driver
+# corpora sit in the no-eviction regime where agreement is
+# unconditional (see docstring)
+@_register("text_top_ngrams_mg", TEXT_OPS["text_top_ngrams"][1])
 def text_top_ngrams_mg(t: Frames) -> DataFrame:
     """Bounded-memory twin of ``text_top_ngrams``: Misra-Gries
-    candidate generation, then an EXACT recount of the candidates
-    only. Same output contract as the exact pass.
+    candidate generation, a PODS-2012 merge of the per-partition
+    summaries down to <= MG_CAPACITY global candidates, then an EXACT
+    recount of the candidates only. Same output contract as the exact
+    pass.
 
     Why it exists: the exact pass's shuffle carries one row per
     distinct n-gram per map partition — fine for bigrams over a
     bounded vocabulary, but the n-gram TYPE space explodes
     combinatorially as n grows (5-grams over web text: billions of
     types), and the corpus-wide count shuffle becomes the bottleneck.
-    Here each partition reduces to ≤ MG_CAPACITY candidate keys
-    inside the Arrow kernel (no shuffle), the union of candidates is
-    a bounded frame (capacity × partitions — config-sized, not
-    data-sized, hence the legitimate ``F.broadcast``), and the only
-    corpus-sized operation left is a broadcast-join recount whose
-    aggregate is pre-filtered to candidates.
+    Here each partition reduces to <= MG_CAPACITY counters inside the
+    Arrow kernel; the only shuffle before the recount carries the
+    summed counters (<= capacity x partitions rows — sketch-sized,
+    never type-space-sized); the mergeable-summaries cut (subtract the
+    (capacity+1)-th largest summed counter, keep positives — the
+    (capacity+1)-th value is found by a TakeOrderedAndProject heap,
+    never a global sort) leaves <= MG_CAPACITY candidates, a frame
+    bounded by CONFIG alone, hence the legitimate ``F.broadcast``
+    (an earlier draft broadcast the un-merged capacity x partitions
+    union, which scales with the scan's partition count — data-sized
+    at 100 TB; the merge cut closes that). The only corpus-sized
+    operation left is the broadcast-join recount whose aggregate is
+    pre-filtered to candidates.
 
-    Exactness condition (documented, not silent): the candidate union
-    contains every bigram with global frequency > N/(MG_CAPACITY+1)
-    (per-partition pigeonhole), and recounting is exact — so the
-    returned top-K equals the exact twin's whenever the true K-th
-    count clears that threshold. On corpora whose per-partition type
-    count fits the capacity the sketch never evicts and the twins
-    agree unconditionally (the registered oracle's regime; the
-    eviction regime is pinned by the planted adversarial test)."""
+    Exactness condition (documented, not silent): summing the
+    per-partition MG counters under-counts any bigram by at most
+    N/(capacity+1) (errors add across partitions), and the merge cut
+    subtracts at most another N/(capacity+1) (the (capacity+1)-th
+    largest summed counter is bounded by N/(capacity+1)), so every
+    bigram with global frequency > 2N/(MG_CAPACITY+1) is a candidate
+    — and recounting is exact, so the returned top-K equals the exact
+    twin's whenever the true K-th count clears that threshold. On
+    corpora whose TOTAL distinct type count fits the capacity no
+    partition evicts and no cut applies, so the twins agree
+    unconditionally (the registered oracle's regime; the eviction
+    regime is pinned by the planted adversarial test)."""
     bigrams = _bigram_stream(t["documents"]).localCheckpoint(eager=False)
-    cands = bigrams.mapInPandas(_mg_partial, "bigram string").distinct()
+    merged = (
+        bigrams.mapInPandas(_mg_partial, "bigram string, n long")
+        .groupBy("bigram")
+        .agg(F.sum("n").alias("mg_n"))
+    )
+    topw = Window.orderBy(F.desc("mg_n"), F.asc("bigram"))
+    wall = topw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cands = (
+        merged.orderBy(F.desc("mg_n"), F.asc("bigram"))
+        .limit(MG_CAPACITY + 1)
+        .select("bigram", "mg_n", F.row_number().over(topw).alias("rk"))
+        .withColumn(
+            "cut",
+            F.max(F.when(F.col("rk") == MG_CAPACITY + 1, F.col("mg_n"))).over(wall),
+        )
+        .filter(F.col("mg_n") > F.coalesce(F.col("cut"), F.lit(0)))
+        .select("bigram")
+    )
     return (
         bigrams.join(F.broadcast(cands), "bigram")
         .groupBy("bigram")
@@ -611,15 +647,6 @@ def text_top_ngrams_mg(t: Frames) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOP_NGRAMS_K)
     )
-
-
-# bind the shared oracle now that both twins exist: same output
-# contract, and the driver corpora sit in the no-eviction regime where
-# agreement is unconditional (see docstring)
-TEXT_OPS["text_top_ngrams_mg"] = (
-    text_top_ngrams_mg,
-    TEXT_OPS["text_top_ngrams"][1],
-)
 
 
 # --- vocabulary coverage (tokenizer-budget planning) ------------------------

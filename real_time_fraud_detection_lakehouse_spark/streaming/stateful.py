@@ -206,7 +206,10 @@ def heavy_hitters_stream(
         .start()
     )
     q.awaitTermination()
-    emitted = spark.read.parquet(out_path)
+    # explicit schema: an all-short-docs source emits ZERO rows, and a
+    # sink directory holding only _spark_metadata cannot infer one —
+    # the empty stream must yield an empty top-K, not an AnalysisException
+    emitted = spark.read.schema(HH_OUTPUT_SCHEMA).parquet(out_path)
     latest = Window.partitionBy("shard")
     return (
         emitted.withColumn("max_seq", F.max("emit_seq").over(latest))

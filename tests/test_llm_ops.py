@@ -1815,9 +1815,9 @@ def test_top_ngrams_mg_twin_agreement_no_eviction(spark, frames):
 def test_top_ngrams_mg_heavy_hitters_survive_eviction(spark):
     """Adversarial regime: one partition holds far more distinct
     bigrams than MG_CAPACITY (eviction provably fires), yet every
-    bigram above the N/(capacity+1) frequency threshold must surface
-    with its EXACT count — the per-partition pigeonhole guarantee plus
-    the exact recount."""
+    bigram above the 2N/(capacity+1) frequency threshold must surface
+    with its EXACT count — per-partition pigeonhole error plus the
+    merge cut's, then the exact recount."""
     from real_time_fraud_detection_lakehouse_spark.operators.text import (
         MG_CAPACITY,
         _bigram_stream,
@@ -1837,7 +1837,9 @@ def test_top_ngrams_mg_heavy_hitters_survive_eviction(spark):
 
     n_distinct = _bigram_stream(docs).distinct().count()
     assert n_distinct > MG_CAPACITY, "fixture must exceed the counter budget"
-    n_cands = _bigram_stream(docs).mapInPandas(_mg_partial, "bigram string").count()
+    n_cands = (
+        _bigram_stream(docs).mapInPandas(_mg_partial, "bigram string, n long").count()
+    )
     assert n_cands <= MG_CAPACITY < n_distinct, "eviction did not fire"
 
     top = [tuple(r) for r in text_top_ngrams_mg({"documents": docs}).collect()]

@@ -736,3 +736,25 @@ def test_streaming_top_ngrams_bounded_state_under_eviction(spark, tmp_path):
         assert true - err <= got[bigram] <= true, (
             f"{bigram!r}: counter {got[bigram]} outside [{true - err}, {true}]"
         )
+
+
+def test_streaming_top_ngrams_empty_stream_yields_empty_frame(spark, tmp_path):
+    """An all-short-docs source emits zero bigrams; the sink directory
+    then holds only _spark_metadata, and the reader must return an
+    EMPTY (bigram, n) frame — not an AnalysisException from parquet
+    schema inference."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "solo", "en", "A", 4), (1, "", "en", "A", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    out = heavy_hitters_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.columns == ["bigram", "n"]
+    assert out.count() == 0
