@@ -579,16 +579,44 @@ def _mg_partial(batches):
     )
 
 
+def _mg_candidates(bigrams: DataFrame) -> DataFrame:
+    """Global candidate set from the per-partition MG summaries: sum
+    the counters (a sketch-sized shuffle — <= MG_CAPACITY x partitions
+    rows, never type-space-sized) and keep the top MG_CAPACITY by
+    (mg_n desc, bigram asc) — a TakeOrderedAndProject heap, never a
+    global sort. Factored out so the truncation regime is testable in
+    isolation.
+
+    Guarantee (mergeable summaries, Agarwal et al. PODS 2012): any
+    bigram with global frequency > 2N/(MG_CAPACITY+1) has summed
+    counter > N/(MG_CAPACITY+1) (per-partition errors add to at most
+    N/(capacity+1)), and no capacity+1 keys can all sit above that
+    level (their counters would sum past N), so every such bigram
+    ranks within the top capacity. Keeping sub-threshold rows up to
+    the capacity is deliberate: the recount is exact and the final
+    top-K discards them, whereas a strict subtract-the-(capacity+1)-th
+    cut can return ZERO candidates on a corpus tying at the cut
+    value."""
+    return (
+        bigrams.mapInPandas(_mg_partial, "bigram string, n long")
+        .groupBy("bigram")
+        .agg(F.sum("n").alias("mg_n"))
+        .orderBy(F.desc("mg_n"), F.asc("bigram"))
+        .limit(MG_CAPACITY)
+        .select("bigram")
+    )
+
+
 # shares the exact twin's oracle: same output contract, and the driver
 # corpora sit in the no-eviction regime where agreement is
 # unconditional (see docstring)
 @_register("text_top_ngrams_mg", TEXT_OPS["text_top_ngrams"][1])
 def text_top_ngrams_mg(t: Frames) -> DataFrame:
     """Bounded-memory twin of ``text_top_ngrams``: Misra-Gries
-    candidate generation, a PODS-2012 merge of the per-partition
-    summaries down to <= MG_CAPACITY global candidates, then an EXACT
-    recount of the candidates only. Same output contract as the exact
-    pass.
+    candidate generation, a merge of the per-partition summaries down
+    to <= MG_CAPACITY global candidates (``_mg_candidates``), then an
+    EXACT recount of the candidates only. Same output contract as the
+    exact pass.
 
     Why it exists: the exact pass's shuffle carries one row per
     distinct n-gram per map partition — fine for bigrams over a
@@ -596,52 +624,26 @@ def text_top_ngrams_mg(t: Frames) -> DataFrame:
     combinatorially as n grows (5-grams over web text: billions of
     types), and the corpus-wide count shuffle becomes the bottleneck.
     Here each partition reduces to <= MG_CAPACITY counters inside the
-    Arrow kernel; the only shuffle before the recount carries the
-    summed counters (<= capacity x partitions rows — sketch-sized,
-    never type-space-sized); the mergeable-summaries cut (subtract the
-    (capacity+1)-th largest summed counter, keep positives — the
-    (capacity+1)-th value is found by a TakeOrderedAndProject heap,
-    never a global sort) leaves <= MG_CAPACITY candidates, a frame
-    bounded by CONFIG alone, hence the legitimate ``F.broadcast``
-    (an earlier draft broadcast the un-merged capacity x partitions
-    union, which scales with the scan's partition count — data-sized
-    at 100 TB; the merge cut closes that). The only corpus-sized
-    operation left is the broadcast-join recount whose aggregate is
-    pre-filtered to candidates.
+    Arrow kernel; the only shuffle before the recount is sketch-sized;
+    and the merged candidate frame is bounded by CONFIG alone, hence
+    the legitimate ``F.broadcast`` (an earlier draft broadcast the
+    un-merged capacity x partitions union, which scales with the
+    scan's partition count — data-sized at 100 TB; the merge closes
+    that). The only corpus-sized operation left is the broadcast-join
+    recount whose aggregate is pre-filtered to candidates.
 
-    Exactness condition (documented, not silent): summing the
-    per-partition MG counters under-counts any bigram by at most
-    N/(capacity+1) (errors add across partitions), and the merge cut
-    subtracts at most another N/(capacity+1) (the (capacity+1)-th
-    largest summed counter is bounded by N/(capacity+1)), so every
-    bigram with global frequency > 2N/(MG_CAPACITY+1) is a candidate
-    — and recounting is exact, so the returned top-K equals the exact
-    twin's whenever the true K-th count clears that threshold. On
-    corpora whose TOTAL distinct type count fits the capacity no
-    partition evicts and no cut applies, so the twins agree
-    unconditionally (the registered oracle's regime; the eviction
-    regime is pinned by the planted adversarial test)."""
+    Exactness condition (documented, not silent): every bigram with
+    global frequency > 2N/(MG_CAPACITY+1) is a candidate (see
+    ``_mg_candidates``), and recounting is exact — so the returned
+    top-K equals the exact twin's whenever the true K-th count clears
+    that threshold. On corpora whose TOTAL distinct type count fits
+    the capacity no partition evicts and the merge keeps everything,
+    so the twins agree unconditionally (the registered oracle's
+    regime; eviction and truncation regimes are pinned by the planted
+    adversarial tests)."""
     bigrams = _bigram_stream(t["documents"]).localCheckpoint(eager=False)
-    merged = (
-        bigrams.mapInPandas(_mg_partial, "bigram string, n long")
-        .groupBy("bigram")
-        .agg(F.sum("n").alias("mg_n"))
-    )
-    topw = Window.orderBy(F.desc("mg_n"), F.asc("bigram"))
-    wall = topw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cands = (
-        merged.orderBy(F.desc("mg_n"), F.asc("bigram"))
-        .limit(MG_CAPACITY + 1)
-        .select("bigram", "mg_n", F.row_number().over(topw).alias("rk"))
-        .withColumn(
-            "cut",
-            F.max(F.when(F.col("rk") == MG_CAPACITY + 1, F.col("mg_n"))).over(wall),
-        )
-        .filter(F.col("mg_n") > F.coalesce(F.col("cut"), F.lit(0)))
-        .select("bigram")
-    )
     return (
-        bigrams.join(F.broadcast(cands), "bigram")
+        bigrams.join(F.broadcast(_mg_candidates(bigrams)), "bigram")
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

@@ -93,7 +93,9 @@ def velocity_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    # explicit schema: a zero-row stream leaves the sink holding only
+    # _spark_metadata, which cannot infer a parquet schema
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(out_path)
 
 
 # --- streaming heavy hitters (Misra-Gries state, round 11) ------------------
@@ -313,4 +315,5 @@ def velocity_stream_tws(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    # explicit schema: same zero-row-sink rationale as velocity_stream
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(out_path)

@@ -1799,8 +1799,10 @@ def test_cross_overlap_bounds_on_real_corpus(spark, frames):
 
 
 def test_top_ngrams_mg_twin_agreement_no_eviction(spark, frames):
-    """On the real corpus the per-partition bigram type count fits
-    MG_CAPACITY, so the sketch never evicts and the twins must agree
+    """On the real corpus the TOTAL distinct bigram type count fits
+    MG_CAPACITY (asserted below — the premise the operator's
+    unconditional-agreement regime actually requires: no partition can
+    evict and the merge keeps everything), so the twins must agree
     row-for-row, order included."""
     from real_time_fraud_detection_lakehouse_spark.operators.text import (
         text_top_ngrams,
@@ -1845,3 +1847,56 @@ def test_top_ngrams_mg_heavy_hitters_survive_eviction(spark):
     top = [tuple(r) for r in text_top_ngrams_mg({"documents": docs}).collect()]
     assert top[0] == ("hot hot", 500)
     assert top[1] == ("warm warm", 50)
+
+
+def test_top_ngrams_mg_candidate_truncation_multi_partition(spark, tmp_path):
+    """Truncation regime: two partitions whose merged type count
+    exceeds MG_CAPACITY (neither partition evicts — the MERGE is what
+    must bound the frame). The candidate set must stay <= capacity,
+    contain every planted heavy hitter above 2N/(capacity+1), and the
+    operator must recount them exactly."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        MG_CAPACITY,
+        _bigram_stream,
+        _mg_candidates,
+        _mg_partial,
+        text_top_ngrams_mg,
+    )
+
+    block_a = " ".join(f"a{i:04d}" for i in range(800))  # 799 singleton bigrams
+    block_b = " ".join(f"b{i:04d}" for i in range(800))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "docs")
+    # one file per half -> one scan partition per file: deterministic
+    # partition assignment (hash/range repartition would not pin which
+    # half lands where)
+    spark.createDataFrame(
+        [(0, block_a, "en", "A", 0), (1, " ".join(["hot"] * 501), "en", "A", 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, block_b, "en", "A", 0), (3, " ".join(["warm"] * 101), "en", "A", 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    docs = spark.read.parquet(src)
+
+    bigrams = _bigram_stream(docs)
+    merged_distinct = (
+        bigrams.mapInPandas(_mg_partial, "bigram string, n long")
+        .select("bigram")
+        .distinct()
+        .count()
+    )
+    assert merged_distinct > MG_CAPACITY, (
+        "fixture must overflow the merged summary for truncation to fire"
+    )
+    cands = _mg_candidates(bigrams)
+    assert cands.count() <= MG_CAPACITY, "candidate frame exceeded the config bound"
+    cand_set = {r["bigram"] for r in cands.collect()}
+    n_stream = 799 + 500 + 799 + 100
+    assert 500 > 2 * n_stream / (MG_CAPACITY + 1)  # fixture sanity: both are HHs
+    assert {"hot hot", "warm warm"} <= cand_set, "heavy hitter truncated away"
+
+    top = [tuple(r) for r in text_top_ngrams_mg({"documents": docs}).collect()]
+    assert top[0] == ("hot hot", 500)
+    assert top[1] == ("warm warm", 100)

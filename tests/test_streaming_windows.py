@@ -758,3 +758,24 @@ def test_streaming_top_ngrams_empty_stream_yields_empty_frame(spark, tmp_path):
     )
     assert out.columns == ["bigram", "n"]
     assert out.count() == 0
+
+
+def test_velocity_stream_empty_source_yields_empty_frame(spark, tmp_path):
+    """A zero-row transaction source leaves the sink with only
+    _spark_metadata; the reader must return an empty typed frame, not
+    an AnalysisException from parquet schema inference (same bug class
+    as the heavy-hitter sink, fixed at all three stateful sinks)."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        velocity_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [],
+        "cc_num long, trans_num string, trans_timestamp timestamp, amt double",
+    ).write.parquet(src)
+    out = velocity_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 0
+    assert "txn_seq" in out.columns
