@@ -76,9 +76,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: q_epoch_roundtrip (already deferred last round) plus the four
 #: displaced above — are covered in-round by the parametrized pytest
 #: oracles and LEAD the r12 refresh together with the late-r11
-#: oracled op text_top_ngrams_mg (no front slot left; pytest-oracled
-#: + validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of
-#: the oldest-r9 cohort.
+#: oracled ops text_top_ngrams_mg and docs_lm_perplexity (no front
+#: slots left; both pytest-oracled + validate_driver-green at
+#: sf0.001/0.01/0.1 in-round), ahead of the oldest-r9 cohort.
 #: Rows-only r11 additions hold no front slots per the r8 rule:
 #: streaming_incremental_dedup is batch-equivalence-tested under both
 #: arrival orders in tests/test_streaming_windows.py;

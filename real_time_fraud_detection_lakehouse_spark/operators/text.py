@@ -790,6 +790,97 @@ def text_zipf_fit(t: Frames) -> DataFrame:
     )
 
 
+# --- bigram-LM self-perplexity (statistical quality gate) -------------------
+@_register(
+    "docs_lm_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             t[i+1] AS w1,
+             t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS cb FROM pairs GROUP BY bigram),
+    pc AS (SELECT w1, COUNT(*) AS cw FROM pairs GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS token FROM toks)
+    ),
+    scored AS (
+      SELECT p.doc_id, ln((bc.cb + 1.0) / (pc.cw + vocab.v)) AS lp
+      FROM pairs p JOIN bc USING (bigram) JOIN pc USING (w1), vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {dround_sql("AVG(lp)")} AS avg_logprob,
+           {dround_sql("exp(-AVG(lp))", 4)} AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_lm_perplexity(t: Frames) -> DataFrame:
+    """Per-document self-perplexity under an add-1-smoothed bigram LM
+    trained on the corpus itself — the classic statistical quality
+    gate (CCNet / Wenzek et al. 2020 filter web text by LM perplexity;
+    the heuristic ``docs_quality`` scores surface features, this
+    scores SEQUENCE likelihood): template/boilerplate text and
+    in-register prose sit low, token soup and wrong-register noise sit
+    high. ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with V the
+    corpus unigram vocabulary, score = mean ln-prob over the doc's
+    bigrams, ``ppl = exp(-score)``. Add-1 smoothing keeps the model
+    deterministic and closed-form in BOTH engines — no RNG, no
+    iterative fit — so the oracle is exact under the repo's dround
+    discipline (per-doc log sums are short; engine summation-order
+    drift is ~1e-14, absorbed by dround 6/4).
+
+    Scale design: the corpus-sized frames are the bigram stream and
+    its two count aggregations — both keyed (bigram / first-token)
+    with map-side partials, output bounded by the TYPE space, the same
+    honest cost class as ``text_tfidf_topk``'s term counts (an LM
+    needs every count; the MG twin's sketch shortcut applies to top-K
+    only). The stream is checkpointed once and read by the counts and
+    the scoring join; the join-back is type-keyed (AQE sizes the count
+    sides — vocabulary-bounded, broadcast when small, shuffle when
+    not); V rides the 1-row broadcast-crossJoin idiom; the final agg
+    is one doc-keyed partial-agg pass. No global sort anywhere."""
+    docs = spread_small_input(t["documents"])
+    pairs = (
+        docs.select("doc_id", _tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram"),
+        )
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .localCheckpoint(eager=False)
+    )
+    bc = pairs.groupBy("bigram").agg(F.count("*").alias("cb"))
+    pc = pairs.groupBy("w1").agg(F.count("*").alias("cw"))
+    vocab = docs.select(F.explode(_tokens_col()).alias("token")).agg(
+        F.count_distinct("token").cast("double").alias("v")
+    )
+    avg_lp = F.avg(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("v")))
+    )
+    return (
+        pairs.join(bc, "bigram")
+        .join(pc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            dround(avg_lp).alias("avg_logprob"),
+            dround(F.exp(-avg_lp), 4).alias("ppl"),
+        )
+    )
+
+
 # --- sequence packing (training-batch prep: concat-and-cut at SEQ_LEN) ------
 SEQ_LEN = 256  # tokens per packed training sequence
 _PACK_BUCKETS = 1024  # fixed bucket count for the distributed prefix sum

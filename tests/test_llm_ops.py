@@ -1900,3 +1900,37 @@ def test_top_ngrams_mg_candidate_truncation_multi_partition(spark, tmp_path):
     top = [tuple(r) for r in text_top_ngrams_mg({"documents": docs}).collect()]
     assert top[0] == ("hot hot", 500)
     assert top[1] == ("warm warm", 100)
+
+
+def test_lm_perplexity_orders_template_below_noise(spark):
+    """The LM-perplexity contract on a planted fixture: a document
+    made of the corpus's dominant repeated bigram must score LOWER
+    perplexity than a document of corpus-unique token soup, and every
+    (n_bigrams, ppl) obeys the model's bounds (ppl >= 1; n_bigrams =
+    token count - 1; docs with < 2 tokens are absent)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        docs_lm_perplexity,
+    )
+
+    common = " ".join(["the cat sat on the mat"] * 20)  # dominant bigrams
+    noise = " ".join(f"z{i:03d}" for i in range(50))    # 49 unique bigrams
+    docs = spark.createDataFrame(
+        [
+            (0, common, "en", "A", 0),
+            (1, common, "en", "A", 0),
+            (2, noise, "en", "A", 0),
+            (3, "solo", "en", "A", 0),     # 1 token: no bigrams
+            (4, None, "en", "A", 0),       # null text: absent
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in docs_lm_perplexity({"documents": docs}).collect()}
+    assert set(rows) == {0, 1, 2}, "short/null docs must be absent"
+    assert rows[0]["n_bigrams"] == 20 * 6 - 1
+    assert rows[2]["n_bigrams"] == 49
+    assert rows[0]["ppl"] == rows[1]["ppl"], "identical docs must score identically"
+    assert rows[0]["ppl"] < rows[2]["ppl"], (
+        "repeated-template doc must sit below unique-token noise"
+    )
+    for r in rows.values():
+        assert r["ppl"] >= 1.0 and r["avg_logprob"] <= 0.0

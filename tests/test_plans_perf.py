@@ -786,3 +786,28 @@ def test_incremental_maintained_fp_stage_is_semi_first(spark, tmp_path):
         assert "LeftSemi" in cold
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """docs_lm_perplexity: both count aggregations and the per-doc
+    fold keep map-side partials, the scoring joins are keyed on
+    bigram/w1 (hash joins, never a cartesian beyond the 1-row vocab
+    broadcast), and the checkpointed bigram stream is built once."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        docs_lm_perplexity,
+    )
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    plan = _plan(docs_lm_perplexity(frames))
+    assert "partial_count" in plan, "count aggs lost their map-side partials"
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"Join \[?bigram|Join bigram|\[bigram", plan), (
+        "bigram count join lost its key"
+    )
+    # the 1-row vocab frame is the ONLY nested-loop site
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Scan ExistingRDD") >= 2, (
+        "bigram stream is not reused from the checkpoint"
+    )
