@@ -483,20 +483,37 @@ def docs_per_source_cap(t: Frames) -> DataFrame:
 TOP_NGRAMS_K = 20
 
 
-def _bigram_stream(docs: DataFrame) -> DataFrame:
-    """One ``bigram`` row per adjacent token pair — the shared input of
-    the exact top-K pass and its Misra-Gries twin (one definition: the
-    two paths CANNOT drift on what counts as a bigram). zip_with over
-    two array slices is a narrow per-row transform — no self-join of
+#: THE bigram definition — every consumer (exact top-K, the MG twin,
+#: the streaming heavy-hitter gate, the LM-perplexity scorer) compiles
+#: this one expression over a token-array column ``t``; a second copy
+#: WILL drift
+_BIGRAM_EXPR = (
+    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+    " (x, y) -> concat(x, ' ', y))"
+)
+
+
+def _bigrams_from_tokens(toks: DataFrame, with_doc_id: bool = False) -> DataFrame:
+    """Bigram rows from an already-tokenized frame (column ``t``) —
+    the half of ``_bigram_stream`` that callers holding a shared
+    tokenized block (e.g. the LM scorer, which also needs the
+    vocabulary from the same pass) use directly. zip_with over two
+    array slices is a narrow per-row transform — no self-join of
     token positions."""
-    bigrams = F.expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-        " (x, y) -> concat(x, ' ', y))"
+    cols = ["doc_id"] if with_doc_id else []
+    return toks.filter(F.size("t") >= 2).select(
+        *cols, F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram")
     )
-    return (
-        docs.select(_tokens_col().alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+
+
+def _bigram_stream(docs: DataFrame, with_doc_id: bool = False) -> DataFrame:
+    """One ``bigram`` row per adjacent token pair — the shared input of
+    the exact top-K pass, its Misra-Gries twin, and the streaming
+    heavy-hitter gate (one definition: the paths CANNOT drift on what
+    counts as a bigram)."""
+    cols = ["doc_id"] if with_doc_id else []
+    return _bigrams_from_tokens(
+        docs.select(*cols, _tokens_col().alias("t")), with_doc_id
     )
 
 
@@ -834,35 +851,32 @@ def docs_lm_perplexity(t: Frames) -> DataFrame:
     discipline (per-doc log sums are short; engine summation-order
     drift is ~1e-14, absorbed by dround 6/4).
 
-    Scale design: the corpus-sized frames are the bigram stream and
-    its two count aggregations — both keyed (bigram / first-token)
-    with map-side partials, output bounded by the TYPE space, the same
+    Scale design: documents are tokenized ONCE (the tokenized frame is
+    checkpointed; the bigram stream — via the shared one-definition
+    ``_bigrams_from_tokens`` — and the vocabulary scalar both derive
+    from it); the corpus-sized frames are that stream and its two
+    count aggregations — both keyed (bigram / first-token) with
+    map-side partials, output bounded by the TYPE space, the same
     honest cost class as ``text_tfidf_topk``'s term counts (an LM
     needs every count; the MG twin's sketch shortcut applies to top-K
-    only). The stream is checkpointed once and read by the counts and
-    the scoring join; the join-back is type-keyed (AQE sizes the count
-    sides — vocabulary-bounded, broadcast when small, shuffle when
-    not); V rides the 1-row broadcast-crossJoin idiom; the final agg
-    is one doc-keyed partial-agg pass. No global sort anywhere."""
-    docs = spread_small_input(t["documents"])
+    only). The stream is itself checkpointed and read by the counts
+    and the scoring join; the join-back is type-keyed (AQE sizes the
+    count sides — vocabulary-bounded, broadcast when small, shuffle
+    when not); V rides the 1-row broadcast-crossJoin idiom; the final
+    agg is one doc-keyed partial-agg pass. No global sort anywhere."""
+    toks = (
+        spread_small_input(t["documents"])
+        .select("doc_id", _tokens_col().alias("t"))
+        .localCheckpoint(eager=False)
+    )
     pairs = (
-        docs.select("doc_id", _tokens_col().alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-                    " (x, y) -> concat(x, ' ', y))"
-                )
-            ).alias("bigram"),
-        )
+        _bigrams_from_tokens(toks, with_doc_id=True)
         .withColumn("w1", F.substring_index("bigram", " ", 1))
         .localCheckpoint(eager=False)
     )
     bc = pairs.groupBy("bigram").agg(F.count("*").alias("cb"))
     pc = pairs.groupBy("w1").agg(F.count("*").alias("cw"))
-    vocab = docs.select(F.explode(_tokens_col()).alias("token")).agg(
+    vocab = toks.select(F.explode("t").alias("token")).agg(
         F.count_distinct("token").cast("double").alias("v")
     )
     avg_lp = F.avg(

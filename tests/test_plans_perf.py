@@ -803,7 +803,7 @@ def test_lm_perplexity_plan_shape(spark):
     assert "CartesianProduct" not in plan
     import re
 
-    assert re.search(r"Join \[?bigram|Join bigram|\[bigram", plan), (
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[bigram", plan), (
         "bigram count join lost its key"
     )
     # the 1-row vocab frame is the ONLY nested-loop site
