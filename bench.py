@@ -133,6 +133,8 @@ DIRECT = [
     "text_vocab_coverage",
     "text_zipf_fit",
     "text_top_ngrams_mg",
+    # round-11 statistical quality gate
+    "docs_lm_perplexity",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
