@@ -312,3 +312,65 @@ def test_bpe_trainer_matches_reference(spark, texts):
         for r in bpe_train(frames_df, n_merges=4).collect()
     ]
     assert got == _ref_bpe(texts, 4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_kernel_matches_reference(keys, capacity, n_parts, batch):
+    """The MG kernel under this round's two top-K ops, checked against
+    a brute-force Counter on random streams at tiny capacities (where
+    violations would be easy to find):
+
+    - single summary (one partition, arbitrary Arrow-batch splits):
+      every surviving counter is a positive LOWER bound of the true
+      count, the under-count never exceeds n/(capacity+1), and every
+      key with true count > n/(capacity+1) survives;
+    - two-level pipeline (partition summaries -> summed counters ->
+      top-capacity candidates, the _mg_candidates shape): every key
+      with global count > 2n/(capacity+1) is a candidate.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    from real_time_fraud_detection_lakehouse_spark.operators.text import _mg_add
+
+    stream = [f"k{i:02d}" for i in keys]
+    true = Counter(stream)
+    n = len(stream)
+
+    def summary(part):
+        s = pd.Series(dtype="float64")
+        for i in range(0, len(part), batch):
+            s = _mg_add(s, pd.Series(part[i : i + batch]).value_counts(), capacity)
+        return s
+
+    # --- single-summary guarantees --------------------------------------
+    s = summary(stream)
+    assert len(s) <= capacity
+    bound = n / (capacity + 1)
+    for key, counter in s.items():
+        assert 0 < counter <= true[key], (key, counter, true[key])
+        assert true[key] - counter <= bound
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in s.index, (key, cnt, bound, dict(s))
+        else:
+            assert true[key] <= bound or key in s.index
+
+    # --- two-level pipeline (the _mg_candidates shape) -------------------
+    cut = max(1, len(stream) // n_parts)
+    parts = [stream[i : i + cut] for i in range(0, len(stream), cut)]
+    merged: Counter = Counter()
+    for part in parts:
+        for key, counter in summary(part).items():
+            merged[key] += int(counter)
+    cands = sorted(merged, key=lambda k: (-merged[k], k))[:capacity]
+    for key, cnt in true.items():
+        if cnt > 2 * n / (capacity + 1):
+            assert key in cands, (key, cnt, n, capacity, cands)
