@@ -76,9 +76,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: q_epoch_roundtrip (already deferred last round) plus the four
 #: displaced above — are covered in-round by the parametrized pytest
 #: oracles and LEAD the r12 refresh together with the late-r11
-#: oracled ops text_top_ngrams_mg and docs_lm_perplexity (no front
-#: slots left; both pytest-oracled + validate_driver-green at
-#: sf0.001/0.01/0.1 in-round), ahead of the oldest-r9 cohort.
+#: oracled ops text_top_ngrams_mg, docs_lm_perplexity, and
+#: q_customer_rfm (no front slots left; all pytest-oracled +
+#: validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of the
+#: oldest-r9 cohort.
 #: Rows-only r11 additions hold no front slots per the r8 rule:
 #: streaming_incremental_dedup is batch-equivalence-tested under both
 #: arrival orders in tests/test_streaming_windows.py;
@@ -86,7 +87,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tests/test_llm_ops.py; streaming_top_ngrams (the heavy-hitter
 #: stream) is pinned row-for-row to the exact batch pass under both
 #: arrival orders plus a bounded-state eviction-regime test in
-#: tests/test_streaming_windows.py.
+#: tests/test_streaming_windows.py; streaming_distinct_hll is
+#: pinned row-for-row to the batch HLL rollup under both arrival
+#: orders in tests/test_streaming_windows.py; docs_bloom_decontaminate is
+#: pinned superset-of-exact + planted recall + FP-bound in
+#: tests/test_llm_ops.py; q_distinct_users_hll_rollup is pinned
+#: lossless-merge (rollup == direct sketch) + exact-count band in
+#: tests/test_relational.py.
 _DRIVER_FRONT = [
     # (a) r11 impl change (broadcast-hint removal)
     "docs_dedup_apply",
@@ -614,6 +621,27 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_top_ngrams"] = _stream_top_ngrams
+
+    # rows-only (binary HLL state; no SQL analog): the emitted daily
+    # sketches merge to the batch rollup's rows EXACTLY (register
+    # maxima commute across any micro-batch slicing) — pinned under
+    # both arrival orders in tests/test_streaming_windows.py
+    def _stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            distinct_users_sketch_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="hll_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        return distinct_users_sketch_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_distinct_hll"] = _stream_distinct_hll
 
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os

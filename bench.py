@@ -135,6 +135,10 @@ DIRECT = [
     "text_top_ngrams_mg",
     # round-11 statistical quality gate
     "docs_lm_perplexity",
+    # round-11 sketch family + the windowless RFM segmentation
+    "docs_bloom_decontaminate",
+    "q_distinct_users_hll_rollup",
+    "q_customer_rfm",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -188,6 +192,10 @@ SCALING_100X_QUERIES = [
     # cluster computation (election + split) + pack — gets its
     # two-decade datapoint
     "docs_corpus_build",
+    # r11 (late): the bloom gate's constant-sketch claim — the build
+    # side is eval-set-sized (fixed here), so the 100x ratio should
+    # track the corpus scan, with the 512 KiB bitmap build unchanged
+    "docs_bloom_decontaminate",
 ]
 
 #: the ~15 queries carried on the compact final JSON line (the full

@@ -1137,6 +1137,121 @@ TEXT_OPS["docs_contamination_report"] = (
 )
 
 
+# --- Bloom-filter decontamination gate (sketch-bounded membership) ----------
+#: m — bloom bitmap size in bits. 2^22 bits = 64 Ki longs = 512 KiB —
+#: a CONSTANT, scale-invariant broadcast regardless of corpus or eval
+#: size (vs the exact gate, whose broadcast grows with the eval gram
+#: set). Sized so the full sf-range eval load stays far under 0.1
+#: bits-per-gram occupancy: false-positive rate per probed gram is
+#: (1 - e^(-kn/m))^k — at n = 10^5 eval grams, k = 4: ~2e-5.
+BLOOM_BITS = 1 << 22
+BLOOM_WORDS = BLOOM_BITS // 64
+#: k — independent hash functions per gram (xxhash64 chains seeded
+#: 0..k-1, the minhash seed-family idiom).
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(gram_col, seed: int):
+    """Bit position of hash function ``seed`` for one gram hash."""
+    return F.pmod(F.xxhash64(gram_col, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+def _bloom_member(gram_col, bloom_col):
+    """True iff every one of the k bloom bits for this gram is set —
+    guaranteed true for every gram that was inserted (no false
+    negatives); false positives at the documented rate."""
+    cond = None
+    for seed in range(BLOOM_HASHES):
+        pos = _bloom_pos(gram_col, seed)
+        word = F.element_at(bloom_col, (pos / F.lit(64)).cast("int") + F.lit(1))
+        hit = F.call_function("getbit", word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+@_register("docs_bloom_decontaminate", None)
+def docs_bloom_decontaminate(t: Frames) -> DataFrame:
+    """Sketch-bounded twin of ``docs_decontaminate``: gate the training
+    corpus against the eval set through a Bloom filter over the eval
+    gram hashes instead of the exact distinct-gram set. Output:
+    (doc_id, bloom_hits) for every train doc with at least one
+    bloom-positive gram — a SUPERSET of the exact gate's flagged docs
+    (Bloom filters have no false negatives), with false positives at
+    the documented (1-e^(-kn/m))^k per-gram rate. The production
+    shape: flag cheaply with the constant-size sketch, then (if the
+    FP rate matters) confirm only the flagged sliver exactly.
+
+    Scale design — why a sketch when the exact gate already
+    broadcasts: the exact eval-gram broadcast is O(distinct eval
+    grams) and a real decon suite (every benchmark x 13-gram
+    granularity, MMLU+GSM+HumanEval+...) reaches hundreds of millions
+    of grams — gigabytes per executor. The bloom bitmap is a CONSTANT
+    512 KiB whatever the eval suite grows to; FP rate, not memory, is
+    the degradation mode, and m is one config knob. Build side: eval
+    grams explode to k=4 bit positions, one groupBy(word) bit_or
+    reduces them to at most 2^16 set words — a BOUNDED collect
+    (BLOOM_WORDS rows max, scale-invariant, the HWM-scalar class).
+    Probe side: pure column expressions (xxhash64 + getbit) inside
+    whole-stage codegen against the 1-row broadcast-crossJoin bitmap
+    — the corpus is scanned once and never shuffles; the only
+    aggregation is the per-doc partial-agg count.
+
+    Correctness: rows-only registry entry (DuckDB lacks xxhash64, and
+    FP membership depends on exact hash values). Pinned in pytest
+    instead: flagged-doc superset of the exact gate, planted-dup
+    recall, empirical per-doc FP rate under the analytic bound, and
+    the bitmap's set-bit population matching k x n_grams minus
+    collisions (determinism)."""
+    toks = _tokens_col()
+    docs = spread_small_input(t["documents"]).select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+    )
+    grams = decon_gram_hashes(F.col("th"))
+    long_enough = F.col("n_toks") >= DECON_GRAM
+
+    eval_grams = (
+        docs.filter((F.col("source") == DECON_EVAL_SOURCE) & long_enough)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    set_words = (
+        eval_grams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), s) for s in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # bounded: at most BLOOM_WORDS (2^16) rows, scale-invariant
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for row in set_words:
+        bitmap[row["w"]] = row["word"]
+
+    spark = t["documents"].sparkSession
+    bloom = spark.createDataFrame([(bitmap,)], "bloom array<bigint>")
+    train = docs.filter((F.col("source") != DECON_EVAL_SOURCE) & long_enough).select(
+        "doc_id", grams.alias("grams")
+    )
+    return (
+        train.crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter("grams", lambda g: _bloom_member(g, F.col("bloom")))
+            ).cast("long").alias("bloom_hits"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+    )
+
+
 # --- BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) -------
 #: number of merge rules to learn (enough for the planted tests and a
 #: meaningful vocab over the synthetic corpus; raise for a real run)

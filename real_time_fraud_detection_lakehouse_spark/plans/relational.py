@@ -538,6 +538,52 @@ def q_distinct_users_approx(t: Frames) -> DataFrame:
     )
 
 
+#: Datasketches HLL precision (lgConfigK). 12 → 4 Ki registers,
+#: ~1.6% relative standard error — a few KiB per stored sketch.
+HLL_LGK = 12
+
+
+@_register("q_distinct_users_hll_rollup", None)
+def q_distinct_users_hll_rollup(t: Frames) -> DataFrame:
+    """MERGEABLE distinct-count rollup — the pre-aggregation cube
+    pattern ``approx_count_distinct`` can't express: materialize one
+    Datasketches HLL sketch per (event_type, day) partition
+    (``hll_sketch_agg``), then answer the per-type total by UNIONING
+    the daily sketches (``hll_union_agg``) instead of re-scanning raw
+    events. Output per event_type: the rollup estimate, the number of
+    daily sketches merged, and total event rows.
+
+    Scale design: this is how 100 TB distinct-count dashboards
+    actually work — the nightly job appends a few-KiB sketch per
+    partition (here: a day) to a sketch table; any later rollup
+    (week, month, all-time, any type subset) is a merge over KiB-size
+    sketches, never a rescan of the raw table. Both aggs are
+    map-side-partial groupBys; the merge input is O(days x types)
+    rows whatever the event volume. Union of same-lgK sketches is
+    LOSSLESS: the rollup estimate is bit-identical to sketching the
+    raw column in one pass — pinned in pytest (rollup == direct,
+    plus |estimate - exact| within the configured error band).
+
+    Rows-only entry: DuckDB has no Datasketches HLL surface, and the
+    estimate depends on the exact register hashes. Determinism is
+    order-insensitive (registers keep maxima), so driver rows are
+    stable run to run."""
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"),
+            F.count("*").alias("events"),
+        )
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False)))
+        .alias("rollup_distinct_users"),
+        F.count("*").cast("long").alias("n_daily_sketches"),
+        F.sum("events").cast("long").alias("events"),
+    )
+
+
 # --- interpolated quantiles per group (A13 family, exact) -------------------
 @_register(
     "q_quantity_quantiles",
@@ -3069,4 +3115,131 @@ def q_late_shipment_priority(t: Frames) -> DataFrame:
     return j.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
         F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
         F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+# --- RFM customer segmentation (quantile-banded scores, scale-safe) ---------
+@_register(
+    "q_customer_rfm",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {dround_sql('SUM(o_totalprice)', 2)} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.50) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.50) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM per_cust
+    )
+    SELECT o_custkey AS c_custkey, recency_days, frequency, monetary,
+           CAST(1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS INTEGER)
+             AS r_score,
+           CAST(1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS INTEGER)
+             AS f_score,
+           CAST(1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS INTEGER)
+             AS m_score,
+           CASE
+             WHEN recency_days > r3 AND frequency > f3 AND monetary > m3
+               THEN 'champion'
+             WHEN recency_days > r2 AND frequency > f2 THEN 'loyal'
+             WHEN recency_days <= r2 AND monetary > m2
+               THEN 'at_risk_high_value'
+             WHEN recency_days <= r1 AND frequency <= f1 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM per_cust CROSS JOIN b
+    """,
+)
+def q_customer_rfm(t: Frames) -> DataFrame:
+    """RFM segmentation — the classic CRM cut: per customer, recency
+    (epoch-day of latest order), frequency (order count), monetary
+    (total spend), each banded 1-4 against the population QUARTILES,
+    then mapped to a named segment (champion / loyal /
+    at_risk_high_value / hibernating / regular, first match wins).
+
+    Scale design: the naive formulation is ``ntile(4) OVER (ORDER BY
+    metric)`` — an UNPARTITIONED window, i.e. every customer through
+    one task: the single worst scale hazard in the window family.
+    This plan instead computes the three quartile BOUNDARIES with one
+    1-row aggregate (exact interpolated percentile, the
+    q_quantity_quantiles precedent: Spark ``percentile`` == DuckDB
+    ``quantile_cont``) and bands by comparison — one keyed agg over
+    orders plus a scan with a broadcast 1-row crossJoin; nothing is
+    globally sorted at any size. Banding by fixed boundaries also
+    keeps scores STABLE under tie-heavy metrics (ntile splits ties
+    across buckets by arbitrary order; boundary comparison cannot).
+    Monetary is rounded to cents before both the quantile and the
+    comparison, same discipline as every money sum in this module."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("o_orderdate")), F.lit("1970-01-01").cast("date")
+            ).alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            dround(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    bounds = per_cust.agg(
+        *[
+            F.percentile(m, q).alias(f"{m[0]}{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def band(metric: str, prefix: str):
+        score = F.lit(1)
+        for i in (1, 2, 3):
+            score = score + F.when(F.col(metric) > F.col(f"{prefix}{i}"), 1).otherwise(0)
+        return score.cast("int")
+
+    seg = (
+        F.when(
+            (F.col("recency_days") > F.col("r3"))
+            & (F.col("frequency") > F.col("f3"))
+            & (F.col("monetary") > F.col("m3")),
+            "champion",
+        )
+        .when(
+            (F.col("recency_days") > F.col("r2")) & (F.col("frequency") > F.col("f2")),
+            "loyal",
+        )
+        .when(
+            (F.col("recency_days") <= F.col("r2")) & (F.col("monetary") > F.col("m2")),
+            "at_risk_high_value",
+        )
+        .when(
+            (F.col("recency_days") <= F.col("r1")) & (F.col("frequency") <= F.col("f1")),
+            "hibernating",
+        )
+        .otherwise("regular")
+    )
+    return per_cust.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        band("recency_days", "r").alias("r_score"),
+        band("frequency", "f").alias("f_score"),
+        band("monetary", "m").alias("m_score"),
+        seg.alias("segment"),
     )

@@ -294,3 +294,73 @@ def inspect_dedup_state(
         F.timestamp_micros(F.col("value.expiresAtMicros")).alias("expires_at"),
         F.col("partition_id"),
     )
+
+
+def distinct_users_sketch_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Sketch-at-ingest twin of ``q_distinct_users_hll_rollup``: the
+    stream maintains one Datasketches HLL sketch per (day, event_type)
+    window in streaming state and APPENDS each finalized day's sketch
+    row (binary sketch + event count) to the sketch table; the rollup
+    here merges the emitted sketches per event_type — the exact plan
+    the batch op runs over its own daily sketches.
+
+    Why this is the production shape at 100 TB: the raw event stream
+    is never re-scanned for a distinct-count question. Ingest pays
+    O(1) state per (day, type) — a few KiB of HLL registers, bounded
+    by the watermark horizon like every other stateful op here — and
+    every later rollup (any date range, any type subset) is a merge
+    over KiB-size sketch rows. Same-lgK HLL union is LOSSLESS and
+    register-maxima commute, so however the stream slices arrivals
+    into micro-batches, the merged registers — and therefore the
+    estimate — equal the batch single-pass sketch bit-for-bit; pinned
+    row-for-row against the batch rollup under both arrival orders in
+    tests/test_streaming_windows.py.
+
+    Output: (event_type, rollup_distinct_users, n_daily_sketches,
+    events) — the batch rollup's exact schema."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import HLL_LGK
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path).withWatermark("ts", watermark)
+    daily = (
+        stream.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"),
+            F.count("*").alias("events"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "sketch",
+            "events",
+        )
+    )
+    q = (
+        daily.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketches = spark.read.parquet(out_path)
+    return sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False)))
+        .alias("rollup_distinct_users"),
+        F.count("*").cast("long").alias("n_daily_sketches"),
+        F.sum("events").cast("long").alias("events"),
+    )

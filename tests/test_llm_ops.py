@@ -1934,3 +1934,72 @@ def test_lm_perplexity_orders_template_below_noise(spark):
     )
     for r in rows.values():
         assert r["ppl"] >= 1.0 and r["avg_logprob"] <= 0.0
+
+
+def test_bloom_decon_superset_of_exact_gate(spark, frames):
+    """Bloom filters have no false negatives: every doc the exact gate
+    flags is bloom-flagged, and each doc's bloom-positive gram count
+    is at least its exact shared-gram count."""
+    from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS
+
+    bloom = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in TEXT_OPS["docs_bloom_decontaminate"][0](frames).collect()
+    }
+    exact = {
+        r["doc_id"]: r["shared_grams"]
+        for r in TEXT_OPS["docs_decontaminate"][0](frames).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, shared in exact.items():
+        assert bloom[d] >= shared, (d, shared, bloom[d])
+
+
+def test_bloom_decon_planted_recall_and_fp_bound(spark):
+    """Heavy-load planted corpus: an eval-copying train doc is always
+    flagged (recall = 1 by construction), and over train docs with a
+    vocabulary DISJOINT from the eval set the empirical per-doc
+    false-positive rate stays under the analytic (1-e^(-kn/m))^k
+    per-gram bound times grams-per-doc, with slack."""
+    import math
+    import random
+
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        DECON_GRAM,
+        TEXT_OPS,
+    )
+
+    rng = random.Random(7)
+    eval_tokens = [f"ev{i}" for i in range(500)]
+    clean_tokens = [f"tr{i}" for i in range(500)]  # disjoint vocabulary
+    docs = []
+    # 400 eval docs x ~96 grams → heavy bloom load (~4e4 distinct grams)
+    for i in range(400):
+        docs.append((i, " ".join(rng.choices(eval_tokens, k=100)), "en", "src0", 100))
+    # one planted leak: a train doc that copies an eval doc verbatim
+    docs.append((1000, docs[0][1], "en", "src1", 100))
+    # 600 clean train docs from the disjoint vocabulary
+    for i in range(600):
+        docs.append(
+            (2000 + i, " ".join(rng.choices(clean_tokens, k=100)), "en", "src1", 100)
+        )
+    ddf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in TEXT_OPS["docs_bloom_decontaminate"][0]({"documents": ddf}).collect()
+    }
+    assert out.get(1000, 0) > 0, "planted eval copy must be bloom-flagged"
+
+    n_eval_grams = (
+        400 * (100 - DECON_GRAM + 1)
+    )  # upper bound on distinct insertions
+    p_gram = (1.0 - math.exp(-BLOOM_HASHES * n_eval_grams / BLOOM_BITS)) ** BLOOM_HASHES
+    grams_per_doc = 100 - DECON_GRAM + 1
+    p_doc = grams_per_doc * p_gram  # union bound
+    fp_docs = sum(1 for d in out if d >= 2000)
+    # 600 Bernoulli(p_doc) trials; allow 10x the expectation + 3 absolute
+    assert fp_docs <= 600 * p_doc * 10 + 3, (fp_docs, p_doc)

@@ -779,3 +779,82 @@ def test_velocity_stream_empty_source_yields_empty_frame(spark, tmp_path):
     )
     assert out.count() == 0
     assert "txn_seq" in out.columns
+
+
+def test_streaming_distinct_hll_matches_batch_rollup_both_orders(spark, tmp_path):
+    """Sketch-at-ingest (round-11 late): HLL register maxima commute,
+    so however the stream slices arrivals into micro-batches, the
+    per-day sketches it emits merge to the SAME registers — and the
+    same estimate — as the batch rollup over the raw table. Pinned
+    row-for-row under both arrival orders, with >= 3 micro-batches
+    and a far-future sentinel type flushing every real day past the
+    watermark (excluded from the comparison on both sides). The
+    watermark is set wider than the fixture's 30-day span so that
+    REVERSED arrival drops nothing — watermark late-drop semantics
+    are a different contract, pinned by the other streaming tests."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        distinct_users_sketch_stream,
+    )
+
+    events = table(spark, SF_SMALL, "events")
+    sentinel = events.agg(
+        F.lit(10**9).alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 45 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    batch = {
+        tuple(r)
+        for r in RELATIONAL["q_distinct_users_hll_rollup"][0]({"events": events})
+        .collect()
+    }
+
+    thirds = [
+        events.filter(F.col("event_id") % 3 == i).localCheckpoint() for i in range(3)
+    ]
+    for tag, order in (("forward", [0, 1, 2]), ("reversed", [2, 1, 0])):
+        src = str(tmp_path / f"src_{tag}")
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, part in enumerate(order):
+            thirds[part].coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+        # sentinel arrives LAST so it can only flush, never be flushed
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        for f in _glob.glob(_os.path.join(src, "*.parquet")):
+            if f not in seen:
+                _os.utime(f, (mtime_base + 10, mtime_base + 10))
+                seen.add(f)
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        # watermark wider than the 30-day data span: no row is ever
+        # late whatever the arrival order (late-drop semantics are
+        # pinned elsewhere; THIS test pins slicing invariance), and
+        # the +45d sentinel still flushes every real day
+        out = distinct_users_sketch_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_{tag}"),
+            ckpt,
+            watermark="40 days",
+            max_files_per_trigger=1,
+        )
+        got = {
+            tuple(r)
+            for r in out.filter(F.col("event_type") != "__sentinel__").collect()
+        }
+        n_batches = len(
+            [n for n in _os.listdir(_os.path.join(ckpt, "offsets")) if not n.startswith(".")]
+        )
+        assert got == batch, f"{tag} diverged from the batch rollup"
+        assert n_batches >= 3, f"{tag}: expected >= 3 micro-batches, got {n_batches}"
