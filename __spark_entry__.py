@@ -76,8 +76,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: q_epoch_roundtrip (already deferred last round) plus the four
 #: displaced above — are covered in-round by the parametrized pytest
 #: oracles and LEAD the r12 refresh together with the late-r11
-#: oracled ops text_top_ngrams_mg, docs_lm_perplexity, and
-#: q_customer_rfm (no front slots left; all pytest-oracled +
+#: oracled ops text_top_ngrams_mg, docs_lm_perplexity,
+#: q_customer_rfm, and docs_sample_to_budget (no front slots left;
+#: all pytest-oracled +
 #: validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of the
 #: oldest-r9 cohort.
 #: Rows-only r11 additions hold no front slots per the r8 rule:
@@ -93,6 +94,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: pinned superset-of-exact + planted recall + FP-bound in
 #: tests/test_llm_ops.py; q_distinct_users_hll_rollup is pinned
 #: lossless-merge (rollup == direct sketch) + exact-count band in
+#: tests/test_relational.py; q_user_overlap_hll is pinned to exact
+#: per-pair intersections within the documented union-scaled band in
 #: tests/test_relational.py.
 _DRIVER_FRONT = [
     # (a) r11 impl change (broadcast-hint removal)

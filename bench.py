@@ -139,6 +139,9 @@ DIRECT = [
     "docs_bloom_decontaminate",
     "q_distinct_users_hll_rollup",
     "q_customer_rfm",
+    # round-11 continuation: budgeted mixture cut + sketch overlap
+    "docs_sample_to_budget",
+    "q_user_overlap_hll",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

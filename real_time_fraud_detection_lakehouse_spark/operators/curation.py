@@ -395,6 +395,105 @@ def docs_mix_weights(t: Frames) -> DataFrame:
 SHUFFLE_EPOCHS = 2
 
 
+# --- deterministic sample-to-token-budget ------------------------------------
+#: token budget for the SAMPLED corpus cut — deliberately BELOW the
+#: smallest testdata corpus (~27k tokens at sf0.001/0.01, ~270k at
+#: sf0.1) so the per-source acceptance rates are non-vacuous (< 1) at
+#: every sf; a real run sets this to its training budget
+SAMPLE_BUDGET_TOKENS = 10_000
+#: second Knuth-family odd constant (xxhash32 PRIME2) — deliberately
+#: DIFFERENT from the split hash's 2654435761 so sample membership and
+#: train/test assignment are decorrelated hash functions of doc_id;
+#: same plain-BIGINT discipline: key reduced mod 2^31-1 first, max
+#: product (2^31-2) * 2246822519 ≈ 4.83e18 < 2^63-1, overflow-free
+#: under ANSI in both engines at every BIGINT doc_id
+_SAMPLE_MIX = 2246822519
+_SAMPLE_PRIME = 2147483647  # == dedup._SPLIT_PRIME (Mersenne 2^31-1)
+#: resolution of the per-doc uniform draw (1e-6 grid)
+_SAMPLE_RES = 1_000_000
+
+_SAMPLE_RATE_EXPR = (
+    f"LEAST(1.0, (pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})"
+    f" / SUM(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) OVER ())"
+    f" * {SAMPLE_BUDGET_TOKENS} / CAST(n_tokens AS DOUBLE))"
+)
+
+
+@_register(
+    "docs_sample_to_budget",
+    f"""
+    WITH per_source AS (
+      SELECT source, SUM(len({_TOKENS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, {dround_sql(_SAMPLE_RATE_EXPR, 6)} AS p_source
+      FROM per_source
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+           r.p_source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(((d.doc_id % {_SAMPLE_PRIME}) * {_SAMPLE_MIX}) % {_SAMPLE_RES}
+               AS DOUBLE) / {_SAMPLE_RES} < r.p_source
+    """,
+)
+def docs_sample_to_budget(t: Frames) -> DataFrame:
+    """Draw ONE deterministic corpus cut of ~SAMPLE_BUDGET_TOKENS
+    tokens mixed per the temperature weights — the materialized form
+    of ``docs_mix_weights``: that op plans the mixture (per-source
+    weights + epoch multipliers); this op actually EMITS the sampled
+    document set. Per source, the acceptance rate is
+    min(1, weight_s x budget / tokens_s); a document is in the cut iff
+    its doc-keyed uniform draw (plain-BIGINT multiplicative hash on
+    the 1e-6 grid — no RNG, no seed state) falls under its source's
+    rate. Expected sampled tokens per source = weight_s x budget
+    (exactly the loader contract), and the cut is REPRODUCIBLE across
+    runs, engines, and partitionings, which is what makes the oracle
+    an exact per-document assignment check rather than a proportions
+    band.
+
+    Scale design: one keyed partial-agg groupBy collapses the corpus
+    to |sources| token totals (the mix_weights plan); the rate table
+    is |sources| rows and broadcast-joins back; acceptance is a pure
+    codegen row predicate — one corpus scan, one tiny broadcast, no
+    corpus-sized shuffle. The sample hash reduces doc_id mod 2^31-1
+    BEFORE the Knuth multiply (the docs_split_leakage_safe overflow
+    discipline) and uses a DIFFERENT mix constant, so 100 TB doc-id
+    spaces neither overflow nor correlate sampling with the
+    train/test split."""
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(_tokens_col())).cast("long").alias("n_tokens"))
+    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    weight = raw / F.sum(raw).over(Window.partitionBy())
+    rates = per.select(
+        "source",
+        dround(
+            F.least(
+                F.lit(1.0),
+                weight
+                * F.lit(float(SAMPLE_BUDGET_TOKENS))
+                / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("p_source"),
+    )
+    u = (
+        ((F.col("doc_id") % F.lit(_SAMPLE_PRIME)) * F.lit(_SAMPLE_MIX))
+        % F.lit(_SAMPLE_RES)
+    ).cast("double") / F.lit(float(_SAMPLE_RES))
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.size(_tokens_col()).alias("n_tokens"))
+        .join(rates, "source")
+        .filter(u < F.col("p_source"))
+        .select("doc_id", "source", "n_tokens", "p_source")
+    )
+
+
 @_register(
     "docs_epoch_shuffle",
     f"""

@@ -584,6 +584,55 @@ def q_distinct_users_hll_rollup(t: Frames) -> DataFrame:
     )
 
 
+@_register("q_user_overlap_hll", None)
+def q_user_overlap_hll(t: Frames) -> DataFrame:
+    """Audience-overlap matrix from SKETCHES: for every event-type
+    pair, estimate how many users did BOTH — via inclusion-exclusion
+    over HLL sketches (|A∩B| ≈ |A| + |B| - |A∪B|, with the pairwise
+    union from the binary ``hll_union``). The question exact SQL
+    answers with a self-join + COUNT(DISTINCT) over the raw table —
+    per pair; this plan answers ALL pairs from one sketch per type.
+
+    Scale design: one corpus scan builds |types| sketches (map-side
+    partial agg); the pair matrix is a |types|² self-join over
+    few-KiB sketch rows — at 100 TB the raw table is touched ONCE
+    however many pairs the dashboard asks for, and the same persisted
+    sketches (see the rollup op) answer overlap, union, and distinct
+    questions without rescans. Inclusion-exclusion inherits ~3x the
+    single-sketch error (three estimates), so the pytest contract is
+    a wider band (union-scaled) vs the exact per-pair intersection —
+    the standard sketch-overlap tradeoff, documented rather than
+    hidden.
+
+    Rows-only: DuckDB has no Datasketches surface; estimates are
+    deterministic (register maxima), so driver rows are stable."""
+    per_type = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            est_a.alias("users_a"),
+            est_b.alias("users_b"),
+            est_union.alias("users_either"),
+            F.greatest(F.lit(0), est_a + est_b - est_union).alias("users_both_est"),
+        )
+    )
+
+
 # --- interpolated quantiles per group (A13 family, exact) -------------------
 @_register(
     "q_quantity_quantiles",

@@ -2003,3 +2003,47 @@ def test_bloom_decon_planted_recall_and_fp_bound(spark):
     fp_docs = sum(1 for d in out if d >= 2000)
     # 600 Bernoulli(p_doc) trials; allow 10x the expectation + 3 absolute
     assert fp_docs <= 600 * p_doc * 10 + 3, (fp_docs, p_doc)
+
+
+def test_sample_to_budget_hits_token_targets(spark, frames):
+    """The sampled cut's per-source token mass concentrates around
+    weight_s x budget (the loader contract); rates are in (0, 1];
+    the draw is deterministic (same cut twice); and sample membership
+    is DECORRELATED from the train/test split hash (different mix
+    constants — both splits of the sample stay near the 80/20
+    global rate)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        CURATION_OPS,
+        MIX_ALPHA,
+        SAMPLE_BUDGET_TOKENS,
+    )
+
+    out = CURATION_OPS["docs_sample_to_budget"][0](frames).collect()
+    assert out
+    again = CURATION_OPS["docs_sample_to_budget"][0](frames).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    totals = {
+        r["source"]: r["n_tokens"]
+        for r in frames["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+        .collect()
+    }
+    z = sum(v**MIX_ALPHA for v in totals.values())
+    sampled_tokens: dict[str, int] = {}
+    for r in out:
+        assert 0.0 < r["p_source"] <= 1.0, r
+        sampled_tokens[r["source"]] = sampled_tokens.get(r["source"], 0) + r["n_tokens"]
+    for src, tot in totals.items():
+        target = (tot**MIX_ALPHA / z) * SAMPLE_BUDGET_TOKENS
+        got = sampled_tokens.get(src, 0)
+        # Bernoulli sum over ~hundreds of docs: 3-sigma-ish band with
+        # an absolute floor for tiny targets
+        assert abs(got - min(target, tot)) <= max(0.5 * target, 600), (
+            src,
+            target,
+            got,
+        )

@@ -204,3 +204,30 @@ def test_rfm_banding_invariants_and_no_window(spark, frames):
     bands = Counter(r["r_score"] for r in rows)
     assert set(bands) == {1, 2, 3, 4}
     assert max(bands.values()) <= 0.5 * n, bands
+
+
+def test_user_overlap_hll_tracks_exact_intersections(spark, frames):
+    """Inclusion-exclusion overlap estimates track the exact per-pair
+    distinct-intersection within a union-scaled band (three HLL
+    estimates compound to ~3x single-sketch error; lgK=12 → ~1.6%
+    RSE each, 10% of the union is a comfortably safe band), and the
+    single-type estimates match the rollup op's numbers."""
+    from pyspark.sql import functions as F
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in RELATIONAL["q_user_overlap_hll"][0](frames).collect()
+    }
+    assert out
+    users: dict[str, set] = {}
+    for r in frames["events"].select("event_type", "user_id").distinct().collect():
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    for (ta, tb), r in out.items():
+        exact_both = len(users[ta] & users[tb])
+        exact_union = len(users[ta] | users[tb])
+        band = max(3, 0.10 * exact_union)
+        assert abs(r["users_both_est"] - exact_both) <= band, (
+            ta, tb, exact_both, r["users_both_est"], band,
+        )
+        assert abs(r["users_a"] - len(users[ta])) <= max(2, 0.05 * len(users[ta]))
+        assert r["users_either"] <= r["users_a"] + r["users_b"]
