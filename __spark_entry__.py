@@ -94,7 +94,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: pinned superset-of-exact + planted recall + FP-bound in
 #: tests/test_llm_ops.py; q_distinct_users_hll_rollup is pinned
 #: lossless-merge (rollup == direct sketch) + exact-count band in
-#: tests/test_relational.py; q_user_overlap_hll is pinned to exact
+#: tests/test_relational.py; multimodal_phash_dedup is pinned by the
+#: all-filter-types PNG decode contract + planted recall/precision in
+#: tests/test_ml.py; q_user_overlap_hll is pinned to exact
 #: per-pair intersections within the documented union-scaled band in
 #: tests/test_relational.py.
 _DRIVER_FRONT = [
@@ -303,6 +305,18 @@ def queries() -> dict[str, QueryFn]:
 
     q["ml_cv_grid"] = _ml_cv
     q["multimodal_features"] = _multimodal
+
+    # rows-only (binary pixel decode + perceptual hashing; no SQL
+    # analog): planted recall/precision + the all-filter-types PNG
+    # decode contract are pinned in tests/test_ml.py
+    def _multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+            multimodal_phash_dedup,
+        )
+
+        return multimodal_phash_dedup(spark, sf_dir)
+
+    q["multimodal_phash_dedup"] = _multimodal_phash
 
     # the user-facing SQL dialect surface: same daily_summary, but
     # through CREATE TEMP VIEW + spark.sql (F12) — shares the

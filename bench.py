@@ -142,6 +142,8 @@ DIRECT = [
     # round-11 continuation: budgeted mixture cut + sketch overlap
     "docs_sample_to_budget",
     "q_user_overlap_hll",
+    # round-11 continuation: real-pixel image near-dup dedup
+    "multimodal_phash_dedup",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

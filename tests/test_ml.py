@@ -311,3 +311,133 @@ def test_cv_grid_selects_exactly_one_winner(spark):
     assert winners[0]["avg_auc"] == max(r["avg_auc"] for r in rows)
     for r in rows:
         assert 0.0 < r["avg_auc"] <= 1.0
+
+
+def test_png_pixel_decode_all_filter_types():
+    """The pixel decoder reconstructs EVERY PNG spec filter type
+    (None/Sub/Up/Average/Paeth), not just the 0s our encoder emits —
+    hand-build a grayscale-8 PNG using one filter per scanline and
+    require bit-exact pixels; out-of-envelope payloads return None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    assert decode_png_pixels(b"not a png") is None
+    png = encode_png(20, 12, seed=5)
+    px = decode_png_pixels(png)
+    exp = np.array(
+        [[(5 + x + y) % 256 for x in range(20)] for y in range(12)], dtype=np.uint8
+    )
+    assert (px == exp).all()
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 6, 5
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w)).astype(np.int32)
+    rows, prev = [], np.zeros(w, dtype=np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        left_arr = np.concatenate([[0], cur[:-1]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left_arr) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = (cur - (left_arr + prev) // 2) & 0xFF
+        else:
+            enc = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                left = int(cur[x - 1]) if x else 0
+                up, ul = int(prev[x]), (int(prev[x - 1]) if x else 0)
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png2 = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png_pixels(png2) == img.astype(np.uint8)).all()
+    # interlaced / non-grayscale stay honestly out of envelope
+    ihdr_rgb = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png_rgb = PNG_SIGNATURE + chunk(b"IHDR", ihdr_rgb) + chunk(b"IEND", b"")
+    assert decode_png_pixels(png_rgb) is None
+
+
+def test_phash_dedup_planted_recall_and_precision(spark):
+    """Planted image set through the REAL decode → ahash → banded-join
+    pipeline: a structured image and its small perturbation pair up
+    (hamming <= radius); an unrelated image pairs with neither; the
+    banded candidate join finds the pair without all-pairs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PNG_SIGNATURE,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    def png_of(img):
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        h, w = img.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(img[y].tolist()) for y in range(h))
+        return (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(42)
+    base = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    pert = base.copy()
+    pert[0:2, 0:2] ^= 255  # one 8x8 cell nudged → tiny hamming
+    other = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(png_of(base)), {"width": 32, "height": 32, "duration_ms": 0}),
+        (2, "image", bytearray(png_of(pert)), {"width": 32, "height": 32, "duration_ms": 0}),
+        (3, "image", bytearray(png_of(other)), {"width": 32, "height": 32, "duration_ms": 0}),
+        (4, "audio", bytearray(b"RIFF"), {"width": 0, "height": 0, "duration_ms": 10}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert set(hashes) == {1, 2, 3}  # audio skipped, every PNG decoded
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(image_phash(media)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
