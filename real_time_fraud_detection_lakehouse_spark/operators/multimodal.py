@@ -407,25 +407,83 @@ def multimodal_features(spark: SparkSession, sf_dir: str | None = None) -> DataF
 RESIZE_SCHEMA = "media_id long, out_width int, out_height int, content binary"
 
 
+def area_resample(pixels, out_w: int, out_h: int):
+    """Area-mean downsample of a grayscale pixel matrix onto
+    (out_h, out_w): cell (r, c) is the mean of its source block
+    (integer boundaries (i*src)//out — the ahash grid, generalized).
+    Downscale/equal only (the resize geometry clips scale at 1.0)."""
+    import numpy as np
+
+    h, w = pixels.shape
+    rb = (np.arange(out_h + 1) * h) // out_h
+    cb = (np.arange(out_w + 1) * w) // out_w
+    px = pixels.astype(np.float64)
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for r in range(out_h):
+        band = px[rb[r] : rb[r + 1]]
+        for c in range(out_w):
+            out[r, c] = int(band[:, cb[c] : cb[c + 1]].mean() + 0.5)
+    return out
+
+
+def encode_png_pixels(pixels) -> bytes:
+    """Re-encode a grayscale uint8 matrix as a spec-valid PNG (filter
+    type 0 per scanline) — the write side of
+    :func:`decode_png_pixels`, sharing :func:`encode_png`'s chunk
+    layout."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(pixels[y].tolist()) for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize plumbing: computes the target geometry from metadata
-    (aspect-preserving fit into ``max_side``) and passes payloads
-    through an Arrow batch. The pixel resample itself is the stubbed
-    decode step (:func:`decode_stub`) — with PIL present, swap the
-    passthrough for ``Image.resize``; the schema, batching, and
-    geometry math are the real, tested parts."""
+    """Image resize: computes the target geometry from metadata
+    (aspect-preserving fit into ``max_side``), and for payloads inside
+    the decode envelope (grayscale-8 PNG) performs the REAL resample —
+    pixel decode → area-mean downsample → PNG re-encode, all stdlib +
+    numpy in one Arrow batch. Payloads outside the envelope (JPEG —
+    no DCT codec here) pass through with the computed geometry, the
+    honest fallback the module has always documented. Round-trip
+    (output decodes to exactly the target dims with area-mean pixel
+    values) is pinned in tests/test_ml.py."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             w = pdf["meta"].map(lambda m: m["width"])
             h = pdf["meta"].map(lambda m: m["height"])
             scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            out_w = (w * scale).astype(int).clip(lower=1)
+            out_h = (h * scale).astype(int).clip(lower=1)
+            content = []
+            for c, ow, oh in zip(pdf["content"], out_w, out_h):
+                px = decode_png_pixels(bytes(c))
+                if px is not None:
+                    content.append(
+                        encode_png_pixels(area_resample(px, int(ow), int(oh)))
+                    )
+                else:
+                    content.append(c)  # outside envelope: geometry-only
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "out_width": (w * scale).astype(int),
-                    "out_height": (h * scale).astype(int),
-                    "content": pdf["content"],  # decode_stub: real resample needs PIL
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "content": content,
                 }
             )
 

@@ -441,3 +441,46 @@ def test_phash_dedup_planted_recall_and_precision(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+def test_resize_real_resample_roundtrip(spark):
+    """The resize path is REAL inside the decode envelope: a
+    grayscale-8 PNG downsized to max_side decodes to exactly the
+    target dims with area-mean pixel values (numpy twin); JPEG rows
+    pass through with geometry only (the honest fallback)."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        area_resample,
+        decode_png_header,
+        decode_png_pixels,
+        resize_images,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, SF_SMALL)
+    originals = {
+        r["media_id"]: (bytes(r["content"]), r["meta"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    out = resize_images(media, max_side=16).collect()
+    assert out
+    checked_png = checked_jpeg = 0
+    for r in out:
+        orig, meta = originals[r["media_id"]]
+        src = decode_png_pixels(orig)
+        got = bytes(r["content"])
+        if src is not None:  # PNG: real resample
+            px = decode_png_pixels(got)
+            assert px is not None
+            assert px.shape == (r["out_height"], r["out_width"])
+            exp = area_resample(src, r["out_width"], r["out_height"])
+            assert (px == exp).all()
+            # downsized only when the source exceeded max_side
+            if max(meta["width"], meta["height"]) > 16:
+                assert max(r["out_width"], r["out_height"]) == 16
+            checked_png += 1
+        else:  # JPEG: passthrough with geometry
+            assert got == orig
+            checked_jpeg += 1
+    assert checked_png and checked_jpeg
