@@ -144,6 +144,8 @@ DIRECT = [
     "q_user_overlap_hll",
     # round-11 continuation: real-pixel image near-dup dedup
     "multimodal_phash_dedup",
+    # round-11 continuation: Pareto decile concentration
+    "q_revenue_concentration",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -3292,3 +3292,93 @@ def q_customer_rfm(t: Frames) -> DataFrame:
         band("monetary", "m").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+# --- revenue concentration (Pareto deciles, windowless banding) --------------
+@_register(
+    "q_revenue_concentration",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {dround_sql('SUM(o_totalprice)', 2)} AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(revenue, 0.1) AS q1, quantile_cont(revenue, 0.2) AS q2,
+             quantile_cont(revenue, 0.3) AS q3, quantile_cont(revenue, 0.4) AS q4,
+             quantile_cont(revenue, 0.5) AS q5, quantile_cont(revenue, 0.6) AS q6,
+             quantile_cont(revenue, 0.7) AS q7, quantile_cont(revenue, 0.8) AS q8,
+             quantile_cont(revenue, 0.9) AS q9
+      FROM per_cust
+    ),
+    banded AS (
+      SELECT revenue,
+             1 + CASE WHEN revenue > q1 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q2 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q3 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q4 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q5 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q6 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q7 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q8 THEN 1 ELSE 0 END
+               + CASE WHEN revenue > q9 THEN 1 ELSE 0 END AS decile
+      FROM per_cust CROSS JOIN b
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dround_sql('SUM(revenue)', 2)} AS revenue,
+           {_r4s('SUM(revenue) / SUM(SUM(revenue)) OVER ()')} AS revenue_share,
+           {_r4s('SUM(SUM(revenue)) OVER (ORDER BY decile DESC) / SUM(SUM(revenue)) OVER ()')}
+             AS cum_share_from_top
+    FROM banded GROUP BY decile
+    """,
+)
+def q_revenue_concentration(t: Frames) -> DataFrame:
+    """Revenue-concentration (Pareto) table: customers banded into
+    spend deciles, with each decile's headcount, revenue, revenue
+    share, and the cumulative share captured from the TOP decile down
+    — the "what fraction of revenue do our top 10/20/30% customers
+    carry" question every commercial dashboard asks.
+
+    Scale design: the q_customer_rfm technique — per-customer revenue
+    is one o_custkey-keyed partial-agg groupBy; the nine decile
+    boundaries are ONE 1-row percentile aggregate (reusing the same
+    exchange); banding is a broadcast-crossJoin comparison chain; and
+    the share/cumulative windows run over the TEN-row decile
+    aggregate, never over customers. No unpartitioned window ever
+    sees a corpus-sized frame (contrast: the naive
+    ``ntile(10) OVER (ORDER BY revenue)`` + running sum drags every
+    customer through one task)."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    bounds = per_cust.agg(
+        *[
+            F.percentile("revenue", i / 10.0).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("revenue") > F.col(f"q{i}"), 1).otherwise(0)
+    banded = per_cust.crossJoin(F.broadcast(bounds)).select(
+        decile.cast("int").alias("decile"), "revenue"
+    )
+    agg = banded.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        dround(F.sum("revenue"), 2).alias("revenue"),
+    )
+    total = Window.partitionBy()
+    from_top = Window.partitionBy().orderBy(F.desc("decile")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        _r4(F.col("revenue") / F.sum("revenue").over(total)).alias("revenue_share"),
+        _r4(
+            F.sum("revenue").over(from_top) / F.sum("revenue").over(total)
+        ).alias("cum_share_from_top"),
+    )
