@@ -96,7 +96,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: lossless-merge (rollup == direct sketch) + exact-count band in
 #: tests/test_relational.py; multimodal_phash_dedup is pinned by the
 #: all-filter-types PNG decode contract + planted recall/precision in
-#: tests/test_ml.py; q_user_overlap_hll is pinned to exact
+#: tests/test_ml.py; streaming_bloom_curation is pinned to
+#: exact-mode-minus-batch-bloom-flags under both arrival orders in
+#: tests/test_streaming_windows.py; q_user_overlap_hll is pinned to exact
 #: per-pair intersections within the documented union-scaled band in
 #: tests/test_relational.py.
 _DRIVER_FRONT = [
@@ -565,6 +567,36 @@ def queries() -> dict[str, QueryFn]:
         ).orderBy("fp")
 
     q["streaming_curation"] = _stream_curation
+
+    # rows-only: the constant-memory ingest gate — same pipeline with
+    # the Bloom-bitmap probe replacing the eval gram array (the ONE
+    # build/membership definition shared with docs_bloom_decontaminate).
+    # Admissions == exact mode MINUS the batch bloom op's flagged docs,
+    # pinned both arrival orders in tests/test_streaming_windows.py.
+    def _stream_bloom_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            curation_stream,
+            write_doc_stream_fixture,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="bloom_curation_stream_")
+        src = os.path.join(tmp, "src")
+        write_doc_stream_fixture(spark, sf_dir, src)
+        out = curation_stream(
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            decon_mode="bloom",
+        )
+        return out.select(
+            "fp", "n_tokens", "quality_score", "n_pii", "clean_fp"
+        ).orderBy("fp")
+
+    q["streaming_bloom_curation"] = _stream_bloom_curation
 
     # the streaming near-dup ingest gate (round 11, rows-only): exact
     # twins AND near-dups of the standing corpus gated at ingest via

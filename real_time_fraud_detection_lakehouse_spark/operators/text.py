@@ -1156,10 +1156,13 @@ def _bloom_pos(gram_col, seed: int):
     return F.pmod(F.xxhash64(gram_col, F.lit(seed)), F.lit(BLOOM_BITS))
 
 
-def _bloom_member(gram_col, bloom_col):
+def bloom_member(gram_col, bloom_col):
     """True iff every one of the k bloom bits for this gram is set —
     guaranteed true for every gram that was inserted (no false
-    negatives); false positives at the documented rate."""
+    negatives); false positives at the documented rate. THE membership
+    definition, shared by the batch gate below and the streaming
+    filter-at-ingest twin (streaming/curation.py) so both sides probe
+    identically by construction."""
     cond = None
     for seed in range(BLOOM_HASHES):
         pos = _bloom_pos(gram_col, seed)
@@ -1167,6 +1170,34 @@ def _bloom_member(gram_col, bloom_col):
         hit = F.call_function("getbit", word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         cond = hit if cond is None else (cond & hit)
     return cond
+
+
+def build_bloom_bitmap(eval_grams: DataFrame) -> list[int]:
+    """Insert a distinct-gram-hash frame (one ``gram`` bigint column)
+    into a fresh bloom bitmap and return it as a BLOOM_WORDS-long
+    Python list — THE build definition shared by the batch gate and
+    the streaming twin. The groupBy(word) bit_or reduces the k
+    positions per gram map-side; the collect is bounded by
+    BLOOM_WORDS (2^16 rows), scale-INVARIANT whatever the eval suite
+    grows to (the HWM-scalar collect class)."""
+    set_words = (
+        eval_grams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), s) for s in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # bounded: at most BLOOM_WORDS (2^16) rows, scale-invariant
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for row in set_words:
+        bitmap[row["w"]] = row["word"]
+    return bitmap
 
 
 @_register("docs_bloom_decontaminate", None)
@@ -1217,23 +1248,7 @@ def docs_bloom_decontaminate(t: Frames) -> DataFrame:
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    set_words = (
-        eval_grams.select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("gram"), s) for s in range(BLOOM_HASHES)])
-            ).alias("pos")
-        )
-        .select(
-            F.shiftright("pos", 6).alias("w"),
-            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()  # bounded: at most BLOOM_WORDS (2^16) rows, scale-invariant
-    )
-    bitmap = [0] * BLOOM_WORDS
-    for row in set_words:
-        bitmap[row["w"]] = row["word"]
+    bitmap = build_bloom_bitmap(eval_grams)
 
     spark = t["documents"].sparkSession
     bloom = spark.createDataFrame([(bitmap,)], "bloom array<bigint>")
@@ -1245,7 +1260,7 @@ def docs_bloom_decontaminate(t: Frames) -> DataFrame:
         .select(
             "doc_id",
             F.size(
-                F.filter("grams", lambda g: _bloom_member(g, F.col("bloom")))
+                F.filter("grams", lambda g: bloom_member(g, F.col("bloom")))
             ).cast("long").alias("bloom_hits"),
         )
         .filter(F.col("bloom_hits") > 0)

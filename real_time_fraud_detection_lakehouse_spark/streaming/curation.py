@@ -154,6 +154,7 @@ def curation_stream(
     watermark: str = "2 hours",
     eval_docs: DataFrame | None = _AUTO_EVAL,  # type: ignore[assignment]
     max_files_per_trigger: int | None = None,
+    decon_mode: str = "exact",
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
     availableNow (test/backfill trigger; production drops the trigger
@@ -170,6 +171,19 @@ def curation_stream(
     opt out into gates-only mode (mixed classes become
     arrival-defined — the documented foot-gun path, now requiring the
     explicit argument).
+
+    ``decon_mode="bloom"`` swaps the gram-overlap check for the
+    Bloom-bitmap probe (the ONE membership/build definition shared
+    with the batch gate, operators/text.py): the broadcast side
+    becomes a CONSTANT 512 KiB bitmap instead of the eval gram array
+    — the ingest gate's memory stops growing with the eval suite, at
+    the documented false-positive rate (a bloom-positive doc is
+    dropped; no false negatives, so nothing contaminated is ever
+    admitted). The exact-fp quarantine stays exact in both modes
+    (eval fingerprints are per-DOC, bounded). Stream-admitted set ==
+    exact-mode admissions MINUS the batch bloom op's flagged docs,
+    pinned under both arrival orders in
+    tests/test_streaming_windows.py.
 
     Scale design: the gates and the scrub accounting are stateless
     column math evaluated inside each micro-batch — zero state,
@@ -227,18 +241,59 @@ def curation_stream(
         & (F.col("en_hits") > 0)
         & (F.col("source") != DECON_EVAL_SOURCE)
     )
+    if decon_mode not in ("exact", "bloom"):
+        raise ValueError(f"decon_mode must be 'exact' or 'bloom', got {decon_mode!r}")
     if eval_docs is not None:
-        stream = (
-            stream.crossJoin(F.broadcast(eval_gate_row(eval_docs)))
-            .filter(
-                ~F.array_contains("eval_fps", F.col("fp"))
-                & (
-                    (F.col("_n_toks") < DECON_GRAM)
-                    | ~F.arrays_overlap("gram_hashes", "eval_grams")
-                )
+        if decon_mode == "bloom":
+            from real_time_fraud_detection_lakehouse_spark.operators.text import (
+                bloom_member,
+                build_bloom_bitmap,
             )
-            .drop("eval_grams", "eval_fps")
-        )
+
+            toks_e = _tokens_col()
+            th_e = F.transform(toks_e, lambda x: F.xxhash64(x))
+            eval_grams = (
+                eval_docs.filter(F.size(toks_e) >= DECON_GRAM)
+                .select(F.explode(decon_gram_hashes(th_e)).alias("gram"))
+                .distinct()
+            )
+            bitmap = build_bloom_bitmap(eval_grams)
+            fps = eval_docs.select(curation_columns()["fp"].alias("fp")).agg(
+                F.coalesce(
+                    F.sort_array(F.collect_set("fp")), F.array().cast("array<string>")
+                ).alias("eval_fps")
+            )
+            # 1-row bloom frame (not a 2^16-element literal in the
+            # expression tree — the batch gate's createDataFrame idiom)
+            gate = fps.crossJoin(
+                spark.createDataFrame([(bitmap,)], "bloom array<bigint>")
+            )
+            stream = (
+                stream.crossJoin(F.broadcast(gate))
+                .filter(
+                    ~F.array_contains("eval_fps", F.col("fp"))
+                    & (
+                        (F.col("_n_toks") < DECON_GRAM)
+                        | ~F.exists(
+                            "gram_hashes",
+                            lambda g: bloom_member(g, F.col("bloom")),
+                        )
+                    )
+                )
+                .drop("bloom", "eval_fps")
+            )
+        else:
+            stream = (
+                stream.crossJoin(F.broadcast(eval_gate_row(eval_docs)))
+                .filter(
+                    ~F.array_contains("eval_fps", F.col("fp"))
+                    & (
+                        (F.col("_n_toks") < DECON_GRAM)
+                        | ~F.arrays_overlap("gram_hashes", "eval_grams")
+                    )
+                )
+                .drop("eval_grams", "eval_fps")
+            )
     stream = stream.drop("gram_hashes", "_n_toks")
     q = (
         stream.writeStream.format("parquet")

@@ -858,3 +858,66 @@ def test_streaming_distinct_hll_matches_batch_rollup_both_orders(spark, tmp_path
         )
         assert got == batch, f"{tag} diverged from the batch rollup"
         assert n_batches >= 3, f"{tag}: expected >= 3 micro-batches, got {n_batches}"
+
+
+def test_streaming_bloom_curation_equals_exact_minus_bloom_flags(spark, tmp_path):
+    """decon_mode='bloom' admits exactly the exact-mode admissions
+    minus the docs the BATCH bloom op flags (no false negatives ⇒
+    nothing the exact gate drops survives; bloom false positives are
+    the only extra drops, and the batch op names them) — under both
+    arrival orders."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        curation_stream,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    bloom_flagged = {
+        r["doc_id"]
+        for r in TEXT_OPS["docs_bloom_decontaminate"][0]({"documents": docs}).collect()
+    }
+
+    stamped = docs.withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    )
+    halves = [
+        stamped.filter(F.col("doc_id") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    for tag, order in (("forward", [0, 1]), ("reversed", [1, 0])):
+        src = str(tmp_path / f"src_{tag}")
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, part in enumerate(order):
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+        exact = curation_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_exact_{tag}"),
+            str(tmp_path / f"ckpt_exact_{tag}"),
+            max_files_per_trigger=1,
+        )
+        bloom = curation_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_bloom_{tag}"),
+            str(tmp_path / f"ckpt_bloom_{tag}"),
+            max_files_per_trigger=1,
+            decon_mode="bloom",
+        )
+        exact_ids = {r["doc_id"] for r in exact.collect()}
+        bloom_ids = {r["doc_id"] for r in bloom.collect()}
+        assert bloom_ids == exact_ids - bloom_flagged, tag
+        # and with this fixture's bloom load the FP cost is zero or tiny
+        assert len(exact_ids - bloom_ids) <= max(3, 0.01 * len(exact_ids)), tag
