@@ -142,9 +142,13 @@ DIRECT = [
     # round-11 continuation: budgeted mixture cut + sketch overlap
     "docs_sample_to_budget",
     "q_user_overlap_hll",
-    # round-11 continuation: real-pixel image near-dup dedup
-    "multimodal_phash_dedup",
     # round-11 continuation: Pareto decile concentration
+    # (multimodal_phash_dedup is deliberately NOT timed here — the
+    # text_bpe_merges_512 precedent: the Python decode kernel costs
+    # ~14 s at sf0.1 (isolated min-of-2, recorded in COVERAGE.md) and
+    # timing a demo kernel twice would grow the suite for no plan
+    # signal; the DIRECT loop hard-errors on names with no builder so
+    # nothing can silently skip again)
     "q_revenue_concentration",
 ]
 
@@ -353,14 +357,30 @@ def main() -> None:
         # entries: bounds the monotone heap wear that inflated
         # late-phase timings (see FRESH_EVERY note).
         ops = {**RELATIONAL, **LLM_OPS}
-        timed_direct = [n for n in DIRECT if n in ops]
+        # (spark, sf_dir)-style entries that live outside the frame
+        # registries (multimodal synth pipeline). Timed explicitly —
+        # a DIRECT name in neither table is a hard error, not a silent
+        # skip (the no-silent-caps rule).
+        from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+            multimodal_phash_dedup,
+        )
+
+        spark_sf_ops = {"multimodal_phash_dedup": multimodal_phash_dedup}
+        missing = [n for n in DIRECT if n not in ops and n not in spark_sf_ops]
+        if missing:
+            raise RuntimeError(f"DIRECT entries with no builder: {missing}")
         frames = None
-        for i, name in enumerate(timed_direct):
+        for i, name in enumerate(DIRECT):
             if i % FRESH_EVERY == 0:
                 spark = _fresh_session(spark, f"bench-direct-{i // FRESH_EVERY}")
                 frames = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
-            builder, _ = ops[name]
-            timings[name] = _timed(lambda: builder(frames))
+            if name in spark_sf_ops:
+                fn = spark_sf_ops[name]
+                sess = spark
+                timings[name] = _timed(lambda: fn(sess, SF_DIR))
+            else:
+                builder, _ = ops[name]
+                timings[name] = _timed(lambda: builder(frames))
 
         # --- phase 4: streaming exactly-once dedup micro-bench
         # (source setup excluded; timed part = the AvailableNow stream
