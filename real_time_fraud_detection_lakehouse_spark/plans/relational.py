@@ -584,6 +584,40 @@ def q_distinct_users_hll_rollup(t: Frames) -> DataFrame:
     )
 
 
+@_register(
+    "q_user_overlap_exact",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS users_both
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_user_overlap_exact(t: Frames) -> DataFrame:
+    """Exact audience-overlap anchor for the HLL twin below: distinct
+    (type, user) pairs self-joined on user, one count per type pair.
+
+    Scale class (why the sketch twin exists): the distinct projection
+    and the self-join both shuffle on user_id — corpus-sized — and the
+    join fans out (types-per-user choose 2) rows per user; every new
+    pair question re-pays that scan+shuffle. Keyed and bounded (never
+    all-pairs over users), so it is an honest exact path, but at
+    100 TB the sketch twin answers ALL pairs from one scan's few-KiB
+    sketches. Oracled exactly; the sketch op's band test measures
+    against this anchor."""
+    tu = t["events"].select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    return (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("users_both"))
+    )
+
+
 @_register("q_user_overlap_hll", None)
 def q_user_overlap_hll(t: Frames) -> DataFrame:
     """Audience-overlap matrix from SKETCHES: for every event-type

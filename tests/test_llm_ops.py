@@ -2047,3 +2047,52 @@ def test_sample_to_budget_hits_token_targets(spark, frames):
             target,
             got,
         )
+
+
+def test_sample_to_budget_survives_huge_doc_ids_ansi_both_engines(spark, tmp_path):
+    """The sampler's uniform draw uses the same reduce-then-multiply
+    discipline as the split hash (different Knuth constant): the key
+    reduces mod 2^31-1 BEFORE the multiply, so the product stays
+    inside int64 for EVERY BIGINT doc_id. Exercised at ids from 2^33
+    to Long.MAX, exact per-document assignment equality against the
+    registered DuckDB oracle under ANSI in both engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        CURATION_OPS,
+        docs_sample_to_budget,
+    )
+    from tests.conftest import compare_frames
+
+    big_ids = [
+        2**33,
+        2**33 + 1,
+        3_470_000_000 + 7,   # the raw-multiply wrap boundary
+        2**40 + 123,
+        2**52 + 7,
+        2**62 + 11,
+        9223372036854775807,  # Long.MAX
+    ]
+    rows = [
+        (i, "en", f"src{k % 3}", " ".join(f"tok{j:02d}" for j in range(40)))
+        for k, i in enumerate(big_ids)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        out = docs_sample_to_budget({"documents": spark.read.parquet(pq)})
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+        )
+        compare_frames(out, con.sql(CURATION_OPS["docs_sample_to_budget"][1]))
+        con.close()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
