@@ -671,10 +671,13 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_top_ngrams"] = _stream_top_ngrams
 
-    # rows-only (binary HLL state; no SQL analog): the emitted daily
-    # sketches merge to the batch rollup's rows EXACTLY (register
-    # maxima commute across any micro-batch slicing) — pinned under
-    # both arrival orders in tests/test_streaming_windows.py
+    # rows-only (binary HLL state; no SQL analog): each EMITTED day's
+    # sketch merges to the batch value EXACTLY (register maxima
+    # commute across any micro-batch slicing — pinned under both
+    # arrival orders in tests/test_streaming_windows.py with a
+    # sentinel-flushed fixture); per append semantics this entry's
+    # rollup covers the FINALIZED days — the trailing watermark
+    # horizon is withheld in state, like every append stream here
     def _stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

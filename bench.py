@@ -357,16 +357,10 @@ def main() -> None:
         # entries: bounds the monotone heap wear that inflated
         # late-phase timings (see FRESH_EVERY note).
         ops = {**RELATIONAL, **LLM_OPS}
-        # (spark, sf_dir)-style entries that live outside the frame
-        # registries (multimodal synth pipeline). Timed explicitly —
-        # a DIRECT name in neither table is a hard error, not a silent
-        # skip (the no-silent-caps rule).
-        from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
-            multimodal_phash_dedup,
-        )
-
-        spark_sf_ops = {"multimodal_phash_dedup": multimodal_phash_dedup}
-        missing = [n for n in DIRECT if n not in ops and n not in spark_sf_ops]
+        # a DIRECT name with no registry builder is a HARD error, not a
+        # silent skip (the no-silent-caps rule — multimodal_phash_dedup
+        # briefly hit that skip as an entry-closure op invisible here)
+        missing = [n for n in DIRECT if n not in ops]
         if missing:
             raise RuntimeError(f"DIRECT entries with no builder: {missing}")
         frames = None
@@ -374,13 +368,8 @@ def main() -> None:
             if i % FRESH_EVERY == 0:
                 spark = _fresh_session(spark, f"bench-direct-{i // FRESH_EVERY}")
                 frames = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
-            if name in spark_sf_ops:
-                fn = spark_sf_ops[name]
-                sess = spark
-                timings[name] = _timed(lambda: fn(sess, SF_DIR))
-            else:
-                builder, _ = ops[name]
-                timings[name] = _timed(lambda: builder(frames))
+            builder, _ = ops[name]
+            timings[name] = _timed(lambda: builder(frames))
 
         # --- phase 4: streaming exactly-once dedup micro-bench
         # (source setup excluded; timed part = the AvailableNow stream

@@ -49,19 +49,23 @@ FEATURE_SCHEMA = (
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length + type + payload + CRC — THE layout
+    definition shared by both encoders."""
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
 def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     """Minimal spec-valid 8-bit grayscale PNG encoder (pure Python:
     struct + zlib, both stdlib). Deterministic pixel ramp from
     ``seed`` so fixtures are stable across runs. Used to give the
     synth table REAL image payloads for the working decode path."""
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
+    chunk = _png_chunk
 
     # IHDR: width, height, bit depth 8, color type 0 (grayscale),
     # compression 0, filter 0, interlace 0
@@ -430,16 +434,8 @@ def encode_png_pixels(pixels) -> bytes:
     """Re-encode a grayscale uint8 matrix as a spec-valid PNG (filter
     type 0 per scanline) — the write side of
     :func:`decode_png_pixels`, sharing :func:`encode_png`'s chunk
-    layout."""
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
+    layout (one ``_png_chunk`` definition)."""
+    chunk = _png_chunk
     h, w = pixels.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     raw = b"".join(b"\x00" + bytes(pixels[y].tolist()) for y in range(h))
@@ -464,25 +460,34 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w = pdf["meta"].map(lambda m: m["width"])
-            h = pdf["meta"].map(lambda m: m["height"])
-            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
-            out_w = (w * scale).astype(int).clip(lower=1)
-            out_h = (h * scale).astype(int).clip(lower=1)
-            content = []
-            for c, ow, oh in zip(pdf["content"], out_w, out_h):
+            out_ws, out_hs, content = [], [], []
+            for c, meta in zip(pdf["content"], pdf["meta"]):
                 px = decode_png_pixels(bytes(c))
                 if px is not None:
-                    content.append(
-                        encode_png_pixels(area_resample(px, int(ow), int(oh)))
-                    )
+                    # AUTHORITATIVE dims are the decoded payload's, not
+                    # the metadata's (they are independent fields; a
+                    # lying meta must not drive the resample — review
+                    # finding: meta-derived targets wider than the real
+                    # image NaN-crash area_resample)
+                    h, w = px.shape
                 else:
-                    content.append(c)  # outside envelope: geometry-only
+                    w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h, 1))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                if px is not None and (oh, ow) != px.shape:
+                    content.append(encode_png_pixels(area_resample(px, ow, oh)))
+                else:
+                    # outside envelope (geometry-only) or no-op resize
+                    # (already within max_side): pass bytes through —
+                    # no pointless inflate/resample/deflate cycle
+                    content.append(c)
+                out_ws.append(ow)
+                out_hs.append(oh)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "out_width": out_w,
-                    "out_height": out_h,
+                    "out_width": out_ws,
+                    "out_height": out_hs,
                     "content": content,
                 }
             )
@@ -534,26 +539,33 @@ def decode_png_pixels(content: bytes):
 
     if len(content) < 24 or bytes(content[:8]) != PNG_SIGNATURE:
         return None
-    pos, width, height, idat = 8, None, None, b""
-    data = bytes(content)
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        typ = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if typ == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8 or color != 0 or interlace != 0:
-                return None  # outside the honest decode envelope
-        elif typ == b"IDAT":
-            idat += payload
-        elif typ == b"IEND":
-            break
-        pos += 12 + length  # len + type + payload + crc
-    if not width or not height or not idat:
+    # MALFORMED payloads (truncated IHDR, corrupt deflate stream, lying
+    # chunk lengths) must return None per the contract, not abort the
+    # whole Arrow batch — an ingest gate survives truncated uploads
+    # (review finding, pinned in tests/test_ml.py)
+    try:
+        pos, width, height, idat = 8, None, None, b""
+        data = bytes(content)
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            if typ == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8 or color != 0 or interlace != 0:
+                    return None  # outside the honest decode envelope
+            elif typ == b"IDAT":
+                idat += payload
+            elif typ == b"IEND":
+                break
+            pos += 12 + length  # len + type + payload + crc
+        if not width or not height or not idat:
+            return None
+        raw = zlib.decompress(idat)
+    except (struct.error, zlib.error, OverflowError, MemoryError):
         return None
-    raw = zlib.decompress(idat)
     stride = width + 1  # leading filter byte per scanline
     if len(raw) != stride * height:
         return None
@@ -593,7 +605,15 @@ def ahash64(pixels) -> int:
     """64-bit average hash: area-mean the image onto an 8x8 grid,
     set bit (r*8+c) iff the cell mean exceeds the grid mean. The
     classic perceptual hash — stable under resizing and small local
-    edits, so near-duplicate images land within a few bits."""
+    edits, so near-duplicate images land within a few bits.
+
+    Sub-8-pixel dimensions: every cell's block is forced non-empty
+    (``max(lo+1, hi)``, blocks then overlap — nearest-neighbor
+    upsampling in effect), so a 4-pixel-tall image hashes on its
+    CONTENT; the naive floor grid leaves half the slices empty there,
+    NaN-means every cell, and collapses all such images to hash 0 —
+    a false exact-dup clique (review finding, pinned in
+    tests/test_ml.py)."""
     import numpy as np
 
     h, w = pixels.shape
@@ -602,8 +622,10 @@ def ahash64(pixels) -> int:
     cells = np.empty((8, 8), dtype=np.float64)
     px = pixels.astype(np.float64)
     for r in range(8):
+        r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
         for c in range(8):
-            cells[r, c] = px[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()
+            c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
+            cells[r, c] = px[r0:r1, c0:c1].mean()
     bits = (cells > cells.mean()).flatten()
     val = 0
     for i, b in enumerate(bits):

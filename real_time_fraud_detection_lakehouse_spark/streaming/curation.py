@@ -114,6 +114,30 @@ def write_doc_stream_fixture(
     return docs.count() * replays
 
 
+def eval_gram_frame(eval_docs: DataFrame) -> DataFrame:
+    """Distinct eval gram hashes as one ``gram`` column — THE eval-side
+    gram derivation, shared by the exact array gate, the bloom-bitmap
+    build, and (via the same ``decon_gram_hashes``) the batch ops."""
+    toks = _tokens_col()
+    th = F.transform(toks, lambda x: F.xxhash64(x))
+    return (
+        eval_docs.filter(F.size(toks) >= DECON_GRAM)
+        .select(F.explode(decon_gram_hashes(th)).alias("gram"))
+        .distinct()
+    )
+
+
+def eval_fp_row(eval_docs: DataFrame) -> DataFrame:
+    """ONE row holding the sorted distinct eval fingerprint array —
+    the exact-duplicate quarantine's broadcast side, shared by both
+    decon modes (fingerprints are per-DOC, bounded by the eval set)."""
+    return eval_docs.select(curation_columns()["fp"].alias("fp")).agg(
+        F.coalesce(
+            F.sort_array(F.collect_set("fp")), F.array().cast("array<string>")
+        ).alias("eval_fps")
+    )
+
+
 def eval_gate_row(eval_docs: DataFrame) -> DataFrame:
     """Collapse a STATIC eval-benchmark document set to ONE row holding
     the sorted distinct gram-hash array (decontamination) AND the
@@ -121,21 +145,14 @@ def eval_gate_row(eval_docs: DataFrame) -> DataFrame:
     the broadcast side of both streaming eval gates. Eval sets are
     small by definition (a benchmark, not a corpus), so both arrays
     are bounded the same way docs_strip_boilerplate's fset is; rebuilt
-    on benchmark release, not per micro-batch."""
-    toks = _tokens_col()
-    th = F.transform(toks, lambda x: F.xxhash64(x))
-    grams = (
-        eval_docs.filter(F.size(toks) >= DECON_GRAM)
-        .select(F.explode(decon_gram_hashes(th)).alias("gram"))
-        .agg(F.sort_array(F.collect_set("gram")).alias("eval_grams"))
+    on benchmark release, not per micro-batch. Composed from the
+    shared halves above."""
+    grams = eval_gram_frame(eval_docs).agg(
+        F.coalesce(
+            F.sort_array(F.collect_set("gram")), F.array().cast("array<bigint>")
+        ).alias("eval_grams")
     )
-    fps = eval_docs.select(curation_columns()["fp"].alias("fp")).agg(
-        F.sort_array(F.collect_set("fp")).alias("eval_fps")
-    )
-    return grams.crossJoin(fps).select(
-        F.coalesce("eval_grams", F.array().cast("array<bigint>")).alias("eval_grams"),
-        F.coalesce("eval_fps", F.array().cast("array<string>")).alias("eval_fps"),
-    )
+    return grams.crossJoin(eval_fp_row(eval_docs))
 
 
 #: default sentinel: derive the eval set from the source's own
@@ -250,22 +267,10 @@ def curation_stream(
                 build_bloom_bitmap,
             )
 
-            toks_e = _tokens_col()
-            th_e = F.transform(toks_e, lambda x: F.xxhash64(x))
-            eval_grams = (
-                eval_docs.filter(F.size(toks_e) >= DECON_GRAM)
-                .select(F.explode(decon_gram_hashes(th_e)).alias("gram"))
-                .distinct()
-            )
-            bitmap = build_bloom_bitmap(eval_grams)
-            fps = eval_docs.select(curation_columns()["fp"].alias("fp")).agg(
-                F.coalesce(
-                    F.sort_array(F.collect_set("fp")), F.array().cast("array<string>")
-                ).alias("eval_fps")
-            )
+            bitmap = build_bloom_bitmap(eval_gram_frame(eval_docs))
             # 1-row bloom frame (not a 2^16-element literal in the
             # expression tree — the batch gate's createDataFrame idiom)
-            gate = fps.crossJoin(
+            gate = eval_fp_row(eval_docs).crossJoin(
                 spark.createDataFrame([(bitmap,)], "bloom array<bigint>")
             )
             stream = (

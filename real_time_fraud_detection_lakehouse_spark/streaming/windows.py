@@ -318,10 +318,17 @@ def distinct_users_sketch_stream(
     every later rollup (any date range, any type subset) is a merge
     over KiB-size sketch rows. Same-lgK HLL union is LOSSLESS and
     register-maxima commute, so however the stream slices arrivals
-    into micro-batches, the merged registers — and therefore the
-    estimate — equal the batch single-pass sketch bit-for-bit; pinned
-    row-for-row against the batch rollup under both arrival orders in
-    tests/test_streaming_windows.py.
+    into micro-batches, each EMITTED day's sketch — and any merge
+    over them — equals the batch single-pass sketch bit-for-bit;
+    pinned row-for-row against the batch rollup under both arrival
+    orders in tests/test_streaming_windows.py (the test widens the
+    watermark past the fixture span and flushes with a far-future
+    sentinel so every day emits). Standard append semantics
+    otherwise: days still inside the trailing watermark horizon at
+    end-of-stream stay in state and are NOT yet in the output — the
+    hourly_metrics_stream finalized-windows contract — so the default
+    entry's rollup covers the FINALIZED days, not the last ~watermark
+    of them.
 
     Output: (event_type, rollup_distinct_users, n_daily_sketches,
     events) — the batch rollup's exact schema."""

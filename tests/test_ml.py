@@ -484,3 +484,90 @@ def test_resize_real_resample_roundtrip(spark):
             assert got == orig
             checked_jpeg += 1
     assert checked_png and checked_jpeg
+
+
+def test_ahash_sub8px_images_hash_on_content():
+    """Review fix: sub-8-pixel dimensions force non-empty (overlapping)
+    grid blocks, so tiny images hash on CONTENT — two different
+    4-pixel-tall images must NOT collide at hash 0 (the naive floor
+    grid NaN'd half the cells and collapsed them all to 0)."""
+    import warnings
+
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        ahash64,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (4, 16)).astype(np.uint8)
+    b = rng.randint(0, 256, (4, 16)).astype(np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN-mean would raise here
+        ha, hb = ahash64(a), ahash64(b)
+    assert ha != hb
+    # and the synth fixture's own 4-tall ramps differ by seed too
+    r1 = ahash64(decode_png_pixels(encode_png(16, 4, seed=0)))
+    r2 = ahash64(decode_png_pixels(encode_png(16, 4, seed=77)))
+    assert (r1, r2) != (0, 0)
+
+
+def test_png_decode_malformed_returns_none():
+    """Review fix: malformed payloads behind a valid signature return
+    None per the contract instead of raising and killing the Arrow
+    batch — truncated IHDR, corrupt deflate, lying chunk length."""
+    import zlib
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    assert decode_png_pixels(PNG_SIGNATURE + _png_chunk(b"IHDR", b"\x00" * 5)) is None
+    good = encode_png(8, 8, seed=1)
+    # corrupt the IDAT payload bytes (valid structure, bad deflate)
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 4 : idat_at + 10] = b"\xff" * 6
+    assert decode_png_pixels(bytes(corrupt)) is None
+    # chunk length pointing past the buffer
+    lying = PNG_SIGNATURE + b"\xff\xff\xff\xf0IHDR"
+    assert decode_png_pixels(lying) is None
+    # zlib stream that inflates to the wrong scanline size
+    import struct as _struct
+
+    bad_raw = PNG_SIGNATURE + _png_chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5)) + _png_chunk(b"IEND", b"")
+    assert decode_png_pixels(bad_raw) is None
+
+
+def test_resize_survives_lying_metadata(spark):
+    """Review fix: the resample target derives from the DECODED
+    payload's dims (authoritative), not the metadata — a meta claiming
+    64x64 over a real 16x8 PNG must resize from the real pixels, not
+    NaN-crash; and an already-small PNG passes through byte-identical
+    (no pointless re-encode)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_images,
+    )
+
+    rows = [
+        # lying meta: real payload is 16x8
+        (1, "image", bytearray(encode_png(16, 8, seed=1)),
+         {"width": 64, "height": 64, "duration_ms": 0}),
+        # already within max_side: expect byte-identical passthrough
+        (2, "image", bytearray(encode_png(8, 4, seed=2)),
+         {"width": 8, "height": 4, "duration_ms": 0}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=8).collect()}
+    assert (out[1]["out_width"], out[1]["out_height"]) == (8, 4)  # from real dims
+    assert bytes(out[2]["content"]) == bytes(encode_png(8, 4, seed=2))
+    assert (out[2]["out_width"], out[2]["out_height"]) == (8, 4)
