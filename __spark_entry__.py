@@ -77,8 +77,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: displaced above — are covered in-round by the parametrized pytest
 #: oracles and LEAD the r12 refresh together with the late-r11
 #: oracled ops text_top_ngrams_mg, docs_lm_perplexity,
-#: q_customer_rfm, docs_sample_to_budget, q_revenue_concentration, and
-#: q_user_overlap_exact (no front slots left; all pytest-oracled +
+#: q_customer_rfm, docs_sample_to_budget, q_revenue_concentration,
+#: q_user_overlap_exact, and docs_sample_epochs (no front slots left;
+#: all pytest-oracled +
 #: validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of the
 #: oldest-r9 cohort.
 #: Rows-only r11 additions hold no front slots per the r8 rule:

@@ -1200,3 +1200,112 @@ def docs_token_budget_report(t: Frames) -> DataFrame:
 
 
 CURATION_OPS["docs_token_budget_report"] = (docs_token_budget_report, _token_budget_sql())
+
+
+# --- epoch-expanded mixture materialization (upsampling side) ----------------
+#: token budget for the EPOCH-expanded cut — deliberately ABOVE the
+#: small-sf corpus (~27k tokens) so rare sources get rate > 1 (real
+#: upsampling: whole epochs + a Bernoulli remainder) while at sf0.1
+#: (~270k tokens) every rate is < 1 (pure downsampling) — both
+#: regimes exercise across the testdata SFs
+EPOCH_BUDGET_TOKENS = 60_000
+
+_EPOCH_RATE_EXPR = (
+    f"(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})"
+    f" / SUM(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) OVER ())"
+    f" * {EPOCH_BUDGET_TOKENS} / CAST(n_tokens AS DOUBLE)"
+)
+
+
+@_register(
+    "docs_sample_epochs",
+    f"""
+    WITH per_source AS (
+      SELECT source, SUM(len({_TOKENS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, {dround_sql(_EPOCH_RATE_EXPR, 6)} AS rate
+      FROM per_source
+    ),
+    perdoc AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+             r.rate,
+             CAST(FLOOR(r.rate) AS INTEGER)
+               + CASE WHEN CAST(((d.doc_id % {_SAMPLE_PRIME}) * {_SAMPLE_MIX})
+                            % {_SAMPLE_RES} AS DOUBLE) / {_SAMPLE_RES}
+                      < r.rate - FLOOR(r.rate)
+                      THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(unnest(generate_series(0, copies - 1)) AS INTEGER) AS epoch
+    FROM perdoc WHERE copies > 0
+    """,
+)
+def docs_sample_epochs(t: Frames) -> DataFrame:
+    """The UPSAMPLING half of mixture materialization: per source the
+    uncapped rate weight_s x budget / tokens_s may exceed 1 (rare
+    domains repeat across epochs — exactly what a mixture loader does
+    when ``epochs_at_budget`` > 1); each document expands to
+    floor(rate) whole copies plus one more iff its uniform draw falls
+    under the fractional remainder — so expected sampled tokens per
+    source = weight_s x budget with INTEGER epoch indices a loader
+    can consume ((doc_id, epoch) rows, epoch-distinct by
+    construction). ``docs_sample_to_budget`` is the rate<=1 special
+    case of this op (one copy at probability rate); this one is
+    registered separately because its output GRAIN differs (multiset
+    vs subset).
+
+    Scale design: the mix_weights plan again — one keyed partial-agg,
+    a |sources|-row broadcast, then a pure codegen copies expression
+    and an explode whose fan-out is the epoch multiplier (bounded by
+    budget/tokens_rarest, a config property, not data-dependent
+    blowup). The uniform draw is the sampler hash (reduce mod 2^31-1
+    then Knuth multiply — overflow-free at every BIGINT doc_id); the
+    rate is dround-6'd BEFORE floor/remainder on BOTH engines so the
+    whole-epoch count can't flip on a cross-engine ulp at integer
+    boundaries. Spark's ``sequence`` infers a NEGATIVE step when
+    start > stop (sequence(0, -1) = [0, -1], not empty!), so
+    copies=0 is guarded to an explicit empty array rather than
+    relying on the SQL generate_series convention."""
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(_tokens_col())).cast("long").alias("n_tokens"))
+    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    weight = raw / F.sum(raw).over(Window.partitionBy())
+    rates = per.select(
+        "source",
+        dround(
+            weight
+            * F.lit(float(EPOCH_BUDGET_TOKENS))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        ((F.col("doc_id") % F.lit(_SAMPLE_PRIME)) * F.lit(_SAMPLE_MIX))
+        % F.lit(_SAMPLE_RES)
+    ).cast("double") / F.lit(float(_SAMPLE_RES))
+    copies = (
+        F.floor("rate").cast("int")
+        + F.when(u < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+    ).alias("copies")
+    perdoc = (
+        t["documents"]
+        .select("doc_id", "source", F.size(_tokens_col()).alias("n_tokens"))
+        .join(rates, "source")
+        .select("doc_id", "source", "n_tokens", copies)
+    )
+    epochs = F.when(
+        F.col("copies") > 0, F.sequence(F.lit(0), F.col("copies") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return perdoc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(epochs).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("int"))

@@ -2096,3 +2096,63 @@ def test_sample_to_budget_survives_huge_doc_ids_ansi_both_engines(spark, tmp_pat
         con.close()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_sample_epochs_upsamples_and_hits_targets(spark, frames):
+    """At the small-sf corpus the epoch budget exceeds total tokens,
+    so at least one source upsamples (epoch >= 1 rows exist) and every
+    doc of an upsampling source appears in ALL its whole epochs; the
+    per-source sampled token mass concentrates around
+    weight_s x budget; the expansion is deterministic."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        CURATION_OPS,
+        EPOCH_BUDGET_TOKENS,
+        MIX_ALPHA,
+    )
+
+    out = CURATION_OPS["docs_sample_epochs"][0](frames).collect()
+    assert out
+    again = CURATION_OPS["docs_sample_epochs"][0](frames).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    totals = {
+        r["source"]: r["n_tokens"]
+        for r in frames["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != ""))).alias("n_tokens"))
+        .collect()
+    }
+    z = sum(v**MIX_ALPHA for v in totals.values())
+    rates = {s: (v**MIX_ALPHA / z) * EPOCH_BUDGET_TOKENS / v for s, v in totals.items()}
+    assert max(rates.values()) > 1.0, "fixture must exercise the upsampling regime"
+
+    sampled: dict[str, int] = {}
+    max_epoch: dict[str, int] = {}
+    per_doc_epochs: dict[int, int] = {}
+    for r in out:
+        sampled[r["source"]] = sampled.get(r["source"], 0) + r["n_tokens"]
+        max_epoch[r["source"]] = max(max_epoch.get(r["source"], 0), r["epoch"])
+        per_doc_epochs[r["doc_id"]] = per_doc_epochs.get(r["doc_id"], 0) + 1
+    docs_by_source = {
+        r["source"]: r["n"]
+        for r in frames["documents"].groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    for s, rate in rates.items():
+        target = rate * totals[s]  # == weight_s * budget
+        got = sampled.get(s, 0)
+        assert abs(got - target) <= max(0.5 * target, 600), (s, target, got)
+        # every doc appears in at least the whole epochs
+        if rate >= 1.0:
+            assert max_epoch[s] >= math.floor(rate) - 1
+    # copies per doc is floor(rate) or floor(rate)+1 of its source
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in frames["documents"].select("doc_id", "source").collect()
+    }
+    for d, n in per_doc_epochs.items():
+        fl = math.floor(rates[src_of[d]])
+        assert n in (fl, fl + 1), (d, n, fl)
