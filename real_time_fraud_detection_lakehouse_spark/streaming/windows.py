@@ -364,7 +364,13 @@ def distinct_users_sketch_stream(
         .start()
     )
     q.awaitTermination()
-    sketches = spark.read.parquet(out_path)
+    # explicit schema: a source whose span fits inside the watermark
+    # (or an empty source) emits ZERO finalized days and the sink holds
+    # only _spark_metadata, which cannot infer a parquet schema — the
+    # stateful-sink bug class fixed at the velocity/heavy-hitter sinks
+    sketches = spark.read.schema(
+        "day date, event_type string, sketch binary, events long"
+    ).parquet(out_path)
     return sketches.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False)))
         .alias("rollup_distinct_users"),

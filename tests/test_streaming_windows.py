@@ -921,3 +921,29 @@ def test_streaming_bloom_curation_equals_exact_minus_bloom_flags(spark, tmp_path
         assert bloom_ids == exact_ids - bloom_flagged, tag
         # and with this fixture's bloom load the FP cost is zero or tiny
         assert len(exact_ids - bloom_ids) <= max(3, 0.01 * len(exact_ids)), tag
+
+
+def test_streaming_distinct_hll_short_span_yields_empty_frame(spark, tmp_path):
+    """A source whose whole span fits inside the watermark finalizes
+    ZERO daily windows (append semantics) — the sink holds only
+    _spark_metadata, and the reader must return an empty typed rollup,
+    not a schema-inference AnalysisException (the stateful-sink bug
+    class pinned at the velocity and heavy-hitter sinks)."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        distinct_users_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value", "props"
+    ).write.parquet(src)
+    out = distinct_users_sketch_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "event_type", "rollup_distinct_users", "n_daily_sketches", "events",
+    }
