@@ -173,6 +173,10 @@ SCALING_QUERIES = [
     # r8: a 6-table broadcast-discipline join for the 10x block (the
     # simpler shapes above never stress multi-join plan scaling)
     "q_local_supplier_volume",
+    # r11 continuation: the windowless quantile-banding family gets a
+    # 10x datapoint — the claim is precisely that banding by a 1-row
+    # percentile aggregate scales where unpartitioned ntile cannot
+    "q_customer_rfm",
 ]
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
