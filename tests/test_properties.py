@@ -374,3 +374,64 @@ def test_misra_gries_kernel_matches_reference(keys, capacity, n_parts, batch):
     for key, cnt in true.items():
         if cnt > 2 * n / (capacity + 1):
             assert key in cands, (key, cnt, n, capacity, cands)
+
+
+# --- image-kernel invariants (pure Python + numpy — no Spark round-trip,
+# so these run at full hypothesis example counts) ----------------------------
+
+_DIM = st.integers(min_value=1, max_value=24)
+
+
+def _rand_img(rng_seed: int, h: int, w: int):
+    import numpy as np
+
+    return np.random.RandomState(rng_seed).randint(0, 256, (h, w)).astype(np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), _DIM, _DIM)
+def test_png_pixel_roundtrip_any_dims(seed, h, w):
+    """encode_png_pixels → decode_png_pixels is the identity for every
+    uint8 matrix at any dims (including sub-8-pixel and 1-pixel)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    img = _rand_img(seed, h, w)
+    out = decode_png_pixels(encode_png_pixels(img))
+    assert out is not None and out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), _DIM, _DIM)
+def test_area_resample_identity_and_bounds(seed, h, w):
+    """Identity at equal dims; any downsample stays inside the source
+    value range (means of blocks cannot escape [min, max])."""
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        area_resample,
+    )
+
+    img = _rand_img(seed, h, w)
+    assert (area_resample(img, w, h) == img).all()
+    ow, oh = max(1, w // 2), max(1, h // 2)
+    small = area_resample(img, ow, oh)
+    assert small.shape == (oh, ow)
+    assert small.min() >= img.min() and small.max() <= img.max() + 1  # +1: 0.5 rounding
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), _DIM, _DIM, st.integers(1, 60))
+def test_ahash_brightness_shift_invariant(seed, h, w, shift):
+    """aHash thresholds each cell against the grid MEAN, so a constant
+    brightness shift (no clipping) cannot change any bit — the
+    invariance that makes it a perceptual hash rather than a checksum.
+    Holds at every dimension, including the sub-8px overlap grid."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import ahash64
+
+    img = _rand_img(seed, h, w)
+    capped = np.minimum(img, 255 - shift).astype(np.uint8)  # headroom for the shift
+    shifted = (capped + shift).astype(np.uint8)
+    assert ahash64(capped) == ahash64(shifted)
