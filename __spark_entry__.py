@@ -78,7 +78,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: oracles and LEAD the r12 refresh together with the late-r11
 #: oracled ops text_top_ngrams_mg, docs_lm_perplexity,
 #: q_customer_rfm, docs_sample_to_budget, q_revenue_concentration,
-#: q_user_overlap_exact, and docs_sample_epochs (no front slots left;
+#: q_user_overlap_exact, docs_sample_epochs, and q_events_dau_wau
+#: (no front slots left;
 #: all pytest-oracled +
 #: validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of the
 #: oldest-r9 cohort.

@@ -3416,3 +3416,74 @@ def q_revenue_concentration(t: Frames) -> DataFrame:
             F.sum("revenue").over(from_top) / F.sum("revenue").over(total)
         ).alias("cum_share_from_top"),
     )
+
+
+# --- DAU / WAU stickiness (trailing-window distinct, windowless) -------------
+@_register(
+    "q_events_dau_wau",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM du),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    contrib AS (
+      SELECT du.user_id, du.day + CAST(i.i AS INTEGER) AS day
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i
+    ),
+    wau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           {dround_sql('CAST(d.dau AS DOUBLE) / w.wau')} AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    CROSS JOIN bounds b
+    WHERE d.day BETWEEN b.dmin AND b.dmax
+    """,
+)
+def q_events_dau_wau(t: Frames) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    dashboard's headline ratio. WAU(d) counts distinct users active in
+    [d-6, d].
+
+    Scale design: the naive WAU is a RANGE SELF-JOIN of the activity
+    table against itself (every day joined to its 7-day history —
+    corpus x 7 shuffle fan-out on the JOIN side) or a windowed
+    COUNT(DISTINCT) (unsupported / state-heavy). This plan inverts it:
+    each distinct (user, day) pair CONTRIBUTES itself to the 7 target
+    days it keeps alive (a bounded 7-row explode — a projection, not a
+    join), and WAU is then one keyed distinct-agg per target day. Two
+    keyed aggregations over a x7 projection of the DISTINCT pair
+    table, no self-join, no window; the final day filter drops the
+    spill past max(day). Both engines compute the identical
+    date+integer arithmetic; counts are exact, so the oracle is
+    exact."""
+    du = (
+        t["events"]
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("day"))
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    bounds = du.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("dmin"), F.col("dmax")))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            dround(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

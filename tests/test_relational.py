@@ -231,3 +231,28 @@ def test_user_overlap_hll_tracks_exact_intersections(spark, frames):
         )
         assert abs(r["users_a"] - len(users[ta])) <= max(2, 0.05 * len(users[ta]))
         assert r["users_either"] <= r["users_a"] + r["users_b"]
+
+
+def test_dau_wau_trailing_window_semantics(spark):
+    """Planted fixture: WAU(d) counts exactly the users active in
+    [d-6, d]; a user active once keeps contributing for 7 days then
+    drops out; stickiness = dau/wau; no day past max(day) appears."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 active on day 1 only; user 2 on days 1 and 10
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 11:00:00", 2, "view", 1.0, "{}"),
+            (3, "2024-01-10 09:00:00", 2, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {str(r["day"]): r for r in RELATIONAL["q_events_dau_wau"][0]({"events": ev}).collect()}
+    assert rows["2024-01-01"]["dau"] == 2 and rows["2024-01-01"]["wau"] == 2
+    # day 7 still inside both users' trailing window; day 8+ has no dau
+    # rows (dau requires activity THAT day), so only days 1 and 10 emit
+    assert set(rows) == {"2024-01-01", "2024-01-10"}
+    # day 10: user 2 active; user 1's window (days 1-7) long gone
+    assert rows["2024-01-10"]["dau"] == 1 and rows["2024-01-10"]["wau"] == 1
+    assert rows["2024-01-10"]["stickiness"] == 1.0
