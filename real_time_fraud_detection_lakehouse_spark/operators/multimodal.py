@@ -48,6 +48,15 @@ FEATURE_SCHEMA = (
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: Hard cap on the DECODED byte size an ingest-gate decode will
+#: allocate (filter bytes + pixels = (width+1)*height). 64 MiB covers
+#: any sane gate-scale grayscale-8 image (~8k x 8k); anything larger
+#: is rejected from the declared IHDR dims BEFORE inflating, and the
+#: inflate itself is capped at this bound — a crafted zlib bomb (a
+#: few-KiB IDAT that inflates to gigabytes) can never allocate past
+#: it (round-11 advice fix).
+PNG_MAX_DECODED_BYTES = 64 << 20
+
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     """One PNG chunk: length + type + payload + CRC — THE layout
@@ -563,11 +572,20 @@ def decode_png_pixels(content: bytes):
             pos += 12 + length  # len + type + payload + crc
         if not width or not height or not idat:
             return None
-        raw = zlib.decompress(idat)
+        stride = width + 1  # leading filter byte per scanline
+        expected = stride * height
+        if expected > PNG_MAX_DECODED_BYTES:
+            return None  # declared dims alone exceed the gate envelope
+        # Bounded inflate: ask for at most expected+1 bytes, so a
+        # conforming stream yields exactly `expected` and a zlib bomb
+        # (or any stream longer than the declared dims) yields
+        # expected+1 — caught by the length check below — WITHOUT the
+        # unbounded allocation plain zlib.decompress would make
+        # (round-11 advice fix; pinned in tests/test_ml.py).
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
     except (struct.error, zlib.error, OverflowError, MemoryError):
         return None
-    stride = width + 1  # leading filter byte per scanline
-    if len(raw) != stride * height:
+    if len(raw) != expected:
         return None
     out = np.zeros((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.int32)

@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _assert_utc_day_bucketing(spark: SparkSession) -> None:
+    """Guard for every stream whose batch twin buckets days with
+    ``to_date(ts)``: the stream side must use ``window('ts', '1 day')``
+    (append-mode state requires an event-time window, not a derived
+    date column), and those boundaries are epoch-aligned — i.e. UTC
+    midnights — while ``to_date`` cuts at SESSION-timezone midnights.
+    The two agree only under ``spark.sql.session.timeZone=UTC`` (the
+    repo-wide pin in core/session.py). Making that dependency explicit
+    here turns a silent stream/batch divergence under a non-UTC
+    session into a loud error at stream construction (round-11 advice
+    fix)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        raise RuntimeError(
+            "day-bucketed streams require spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): window('ts','1 day') cuts UTC midnights while "
+            "the batch twin's to_date(ts) cuts session-timezone midnights, "
+            "so the stream==batch contract only holds under UTC"
+        )
+
+
 def hourly_metrics_stream(
     spark: SparkSession,
     source_path: str,
@@ -334,6 +355,7 @@ def distinct_users_sketch_stream(
     events) — the batch rollup's exact schema."""
     from real_time_fraud_detection_lakehouse_spark.plans.relational import HLL_LGK
 
+    _assert_utc_day_bucketing(spark)
     schema = spark.read.parquet(source_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -546,6 +546,45 @@ def test_png_decode_malformed_returns_none():
     assert decode_png_pixels(bad_raw) is None
 
 
+def test_png_decode_zlib_bomb_is_bounded():
+    """Round-11 advice fix: a crafted IDAT that inflates far past the
+    declared IHDR dims (zlib bomb) must be rejected WITHOUT the decoder
+    allocating the full inflated size — the inflate is capped at
+    (width+1)*height + 1 bytes; and declared dims past the gate
+    envelope are rejected before inflating a single byte."""
+    import struct as _struct
+    import zlib
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        PNG_MAX_DECODED_BYTES,
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    # declares 8x8 (expected 72 raw bytes) but the IDAT inflates to
+    # 32 MiB from a few KiB of compressed zeros — a classic bomb shape
+    bomb = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (32 << 20), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 64 << 10  # the attack payload really is tiny
+    assert decode_png_pixels(bomb) is None
+    # declared dims alone exceeding the envelope: rejected up front
+    # (the IDAT here is trivially short; the dims check fires first)
+    w = 1 << 16
+    h = PNG_MAX_DECODED_BYTES // w + 1
+    huge = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(huge) is None
+
+
 def test_resize_survives_lying_metadata(spark):
     """Review fix: the resample target derives from the DECODED
     payload's dims (authoritative), not the metadata — a meta claiming

@@ -923,6 +923,31 @@ def test_streaming_bloom_curation_equals_exact_minus_bloom_flags(spark, tmp_path
         assert len(exact_ids - bloom_ids) <= max(3, 0.01 * len(exact_ids)), tag
 
 
+def test_day_bucketed_stream_requires_utc_session(spark, tmp_path):
+    """Round-11 advice fix: the stream buckets days with
+    window('ts','1 day') (epoch-aligned = UTC midnights) while its
+    batch twin uses to_date(ts) (session-timezone midnights) — the
+    stream==batch contract silently depended on the repo's UTC pin.
+    Now the dependency is asserted loudly at stream construction."""
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        distinct_users_sketch_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="timeZone=UTC"):
+            distinct_users_sketch_stream(
+                spark,
+                str(tmp_path / "src"),
+                str(tmp_path / "out"),
+                str(tmp_path / "ckpt"),
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_streaming_distinct_hll_short_span_yields_empty_frame(spark, tmp_path):
     """A source whose whole span fits inside the watermark finalizes
     ZERO daily windows (append semantics) — the sink holds only
