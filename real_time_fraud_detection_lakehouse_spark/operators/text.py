@@ -779,23 +779,67 @@ def text_zipf_fit(t: Frames) -> DataFrame:
 
     Scale design: the corpus-sized work is ONE token-keyed count with
     map-side partials; everything after runs on the VOCABULARY frame
-    (distinct types — bounded by the tokenizer's universe, ~10⁷ rows
-    at web scale, not corpus-sized). The rank window is ordered-only
-    but over that bounded frame — the same exception the module
-    grants bucket-totals windows; the corpus itself is never globally
-    sorted. The closed-form slope/intercept/r² come from
-    covar_pop/var_pop/corr aggregates (single partial-agg pass, no
-    iteration); ranks tie-break on the token string so both engines
-    rank identically."""
+    (distinct types). Global ranks over (n DESC, token ASC) come from
+    the module's bucketed prefix-sum — NO vocabulary-sized
+    single-partition window anywhere (round-11 verdict #4). The
+    bucketing respects the global order at three levels, so
+    offset-composition reproduces ROW_NUMBER exactly:
+
+    - level 1: ``mag = floor(log2(n))`` — n DESC orders octaves DESC,
+      so per-octave totals (≤64 rows, the module's bucket-totals
+      exception) give each octave's global offset;
+    - level 2: within an octave, (n DESC, pfx ASC) where ``pfx`` is
+      the token's 2-char prefix — a PREFIX of the tie-break key, so
+      bucket order extends token order; the per-(n, pfx) totals frame
+      gets cumulative offsets via a window PARTITIONED by octave
+      (per-partition size = distinct (n, pfx) combos in one octave —
+      the n=1 octave has one n and ≤ prefix-space combos, high
+      octaves have few types; never vocabulary-sized);
+    - level 3: row_number PARTITIONED by (n, pfx) ordered by token —
+      the n=1 tie group (≈ half the vocabulary under Zipf) is split
+      across the prefix space instead of one task.
+
+    The closed-form slope/intercept/r² come from covar_pop/var_pop/
+    corr aggregates (single partial-agg pass, no iteration); ranks
+    tie-break on the token string so both engines rank identically."""
     counts = (
         spread_small_input(t["documents"])
         .select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = counts.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    keyed = counts.select(
+        "token",
+        "n",
+        F.floor(F.log2("n")).cast("int").alias("mag"),
+        F.substring("token", 1, 2).alias("pfx"),
+    )
+    grp = keyed.groupBy("mag", "n", "pfx").agg(F.count("*").alias("cnt"))
+    w_mag = Window.orderBy(F.desc("mag")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mag_off = (
+        grp.groupBy("mag")
+        .agg(F.sum("cnt").alias("mcnt"))
+        .select(
+            "mag", (F.sum("mcnt").over(w_mag) - F.col("mcnt")).alias("moff")
+        )
+    )
+    w_grp = (
+        Window.partitionBy("mag")
+        .orderBy(F.desc("n"), F.asc("pfx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp_off = grp.join(F.broadcast(mag_off), "mag").select(
+        "n",
+        "pfx",
+        (F.col("moff") + F.sum("cnt").over(w_grp) - F.col("cnt")).alias("goff"),
+    )
+    w_tok = Window.partitionBy("n", "pfx").orderBy(F.asc("token"))
+    ranked = keyed.join(grp_off, ["n", "pfx"]).select(
+        F.log((F.col("goff") + F.row_number().over(w_tok)).cast("double")).alias(
+            "lx"
+        ),
         F.log(F.col("n").cast("double")).alias("ly"),
     )
     slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
@@ -1141,9 +1185,11 @@ TEXT_OPS["docs_contamination_report"] = (
 #: m — bloom bitmap size in bits. 2^22 bits = 64 Ki longs = 512 KiB —
 #: a CONSTANT, scale-invariant broadcast regardless of corpus or eval
 #: size (vs the exact gate, whose broadcast grows with the eval gram
-#: set). Sized so the full sf-range eval load stays far under 0.1
-#: bits-per-gram occupancy: false-positive rate per probed gram is
-#: (1 - e^(-kn/m))^k — at n = 10^5 eval grams, k = 4: ~2e-5.
+#: set). At n = 10^5 eval grams, k = 4: kn/m ≈ 0.095, so the
+#: false-positive rate per probed gram, (1 - e^(-kn/m))^k, is ≈ 7e-5
+#: (the FP-bound test computes this exactly for the fixture's n).
+#: Sizing m for a bigger eval suite scales linearly: keep kn/m ≲ 0.1
+#: for an FP rate in the 1e-4 decade.
 BLOOM_BITS = 1 << 22
 BLOOM_WORDS = BLOOM_BITS // 64
 #: k — independent hash functions per gram (xxhash64 chains seeded

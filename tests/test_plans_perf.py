@@ -708,18 +708,35 @@ def test_vocab_coverage_plan_shape(spark):
 
 
 def test_zipf_fit_plan_shape(spark):
-    """text_zipf_fit: the corpus-sized stage is the token count with
-    map-side partials; the ordered-only rank window runs AFTER that agg
-    (on the vocabulary frame), so the plan's single Window sits above
-    the count aggregate, and the final regression is one aggregate —
-    no join, no nested loop."""
+    """text_zipf_fit (round-11 verdict #4): global ranks come from the
+    bucketed prefix-sum, so NO unpartitioned window runs over the
+    vocabulary — the only ordered-only window is the per-octave totals
+    cumsum (≤64 rows by construction). The within-octave offsets
+    window partitions by mag and the tie-break row_number partitions
+    by (n, pfx); the token count keeps its map-side partials and the
+    offset joins never degrade to nested loops."""
     from real_time_fraud_detection_lakehouse_spark.operators.text import text_zipf_fit
 
     frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
     plan = _plan(text_zipf_fit(frames))
     assert "partial_count" in plan, "token count lost its map-side partial"
-    assert plan.count("Window") >= 1 and "row_number" in plan
-    assert "Join" not in plan, "zipf fit should be agg-window-agg, join-free"
+    assert "row_number" in plan
+    # a windowspecdefinition lists partition cols bare, then ORDER-BY
+    # cols with ASC/DESC markers — a spec whose FIRST element carries a
+    # sort marker has no partition cols at all (ordered-only)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "rank windows vanished from the plan"
+    ordered_only = {
+        s for s in specs if (" ASC" in s.split(",")[0] or " DESC" in s.split(",")[0])
+    }
+    # the one allowed ordered-only window is the ≤64-row octave-totals
+    # cumsum (sorts on mag alone); the vocab-sized windows (tie-break
+    # row_number, within-octave offsets) must all carry partition cols
+    assert len(ordered_only) == 1, f"unpartitioned windows: {ordered_only}"
+    assert next(iter(ordered_only)).split("#")[0].strip() == "mag", ordered_only
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_top_ngrams_mg_plan_shape(spark):
