@@ -1078,3 +1078,57 @@ def test_update_corpus_index_fold_in_equals_full_rebuild(spark, tmp_path):
     # a second fold-in numbers the next delta
     assert update_corpus_index({"documents": day2.filter(F.col("doc_id") == 18)}, folded) == 3
     assert os.path.isdir(os.path.join(folded, "corpus_fps_d2"))
+
+
+def test_maintenance_lock_two_actor_contention(spark, tmp_path):
+    """Round-11 verdict #5: the advisory store lock turns the four
+    documented maintenance races into one mutex. A second maintenance
+    actor (vacuum/rollback are fail-fast) errors LOUDLY while the lock
+    is held, naming the holder; publishers WAIT instead and complete
+    once the holder releases; a dead holder's stale lock is taken
+    over."""
+    import os
+    import threading
+    import time as _time
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "locked")
+    snap.publish_tables({"t": spark.createDataFrame([(1,)], ["id"])}, root)
+    snap.publish_tables({"t": spark.createDataFrame([(2,)], ["id"])}, root)
+
+    # maintenance actors are fail-fast while another actor holds the lock
+    with snap._store_lock(root, "vacuum_published"):
+        with pytest.raises(RuntimeError, match="maintenance lock held by"):
+            snap.vacuum_published(root, keep=1)
+        with pytest.raises(RuntimeError, match="vacuum_published"):
+            snap.rollback_published(root, to_group=1)
+    # lock released: both proceed
+    assert snap.rollback_published(root, to_group=1) == 3
+
+    # a publisher WAITS for the holder instead of failing
+    release = threading.Event()
+
+    def hold():
+        with snap._store_lock(root, "vacuum_published"):
+            release.set()
+            _time.sleep(0.4)
+
+    holder = threading.Thread(target=hold)
+    holder.start()
+    release.wait()
+    g = snap.publish_tables({"t": spark.createDataFrame([(3,)], ["id"])}, root)
+    holder.join()
+    assert g == 4  # committed AFTER the holder released, never racing it
+
+    # stale takeover: a lockfile from a dead holder (mtime past the
+    # horizon) is removed and the new actor proceeds
+    lock = os.path.join(root, snap._LOCK_NAME)
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("vacuum_published pid=99999\n")
+    old = _time.time() - snap.LOCK_STALE_SECONDS - 10
+    os.utime(lock, (old, old))
+    assert snap.vacuum_published(root, keep=1) == [1, 2, 3]
+    assert not os.path.exists(lock)  # released after the takeover run
