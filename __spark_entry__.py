@@ -697,6 +697,29 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_distinct_hll"] = _stream_distinct_hll
 
+    # rows-only (HLL-estimated twin of q_events_dau_wau — the
+    # engagement dashboard's stream side): per-day user sketches at
+    # ingest, trailing-7-day union per emitted day. Both arrival
+    # orders produce IDENTICAL output (register maxima commute) and
+    # each day's (dau, wau) sits within the lgK=12 band of the exact
+    # batch op — pinned in tests/test_streaming_windows.py
+    def _stream_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            events_dau_wau_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="dauwau_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        return events_dau_wau_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_dau_wau"] = _stream_dau_wau
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

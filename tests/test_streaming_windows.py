@@ -972,3 +972,102 @@ def test_streaming_distinct_hll_short_span_yields_empty_frame(spark, tmp_path):
     assert set(out.columns) == {
         "event_type", "rollup_distinct_users", "n_daily_sketches", "events",
     }
+
+
+def test_streaming_dau_wau_matches_batch_within_hll_band(spark, tmp_path):
+    """Round-11 verdict #6: the engagement dashboard's stream twin.
+    Per-day HLL user sketches at ingest, trailing-7-day union per
+    emitted day. Same-lgK register maxima commute, so both arrival
+    orders must produce IDENTICAL output; and each day's (dau, wau)
+    must sit within the lgK=12 band (5%, min 2) of the EXACT batch
+    q_events_dau_wau on the same fixture. A far-future sentinel user
+    flushes every real day past the watermark; days past the real span
+    (reachable only through the sentinel) are excluded on both sides."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        events_dau_wau_stream,
+    )
+
+    events = table(spark, SF_SMALL, "events")
+    sentinel = events.agg(
+        F.lit(10**9).alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 45 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    batch = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in RELATIONAL["q_events_dau_wau"][0]({"events": events}).collect()
+    }
+    dmax = max(batch)
+
+    thirds = [
+        events.filter(F.col("event_id") % 3 == i).localCheckpoint() for i in range(3)
+    ]
+    outputs = {}
+    for tag, order in (("forward", [0, 1, 2]), ("reversed", [2, 1, 0])):
+        src = str(tmp_path / f"src_{tag}")
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, part in enumerate(order):
+            thirds[part].coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        for f in _glob.glob(_os.path.join(src, "*.parquet")):
+            if f not in seen:
+                _os.utime(f, (mtime_base + 10, mtime_base + 10))
+                seen.add(f)
+        out = events_dau_wau_stream(
+            spark,
+            src,
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            watermark="40 days",
+            max_files_per_trigger=1,
+        )
+        outputs[tag] = {
+            r["day"]: (r["dau"], r["wau"], r["stickiness"])
+            for r in out.filter(F.col("day") <= F.lit(dmax)).collect()
+        }
+    assert outputs["forward"] == outputs["reversed"], (
+        "micro-batch slicing changed the sketches"
+    )
+    got = outputs["forward"]
+    assert set(got) == set(batch), "emitted day set diverged from batch"
+    for day, (dau_e, wau_e, stick) in got.items():
+        dau_x, wau_x = batch[day]
+        assert abs(dau_e - dau_x) <= max(2, 0.05 * dau_x), (day, dau_e, dau_x)
+        assert abs(wau_e - wau_x) <= max(2, 0.05 * wau_x), (day, wau_e, wau_x)
+        assert abs(stick - dau_e / wau_e) < 1e-6
+
+
+def test_streaming_dau_wau_short_span_yields_empty_frame(spark, tmp_path):
+    """A source whose whole span fits inside the watermark finalizes
+    zero daily sketches — the reader must return an empty typed frame,
+    not a schema-inference failure."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        events_dau_wau_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value", "props"
+    ).write.parquet(src)
+    out = events_dau_wau_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"day", "dau", "wau", "stickiness"}
