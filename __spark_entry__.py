@@ -322,6 +322,19 @@ def queries() -> dict[str, QueryFn]:
 
     q["multimodal_phash_dedup"] = _multimodal_phash
 
+    # rows-only (round-11 verdict #7): the DCT-pHash variant — same
+    # decode envelope and banding, affine-intensity-robust kernel; the
+    # planted tone-curve pair aHash misses and this catches is pinned
+    # in tests/test_ml.py
+    def _multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+            multimodal_phash_dct_dedup,
+        )
+
+        return multimodal_phash_dct_dedup(spark, sf_dir)
+
+    q["multimodal_phash_dct_dedup"] = _multimodal_phash_dct
+
     # the user-facing SQL dialect surface: same daily_summary, but
     # through CREATE TEMP VIEW + spark.sql (F12) — shares the
     # daily_summary oracle

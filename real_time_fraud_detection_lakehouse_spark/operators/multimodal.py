@@ -652,6 +652,54 @@ def ahash64(pixels) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val  # two's-complement int64
 
 
+def phash64_dct(pixels) -> int:
+    """64-bit DCT perceptual hash (the classic pHash): grid-mean the
+    image onto 32x32, apply the orthonormal 2-D DCT-II, keep the
+    top-left 8x8 LOW-FREQUENCY coefficient block, and set bit i iff
+    coefficient i exceeds the block median (DC excluded from the
+    median so a constant offset can't drag the threshold).
+
+    Why it exists next to :func:`ahash64`: aHash thresholds spatial
+    cell means against their own mean, so a uniform brightness /
+    contrast shift that CLIPS at 0/255 redistributes the means and
+    flips bits — a planted limitation, not a bug. The DCT separates
+    structure (AC coefficients — shape) from level (DC): an affine
+    intensity change scales every AC coefficient by the same positive
+    factor and the median threshold is scale-invariant, so the hash
+    moves only where clipping destroys actual structure. Same 32x32
+    grid idiom as ahash's 8x8 (forced-nonempty overlapping blocks, so
+    sub-32px images hash on content); numpy matrix DCT — no codec
+    dependency, same decoded-PNG envelope.
+
+    Cost: one 32x32 grid fold + two 32x32 matmuls per image — an
+    Arrow-batched kernel like ahash, banding unchanged, so the scale
+    story is identical (band-bucket joins, never all-pairs)."""
+    import numpy as np
+
+    n = 32
+    h, w = pixels.shape
+    rb = (np.arange(n + 1) * h) // n
+    cb = (np.arange(n + 1) * w) // n
+    px = pixels.astype(np.float64)
+    cells = np.empty((n, n), dtype=np.float64)
+    for r in range(n):
+        r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
+        for c in range(n):
+            c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
+            cells[r, c] = px[r0:r1, c0:c1].mean()
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    block = (m @ cells @ m.T)[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    val = 0
+    for b, v in enumerate(block):
+        if v > med:
+            val |= 1 << b
+    return val - (1 << 64) if val >= 1 << 63 else val  # two's-complement int64
+
+
 #: 4 bands x 16 bits over the 64-bit hash: by pigeonhole, any pair
 #: within PHASH_HAMMING_MAX=3 bits shares at least one untouched band,
 #: so the banded candidate join has PERFECT recall at that radius —
@@ -662,11 +710,14 @@ PHASH_HAMMING_MAX = 3
 PHASH_SCHEMA = "media_id long, phash long"
 
 
-def image_phash(media: DataFrame) -> DataFrame:
+def image_phash(media: DataFrame, kernel=ahash64) -> DataFrame:
     """Per-image perceptual hash over the decodable payloads (the
-    grayscale-8 PNGs; JPEG rows are skipped — no DCT codec here).
-    Arrow-batched kernel, bounded CPU per image; output is one long
-    per image."""
+    grayscale-8 PNGs; JPEG rows are skipped — no image-codec DCT
+    here; :func:`phash64_dct`'s DCT is numpy matrix math over decoded
+    pixels, not a codec). Arrow-batched kernel, bounded CPU per
+    image; output is one long per image. ``kernel`` picks the hash
+    (``ahash64`` default; ``phash64_dct`` for the brightness-robust
+    variant)."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -675,7 +726,7 @@ def image_phash(media: DataFrame) -> DataFrame:
                 px = decode_png_pixels(bytes(c))
                 if px is not None:
                     ids.append(int(mid))
-                    hashes.append(ahash64(px))
+                    hashes.append(kernel(px))
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
     return (
@@ -743,3 +794,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str | None = None) -> Da
     return phash_near_dup_pairs(image_phash(synth_media_table(spark, sf_dir))).orderBy(
         "media_id_a", "media_id_b"
     )
+
+
+def multimodal_phash_dct_dedup(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """DCT-pHash variant of :func:`multimodal_phash_dedup` (round-11
+    verdict #7): same decode envelope, same banded candidate join —
+    only the hash kernel changes, trading aHash's brightness
+    brittleness for DCT's affine-intensity invariance. The planted
+    brightness-shift pair aHash misses and this catches is pinned in
+    tests/test_ml.py."""
+    return phash_near_dup_pairs(
+        image_phash(synth_media_table(spark, sf_dir), kernel=phash64_dct)
+    ).orderBy("media_id_a", "media_id_b")

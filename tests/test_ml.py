@@ -610,3 +610,126 @@ def test_resize_survives_lying_metadata(spark):
     assert (out[1]["out_width"], out[1]["out_height"]) == (8, 4)  # from real dims
     assert bytes(out[2]["content"]) == bytes(encode_png(8, 4, seed=2))
     assert (out[2]["out_width"], out[2]["out_height"]) == (8, 4)
+
+
+def test_phash_dct_catches_tone_curve_pair_ahash_misses(spark):
+    """Round-11 verdict #7: the DCT pHash upgrade. A brightness/
+    contrast tone-curve shift (gamma 2.4 — the display-gamma class of
+    uniform intensity changes) on a smooth structured image flips many
+    aHash bits (its spatial cell means straddle the global-mean
+    threshold) but leaves the DCT hash untouched (AC structure is
+    preserved; the median threshold is scale-invariant). Pinned at the
+    kernel level AND through the full decode → hash → banded-join
+    pipeline: the aHash dedup MISSES the planted pair, the DCT dedup
+    CATCHES it, and neither pairs the unrelated image (precision)."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PHASH_HAMMING_MAX,
+        ahash64,
+        encode_png_pixels,
+        image_phash,
+        phash64_dct,
+        phash_near_dup_pairs,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # deterministic smooth field: 8 seeded low-frequency cosines
+    y, x = np.mgrid[0:64, 0:64]
+    rng = np.random.default_rng(90)
+    low = np.zeros((64, 64))
+    for _ in range(8):
+        fx, fy = rng.integers(0, 4, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.3, 1.0)
+        low += amp * np.cos(2 * np.pi * (fx * x + fy * y) / 64 + ph)
+    low /= np.abs(low).max()
+    base = np.clip(130 + 70 * low, 0, 255).astype(np.uint8)
+    toned = (255.0 * (base.astype(float) / 255.0) ** 2.4).astype(np.uint8)
+    other = np.clip(130 - 70 * low.T, 0, 255).astype(np.uint8)
+
+    # kernel-level pins: aHash blown far past the radius, DCT inside it;
+    # DCT still separates unrelated images by a wide margin
+    assert ham(ahash64(base), ahash64(toned)) > PHASH_HAMMING_MAX
+    assert ham(phash64_dct(base), phash64_dct(toned)) <= PHASH_HAMMING_MAX
+    assert ham(phash64_dct(base), phash64_dct(other)) > 3 * PHASH_HAMMING_MAX
+
+    meta = {"width": 64, "height": 64, "duration_ms": 0}
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png_pixels(base)), meta),
+            (2, "image", bytearray(encode_png_pixels(toned)), meta),
+            (3, "image", bytearray(encode_png_pixels(other)), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    ahash_pairs = set(
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_near_dup_pairs(image_phash(media)).collect()
+    )
+    dct_pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            image_phash(media, kernel=phash64_dct)
+        ).collect()
+    }
+    assert (1, 2) not in ahash_pairs, "aHash unexpectedly survived the tone curve"
+    assert (1, 2) in dct_pairs and dct_pairs[(1, 2)] <= PHASH_HAMMING_MAX
+    assert not any(3 in p for p in dct_pairs), "unrelated image paired (precision)"
+
+
+def test_phash_dct_planted_recall_and_precision(spark):
+    """The DCT variant through the same planted-set contract as the
+    aHash pipeline test: a small local edit pairs up, an unrelated
+    image pairs with neither, non-image rows are skipped."""
+    import numpy as np
+
+    from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PHASH_HAMMING_MAX,
+        encode_png_pixels,
+        image_phash,
+        phash64_dct,
+        phash_near_dup_pairs,
+    )
+
+    # broad-spectrum smooth field (same construction as the tone-curve
+    # test): DCT coefficients are well-separated from the median, so a
+    # small local edit moves only the bits it actually touches —
+    # a sparse-spectrum image (everything near the median) would make
+    # every bit fragile, which is a property of the IMAGE, not the hash
+    y, x = np.mgrid[0:64, 0:64]
+    rng = np.random.default_rng(90)
+    low = np.zeros((64, 64))
+    for _ in range(8):
+        fx, fy = rng.integers(0, 4, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.3, 1.0)
+        low += amp * np.cos(2 * np.pi * (fx * x + fy * y) / 64 + ph)
+    low /= np.abs(low).max()
+    base = np.clip(130 + 70 * low, 0, 255).astype(np.uint8)
+    pert = base.astype(int)
+    pert[0:8, 0:8] = np.clip(pert[0:8, 0:8] + 12, 0, 255)  # small local edit
+    pert = pert.astype(np.uint8)
+    other = np.clip(130 - 70 * low.T, 0, 255).astype(np.uint8)
+    meta = {"width": 64, "height": 64, "duration_ms": 0}
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png_pixels(base)), meta),
+            (2, "image", bytearray(encode_png_pixels(pert)), meta),
+            (3, "image", bytearray(encode_png_pixels(other)), meta),
+            (4, "audio", bytearray(b"RIFF"), {"width": 0, "height": 0, "duration_ms": 9}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    hashed = image_phash(media, kernel=phash64_dct)
+    assert {r["media_id"] for r in hashed.collect()} == {1, 2, 3}
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashed).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= PHASH_HAMMING_MAX
+    assert not any(3 in p for p in pairs)
