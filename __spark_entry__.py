@@ -325,7 +325,12 @@ def queries() -> dict[str, QueryFn]:
     # rows-only (round-11 verdict #7): the DCT-pHash variant — same
     # decode envelope and banding, affine-intensity-robust kernel; the
     # planted tone-curve pair aHash misses and this catches is pinned
-    # in tests/test_ml.py
+    # in tests/test_ml.py. On the synth fixture this returns ZERO
+    # pairs by design: the fixture's images are phase-shifted sawtooth
+    # ramps whose cell-mean PATTERN coincides (aHash pairs them — a
+    # false-positive family) but whose harmonic phases differ (DCT
+    # correctly separates them); true positives are pinned by the
+    # planted tests, not the fixture
     def _multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
             multimodal_phash_dct_dedup,

@@ -143,13 +143,20 @@ DIRECT = [
     "docs_sample_to_budget",
     "q_user_overlap_hll",
     # round-11 continuation: Pareto decile concentration
-    # (multimodal_phash_dedup is deliberately NOT timed here — the
-    # text_bpe_merges_512 precedent: the Python decode kernel costs
-    # ~14 s at sf0.1 (isolated min-of-2, recorded in COVERAGE.md) and
-    # timing a demo kernel twice would grow the suite for no plan
-    # signal; the DIRECT loop hard-errors on names with no builder so
-    # nothing can silently skip again)
+    # (multimodal_phash_dedup / multimodal_phash_dct_dedup are
+    # deliberately NOT timed here — the text_bpe_merges_512 precedent:
+    # the Python decode kernel costs ~14 s at sf0.1 (isolated
+    # min-of-2, recorded in COVERAGE.md) and timing a demo kernel
+    # twice would grow the suite for no plan signal; the DIRECT loop
+    # hard-errors on names with no builder so nothing can silently
+    # skip again)
     "q_revenue_concentration",
+    # round-12: the three post-close r11 ops (the lm_perplexity
+    # precedent — registered + oracled last round, timed from their
+    # first full round)
+    "q_user_overlap_exact",
+    "docs_sample_epochs",
+    "q_events_dau_wau",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -177,6 +184,11 @@ SCALING_QUERIES = [
     # 10x datapoint — the claim is precisely that banding by a 1-row
     # percentile aggregate scales where unpartitioned ntile cannot
     "q_customer_rfm",
+    # r12: the inverted trailing-window DAU/WAU — the x7 explode is
+    # the one new fan-out idiom without a recorded scaling ratio; the
+    # claim is that WAU costs two keyed aggs over a x7 projection,
+    # never a range self-join, so 10x users ~ 10x time, not 100x
+    "q_events_dau_wau",
 ]
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
@@ -235,6 +247,26 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed synthetic host-speed probe (round-11 verdict #8): a
+    pure-CPU whole-stage-codegen job — xxhash64 fold over a pinned
+    1G-row range on exactly 32 partitions, no I/O, no shuffle beyond
+    the 1-row agg — so its runtime tracks ONLY the host's effective
+    CPU speed, never the suite's data or plans. Timed min-of-3 at
+    suite start and end; per-query times divided by the probe give
+    host-normalized ratios that agree across differently-loaded
+    sessions where raw seconds diverge (the 554-992 s drift band).
+    The probe itself is ~1-2 s — noise at suite scale."""
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id))"  # overflow-free fold (ANSI mode)
+        ).collect()
+        samples.append(time.time() - t0)
+    return round(min(samples), 3)
+
+
 def _fresh_session(old_spark, app_name: str):
     """Stop the worn session and start a clean one with the scaling
     phases' shared conf + JVM warm-up — the phases exist to track PLAN
@@ -288,6 +320,7 @@ def main() -> None:
     )
     # warm the JVM so timings reflect steady state, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    probe_start = _calibration_probe(spark)
 
     timings: dict[str, float] = {}
     t_suite = time.time()
@@ -710,17 +743,35 @@ def main() -> None:
                 sem100[f"{label}_k"] = k
             sem100["ratio"] = round(sem100["scaled"] / sem100["base"], 2)
             scaling_100x["semdedup_100x"] = sem100
+
+        # --- closing calibration probe (fresh session, same warmed
+        # conditions as the opening one — worn heap would contaminate
+        # the host-speed reading like any other late-suite timing)
+        spark = _fresh_session(spark, "bench-probe-end")
+        probe_end = _calibration_probe(spark)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(time.time() - t_suite, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    probe = round((probe_start + probe_end) / 2, 3)
     detail = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-drift normalization (round-11 verdict #8): divide any
+        # per-query time by probe_sec before comparing across rounds —
+        # BENCH_SCALING.md's triage protocol uses these ratios
+        "calibration": {
+            "probe_start_sec": probe_start,
+            "probe_end_sec": probe_end,
+            "probe_sec": probe,
+            "queries_probe_relative": {
+                k: round(v / probe, 2) for k, v in timings.items()
+            },
+        },
     }
     if scaling is not None:
         detail["scaling"] = scaling
@@ -744,6 +795,7 @@ def main() -> None:
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
         "sf": sf,
         "n_timed": len(timings),
+        "probe_sec": probe,
         "detail": "BENCH_DETAIL.json",
     }
     if scaling is not None:
