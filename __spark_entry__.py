@@ -44,121 +44,105 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: them, so every one of this round's 50 slots buys a hash-checked green;
 #: rows-only impl changes are re-verified in pytest instead (noted below).
 #:
-#: Round 11 fronts, in priority order (executes the r10 verdict's
-#: documented rotation, Next #1; ledger after r10: 50 r10-green,
-#: 50 r9, 31 r8, 15 r7, plus 4 late-r10 ops with no driver rows yet):
-#: (a) docs_dedup_apply — r11 IMPL CHANGE (the sf-scaling broadcast
-#:     hint on the drop list removed per the r10 verdict #1; plan test
-#:     pins zero forced broadcasts) — currently r8-green;
-#: (b) the four late-r10 ops' FIRST driver rows (all judge-validated
-#:     oracle-ok at sf0.01 in r10): docs_split_leakage_safe (ALSO an
-#:     r11 impl change — the split hash now reduces mod 2^31-1 before
-#:     the Knuth multiply, oracle updated in lock-step, big-id ANSI
-#:     property test in tests/test_llm_ops.py), docs_dedup_keep_best,
-#:     docs_dedup_incremental, history_published_gold (CONSTANT
-#:     15-row ledger oracle — the introspection-entry precedent);
-#: (c) NEW r11 oracled ops: docs_dedup_incremental_maintained (shares
-#:     the recompute twin's oracle; twin-agreement pytest) and
-#:     docs_corpus_build (oracle nests the three upstream SQLs);
-#: (d) the full 15-entry r7-green cohort (named in the r10 front note);
-#: (e) the 24 oldest r8-green entries to the 50 cap (insertion order
-#:     of CORRECTNESS_r08; docs_dedup_apply already fronted in (a)).
-#: 1 + 4 + 6 + 15 + 24 = exactly 50. The late-r11 corpus-analytics
-#: quartet (docs_cross_overlap, docs_ngram_novelty,
-#: text_vocab_coverage, text_zipf_fit — all pytest-oracled and
-#: validate_driver-green at sf0.001 AND sf0.01) takes the last four
-#: (c) slots, displacing the four youngest (e) refreshes
-#: (gold_dim_customer, latest_metrics, q_distinct_pairs,
-#: q_median_quantity) — those stay r8-green, so the post-round
-#: invariant ("no oracled entry's latest green row older than r8")
-#: holds either way, and first driver rows beat a fourth refresh.
-#: The six r8 entries that did not fit — q_events_json,
-#: q_epoch_roundtrip (already deferred last round) plus the four
-#: displaced above — are covered in-round by the parametrized pytest
-#: oracles and LEAD the r12 refresh together with the late-r11
-#: oracled ops text_top_ngrams_mg, docs_lm_perplexity,
-#: q_customer_rfm, docs_sample_to_budget, q_revenue_concentration,
-#: q_user_overlap_exact, docs_sample_epochs, and q_events_dau_wau
-#: (no front slots left;
-#: all pytest-oracled +
-#: validate_driver-green at sf0.001/0.01/0.1 in-round), ahead of the
-#: oldest-r9 cohort.
-#: Rows-only r11 additions hold no front slots per the r8 rule:
-#: streaming_incremental_dedup is batch-equivalence-tested under both
-#: arrival orders in tests/test_streaming_windows.py;
-#: corpus_ingest_cycle's three-day admission contract is pinned in
-#: tests/test_llm_ops.py; streaming_top_ngrams (the heavy-hitter
-#: stream) is pinned row-for-row to the exact batch pass under both
-#: arrival orders plus a bounded-state eviction-regime test in
-#: tests/test_streaming_windows.py; streaming_distinct_hll is
-#: pinned row-for-row to the batch HLL rollup under both arrival
-#: orders in tests/test_streaming_windows.py; docs_bloom_decontaminate is
-#: pinned superset-of-exact + planted recall + FP-bound in
-#: tests/test_llm_ops.py; q_distinct_users_hll_rollup is pinned
-#: lossless-merge (rollup == direct sketch) + exact-count band in
-#: tests/test_relational.py; multimodal_phash_dedup is pinned by the
-#: all-filter-types PNG decode contract + planted recall/precision in
-#: tests/test_ml.py; streaming_bloom_curation is pinned to
-#: exact-mode-minus-batch-bloom-flags under both arrival orders in
-#: tests/test_streaming_windows.py; q_user_overlap_hll is pinned to exact
-#: per-pair intersections within the documented union-scaled band in
-#: tests/test_relational.py.
+#: Round 12 fronts, in priority order (executes the r11 verdict's
+#: documented rotation, Next #1; ledger after r11: 50 r11-green,
+#: 50 r10, 50 r9, 6 r8, plus 8 late-r11 oracled ops with no driver
+#: rows yet — all 8 judge-validated oracle-ok at sf0.01 in r11):
+#: (a) the six r8-green refreshes the r11 front could not fit:
+#:     q_events_json + q_epoch_roundtrip (deferred twice) and the
+#:     four displaced by the late-r11 quartet (gold_dim_customer,
+#:     latest_metrics, q_distinct_pairs, q_median_quantity);
+#: (b) FIRST driver rows for the 8 late-r11 oracled ops
+#:     (text_top_ngrams_mg, docs_lm_perplexity, q_customer_rfm,
+#:     docs_sample_to_budget, q_revenue_concentration,
+#:     q_user_overlap_exact, docs_sample_epochs, q_events_dau_wau);
+#: (c) text_zipf_fit — r12 IMPL CHANGE (the vocabulary-sized
+#:     ordered-only rank window replaced by the bucketed prefix-sum
+#:     per the r11 verdict #4; oracle unchanged, plan test pins
+#:     exactly one ordered-only window, the ≤64-row octave totals) —
+#:     currently r11-green;
+#: (d) the 35 oldest r9-green entries (CORRECTNESS_r09 insertion
+#:     order) to the 50 cap.
+#: 6 + 8 + 1 + 35 = exactly 50. The 15 r9-green entries that did not
+#: fit (q_order_count_distribution, q_price_histogram,
+#: q_rolling_7d_spend, q_price_rank_distribution,
+#: q_user_retention_cohorts, q_funnel_conversion,
+#: q_revenue_anomaly_zscore, q_salted_skew_agg, q_weighted_sample,
+#: q_salted_join_parts, text_tfidf_topk, text_top_ngrams,
+#: docs_pack_sequences, embedding_label_centroids, sql_daily_summary)
+#: stay covered in-round by the parametrized pytest oracles and LEAD
+#: the r13 refresh. Post-round invariant: every oracled entry's
+#: latest green row is r9 or newer, and all 164 oracled entries have
+#: driver rows.
+#: Rows-only r12 additions hold no front slots per the r8 rule:
+#: streaming_dau_wau is pinned identical-under-both-arrival-orders +
+#: within the lgK=12 band of the exact batch q_events_dau_wau in
+#: tests/test_streaming_windows.py; multimodal_phash_dct_dedup is
+#: pinned by the planted tone-curve pair (aHash misses, DCT catches)
+#: + planted local-edit recall/precision in tests/test_ml.py.
+#: Rows-only r11 pins (unchanged, re-verified in-suite):
+#: streaming_incremental_dedup, corpus_ingest_cycle,
+#: streaming_top_ngrams, streaming_distinct_hll,
+#: docs_bloom_decontaminate, q_distinct_users_hll_rollup,
+#: multimodal_phash_dedup, streaming_bloom_curation,
+#: q_user_overlap_hll — see tests/test_streaming_windows.py,
+#: tests/test_llm_ops.py, tests/test_relational.py, tests/test_ml.py.
 _DRIVER_FRONT = [
-    # (a) r11 impl change (broadcast-hint removal)
-    "docs_dedup_apply",
-    # (b) late-r10 ops, first driver rows (split is also impl-changed)
-    "docs_split_leakage_safe",
-    "docs_dedup_keep_best",
-    "docs_dedup_incremental",
-    "history_published_gold",
-    # (c) new r11 oracled ops (incl. the late corpus-analytics quartet)
-    "docs_dedup_incremental_maintained",
-    "docs_corpus_build",
-    "docs_cross_overlap",
-    "docs_ngram_novelty",
-    "text_vocab_coverage",
+    # (a) the six r8-green refreshes the r11 front could not fit
+    "q_events_json",
+    "q_epoch_roundtrip",
+    "gold_dim_customer",
+    "latest_metrics",
+    "q_distinct_pairs",
+    "q_median_quantity",
+    # (b) late-r11 oracled ops, first driver rows (judge-validated
+    # 8/8 oracle-ok at sf0.01 in round 11)
+    "text_top_ngrams_mg",
+    "docs_lm_perplexity",
+    "q_customer_rfm",
+    "docs_sample_to_budget",
+    "q_revenue_concentration",
+    "q_user_overlap_exact",
+    "docs_sample_epochs",
+    "q_events_dau_wau",
+    # (c) r12 impl change (bucketed zipf rank)
     "text_zipf_fit",
-    # (d) the 15 r7-green cohort
-    "rule_predictions",
-    "dash_model_accuracy",
-    "confusion_matrix",
-    "class_distribution",
-    "q_pricing_summary",
-    "q_order_priority",
-    "text_chunks",
-    "docs_stratified_sample",
-    "docs_per_source_cap",
-    "q_ewma_daily_value",
-    "q_quality_report",
-    "q_events_variant",
-    "text_char_entropy",
-    "q_priority_order_check",
-    "dash_age_group",
-    # (e) the 28 oldest r8-green entries (CORRECTNESS_r08 order)
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "docs_dup_spans",
-    "docs_exact_substr_dedup",
-    "docs_decontaminate",
-    "q_late_shipment_priority",
-    "dash_overview",
-    "dash_monthly_trend",
-    "dash_state_top20",
-    "dash_risky_merchants",
-    "dash_weekend",
-    "dash_late_night",
-    "dash_severity",
-    "dash_multi_factor",
-    "dash_score_distribution",
-    "q_union_rebalance",
-    "q_user_velocity",
-    "q_range_join_clicks",
-    "q_psi_price_drift",
-    "sql_show_tables",
-    "sql_describe_fact",
-    "transactions_source",
-    "silver_features",
-    "gold_fact_transactions",
+    # (d) the 35 oldest r9-green entries (CORRECTNESS_r09 order)
+    "docs_curate_pipeline",
+    "corpus_to_batches",
+    "docs_token_budget_report",
+    "docs_unigram_logprob",
+    "q_local_supplier_volume",
+    "q_market_share",
+    "q_product_profit",
+    "q_parts_supplier_relationship",
+    "q_important_inventory",
+    "q_returned_item_customers",
+    "q_disjunctive_revenue",
+    "q_dominant_suppliers",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_brand_revenue_share",
+    "q_top_supplier_revenue",
+    "q_small_qty_revenue",
+    "q_shipping_priority",
+    "q_nation_trade_volume",
+    "q_large_volume_customers",
+    "q_suppliers_kept_waiting",
+    "q_min_cost_supplier",
+    "q_customers_without_orders",
+    "q_parts_ordered",
+    "q_selective_revenue",
+    "q_cube_returnflag_status",
+    "q_user_sessions",
+    "q_events_hourly_window",
+    "q_distinct_users",
+    "q_quantity_quantiles",
+    "q_supplier_order_volume",
+    "q_asof_click_purchase",
+    "q_grouping_sets_priority",
+    "q_customer_order_gaps",
+    "q_pivot_status_by_priority",
 ]
 
 
