@@ -61,18 +61,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     per the r11 verdict #4; oracle unchanged, plan test pins
 #:     exactly one ordered-only window, the ≤64-row octave totals) —
 #:     currently r11-green;
-#: (d) the 35 oldest r9-green entries (CORRECTNESS_r09 insertion
+#: (d) the NEW r12 oracled ops' first rows: dedup_fuzzy_names (the
+#:     FastSS deletion-neighborhood edit-distance join),
+#:     q_revenue_anomaly_mad, q_orders_benford,
+#:     q_market_basket_pairs — all validate_driver-green at
+#:     sf0.001 AND sf0.01 in-round;
+#: (e) the 31 oldest r9-green entries (CORRECTNESS_r09 insertion
 #:     order) to the 50 cap.
-#: 6 + 8 + 1 + 35 = exactly 50. The 15 r9-green entries that did not
-#: fit (q_order_count_distribution, q_price_histogram,
-#: q_rolling_7d_spend, q_price_rank_distribution,
+#: 6 + 8 + 1 + 4 + 31 = exactly 50. The 19 r9-green entries that did
+#: not fit (q_asof_click_purchase, q_grouping_sets_priority,
+#: q_customer_order_gaps, q_pivot_status_by_priority — displaced by
+#: the new-op first rows — plus q_order_count_distribution,
+#: q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
 #: q_user_retention_cohorts, q_funnel_conversion,
 #: q_revenue_anomaly_zscore, q_salted_skew_agg, q_weighted_sample,
 #: q_salted_join_parts, text_tfidf_topk, text_top_ngrams,
 #: docs_pack_sequences, embedding_label_centroids, sql_daily_summary)
 #: stay covered in-round by the parametrized pytest oracles and LEAD
 #: the r13 refresh. Post-round invariant: every oracled entry's
-#: latest green row is r9 or newer, and all 164 oracled entries have
+#: latest green row is r9 or newer, and all 168 oracled entries have
 #: driver rows.
 #: Rows-only r12 additions hold no front slots per the r8 rule:
 #: streaming_dau_wau is pinned identical-under-both-arrival-orders +
@@ -107,7 +114,12 @@ _DRIVER_FRONT = [
     "q_events_dau_wau",
     # (c) r12 impl change (bucketed zipf rank)
     "text_zipf_fit",
-    # (d) the 35 oldest r9-green entries (CORRECTNESS_r09 order)
+    # (d) new r12 oracled ops, first driver rows
+    "dedup_fuzzy_names",
+    "q_revenue_anomaly_mad",
+    "q_orders_benford",
+    "q_market_basket_pairs",
+    # (e) the 31 oldest r9-green entries (CORRECTNESS_r09 order)
     "docs_curate_pipeline",
     "corpus_to_batches",
     "docs_token_budget_report",
@@ -139,10 +151,6 @@ _DRIVER_FRONT = [
     "q_distinct_users",
     "q_quantity_quantiles",
     "q_supplier_order_volume",
-    "q_asof_click_purchase",
-    "q_grouping_sets_priority",
-    "q_customer_order_gaps",
-    "q_pivot_status_by_priority",
 ]
 
 

@@ -157,6 +157,12 @@ DIRECT = [
     "q_user_overlap_exact",
     "docs_sample_epochs",
     "q_events_dau_wau",
+    # round-12 new surface: deletion-neighborhood edit-distance join,
+    # robust MAD anomaly, Benford screen, market-basket pair mining
+    "dedup_fuzzy_names",
+    "q_revenue_anomaly_mad",
+    "q_orders_benford",
+    "q_market_basket_pairs",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -1644,3 +1644,80 @@ def docs_exact_substr_dedup(t: Frames) -> DataFrame:
             (F.size(toks) - F.size(kept)).cast("int").alias("n_tokens_removed"),
         )
     )
+
+
+# --- edit-distance similarity join via deletion neighborhoods (round 12) ----
+@_register(
+    "dedup_fuzzy_names",
+    """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(t: Frames) -> DataFrame:
+    """Exact edit-distance-1 similarity self-join over customer names
+    — the entity-resolution primitive (typo'd signups, OCR'd vendor
+    lists, near-identical merchant strings): every pair of names
+    within Levenshtein distance 1, with the distance.
+
+    Scale design — FastSS deletion-neighborhood blocking (Bocek et
+    al. 2007, "Fast Similarity Search in Large Dictionaries"): two
+    strings are within edit distance 1 IFF they share a member of
+    {s} ∪ {s minus one character} — a substitution at position i
+    means both yield the same string deleting position i; an
+    insertion/deletion means the longer one's deletion IS the shorter
+    string; equality shares the identity variant. So each name emits
+    length+1 variant keys (a BOUNDED projection, the DAU/WAU ×7
+    idiom), candidates come from ONE variant-keyed equi-join — never
+    the all-pairs cross join the naive form needs — and the exact
+    ``levenshtein ≤ 1`` filter restores precision (recall is exact by
+    the iff above, precision-only blocking losses impossible). The
+    ORACLE is the all-pairs form (fine at sf0.01's 1.5k names); the
+    Spark plan is the production shape: at 10⁹ names the fan-out is
+    ~L× rows keyed on near-unique variants, while all-pairs is 10¹⁸
+    comparisons. Variant-group size is bounded by how many real
+    strings sit within distance 1 of a given deletion — adversarial
+    corpora (all strings equal) degrade to the exact-dup group-size
+    class, the same skew profile as ``dedup_exact``; generalizes to
+    distance k via k-deletion neighborhoods. No window, no driver
+    loop; ``distinct`` before the levenshtein keeps one candidate row
+    per pair however many variants it shares."""
+    names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
+    variants = names.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array("c_name"),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i-1), "
+                    "substring(c_name, i+1, length(c_name))))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        "variant",
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = variants.select(
+        "variant",
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+        )
+    )

@@ -3487,3 +3487,165 @@ def q_events_dau_wau(t: Frames) -> DataFrame:
             dround(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# --- robust (MAD) revenue anomaly — windowless, outlier-proof ----------------
+@_register(
+    "q_revenue_anomaly_mad",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(revenue, 0.5) AS med FROM daily),
+    mad AS (
+      SELECT quantile_cont(abs(revenue - med), 0.5) AS mad
+      FROM daily, med
+    )
+    SELECT day, {dround_sql('revenue', 2)} AS revenue,
+           {_r4s('(revenue - med) / (1.4826 * mad)')} AS robust_z
+    FROM daily, med, mad
+    WHERE abs(revenue - med) > 3 * 1.4826 * mad
+    """,
+)
+def q_revenue_anomaly_mad(t: Frames) -> DataFrame:
+    """Robust daily-revenue anomaly flags: days whose total revenue
+    sits more than 3 robust standard deviations (1.4826·MAD — the
+    consistency constant that makes MAD estimate σ under normality)
+    from the population MEDIAN. The median/MAD pair is the
+    outlier-proof twin of ``q_revenue_anomaly_zscore``'s mean/stddev:
+    a handful of extreme days inflate the mean AND the stddev enough
+    to mask each other (the masking problem), while the median and
+    MAD have 50% breakdown — the detector the fraud dashboard wants
+    when the contamination is exactly what it is looking for.
+
+    Scale design: the windowless-banding family (q_customer_rfm
+    precedent) — one keyed day-agg collapses orders to O(days) rows,
+    then TWO 1-row exact-percentile aggregates (median, then median
+    absolute deviation) ride broadcast crossJoins; nothing is
+    globally sorted, no window anywhere. Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (both linear interpolation), so the
+    oracle is exact under the dround discipline."""
+    daily = t["orders"].groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    med = daily.agg(F.percentile("revenue", 0.5).alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("revenue") - F.col("med"))
+    )
+    mad = dev.agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "day",
+            dround(F.col("revenue"), 2).alias("revenue"),
+            _r4(
+                (F.col("revenue") - F.col("med")) / (1.4826 * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )
+
+
+# --- Benford first-digit conformance (fraud-analytics screen) ----------------
+@_register(
+    "q_orders_benford",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT digit, n,
+           {_r4s('n / t')} AS observed_p,
+           {_r4s('log10(1.0 + 1.0 / digit)')} AS benford_p,
+           {_r4s('pow(n - t * log10(1.0 + 1.0 / digit), 2) / (t * log10(1.0 + 1.0 / digit))')} AS chi2_term
+    FROM counts, total
+    """,
+)
+def q_orders_benford(t: Frames) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic forensic-accounting test the fraud domain runs on amount
+    columns: fabricated numbers over-represent mid digits, organic
+    multiplicative processes follow P(d) = log10(1 + 1/d). One row
+    per leading digit with the observed share, the Benford share, and
+    the chi-square contribution (sum the column for the test
+    statistic; 8 dof against the 9-digit law).
+
+    Scale design: one digit-keyed count with map-side partials (9
+    output rows) + a 1-row total on a broadcast crossJoin — the
+    windowless family's cheapest member; the digit extraction is
+    per-row string arithmetic inside codegen. Exact closed form in
+    both engines (integer counts, log10/pow on identical doubles), so
+    the oracle is exact under dround."""
+    digits = (
+        t["orders"]
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        _r4(F.col("n") / F.col("t")).alias("observed_p"),
+        _r4(benford).alias("benford_p"),
+        _r4(
+            F.pow(F.col("n") - F.col("t") * benford, 2) / (F.col("t") * benford)
+        ).alias("chi2_term"),
+    )
+
+
+# --- market-basket pair mining (association analysis) ------------------------
+@_register(
+    "q_market_basket_pairs",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_market_basket_pairs(t: Frames) -> DataFrame:
+    """Frequent co-purchased part pairs (support ≥ 2 orders) — the
+    A-priori pair-counting core of market-basket analysis, and the
+    second similarity-JOIN family here that never goes all-pairs
+    against the full catalog.
+
+    Scale design: the self-join is keyed on l_orderkey, so the
+    fan-out is Σ B(o)² over basket sizes — bounded by the max basket
+    (7 lines in TPC-H; the documented association-mining cost at any
+    scale), NOT catalog². The DISTINCT collapses a part appearing
+    twice in one order before counting (support counts ORDERS, not
+    line pairs); the pair count is one keyed agg with map-side
+    partials and the support filter prunes the long tail before any
+    downstream join. A-priori's k>2 levels compose the same way:
+    join the survivors back to the basket projection."""
+    lines = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select("l_orderkey", "part_a", "part_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

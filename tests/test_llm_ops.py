@@ -2156,3 +2156,33 @@ def test_sample_epochs_upsamples_and_hits_targets(spark, frames):
     for d, n in per_doc_epochs.items():
         fl = math.floor(rates[src_of[d]])
         assert n in (fl, fl + 1), (d, n, fl)
+
+
+# --- round 12: deletion-neighborhood edit-distance join ----------------------
+def test_fuzzy_names_planted_recall_precision_and_plan(spark):
+    """dedup_fuzzy_names must find EVERY pair within Levenshtein 1 —
+    substitution, insertion, deletion, and exact duplicate — through
+    the deletion-neighborhood blocking (the FastSS iff), pair nothing
+    at distance >= 2, and never plan a cartesian/all-pairs join."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_fuzzy_names,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme c0rp"),      # substitution  -> d(1,2)=1
+        (3, "acme corps"),     # insertion     -> d(1,3)=1, d(2,3)=2
+        (4, "widgetco"),
+        (5, "widgetc"),        # deletion      -> d(4,5)=1
+        (6, "zeta"),
+        (7, "zeta"),           # exact dup     -> d(6,7)=0
+        (8, "unrelated inc"),  # pairs with nothing
+    ]
+    t = {"customer": spark.createDataFrame(rows, "c_custkey long, c_name string")}
+    got = {
+        (r["custkey_a"], r["custkey_b"]): r["distance"]
+        for r in dedup_fuzzy_names(t).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (4, 5): 1, (6, 7): 0}, got
+    plan = dedup_fuzzy_names(t)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

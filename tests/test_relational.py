@@ -256,3 +256,76 @@ def test_dau_wau_trailing_window_semantics(spark):
     # day 10: user 2 active; user 1's window (days 1-7) long gone
     assert rows["2024-01-10"]["dau"] == 1 and rows["2024-01-10"]["wau"] == 1
     assert rows["2024-01-10"]["stickiness"] == 1.0
+
+
+# --- round 12: association mining + robust anomaly + Benford -----------------
+def test_market_basket_counts_orders_not_line_pairs(spark):
+    """A part appearing twice in one order must contribute ONE
+    co-occurrence to each pair (support counts orders); pairs below
+    support 2 are pruned."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    rows = [
+        # order 1: part 10 twice, part 20 once
+        (1, 10), (1, 10), (1, 20),
+        # order 2: 10 + 20 again -> pair (10,20) support 2
+        (2, 10), (2, 20),
+        # order 3: 10 + 30 (support 1 -> pruned)
+        (3, 10), (3, 30),
+    ]
+    t = {
+        "lineitem": spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    }
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in RELATIONAL["q_market_basket_pairs"][0](t).collect()
+    }
+    assert got == {(10, 20): 2}, got
+
+
+def test_mad_anomaly_survives_masking_outliers(spark):
+    """The masking case the MAD detector exists for: two extreme days
+    inflate the mean AND stddev enough that a z-score test (3 sigma)
+    flags neither, while median/MAD flags both."""
+    import datetime as dt
+    import statistics
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    vals = [100.0 + i for i in range(20)] + [5000.0, 5000.0, 5000.0]
+    rows = [
+        (i + 1, dt.date(2024, 1, i + 1), v) for i, v in enumerate(vals)
+    ]
+    t = {
+        "orders": spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+    }
+    flagged = {
+        r["day"].day for r in RELATIONAL["q_revenue_anomaly_mad"][0](t).collect()
+    }
+    assert flagged == {21, 22, 23}, flagged
+    # the plain 3-sigma test on the same series flags NOTHING (masking)
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert all(abs(v - mu) <= 3 * sd for v in vals)
+
+
+def test_benford_terms_are_the_closed_form(spark):
+    """9 rows, shares sum to 1, benford_p is log10(1+1/d), and the
+    chi2 term matches the hand-computed value for one digit."""
+    import math
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+    from tests.conftest import SF_SMALL
+
+    t = {"orders": table(spark, SF_SMALL, "orders")}
+    rows = {r["digit"]: r for r in RELATIONAL["q_orders_benford"][0](t).collect()}
+    assert set(rows) == set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-3
+    total = sum(r["n"] for r in rows.values())
+    for d in (1, 9):
+        p = math.log10(1 + 1 / d)
+        assert abs(rows[d]["benford_p"] - round(p, 4)) < 5e-4
+        expected = (rows[d]["n"] - total * p) ** 2 / (total * p)
+        assert abs(rows[d]["chi2_term"] - expected) < max(0.01, 0.01 * expected)
