@@ -64,13 +64,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (d) the NEW r12 oracled ops' first rows: dedup_fuzzy_names (the
 #:     FastSS deletion-neighborhood edit-distance join),
 #:     q_revenue_anomaly_mad, q_orders_benford,
-#:     q_market_basket_pairs — all validate_driver-green at
+#:     q_market_basket_pairs, text_collocations_pmi (Church & Hanks
+#:     PMI collocation mining) — all validate_driver-green at
 #:     sf0.001 AND sf0.01 in-round;
-#: (e) the 31 oldest r9-green entries (CORRECTNESS_r09 insertion
+#: (e) the 30 oldest r9-green entries (CORRECTNESS_r09 insertion
 #:     order) to the 50 cap.
-#: 6 + 8 + 1 + 4 + 31 = exactly 50. The 19 r9-green entries that did
+#: 6 + 8 + 1 + 5 + 30 = exactly 50. The 20 r9-green entries that did
 #: not fit (q_asof_click_purchase, q_grouping_sets_priority,
-#: q_customer_order_gaps, q_pivot_status_by_priority — displaced by
+#: q_customer_order_gaps, q_pivot_status_by_priority,
+#: q_supplier_order_volume — displaced by
 #: the new-op first rows — plus q_order_count_distribution,
 #: q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
 #: q_user_retention_cohorts, q_funnel_conversion,
@@ -119,7 +121,8 @@ _DRIVER_FRONT = [
     "q_revenue_anomaly_mad",
     "q_orders_benford",
     "q_market_basket_pairs",
-    # (e) the 31 oldest r9-green entries (CORRECTNESS_r09 order)
+    "text_collocations_pmi",
+    # (e) the 30 oldest r9-green entries (CORRECTNESS_r09 order)
     "docs_curate_pipeline",
     "corpus_to_batches",
     "docs_token_budget_report",
@@ -150,7 +153,6 @@ _DRIVER_FRONT = [
     "q_events_hourly_window",
     "q_distinct_users",
     "q_quantity_quantiles",
-    "q_supplier_order_volume",
 ]
 
 

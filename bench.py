@@ -163,6 +163,7 @@ DIRECT = [
     "q_revenue_anomaly_mad",
     "q_orders_benford",
     "q_market_basket_pairs",
+    "text_collocations_pmi",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

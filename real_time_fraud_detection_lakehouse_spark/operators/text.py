@@ -1665,3 +1665,101 @@ def text_char_entropy(t: Frames) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+# --- PMI collocation mining (round 12) ---------------------------------------
+#: minimum bigram support before a pair is scored — PMI is unstable on
+#: hapax pairs (one co-occurrence of two rare words maxes the score),
+#: so every serious collocation pass floors the count first.
+PMI_MIN_COUNT = 5
+
+
+@_register(
+    "text_collocations_pmi",
+    f"""
+    WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+    pairs AS (
+      SELECT t[i+1] AS w1, t[i+2] AS w2
+      FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE) AS nb,
+             CAST((SELECT SUM(cu) FROM uni) AS DOUBLE) AS nu
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bi.w1, bi.w2, bi.n_pair,
+           {dround_sql(
+             "ln((bi.n_pair / tot.nb) / ((a.cu / tot.nu) * (b.cu / tot.nu)))"
+           )} AS pmi
+    FROM bi JOIN uni a ON bi.w1 = a.token JOIN uni b ON bi.w2 = b.token, tot
+    """,
+)
+def text_collocations_pmi(t: Frames) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    corpus-linguistics pass (Church & Hanks 1990) that surfaces token
+    pairs co-occurring far above chance: PMI = ln(p(a,b)/(p(a)p(b)))
+    with the pair probability over adjacent-bigram positions and the
+    unigram probabilities over all token occurrences. Curation reads
+    it two ways: high-PMI pairs are multi-word expressions a tokenizer
+    budget should treat as units; a corpus whose top collocations are
+    boilerplate fragments ("click here", "all rights") is
+    template-heavy. Hapax instability is floored by
+    PMI_MIN_COUNT={PMI_MIN_COUNT}.
+
+    Scale design: the corpus-sized frames are the bigram stream (the
+    module's ONE ``_BIGRAM_EXPR`` definition) and the token explode —
+    each folds through a keyed count with map-side partials, output
+    bounded by the type space (the lm_perplexity cost class). The
+    support filter prunes the pair tail BEFORE the two unigram
+    join-backs (type-keyed; AQE sizes them — vocabulary-bounded,
+    broadcast when small), and the two scalar totals ride one
+    broadcast 1-row crossJoin. No window, no all-pairs, nothing
+    sorted."""
+    toks = (
+        spread_small_input(t["documents"])
+        .select(_tokens_col().alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = _bigrams_from_tokens(toks).select(
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    totals = pairs.agg(F.count("*").cast("double").alias("nb")).crossJoin(
+        uni.agg(F.sum("cu").cast("double").alias("nu"))
+    )
+    a = uni.select(F.col("token").alias("w1"), F.col("cu").alias("cu_a"))
+    b = uni.select(F.col("token").alias("w2"), F.col("cu").alias("cu_b"))
+    return (
+        bi.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            dround(
+                F.log(
+                    (F.col("n_pair") / F.col("nb"))
+                    / ((F.col("cu_a") / F.col("nu")) * (F.col("cu_b") / F.col("nu")))
+                )
+            ).alias("pmi"),
+        )
+    )

@@ -2186,3 +2186,44 @@ def test_fuzzy_names_planted_recall_precision_and_plan(spark):
     assert got == {(1, 2): 1, (1, 3): 1, (4, 5): 1, (6, 7): 0}, got
     plan = dedup_fuzzy_names(t)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_ranks_true_collocation_above_chance_pair(spark):
+    """Planted corpus: 'new york' always co-occurs (true collocation,
+    PMI >> 0); 'the' pairs with everything (chance co-occurrence, PMI
+    near 0); sub-threshold pairs never appear."""
+    import math
+
+    from real_time_fraud_detection_lakehouse_spark.operators.text import (
+        PMI_MIN_COUNT,
+        text_collocations_pmi,
+    )
+
+    docs = []
+    for i in range(10):
+        # 'the X' with X varying: 'the' is frequent, each pair spread thin
+        filler = f"the w{i} the w{(i+1) % 10}"
+        docs.append((i, f"new york {filler} new york {filler}", "s"))
+    t = {
+        "documents": spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        )
+    }
+    rows = {(r["w1"], r["w2"]): r for r in text_collocations_pmi(t).collect()}
+    assert ("new", "york") in rows
+    ny = rows[("new", "york")]
+    assert ny["n_pair"] >= PMI_MIN_COUNT
+    assert ny["pmi"] > 1.0  # far above chance
+    # every 'the w_i' pair is sub-threshold (2 occurrences each) ->
+    # absent; 'york the' bridges appear 10 times (above threshold) but
+    # with 'the' frequent the PMI sits well below the collocation's
+    for (a, b), r in rows.items():
+        if "the" in (a, b):
+            assert r["pmi"] < ny["pmi"] - 0.5, (a, b, r["pmi"])
+    # spot-check the closed form on the collocation itself
+    n_tokens = sum(len(d[1].split()) for d in docs)
+    n_bigrams = sum(len(d[1].split()) - 1 for d in docs)
+    p_pair = ny["n_pair"] / n_bigrams
+    p_new = sum(d[1].split().count("new") for d in docs) / n_tokens
+    p_york = sum(d[1].split().count("york") for d in docs) / n_tokens
+    assert abs(ny["pmi"] - round(math.log(p_pair / (p_new * p_york)), 6)) < 1e-6
