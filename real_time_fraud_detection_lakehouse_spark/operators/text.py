@@ -786,8 +786,12 @@ def text_zipf_fit(t: Frames) -> DataFrame:
     offset-composition reproduces ROW_NUMBER exactly:
 
     - level 1: ``mag = floor(log2(n))`` — n DESC orders octaves DESC,
-      so per-octave totals (≤64 rows, the module's bucket-totals
-      exception) give each octave's global offset;
+      so per-octave totals (≤64 rows) give each octave's global
+      offset. Even that tiny cumsum avoids a window: each octave
+      CONTRIBUTES its total to every lower octave via a bounded
+      explode (the DAU/WAU inverted-fan-out idiom), so the whole op
+      plans ZERO ordered-only windows and the WindowExec
+      single-partition warning is gone from this plan entirely;
     - level 2: within an octave, (n DESC, pfx ASC) where ``pfx`` is
       the token's 2-char prefix — a PREFIX of the tie-break key, so
       bucket order extends token order; the per-(n, pfx) totals frame
@@ -815,15 +819,23 @@ def text_zipf_fit(t: Frames) -> DataFrame:
         F.substring("token", 1, 2).alias("pfx"),
     )
     grp = keyed.groupBy("mag", "n", "pfx").agg(F.count("*").alias("cnt"))
-    w_mag = Window.orderBy(F.desc("mag")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    mag_off = (
-        grp.groupBy("mag")
-        .agg(F.sum("cnt").alias("mcnt"))
+    mag_tot = grp.groupBy("mag").agg(F.sum("cnt").alias("mcnt"))
+    # windowless octave offsets: octave m' contributes its total to
+    # every lower octave m < m' (bounded ≤64×64 fan-out; the guard
+    # filter avoids Spark's descending sequence(0,-1) surprise at
+    # mag=0) — offset(m) = Σ_{m' > m} mcnt(m'), zero for the top octave
+    contrib = (
+        mag_tot.filter(F.col("mag") >= 1)
         .select(
-            "mag", (F.sum("mcnt").over(w_mag) - F.col("mcnt")).alias("moff")
+            F.explode(F.sequence(F.lit(0), F.col("mag") - 1)).alias("mag2"),
+            "mcnt",
         )
+        .groupBy("mag2")
+        .agg(F.sum("mcnt").alias("moff"))
+        .withColumnRenamed("mag2", "mag")
+    )
+    mag_off = mag_tot.join(contrib, "mag", "left").select(
+        "mag", F.coalesce("moff", F.lit(0)).alias("moff")
     )
     w_grp = (
         Window.partitionBy("mag")

@@ -731,11 +731,11 @@ def test_zipf_fit_plan_shape(spark):
     ordered_only = {
         s for s in specs if (" ASC" in s.split(",")[0] or " DESC" in s.split(",")[0])
     }
-    # the one allowed ordered-only window is the ≤64-row octave-totals
-    # cumsum (sorts on mag alone); the vocab-sized windows (tie-break
-    # row_number, within-octave offsets) must all carry partition cols
-    assert len(ordered_only) == 1, f"unpartitioned windows: {ordered_only}"
-    assert next(iter(ordered_only)).split("#")[0].strip() == "mag", ordered_only
+    # ZERO ordered-only windows: the octave offsets ride the inverted
+    # fan-out (explode + keyed agg), and the vocab-sized windows
+    # (tie-break row_number, within-octave offsets) carry partition
+    # cols — no WindowExec single-partition warning anywhere
+    assert not ordered_only, f"unpartitioned windows: {ordered_only}"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
