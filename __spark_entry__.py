@@ -321,10 +321,11 @@ def queries() -> dict[str, QueryFn]:
     # planted tone-curve pair aHash misses and this catches is pinned
     # in tests/test_ml.py. On the synth fixture this returns ZERO
     # pairs by design: the fixture's images are phase-shifted sawtooth
-    # ramps whose cell-mean PATTERN coincides (aHash pairs them — a
-    # false-positive family) but whose harmonic phases differ (DCT
-    # correctly separates them); true positives are pinned by the
-    # planted tests, not the fixture
+    # ramps — a genuinely ambiguous family (same ramp, shifted phase)
+    # where the kernels legitimately disagree: aHash pairs them (their
+    # cell-mean pattern coincides), DCT separates them (their harmonic
+    # phases differ). True positives for THIS kernel are pinned by the
+    # planted tone-curve and local-edit tests, not the fixture
     def _multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         from real_time_fraud_detection_lakehouse_spark.operators.multimodal import (
             multimodal_phash_dct_dedup,
