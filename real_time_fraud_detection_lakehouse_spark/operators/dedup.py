@@ -1663,17 +1663,19 @@ def dedup_fuzzy_names(t: Frames) -> DataFrame:
     within Levenshtein distance 1, with the distance.
 
     Scale design — FastSS deletion-neighborhood blocking (Bocek et
-    al. 2007, "Fast Similarity Search in Large Dictionaries"): two
-    strings are within edit distance 1 IFF they share a member of
+    al. 2007, "Fast Similarity Search in Large Dictionaries"): edit
+    distance ≤ 1 IMPLIES the strings share a member of
     {s} ∪ {s minus one character} — a substitution at position i
     means both yield the same string deleting position i; an
     insertion/deletion means the longer one's deletion IS the shorter
-    string; equality shares the identity variant. So each name emits
-    length+1 variant keys (a BOUNDED projection, the DAU/WAU ×7
-    idiom), candidates come from ONE variant-keyed equi-join — never
-    the all-pairs cross join the naive form needs — and the exact
-    ``levenshtein ≤ 1`` filter restores precision (recall is exact by
-    the iff above, precision-only blocking losses impossible). The
+    string; equality shares the identity variant. (Only an
+    implication: distance-2 pairs like 'aaab'/'aaba' can share a
+    variant — hypothesis-pinned in tests/test_properties.py.) So each
+    name emits length+1 variant keys (a BOUNDED projection, the
+    DAU/WAU ×7 idiom), candidates come from ONE variant-keyed
+    equi-join — never the all-pairs cross join the naive form needs —
+    recall is EXACT by the implication, and the exact
+    ``levenshtein ≤ 1`` filter removes the blocking false positives. The
     ORACLE is the all-pairs form (fine at sf0.01's 1.5k names); the
     Spark plan is the production shape: at 10⁹ names the fan-out is
     ~L× rows keyed on near-unique variants, while all-pairs is 10¹⁸

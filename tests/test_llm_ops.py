@@ -2162,7 +2162,7 @@ def test_sample_epochs_upsamples_and_hits_targets(spark, frames):
 def test_fuzzy_names_planted_recall_precision_and_plan(spark):
     """dedup_fuzzy_names must find EVERY pair within Levenshtein 1 —
     substitution, insertion, deletion, and exact duplicate — through
-    the deletion-neighborhood blocking (the FastSS iff), pair nothing
+    the deletion-neighborhood blocking (the FastSS recall implication), pair nothing
     at distance >= 2, and never plan a cartesian/all-pairs join."""
     from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
         dedup_fuzzy_names,
@@ -2177,6 +2177,11 @@ def test_fuzzy_names_planted_recall_precision_and_plan(spark):
         (6, "zeta"),
         (7, "zeta"),           # exact dup     -> d(6,7)=0
         (8, "unrelated inc"),  # pairs with nothing
+        # shares deletion variant 'aab' at distance 2: a candidate the
+        # blocking admits and the exact filter must remove (the
+        # hypothesis counter-example, pinned end-to-end)
+        (9, "aaab"),
+        (10, "aaba"),
     ]
     t = {"customer": spark.createDataFrame(rows, "c_custkey long, c_name string")}
     got = {

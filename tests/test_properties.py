@@ -435,3 +435,40 @@ def test_ahash_brightness_shift_invariant(seed, h, w, shift):
     capped = np.minimum(img, 255 - shift).astype(np.uint8)  # headroom for the shift
     shifted = (capped + shift).astype(np.uint8)
     assert ahash64(capped) == ahash64(shifted)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab", max_size=5),
+    st.text(alphabet="ab", max_size=5),
+)
+def test_deletion_neighborhood_blocking_iff(a, b):
+    """The FastSS implication dedup_fuzzy_names' recall rests on:
+    Levenshtein distance ≤ 1 IMPLIES {s} ∪ {s minus one char}
+    intersect (equality shares the identity variant, a substitution
+    shares the same-position deletion, an indel's deletion IS the
+    shorter string). The converse is FALSE — hypothesis found
+    ('aaab','aaba'): shared variant 'aab', distance 2 — which is
+    exactly why the operator verifies candidates with the exact
+    levenshtein filter (blocking buys recall, the filter restores
+    precision). Tiny alphabet + short strings exhaust the collision
+    space; pure-Python mirror of the Spark variant expression."""
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    def variants(s):
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    if lev(a, b) <= 1:
+        assert variants(a) & variants(b), "recall hole: candidate pair missed"
+    # precision-side regression pin for the converse counter-example
+    assert lev("aaab", "aaba") == 2 and (variants("aaab") & variants("aaba"))
