@@ -638,12 +638,13 @@ def ahash64(pixels) -> int:
     rb = (np.arange(9) * h) // 8
     cb = (np.arange(9) * w) // 8
     cells = np.empty((8, 8), dtype=np.float64)
-    px = pixels.astype(np.float64)
+    # uint8 slice .mean() accumulates in float64 — same values as an
+    # astype copy without 8x the image in memory (the phash64_dct fix)
     for r in range(8):
         r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
         for c in range(8):
             c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
-            cells[r, c] = px[r0:r1, c0:c1].mean()
+            cells[r, c] = pixels[r0:r1, c0:c1].mean()
     bits = (cells > cells.mean()).flatten()
     val = 0
     for i, b in enumerate(bits):
@@ -680,13 +681,15 @@ def phash64_dct(pixels) -> int:
     h, w = pixels.shape
     rb = (np.arange(n + 1) * h) // n
     cb = (np.arange(n + 1) * w) // n
-    px = pixels.astype(np.float64)
+    # no up-front float64 copy of the full image (8x the decoded
+    # payload, ~512 MB at the 64 MiB decode cap): uint8 slice .mean()
+    # already accumulates in float64, bit-identical result
     cells = np.empty((n, n), dtype=np.float64)
     for r in range(n):
         r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
         for c in range(n):
             c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
-            cells[r, c] = px[r0:r1, c0:c1].mean()
+            cells[r, c] = pixels[r0:r1, c0:c1].mean()
     k = np.arange(n).reshape(-1, 1)
     i = np.arange(n).reshape(1, -1)
     m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
