@@ -58,21 +58,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     q_user_overlap_exact, docs_sample_epochs, q_events_dau_wau);
 #: (c) text_zipf_fit — r12 IMPL CHANGE (the vocabulary-sized
 #:     ordered-only rank window replaced by the bucketed prefix-sum
-#:     per the r11 verdict #4; oracle unchanged, plan test pins
-#:     exactly one ordered-only window, the ≤64-row octave totals) —
-#:     currently r11-green;
+#:     per the r11 verdict #4, octave offsets via the inverted
+#:     fan-out; oracle unchanged, plan test pins ZERO ordered-only
+#:     windows) — currently r11-green;
 #: (d) the NEW r12 oracled ops' first rows: dedup_fuzzy_names (the
 #:     FastSS deletion-neighborhood edit-distance join),
 #:     q_revenue_anomaly_mad, q_orders_benford,
 #:     q_market_basket_pairs, text_collocations_pmi (Church & Hanks
-#:     PMI collocation mining) — all validate_driver-green at
-#:     sf0.001 AND sf0.01 in-round;
-#: (e) the 30 oldest r9-green entries (CORRECTNESS_r09 insertion
+#:     PMI collocation mining), q_basket_rules (confidence/lift),
+#:     q_referential_integrity (star-schema FK audit) — all
+#:     validate_driver-green at sf0.001 AND sf0.01 in-round (the
+#:     first five also at sf0.1);
+#: (e) the 28 oldest r9-green entries (CORRECTNESS_r09 insertion
 #:     order) to the 50 cap.
-#: 6 + 8 + 1 + 5 + 30 = exactly 50. The 20 r9-green entries that did
+#: 6 + 8 + 1 + 7 + 28 = exactly 50. The 22 r9-green entries that did
 #: not fit (q_asof_click_purchase, q_grouping_sets_priority,
 #: q_customer_order_gaps, q_pivot_status_by_priority,
-#: q_supplier_order_volume — displaced by
+#: q_supplier_order_volume, q_distinct_users, q_quantity_quantiles —
+#: displaced by
 #: the new-op first rows — plus q_order_count_distribution,
 #: q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
 #: q_user_retention_cohorts, q_funnel_conversion,
@@ -81,7 +84,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: docs_pack_sequences, embedding_label_centroids, sql_daily_summary)
 #: stay covered in-round by the parametrized pytest oracles and LEAD
 #: the r13 refresh. Post-round invariant: every oracled entry's
-#: latest green row is r9 or newer, and all 168 oracled entries have
+#: latest green row is r9 or newer, and all 171 oracled entries have
 #: driver rows.
 #: Rows-only r12 additions hold no front slots per the r8 rule:
 #: streaming_dau_wau is pinned identical-under-both-arrival-orders +
@@ -122,7 +125,9 @@ _DRIVER_FRONT = [
     "q_orders_benford",
     "q_market_basket_pairs",
     "text_collocations_pmi",
-    # (e) the 30 oldest r9-green entries (CORRECTNESS_r09 order)
+    "q_basket_rules",
+    "q_referential_integrity",
+    # (e) the 28 oldest r9-green entries (CORRECTNESS_r09 order)
     "docs_curate_pipeline",
     "corpus_to_batches",
     "docs_token_budget_report",
@@ -151,8 +156,6 @@ _DRIVER_FRONT = [
     "q_cube_returnflag_status",
     "q_user_sessions",
     "q_events_hourly_window",
-    "q_distinct_users",
-    "q_quantity_quantiles",
 ]
 
 

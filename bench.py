@@ -164,6 +164,8 @@ DIRECT = [
     "q_orders_benford",
     "q_market_basket_pairs",
     "text_collocations_pmi",
+    "q_basket_rules",
+    "q_referential_integrity",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

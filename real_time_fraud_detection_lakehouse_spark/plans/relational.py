@@ -3649,3 +3649,152 @@ def q_market_basket_pairs(t: Frames) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --- association rules over the basket pairs ---------------------------------
+@_register(
+    "q_basket_rules",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pc AS (
+      SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+    ),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_item
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem)
+    SELECT pc.part_a, pc.part_b, pc.n_ab,
+           {_r4s('pc.n_ab / ia.n_item')} AS conf_a_to_b,
+           {_r4s('pc.n_ab / ib.n_item')} AS conf_b_to_a,
+           {_r4s('(pc.n_ab * tot.n) / (ia.n_item * ib.n_item)')} AS lift
+    FROM pc JOIN item ia ON pc.part_a = ia.l_partkey
+            JOIN item ib ON pc.part_b = ib.l_partkey, tot
+    """,
+)
+def q_basket_rules(t: Frames) -> DataFrame:
+    """Association rules over the frequent pairs: confidence in both
+    directions (P(B|A), P(A|B)) and lift (observed co-occurrence over
+    the independence expectation) — the A-priori output a
+    recommender/fraud-ring screen actually consumes (a pair bought
+    together 3x means nothing if both items are in every basket;
+    lift >> 1 is the signal).
+
+    Scale design: rides q_market_basket_pairs' bounded-fan-out pair
+    counting; per-item order counts are one keyed distinct-agg; the
+    two join-backs are item-keyed (catalog-bounded, AQE-sized — the
+    PMI unigram join-back idiom) AFTER the support filter pruned the
+    pair tail; the basket total rides the 1-row broadcast crossJoin.
+    The shape is PMI's exactly — association mining and collocation
+    mining are the same plan over different pair streams."""
+    lines = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select("l_orderkey", "part_a", "part_b")
+        .distinct()
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    item = lines.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_item")
+    )
+    tot = lines.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            _r4(F.col("n_ab") / F.col("na")).alias("conf_a_to_b"),
+            _r4(F.col("n_ab") / F.col("nb")).alias("conf_b_to_a"),
+            _r4((F.col("n_ab") * F.col("n")) / (F.col("na") * F.col("nb"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+# --- referential-integrity audit (data-quality primitive) --------------------
+#: the star schema's FK edges: (child table, child key, parent table,
+#: parent key) — ONE definition shared by the Spark builder and the
+#: oracle generator so the audited edge set cannot drift.
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}.{ck}->{p}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN pp.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans,
+               {dround_sql(
+                   f"SUM(CASE WHEN pp.{pk} IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*)"
+               )} AS orphan_rate
+        FROM {c} cc LEFT JOIN {p} pp ON cc.{ck} = pp.{pk}
+        """
+        for c, ck, p, pk in _FK_EDGES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@_register("q_referential_integrity", _fk_oracle())
+def q_referential_integrity(t: Frames) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    data-quality gate a lakehouse runs after every load: one row per
+    FK edge with the child row count, the orphan count (child keys
+    with no parent), and the orphan rate. A clean load reads all
+    zeros; a partial dim load or a torn publish shows up as a
+    non-zero rate on exactly the affected edges (the cross-table
+    manifest publish exists to make that state unreachable — this op
+    is the AUDIT that proves it on data).
+
+    Scale design: each edge is one left join keyed on the FK (dims
+    broadcast while they fit, AQE shuffles them past that — the
+    module join policy) folded to a 1-row aggregate with map-side
+    partials; the 7-row union is metadata-sized. No edge ever
+    materializes the join output — the count/sum fold happens in the
+    same stage. NULL child keys match nothing in either engine and
+    count as orphans, the conservative audit convention."""
+    out = None
+    for c, ck, p, pk in _FK_EDGES:
+        parent = t[p].select(F.col(pk).alias("__pk"))
+        row = (
+            t[c]
+            .select(F.col(ck).alias("__ck"))
+            .join(parent, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.lit(f"{c}.{ck}->{p}").alias("fk_edge"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+                dround(
+                    F.sum(F.when(F.col("__pk").isNull(), 1.0).otherwise(0.0))
+                    / F.count("*")
+                ).alias("orphan_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

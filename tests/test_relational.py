@@ -329,3 +329,67 @@ def test_benford_terms_are_the_closed_form(spark):
         assert abs(rows[d]["benford_p"] - round(p, 4)) < 5e-4
         expected = (rows[d]["n"] - total * p) ** 2 / (total * p)
         assert abs(rows[d]["chi2_term"] - expected) < max(0.01, 0.01 * expected)
+
+
+def test_basket_rules_lift_separates_ubiquity_from_affinity(spark):
+    """Planted baskets: parts 1+2 co-occur ONLY together (lift = n/1
+    >> 1); part 9 is in every basket, so its pairs have lift exactly 1
+    (independence) — the reason rules consume lift, not raw support."""
+    rows = []
+    for o in range(1, 7):
+        rows += [(o, 9)]          # ubiquitous item
+        if o <= 3:
+            rows += [(o, 1), (o, 2)]   # exclusive pair
+        else:
+            rows += [(o, 3 + o)]       # singletons elsewhere
+    t = {
+        "lineitem": spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    }
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in RELATIONAL["q_basket_rules"][0](t).collect()
+    }
+    pair = got[(1, 2)]
+    assert pair["n_ab"] == 3
+    assert pair["conf_a_to_b"] == 1.0 and pair["conf_b_to_a"] == 1.0
+    assert pair["lift"] == 2.0  # n/n_a = 6/3
+    ubiq = got[(1, 9)]
+    assert ubiq["lift"] == 1.0  # part 9 in every basket: independence
+    assert ubiq["conf_a_to_b"] == 1.0 and ubiq["conf_b_to_a"] == 0.5
+
+
+def test_referential_integrity_flags_planted_orphans(spark):
+    """Drop one parent: exactly the affected edge reports the orphan
+    count; every other edge stays clean. NULL child keys count as
+    orphans (the conservative audit convention)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        TESTDATA_TABLES,
+        table,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    clean = {
+        r["fk_edge"]: r
+        for r in RELATIONAL["q_referential_integrity"][0](frames).collect()
+    }
+    assert all(r["n_orphans"] == 0 for r in clean.values())
+    assert len(clean) == 7
+    # amputate nation 3: customer/supplier edges to nation must bleed
+    frames["nation"] = frames["nation"].filter(F.col("n_nationkey") != 3)
+    bled = {
+        r["fk_edge"]: r
+        for r in RELATIONAL["q_referential_integrity"][0](frames).collect()
+    }
+    cust = bled["customer.c_nationkey->nation"]
+    supp = bled["supplier.s_nationkey->nation"]
+    assert cust["n_orphans"] > 0 and supp["n_orphans"] > 0
+    assert cust["n_rows"] == clean["customer.c_nationkey->nation"]["n_rows"]
+    untouched = [k for k in bled if "->nation" not in k]
+    assert all(bled[k]["n_orphans"] == 0 for k in untouched)
