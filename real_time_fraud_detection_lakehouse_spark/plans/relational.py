@@ -3607,17 +3607,45 @@ def q_orders_benford(t: Frames) -> DataFrame:
 
 
 # --- market-basket pair mining (association analysis) ------------------------
-@_register(
-    "q_market_basket_pairs",
-    """
-    WITH pairs AS (
+#: THE distinct co-occurring pair stream + supported pair counts —
+#: one definition shared by q_market_basket_pairs, q_basket_rules and
+#: both their oracles (the _BIGRAM_EXPR discipline: a second copy
+#: WILL drift on the DISTINCT or the support floor).
+_BASKET_PAIRS_SQL = """
+    pairs AS (
       SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pc AS (
+      SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
     )
-    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM pairs GROUP BY part_a, part_b
-    HAVING COUNT(*) >= 2
+"""
+
+
+def _basket_pair_counts(lines: DataFrame) -> DataFrame:
+    """Supported distinct-pair counts (n_ab ≥ 2) from a
+    (l_orderkey, l_partkey) projection — the Spark half of
+    ``_BASKET_PAIRS_SQL``."""
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select("l_orderkey", "part_a", "part_b")
+        .distinct()
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+
+
+@_register(
+    "q_market_basket_pairs",
+    f"""
+    WITH {_BASKET_PAIRS_SQL.strip()}
+    SELECT part_a, part_b, n_ab AS n_orders FROM pc
     """,
 )
 def q_market_basket_pairs(t: Frames) -> DataFrame:
@@ -3636,34 +3664,14 @@ def q_market_basket_pairs(t: Frames) -> DataFrame:
     downstream join. A-priori's k>2 levels compose the same way:
     join the survivors back to the basket projection."""
     lines = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .select("l_orderkey", "part_a", "part_b")
-        .distinct()
-    )
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    return _basket_pair_counts(lines).withColumnRenamed("n_ab", "n_orders")
 
 
 # --- association rules over the basket pairs ---------------------------------
 @_register(
     "q_basket_rules",
     f"""
-    WITH pairs AS (
-      SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    pc AS (
-      SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
-    ),
+    WITH {_BASKET_PAIRS_SQL.strip()},
     item AS (
       SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_item
       FROM lineitem GROUP BY l_partkey
@@ -3693,17 +3701,7 @@ def q_basket_rules(t: Frames) -> DataFrame:
     The shape is PMI's exactly — association mining and collocation
     mining are the same plan over different pair streams."""
     lines = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pc = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .select("l_orderkey", "part_a", "part_b")
-        .distinct()
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
+    pc = _basket_pair_counts(lines)
     item = lines.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_item")
     )
