@@ -828,3 +828,26 @@ def test_lm_perplexity_plan_shape(spark):
     assert plan.count("Scan ExistingRDD") >= 2, (
         "bigram stream is not reused from the checkpoint"
     )
+
+
+def test_round12_ops_plan_shapes(spark):
+    """Round-12 operators: no cartesian product anywhere; a
+    BroadcastNestedLoopJoin appears ONLY in the ops that crossJoin a
+    1-row scalar total (the module's broadcast-crossJoin idiom —
+    rules/PMI/MAD/benford), never on a data-sized frame; the
+    pair/variant joins are hash joins."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import DEDUP_OPS
+    from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    registry = {**RELATIONAL, **DEDUP_OPS, **TEXT_OPS}
+    scalar_cross = {"q_basket_rules", "text_collocations_pmi",
+                    "q_revenue_anomaly_mad", "q_orders_benford"}
+    flat = {"q_market_basket_pairs", "q_referential_integrity",
+            "dedup_fuzzy_names"}
+    for name in sorted(scalar_cross | flat):
+        plan = _plan(registry[name][0](frames))
+        assert "CartesianProduct" not in plan, name
+        if name in flat:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Window" not in plan, f"{name} grew a window"
