@@ -166,6 +166,7 @@ DIRECT = [
     "text_collocations_pmi",
     "q_basket_rules",
     "q_referential_integrity",
+    "dedup_fuzzy_canonical",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -2232,3 +2232,30 @@ def test_pmi_ranks_true_collocation_above_chance_pair(spark):
     p_new = sum(d[1].split().count("new") for d in docs) / n_tokens
     p_york = sum(d[1].split().count("york") for d in docs) / n_tokens
     assert abs(ny["pmi"] - round(math.log(p_pair / (p_new * p_york)), 6)) < 1e-6
+
+
+def test_fuzzy_canonical_merges_transitive_chain(spark):
+    """A~B~C chain (d(A,C)=2) merges into ONE cluster under the min
+    canonical — the documented deliberate transitivity — while an
+    unrelated name stays out entirely (no singleton rows)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_fuzzy_canonical,
+    )
+
+    rows = [
+        (10, "acme corp"),
+        (11, "acme c0rp"),   # ~10 (substitution)
+        (12, "acme c00p"),   # ~11 (substitution), d(10,12)=2 -> chain
+        (20, "zeta"),
+        (21, "zeta"),        # exact dup pair
+        (30, "loner industries"),
+    ]
+    t = {"customer": spark.createDataFrame(rows, "c_custkey long, c_name string")}
+    got = {
+        r["c_custkey"]: (r["canonical_custkey"], r["cluster_size"])
+        for r in dedup_fuzzy_canonical(t).collect()
+    }
+    assert got == {
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }, got
