@@ -740,6 +740,35 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_dau_wau"] = _stream_dau_wau
 
+    # rows-only (foreachBatch audit appends; no SQL analog): the
+    # continuous referential-integrity monitor — SUM over per-batch
+    # rows == the batch q_referential_integrity edge on the same data
+    # (planted orphans) and restarts are exactly-once, pinned in
+    # tests/test_streaming.py
+    def _stream_fk_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            fk_orphan_monitor_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="fkmon_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "customer").write.mode("overwrite").parquet(src)
+        return fk_orphan_monitor_stream(
+            spark,
+            src,
+            table(spark, sf_dir, "nation"),
+            "c_nationkey",
+            "n_nationkey",
+            "customer.c_nationkey->nation",
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+        )
+
+    q["streaming_fk_monitor"] = _stream_fk_monitor
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -143,3 +143,69 @@ def enrich_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def fk_orphan_monitor_stream(
+    spark: SparkSession,
+    source_path: str,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    edge_name: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Continuous referential-integrity monitor — the streaming twin
+    of one ``q_referential_integrity`` edge: every micro-batch of the
+    child stream is left-joined against the (static) parent key set
+    and folded to ONE audit row (edge, batch_id, n_rows, n_orphans),
+    appended to the audit table. The batch op is the post-load audit;
+    this is the same contract enforced AT INGEST — a partial dim load
+    shows up as a non-zero orphan count on the very next trigger, not
+    at the nightly audit.
+
+    Scale design: the per-batch work is the batch op's exactly — one
+    left join keyed on the FK (broadcast while the dim fits; Spark
+    re-binds the static side each trigger, so a dim refresh on disk
+    is picked up without a restart) folded to a 1-row aggregate in
+    the same stage. No stream state at all (the audit row is a pure
+    per-batch fold), so the monitor's memory is O(1) at any rate.
+    Exactly-once: the foreachBatch append is keyed by the
+    checkpoint's batch_id — a restart replays only unfinished
+    batches, pinned by the restart-idempotence test.
+
+    SUM over the emitted rows == the batch audit on the same data
+    (count/sum distribute over the micro-batch partition of the
+    child), pinned in tests/test_streaming.py under a planted-orphan
+    fixture."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    flagged = stream.select(F.col(child_key).alias("__ck")).join(
+        F.broadcast(pk), F.col("__ck") == F.col("__pk"), "left"
+    )
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.agg(
+                F.lit(edge_name).alias("fk_edge"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        flagged.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "fk_edge string, n_rows long, n_orphans long, batch_id long"
+    ).parquet(out_path)

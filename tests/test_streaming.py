@@ -186,3 +186,46 @@ def test_python_datasource_streaming_replay_file_per_batch(spark, tmp_path):
     assert a == b
     files_seen = got.select("source_file").distinct().count()
     assert files_seen == 4  # all four fixture files replayed
+
+
+def test_fk_orphan_monitor_stream_matches_batch_audit(spark, tmp_path):
+    """The streaming FK monitor: SUM over per-batch audit rows equals
+    the batch q_referential_integrity edge on the same data (planted
+    orphans: nation 3 amputated from the parent side), multi-batch
+    (maxFilesPerTrigger-free: multiple appended files), and a restart
+    against the same checkpoint emits nothing new (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        fk_orphan_monitor_stream,
+    )
+
+    cust = table(spark, SF_SMALL, "customer")
+    nation = table(spark, SF_SMALL, "nation").filter(F.col("n_nationkey") != 3)
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches under availableNow
+    cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = fk_orphan_monitor_stream(
+        spark, src, nation, "c_nationkey", "n_nationkey",
+        "customer.c_nationkey->nation",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    rows = out.collect()
+    assert rows and all(r["fk_edge"] == "customer.c_nationkey->nation" for r in rows)
+    total_rows = sum(r["n_rows"] for r in rows)
+    total_orphans = sum(r["n_orphans"] for r in rows)
+    expected_orphans = cust.filter(F.col("c_nationkey") == 3).count()
+    assert total_rows == cust.count()
+    assert total_orphans == expected_orphans > 0
+    # restart idempotence: same checkpoint, no new input -> no new rows
+    again = fk_orphan_monitor_stream(
+        spark, src, nation, "c_nationkey", "n_nationkey",
+        "customer.c_nationkey->nation",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    assert again.count() == len(rows)
