@@ -190,7 +190,12 @@ def fk_orphan_monitor_stream(
             batch.agg(
                 F.lit(edge_name).alias("fk_edge"),
                 F.count("*").cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                # coalesce: SUM over an EMPTY batch is NULL, and an
+                # all-clear audit row must read 0 orphans, not null
+                F.coalesce(
+                    F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_orphans"),
             )
