@@ -70,15 +70,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     dedup_fuzzy_canonical (CC entity canonicalization over the
 #:     fuzzy pairs; its recursive-closure oracle is quadratic on a
 #:     giant component, so it is validated at sf0.001/0.01 and
-#:     deliberately not at sf0.1) — all validate_driver-green at
-#:     sf0.001 AND sf0.01 in-round (the first five also at sf0.1);
-#: (e) the 27 oldest r9-green entries (CORRECTNESS_r09 insertion
+#:     deliberately not at sf0.1), dash_benford_by_fraud (the digit
+#:     screen by fraud cohort; enters bench DOMAIN next round — the
+#:     post-close precedent) — all validate_driver-green at sf0.001
+#:     AND sf0.01 in-round;
+#: (e) the 26 oldest r9-green entries (CORRECTNESS_r09 insertion
 #:     order) to the 50 cap.
-#: 6 + 8 + 1 + 8 + 27 = exactly 50. The 23 r9-green entries that did
+#: 6 + 8 + 1 + 9 + 26 = exactly 50. The 24 r9-green entries that did
 #: not fit (q_asof_click_purchase, q_grouping_sets_priority,
 #: q_customer_order_gaps, q_pivot_status_by_priority,
 #: q_supplier_order_volume, q_distinct_users, q_quantity_quantiles,
-#: q_events_hourly_window —
+#: q_events_hourly_window, q_user_sessions —
 #: displaced by
 #: the new-op first rows — plus q_order_count_distribution,
 #: q_price_histogram, q_rolling_7d_spend, q_price_rank_distribution,
@@ -88,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: docs_pack_sequences, embedding_label_centroids, sql_daily_summary)
 #: stay covered in-round by the parametrized pytest oracles and LEAD
 #: the r13 refresh. Post-round invariant: every oracled entry's
-#: latest green row is r9 or newer, and all 172 oracled entries have
+#: latest green row is r9 or newer, and all 173 oracled entries have
 #: driver rows.
 #: Rows-only r12 additions hold no front slots per the r8 rule:
 #: streaming_dau_wau is pinned identical-under-both-arrival-orders +
@@ -132,7 +134,8 @@ _DRIVER_FRONT = [
     "q_basket_rules",
     "q_referential_integrity",
     "dedup_fuzzy_canonical",
-    # (e) the 27 oldest r9-green entries (CORRECTNESS_r09 order)
+    "dash_benford_by_fraud",
+    # (e) the 26 oldest r9-green entries (CORRECTNESS_r09 order)
     "docs_curate_pipeline",
     "corpus_to_batches",
     "docs_token_budget_report",
@@ -159,7 +162,6 @@ _DRIVER_FRONT = [
     "q_parts_ordered",
     "q_selective_revenue",
     "q_cube_returnflag_status",
-    "q_user_sessions",
 ]
 
 

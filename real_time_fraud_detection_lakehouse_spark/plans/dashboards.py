@@ -600,3 +600,72 @@ def confusion_matrix(g):
 )
 def class_distribution(g):
     return g["silver"].groupBy("is_fraud").agg(F.count("*").alias("count"))
+
+
+# --- Benford first-digit screen, by fraud cohort (round 12) ------------------
+# NOTE: dashboard oracles are prefixed with gold_prelude()'s WITH
+# chain, so this SQL CONTINUES that CTE list (leading comma), it does
+# not open its own WITH.
+@_register(
+    "dash_benford_by_fraud",
+    f"""
+    , digits AS (
+      SELECT is_fraud,
+             CAST(substr(CAST(CAST(floor(transaction_amount) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM fact_transactions WHERE transaction_amount >= 1
+    ),
+    counts AS (
+      SELECT is_fraud, digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY is_fraud, digit
+    ),
+    totals AS (SELECT is_fraud, CAST(SUM(n) AS DOUBLE) AS t FROM counts GROUP BY is_fraud)
+    SELECT c.is_fraud, c.digit, c.n,
+           {_r4s('c.n / t.t')} AS observed_p,
+           {_r4s('log10(1.0 + 1.0 / c.digit)')} AS benford_p,
+           {_r4s(
+             'pow(c.n - t.t * log10(1.0 + 1.0 / c.digit), 2)'
+             ' / (t.t * log10(1.0 + 1.0 / c.digit))'
+           )} AS chi2_term
+    FROM counts c JOIN totals t USING (is_fraud)
+    """,
+)
+def dash_benford_by_fraud(g) -> DataFrame:
+    """Benford's-law first-digit screen split by fraud cohort — the
+    forensic use of q_orders_benford's machinery on the DOMAIN table:
+    organic spending follows P(d) = log10(1 + 1/d); a fabricated-
+    amount cohort drifts, and the per-cohort chi-square column sums
+    to the test statistic the dashboard tracks side by side (the
+    legit cohort doubles as the in-distribution control).
+
+    Scale design: identical to q_orders_benford with is_fraud joining
+    the digit key — one keyed count with map-side partials (18 output
+    rows), per-cohort totals joined back on a 2-row frame. Exact
+    closed form in both engines."""
+    digits = (
+        g["fact"]
+        .filter(F.col("transaction_amount") >= 1)
+        .select(
+            "is_fraud",
+            F.substring(
+                F.floor("transaction_amount").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    counts = digits.groupBy("is_fraud", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("is_fraud").agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.join(totals, "is_fraud").select(
+        "is_fraud",
+        "digit",
+        "n",
+        _r4(F.col("n") / F.col("t")).alias("observed_p"),
+        _r4(benford).alias("benford_p"),
+        _r4(
+            F.pow(F.col("n") - F.col("t") * benford, 2) / (F.col("t") * benford)
+        ).alias("chi2_term"),
+    )
