@@ -3506,7 +3506,7 @@ def q_events_dau_wau(t: Frames) -> DataFrame:
     SELECT day, {dround_sql('revenue', 2)} AS revenue,
            {_r4s('(revenue - med) / (1.4826 * mad)')} AS robust_z
     FROM daily, med, mad
-    WHERE abs(revenue - med) > 3 * 1.4826 * mad
+    WHERE mad > 0 AND abs(revenue - med) > 3 * 1.4826 * mad
     """,
 )
 def q_revenue_anomaly_mad(t: Frames) -> DataFrame:
@@ -3526,7 +3526,14 @@ def q_revenue_anomaly_mad(t: Frames) -> DataFrame:
     absolute deviation) ride broadcast crossJoins; nothing is
     globally sorted, no window anywhere. Spark ``percentile`` ==
     DuckDB ``quantile_cont`` (both linear interpolation), so the
-    oracle is exact under the dround discipline."""
+    oracle is exact under the dround discipline.
+
+    Degenerate guard (round-12 advice): when ≥50% of days share the
+    median revenue, MAD = 0 and ``(revenue - med) / (1.4826·mad)``
+    is a division by zero — Spark double division yields ±Infinity
+    while DuckDB yields NULL, so both sides filter ``mad > 0``
+    explicitly: a zero-spread population has no MAD-detectable
+    outliers by construction, and the engines stay bit-agreed."""
     daily = t["orders"].groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(F.sum("o_totalprice").alias("revenue"))
@@ -3537,7 +3544,9 @@ def q_revenue_anomaly_mad(t: Frames) -> DataFrame:
     mad = dev.agg(F.percentile("adev", 0.5).alias("mad"))
     return (
         dev.crossJoin(F.broadcast(mad))
-        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .filter(
+            (F.col("mad") > 0) & (F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        )
         .select(
             "day",
             dround(F.col("revenue"), 2).alias("revenue"),

@@ -350,23 +350,33 @@ def _store_lock(root: str, action: str, wait: bool = False):
     - ``wait=False`` (maintenance): contention is a LOUD RuntimeError
       naming the holder — the single-maintenance-actor discipline,
       enforced instead of documented.
-    - stale takeover: a lockfile whose mtime is older than
-      LOCK_STALE_SECONDS belongs to a dead holder and is removed (two
-      actors racing the takeover still funnel through O_EXCL; the
-      narrow unlink-after-rival-relock window is the standard advisory
-      lockfile caveat and requires two already-forbidden concurrent
-      maintenance actors plus a crash to reach).
+    - stale takeover (round-12 advice hardening): a lockfile is taken
+      over only when its mtime is past LOCK_STALE_SECONDS **and** the
+      recorded holder pid is NOT alive — a live publisher whose write
+      set takes longer than the horizon (plausible at scale: whole
+      DataFrames are written under the lock) is never treated as dead
+      just because the mtime went stale. Pid liveness is a same-host
+      check, matching the lock's scope: O_EXCL itself is only
+      trustworthy on a local filesystem.
+    - token-matched release (round-12 advice hardening): each claim
+      writes a per-acquisition random token into the lockfile, and
+      release unlinks ONLY if the on-disk token is still ours — so an
+      actor that (wrongly or racily) lost its lock to a takeover can
+      no longer unlink the rival's lock from its ``finally`` block.
 
     The lock protects STORE MUTATIONS only — readers
     (``read_published``, ``publish_history``) stay lock-free MVCC."""
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, _LOCK_NAME)
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + (LOCK_WAIT_SECONDS if wait else 0.0)
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
-                os.write(fd, f"{action} pid={os.getpid()}\n".encode())
+                os.write(
+                    fd, f"{action} pid={os.getpid()} token={token}\n".encode()
+                )
             finally:
                 os.close(fd)
             break
@@ -377,7 +387,7 @@ def _store_lock(root: str, action: str, wait: bool = False):
                     holder = fh.read().strip()
             except (FileNotFoundError, OSError):
                 continue  # holder released between open and stat: retry
-            if age >= LOCK_STALE_SECONDS:
+            if age >= LOCK_STALE_SECONDS and not _holder_alive(holder):
                 try:  # dead holder: take over and retry the O_EXCL claim
                     os.unlink(path)
                 except FileNotFoundError:
@@ -396,9 +406,37 @@ def _store_lock(root: str, action: str, wait: bool = False):
         yield
     finally:
         try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                mine = f"token={token}" in fh.read()
+        except (FileNotFoundError, OSError):
+            mine = False  # already taken over / released: nothing to do
+        if mine:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
+def _holder_alive(holder_line: str) -> bool:
+    """Best-effort same-host liveness of the pid recorded in a
+    lockfile line (``<action> pid=<N> token=<hex>``). Unparseable
+    lines read as dead (legacy lockfiles must stay takeover-able);
+    EPERM reads as alive (the pid exists under another uid). Pid
+    reuse can false-positive 'alive' — the cost is waiting out a
+    stale lock, never a double-mutator."""
+    m = re.search(r"\bpid=(\d+)\b", holder_line or "")
+    if not m:
+        return False
+    pid = int(m.group(1))
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
 
 
 def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:

@@ -24,7 +24,6 @@ Design choices vs the reference, for scale:
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,58 +32,90 @@ from pyspark.sql import functions as F
 from real_time_fraud_detection_lakehouse_spark.core.schemas import CDC_ENVELOPE
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import transactions_df
 
-#: every 211th record becomes a tombstone (after=null) to exercise P3.
+#: ~1 in 211 records becomes a tombstone (after=null) to exercise P3;
+#: selection is a seeded hash on the key so it is deterministic AND
+#: computable per-partition (no global row numbering).
 TOMBSTONE_MOD = 211
+
+#: fixture file fan-out — the cdc_replay Python data source maps one
+#: read partition per file, and its tests pin exactly four.
+_FIXTURE_FILES = 4
 
 
 def write_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """Materialize the transactions table as CDC JSON-lines files
     (the Debezium envelope shape from FIXTURES.md §2). Returns the
-    number of *data* records (tombstones excluded)."""
-    rows = transactions_df(spark, sf_dir).collect()
-    os.makedirs(out_dir, exist_ok=True)
-    n_files = 4
-    counts = 0
-    files = [open(os.path.join(out_dir, f"part-{i}.json"), "w") for i in range(n_files)]
-    try:
-        for i, row in enumerate(rows):
-            f = files[i % n_files]
-            if i % TOMBSTONE_MOD == 0:
-                f.write(json.dumps({"after": None}) + "\n")
-                continue
-            d = row.asDict()
-            after = {
-                "trans_date_trans_time": str(
-                    int(d["trans_timestamp"].timestamp() * 1_000_000)
-                ),
-                "cc_num": str(d["cc_num"]),
-                "merchant": d["merchant"],
-                "category": d["category"],
-                "amt": d["amt"],
-                "first": d["first"],
-                "last": d["last"],
-                "gender": d["gender"],
-                "street": d["street"],
-                "city": d["city"],
-                "state": d["state"],
-                "zip": str(d["zip"]),
-                "lat": repr(d["lat"]),
-                "long": repr(d["long"]),
-                "city_pop": str(d["city_pop"]),
-                "job": d["job"],
-                "dob": str((d["dob"] - __import__("datetime").date(1970, 1, 1)).days),
-                "trans_num": d["trans_num"],
-                "unix_time": str(d["unix_time"]),
-                "merch_lat": repr(d["merch_lat"]) if d["merch_lat"] is not None else None,
-                "merch_long": repr(d["merch_long"]),
-                "is_fraud": str(d["is_fraud"]),
-            }
-            f.write(json.dumps({"after": after}) + "\n")
-            counts += 1
-    finally:
-        for f in files:
-            f.close()
-    return counts
+    number of *data* records (tombstones excluded).
+
+    Distributed by design (round-12 advice — the old version was the
+    package's one data-sized ``collect()``): the envelope is built
+    with JVM-side expressions (``to_json(struct(...))`` with
+    ``ignoreNullFields=false`` so tombstones render ``"after":null``
+    and a null ``merch_lat`` stays explicit, like ``json.dumps``) and
+    written as a partitioned text job — executors stream rows to
+    disk, the driver only renames the ≤4 part files to the ``*.json``
+    names the ``cdc_replay`` connector globs. Tombstone selection
+    moved from positional (``i % 211`` over collect order, which
+    needs a global ordering) to a seeded key hash
+    (``xxhash64(trans_num) % 211``) — per-partition computable,
+    stable under any partitioning, same ~1/211 rate. Timestamps ride
+    ``unix_micros`` (exact UTC instants; the old driver-side
+    ``datetime.timestamp()`` matched only because the session tz is
+    UTC) and floats ride ``CAST(double AS STRING)`` — both sides are
+    shortest-round-trip encodings, so every value parses back to the
+    identical double/timestamp (the parse-equivalence tests are the
+    contract)."""
+    tx = transactions_df(spark, sf_dir)
+    is_tomb = F.pmod(F.xxhash64("trans_num"), F.lit(TOMBSTONE_MOD)) == 0
+    after = F.struct(
+        F.unix_micros("trans_timestamp").cast("string").alias("trans_date_trans_time"),
+        F.col("cc_num").cast("string").alias("cc_num"),
+        F.col("merchant").alias("merchant"),
+        F.col("category").alias("category"),
+        F.col("amt").alias("amt"),
+        F.col("first").alias("first"),
+        F.col("last").alias("last"),
+        F.col("gender").alias("gender"),
+        F.col("street").alias("street"),
+        F.col("city").alias("city"),
+        F.col("state").alias("state"),
+        F.col("zip").cast("string").alias("zip"),
+        F.col("lat").cast("string").alias("lat"),
+        F.col("long").cast("string").alias("long"),
+        F.col("city_pop").cast("string").alias("city_pop"),
+        F.col("job").alias("job"),
+        F.datediff(F.col("dob"), F.lit("1970-01-01")).cast("string").alias("dob"),
+        F.col("trans_num").alias("trans_num"),
+        F.col("unix_time").cast("string").alias("unix_time"),
+        F.col("merch_lat").cast("string").alias("merch_lat"),
+        F.col("merch_long").cast("string").alias("merch_long"),
+        F.col("is_fraud").cast("string").alias("is_fraud"),
+    )
+    line = F.to_json(
+        F.struct(F.when(~is_tomb, after).alias("after")),
+        {"ignoreNullFields": "false"},
+    )
+    (
+        tx.select(line.alias("value"))
+        .repartition(_FIXTURE_FILES)
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    # driver side: bounded METADATA only — rename the ≤4 part files to
+    # the *.json names the cdc_replay connector (and FIXTURES.md) pin
+    parts = sorted(f for f in os.listdir(out_dir) if f.startswith("part-"))
+    for i, name in enumerate(parts):
+        os.replace(
+            os.path.join(out_dir, name),
+            os.path.join(out_dir, f"part-{i}.json"),
+        )
+        crc = os.path.join(out_dir, f".{name}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    # one 1-row aggregate for the data-record count (no row collect)
+    return tx.select(
+        F.sum((~is_tomb).cast("long")).alias("n")
+    ).first()["n"] or 0
 
 
 def parse_cdc(raw: DataFrame, json_col: str = "value") -> DataFrame:

@@ -1132,3 +1132,51 @@ def test_maintenance_lock_two_actor_contention(spark, tmp_path):
     os.utime(lock, (old, old))
     assert snap.vacuum_published(root, keep=1) == [1, 2, 3]
     assert not os.path.exists(lock)  # released after the takeover run
+
+
+def test_maintenance_lock_live_holder_survives_stale_mtime(spark, tmp_path):
+    """Round-12 advice: a LIVE holder whose lockfile mtime went past
+    the stale horizon (a long write set under the lock — mtime is
+    never refreshed while working) must NOT be taken over: liveness
+    of the recorded pid gates the takeover, so a slow-but-alive
+    publisher and a rival maintenance actor never mutate
+    concurrently. And release is token-matched: an actor whose lock
+    was (hypothetically) replaced by a rival's no longer unlinks the
+    rival's lockfile from its finally block."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "locked")
+    snap.publish_tables({"t": spark.createDataFrame([(1,)], ["id"])}, root)
+    lock = os.path.join(root, snap._LOCK_NAME)
+
+    # a lockfile naming THIS (alive) process, mtime far past the horizon
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write(f"vacuum_published pid={os.getpid()} token=deadbeef\n")
+    old = _time.time() - snap.LOCK_STALE_SECONDS - 10
+    os.utime(lock, (old, old))
+    with pytest.raises(RuntimeError, match="maintenance lock held by"):
+        snap.vacuum_published(root, keep=1)
+    assert os.path.exists(lock)  # the live holder's lock was NOT unlinked
+    os.unlink(lock)
+
+    # token-matched release: if a rival's lockfile is on disk when our
+    # context exits, the finally block leaves it alone
+    with snap._store_lock(root, "vacuum_published"):
+        os.unlink(lock)
+        with open(lock, "w", encoding="utf-8") as fh:
+            fh.write("rival pid=99999 token=r1v4l\n")
+    with open(lock, encoding="utf-8") as fh:
+        assert "r1v4l" in fh.read()  # rival's lock survived our release
+    os.unlink(lock)
+
+    # liveness parsing: dead pid -> takeover still works (legacy path)
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("vacuum_published pid=99999\n")
+    os.utime(lock, (old, old))
+    assert snap.vacuum_published(root, keep=1) == []
+    assert not os.path.exists(lock)

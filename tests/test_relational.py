@@ -310,6 +310,35 @@ def test_mad_anomaly_survives_masking_outliers(spark):
     assert all(abs(v - mu) <= 3 * sd for v in vals)
 
 
+def test_mad_anomaly_zero_mad_flags_nothing(spark):
+    """Round-12 advice: when ≥50% of days share the median revenue,
+    MAD = 0 and the robust_z division would be by zero (Spark yields
+    ±Infinity, DuckDB NULL — an engine disagreement). Both sides now
+    filter ``mad > 0`` explicitly: the degenerate zero-spread
+    population flags NO days, even ones far from the median."""
+    import datetime as dt
+
+    import duckdb
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    # 12 of 15 days at exactly 100 -> median 100, MAD 0; 3 wild days
+    vals = [100.0] * 12 + [5000.0, 0.5, 9999.0]
+    rows = [(i + 1, dt.date(2024, 2, i + 1), v) for i, v in enumerate(vals)]
+    t = {
+        "orders": spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+    }
+    builder, sql = RELATIONAL["q_revenue_anomaly_mad"]
+    assert builder(t).count() == 0
+    # the oracle agrees on the same degenerate data
+    con = duckdb.connect()
+    con.register("orders", t["orders"].toPandas())
+    assert len(con.execute(sql).fetchall()) == 0
+    con.close()
+
+
 def test_benford_terms_are_the_closed_form(spark):
     """9 rows, shares sum to 1, benford_p is log10(1+1/d), and the
     chi2 term matches the hand-computed value for one digit."""
