@@ -15,7 +15,7 @@ Same registry shape as plans/views.py; builders receive the gold dict
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_lakehouse_spark.functions.features import (
@@ -668,4 +668,166 @@ def dash_benford_by_fraud(g) -> DataFrame:
         _r4(
             F.pow(F.col("n") - F.col("t") * benford, 2) / (F.col("t") * benford)
         ).alias("chi2_term"),
+    )
+
+
+# --- fraud-ring graph analytics (round 13) -----------------------------------
+#: minimum distinct (merchant, day) co-occurrences for two cards to
+#: count as LINKED — the association-mining support floor applied to
+#: the card↔merchant bipartite projection.
+RING_SUPPORT = 5
+
+#: edges this strong feed the ring (connected-component) pass — a
+#: higher bar than the pair surface so rings are collusion-grade
+#: links, not shared-habit noise.
+RING_STRONG_SUPPORT = 7
+
+#: merchant-days with more distinct cards than this are excluded from
+#: pair generation: a hub every card visits carries no ring signal
+#: (the stopword idiom), and it is exactly the row whose c² pair
+#: fan-out would dominate at 100 TB. Never binds at test SFs
+#: (max ~15 cards per merchant-day); at production scale it converts
+#: the worst-case quadratic blow-up into a documented, tunable cap.
+RING_HUB_CAP = 500
+
+
+def _ring_pairs_sql(min_links: int) -> str:
+    """Continued-CTE SQL for the card pair stream (leading comma —
+    dashboard oracles ride gold_prelude()'s WITH chain)."""
+    return f"""
+    , ring_links AS (
+      SELECT DISTINCT cc_num, merchant, CAST(trans_timestamp AS DATE) AS day
+      FROM transactions
+    ),
+    ring_ok AS (
+      SELECT merchant, day FROM ring_links
+      GROUP BY merchant, day HAVING COUNT(*) <= {RING_HUB_CAP}
+    ),
+    ring_l AS (
+      SELECT l.cc_num, l.merchant, l.day
+      FROM ring_links l JOIN ring_ok USING (merchant, day)
+    ),
+    ring_pairs AS (
+      SELECT a.cc_num AS card_a, b.cc_num AS card_b,
+             CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM ring_l a
+      JOIN ring_l b
+        ON a.merchant = b.merchant AND a.day = b.day
+       AND a.cc_num < b.cc_num
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_links}
+    )
+    """
+
+
+def _ring_pair_frame(g, min_links: int) -> DataFrame:
+    links = (
+        g["transactions"]
+        .select(
+            "cc_num", "merchant", F.to_date("trans_timestamp").alias("day")
+        )
+        .distinct()
+    )
+    ok = links.groupBy("merchant", "day").agg(F.count("*").alias("__c")).filter(
+        F.col("__c") <= RING_HUB_CAP
+    ).drop("__c")
+    pruned = links.join(ok, ["merchant", "day"])
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.merchant") == F.col("b.merchant"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.cc_num") < F.col("b.cc_num")),
+        )
+        .groupBy(
+            F.col("a.cc_num").alias("card_a"), F.col("b.cc_num").alias("card_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_links"))
+        .filter(F.col("n_links") >= min_links)
+    )
+
+
+@_register(
+    "dash_fraud_ring_pairs",
+    f"""
+    {_ring_pairs_sql(RING_SUPPORT)}
+    SELECT card_a, card_b, n_links FROM ring_pairs
+    """,
+)
+def dash_fraud_ring_pairs(g) -> DataFrame:
+    """Card-pair collusion candidates: two cards are LINKED when they
+    transact at the same merchant on the same calendar day at least
+    RING_SUPPORT distinct times — the bipartite card↔(merchant, day)
+    graph projected onto cards, the standard shared-attribute signal
+    behind bust-out / mule-network detection. A pair of strangers
+    co-occurs once or twice by chance; five-plus shared merchant-days
+    is coordinated movement.
+
+    Scale design: the basket-pairs idiom end to end — DISTINCT
+    collapses the fact table to O(cards × active days) link rows, the
+    ONLY fan-out is the (merchant, day)-keyed self-join whose per-key
+    cost is c², with c capped by RING_HUB_CAP (hub merchant-days are
+    signal-free and excluded BEFORE the join, so the quadratic term
+    is bounded by a constant of the analyst's choosing, never by the
+    busiest merchant in 100 TB). The support floor then prunes the
+    pair tail before anything downstream touches it. No window, no
+    driver-side anything."""
+    return _ring_pair_frame(g, RING_SUPPORT)
+
+
+#: bound in __spark_entry__ (needs WITH RECURSIVE — the
+#: dedup_fuzzy_canonical precedent; gold_prelude's chain cannot open
+#: one mid-list, so the oracle is assembled standalone there).
+RING_CC_ORACLE = """
+WITH RECURSIVE transactions AS ({transactions_cte})
+{ring_pairs}
+, redges AS (
+  SELECT card_a AS a, card_b AS b FROM ring_pairs
+  UNION
+  SELECT card_b, card_a FROM ring_pairs
+),
+rnodes AS (SELECT DISTINCT a AS n FROM redges),
+rreach(n, m) AS (
+  SELECT n, n FROM rnodes
+  UNION
+  SELECT r.n, e.b FROM rreach r JOIN redges e ON r.m = e.a
+),
+rcomp AS (SELECT n AS cc_num, MIN(m) AS ring_id FROM rreach GROUP BY n)
+SELECT cc_num, ring_id,
+       COUNT(*) OVER (PARTITION BY ring_id) AS ring_size
+FROM rcomp
+"""
+
+
+@_register("dash_fraud_rings", None)  # SQL bound in __spark_entry__
+def dash_fraud_rings(g) -> DataFrame:
+    """Fraud-ring membership: connected components over the STRONG
+    card-pair graph (RING_STRONG_SUPPORT shared merchant-days), each
+    card mapped to its ring's minimum cc_num with the ring size as
+    the triage signal — a 2-card ring is a shared household, a
+    40-card ring is a mule network. Only cards with at least one
+    strong link appear; everyone else is trivially their own ring.
+
+    Scale design: the pair stream is dash_fraud_ring_pairs' bounded
+    plan at a higher support floor (fewer edges); components resolve
+    via the module-shared min-label propagation with pointer jumping
+    (operators/dedup.py:591 — O(log diameter) rounds of keyed joins,
+    localCheckpoint-bounded lineage); ring_size is a
+    component-partitioned count, never a global window. The ORACLE's
+    recursive closure is O(nodes × component) — exact and cheap at
+    driver scale, while the Spark side is the plan that survives a
+    10⁹-card graph."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT)
+    comp = connected_components(pairs, src="card_a", dst="card_b")
+    w = Window.partitionBy("ring_id")
+    return (
+        comp.select(
+            F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
+        )
+        .withColumn("ring_size", F.count("*").over(w))
     )

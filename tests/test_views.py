@@ -26,5 +26,91 @@ def test_view_matches_oracle(name, spark, duck, frames):
     register_duck_views(duck, SF_SMALL)
     builder, oracle = ALL[name]
     sdf = builder(frames)
-    rel = duck.sql(f"{gold_prelude()} {oracle}")
+    if oracle is None:  # standalone oracle (WITH RECURSIVE), bound in the entry
+        import __spark_entry__ as em
+
+        rel = duck.sql(em.oracle_sql()[name])
+    else:
+        rel = duck.sql(f"{gold_prelude()} {oracle}")
     compare_frames(sdf, rel)
+
+
+def test_fraud_ring_pairs_planted_semantics(spark):
+    """Support floor + hub cap, on a planted graph: cards 1/2 share 5
+    merchant-days (LINKED), cards 1/3 share 4 (below RING_SUPPORT —
+    pruned), and with the hub cap monkey-lowered to 2 a merchant-day
+    visited by 3 cards contributes nothing (stopword exclusion), plus
+    repeat visits within one merchant-day collapse via DISTINCT."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    def tx(card, merchant, day):
+        return (card, merchant, dt.datetime(2024, 1, day, 12, 0, 0))
+
+    rows = (
+        # 5 shared merchant-days for (1,2) — one duplicated visit
+        [tx(1, f"m{i}", i) for i in range(1, 6)]
+        + [tx(2, f"m{i}", i) for i in range(1, 6)]
+        + [tx(2, "m1", 1)]  # repeat visit, must NOT double-count
+        # 4 shared merchant-days for (1,3)
+        + [tx(1, f"n{i}", i) for i in range(1, 5)]
+        + [tx(3, f"n{i}", i) for i in range(1, 5)]
+    )
+    g = {
+        "transactions": spark.createDataFrame(
+            rows, "cc_num long, merchant string, trans_timestamp timestamp"
+        )
+    }
+    got = {
+        (r["card_a"], r["card_b"]): r["n_links"]
+        for r in dash.dash_fraud_ring_pairs(g).collect()
+    }
+    assert got == {(1, 2): 5}, got
+
+    # hub exclusion: lower the cap so a 3-card merchant-day is a hub
+    hub = [tx(c, "hub", 20) for c in (7, 8, 9)]
+    g2 = {
+        "transactions": spark.createDataFrame(
+            rows + hub, "cc_num long, merchant string, trans_timestamp timestamp"
+        )
+    }
+    old = dash.RING_HUB_CAP
+    try:
+        dash.RING_HUB_CAP = 2
+        got2 = {
+            (r["card_a"], r["card_b"]): r["n_links"]
+            for r in dash.dash_fraud_ring_pairs(g2).collect()
+        }
+    finally:
+        dash.RING_HUB_CAP = old
+    assert got2 == {(1, 2): 5}, got2  # hub trio contributed no pairs
+
+
+def test_fraud_rings_chain_merges_transitively(spark):
+    """A strong-link chain 1–2, 2–3 plus a separate pair 10–11 yields
+    two rings with min-card ids and correct sizes (CC transitivity —
+    the over-merge signal ring_size exists to surface)."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    rows = []
+    for i in range(1, dash.RING_STRONG_SUPPORT + 1):
+        d = dt.datetime(2024, 2, i, 9, 0, 0)
+        rows += [(1, f"a{i}", d), (2, f"a{i}", d)]          # edge 1-2
+        rows += [(2, f"b{i}", d), (3, f"b{i}", d)]          # edge 2-3
+        rows += [(10, f"c{i}", d), (11, f"c{i}", d)]        # edge 10-11
+    g = {
+        "transactions": spark.createDataFrame(
+            rows, "cc_num long, merchant string, trans_timestamp timestamp"
+        )
+    }
+    got = {
+        r["cc_num"]: (r["ring_id"], r["ring_size"])
+        for r in dash.dash_fraud_rings(g).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }, got
