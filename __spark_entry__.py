@@ -62,10 +62,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 24-entry r9 cohort named by the r12 verdict (all 24
 #:     judge-validated oracle-ok at sf0.01 in the r12 independent
 #:     sweep), in CORRECTNESS_r09 insertion order;
-#: (d) the 23 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (d) q_price_quantile_sketch — NEW r13 oracled op, first driver
+#:     row: the mergeable decimal log-bucket quantile sketch (the
+#:     distribution member of the sketch quartet); its exact
+#:     integer/string bucketing makes a SKETCH fully oracle-able
+#:     (validate_driver-green at sf0.001 AND sf0.01 in-round);
+#: (e) the 22 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 23 = exactly 50. The 27 r10-green entries that did
-#: not fit (docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
+#: 1 + 2 + 24 + 1 + 22 = exactly 50. The 28 r10-green entries that
+#: did not fit (docs_pii_scrub, docs_mix_weights, docs_epoch_shuffle,
+#: docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
 #: gold_dim_merchant, gold_dim_time, gold_dim_location,
@@ -76,7 +82,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: dash_amount_range, dash_high_value) stay covered in-round by the
 #: parametrized pytest oracles and LEAD the r14 refresh. Post-round
 #: invariant: every oracled entry's latest green row is r10 or
-#: newer, and all 175 oracled entries have driver rows.
+#: newer, and all 176 oracled entries have driver rows.
 #: Rows-only r13 changes hold no front slots per the r8 rule:
 #: streaming_fk_monitor (broadcast hint now gated on a bounded
 #: parent-key probe; per-batch audit write idempotent via
@@ -85,7 +91,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cdc_python_source rides the rewritten DISTRIBUTED fixture writer
 #: (seeded xxhash64 tombstones, to_json envelope, no data-sized
 #: collect), pinned by the full value-round-trip test in
-#: tests/test_streaming.py.
+#: tests/test_streaming.py; streaming_quantile_sketch (NEW rows-only
+#: twin) is pinned BIT-IDENTICAL to the batch op under both arrival
+#: orders in tests/test_streaming_windows.py (count-sum merge is
+#: commutative — stronger than the HLL twins' band).
 _DRIVER_FRONT = [
     # (a) r13 impl change (MAD=0 degenerate guard, both sides)
     "q_revenue_anomaly_mad",
@@ -117,7 +126,9 @@ _DRIVER_FRONT = [
     "docs_pack_sequences",
     "embedding_label_centroids",
     "sql_daily_summary",
-    # (d) the 23 oldest r10-green entries (CORRECTNESS_r10 order)
+    # (d) new r13 oracled op, first driver row
+    "q_price_quantile_sketch",
+    # (e) the 22 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -140,7 +151,6 @@ _DRIVER_FRONT = [
     "q_unpivot_lineitem_stats",
     "docs_strip_boilerplate",
     "docs_repetition_stats",
-    "docs_pii_scrub",
 ]
 
 
@@ -749,6 +759,27 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_fk_monitor"] = _stream_fk_monitor
+
+    # rows-only (foreachBatch histogram sink; merge is count-sum):
+    # the mergeable quantile sketch maintained AT INGEST — pinned
+    # BIT-IDENTICAL to batch q_price_quantile_sketch under both
+    # arrival orders in tests/test_streaming_windows.py
+    def _stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+            price_quantile_sketch_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="qsk_stream_")
+        src = os.path.join(tmp, "src")
+        table(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+        return price_quantile_sketch_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_quantile_sketch"] = _stream_quantile_sketch
 
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os

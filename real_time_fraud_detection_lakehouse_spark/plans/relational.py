@@ -3805,3 +3805,157 @@ def q_referential_integrity(t: Frames) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- mergeable quantile sketch (round 13: the distribution sketch) -----------
+#: 10^(d-3) as exact shortest-roundtrip literals, d = integer-digit
+#: count of the bucketed value. A literal table instead of pow():
+#: both engines parse these decimal strings to the identical double,
+#: where cross-engine pow()/log() are only 1-ulp-accurate — and a
+#: 1-ulp difference under floor() flips a bucket. Shared by the Spark
+#: builder AND the SQL oracle (one definition, the _FK_EDGES rule).
+_QSK_POW10 = {d: repr(10.0 ** (d - 3)) for d in range(1, 13)}
+
+#: quantiles the sketch surfaces (label, probability literal).
+_QSK_PS = [("p25", "0.25"), ("p50", "0.50"), ("p75", "0.75"), ("p95", "0.95")]
+
+
+def _qsk_pow10_sql(d_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {d} THEN {lit}" for d, lit in _QSK_POW10.items()
+    )
+    return f"(CASE {d_expr} {arms} END)"
+
+
+def _qsk_pow10_col(d_col) -> F.Column:
+    expr = F.lit(None).cast("double")
+    for d, lit in _QSK_POW10.items():
+        expr = F.when(d_col == d, F.lit(float(lit))).otherwise(expr)
+    return expr
+
+
+@_register(
+    "q_price_quantile_sketch",
+    f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+      WHERE o_totalprice >= 1 AND o_totalprice < 1e12
+    ),
+    bkt AS (
+      SELECT grp,
+             LENGTH(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR)) AS d,
+             CASE
+               WHEN LENGTH(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR)) >= 3
+                 THEN CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 3) AS BIGINT)
+               WHEN LENGTH(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR)) = 2
+                 THEN CAST(floor(v * 10) AS BIGINT)
+               ELSE CAST(floor(v * 100) AS BIGINT)
+             END AS sig
+      FROM vals
+    ),
+    hist AS (
+      SELECT grp, d, sig, CAST(COUNT(*) AS BIGINT) AS n FROM bkt GROUP BY grp, d, sig
+    ),
+    walk AS (
+      SELECT grp,
+             (sig + 0.5) * {_qsk_pow10_sql('d')} AS rep,
+             SUM(n) OVER (PARTITION BY grp ORDER BY d * 1000 + sig) AS cum,
+             SUM(n) OVER (PARTITION BY grp) AS total
+      FROM hist
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MIN(total) AS BIGINT) AS n_rows,
+           {", ".join(
+             _r4s(f"MIN(CASE WHEN cum >= CAST(ceil({p} * total) AS BIGINT)"
+                  f" THEN rep END)") + f" AS {lbl}_est"
+             for lbl, p in _QSK_PS
+           )}
+    FROM walk GROUP BY grp
+    """,
+)
+def q_price_quantile_sketch(t: Frames) -> DataFrame:
+    """Per-priority order-price quantiles from a MERGEABLE decimal
+    log-bucket sketch — the distribution member of the sketch quartet
+    (frequency = Misra-Gries, distinct = HLL, membership = Bloom).
+    Each value lands in the bucket keyed by (integer-digit-count d,
+    first-3-significant-digits sig): ~900 buckets per decade, fixed
+    ≤0.5% relative half-width (the HdrHistogram layout in decimal).
+    A group's sketch is just bucket counts — merging two sketches is
+    vector addition, so it folds across partitions, days, or stream
+    batches with no rank-error growth, unlike KLL/GK whose compaction
+    is order-sensitive. Estimates are the midpoint of the bucket
+    holding the ceil(p·N)-th value: provably within ±0.5% of that
+    order statistic.
+
+    Scale design: one keyed count with map-side partials collapses
+    any input to O(groups × buckets) rows (~thousands), then the
+    quantile walk runs on a per-group sorted array via
+    ``aggregate()`` — bounded by the bucket count, never a window
+    over data rows, never a global sort. Bucketing is exact
+    integer/string arithmetic (digit count + leading digits + literal
+    power-of-ten table) — deliberately NOT floor(log10(v)), whose
+    1-ulp cross-engine wobble flips boundary buckets; here the DuckDB
+    oracle agrees bit-for-bit, so a SKETCH op gets a full hash-checked
+    oracle rather than the usual rows-only band."""
+    return qsk_finalize(qsk_histogram(t["orders"]))
+
+
+def qsk_histogram(orders: DataFrame) -> DataFrame:
+    """The sketch itself: (grp, d, sig) bucket counts — the mergeable
+    representation (merge = sum of n on the bucket key). Shared by the
+    batch op and the streaming twin (one definition)."""
+    vals = (
+        orders
+        .filter((F.col("o_totalprice") >= 1) & (F.col("o_totalprice") < 1e12))
+        .select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v"))
+    )
+    istr = F.floor("v").cast("long").cast("string")
+    d = F.length(istr)
+    sig = (
+        F.when(d >= 3, F.substring(istr, 1, 3).cast("long"))
+        .when(d == 2, F.floor(F.col("v") * 10).cast("long"))
+        .otherwise(F.floor(F.col("v") * 100).cast("long"))
+    )
+    return (
+        vals.select("grp", d.alias("d"), sig.alias("sig"))
+        .groupBy("grp", "d", "sig")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def qsk_finalize(hist: DataFrame) -> DataFrame:
+    """Quantile walk over a (grp, d, sig, n) histogram: per-group
+    sorted bucket array + ``aggregate()`` scan — bounded by the bucket
+    count, no window over data."""
+    bucket = F.struct(
+        (F.col("d") * 1000 + F.col("sig")).alias("ord"),
+        F.col("n").alias("n"),
+        ((F.col("sig") + 0.5) * _qsk_pow10_col(F.col("d"))).alias("rep"),
+    )
+    agg = hist.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sort_array(F.collect_list(bucket)).alias("bs"),
+    )
+
+    def est_for(p: float) -> F.Column:
+        target = F.ceil(F.lit(p) * F.col("total")).cast("long")
+        return F.aggregate(
+            "bs",
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            lambda acc, x: F.struct(
+                (acc.cum + x.n).alias("cum"),
+                F.when(acc.est.isNotNull(), acc.est)
+                .when(acc.cum + x.n >= target, x.rep)
+                .alias("est"),
+            ),
+            lambda acc: acc.est,
+        )
+
+    return agg.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("total").alias("n_rows"),
+        *[_r4(est_for(float(p))).alias(f"{lbl}_est") for lbl, p in _QSK_PS],
+    )

@@ -491,3 +491,59 @@ def events_dau_wau_stream(
             dround(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+def price_quantile_sketch_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Sketch-at-ingest twin of ``q_price_quantile_sketch``: every
+    micro-batch of the orders stream folds to its own decimal
+    log-bucket histogram (the sketch's mergeable representation,
+    O(groups × buckets) KiB-size rows regardless of batch volume),
+    idempotently written under ``batch_id=<N>`` (the FK-monitor
+    overwrite pattern — replays overwrite, never double-count); the
+    final quantile table is one keyed count-sum merge over the batch
+    histograms plus the shared finalize walk.
+
+    Because the sketch's merge IS addition, the streamed result is
+    BIT-IDENTICAL to the batch op on the same data under ANY
+    micro-batch slicing or arrival order — a stronger contract than
+    the HLL twins' error-band equivalence, pinned both-arrival-orders
+    in tests/test_streaming_windows.py. At 100 TB rates the raw
+    stream is never re-scanned: per-trigger cost is one map-side
+    partial count, and the dashboard refresh touches only histogram
+    rows."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import (
+        qsk_finalize,
+        qsk_histogram,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            qsk_histogram(batch)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hists = spark.read.schema(
+        "grp string, d int, sig long, n long, batch_id long"
+    ).parquet(out_path)
+    merged = hists.groupBy("grp", "d", "sig").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    return qsk_finalize(merged)

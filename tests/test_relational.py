@@ -422,3 +422,87 @@ def test_referential_integrity_flags_planted_orphans(spark):
     assert cust["n_rows"] == clean["customer.c_nationkey->nation"]["n_rows"]
     untouched = [k for k in bled if "->nation" not in k]
     assert all(bled[k]["n_orphans"] == 0 for k in untouched)
+
+
+# --- round 13: mergeable quantile sketch -------------------------------------
+def test_quantile_sketch_bucket_edges_exact(spark):
+    """Known values land in the documented (d, sig) buckets with the
+    midpoint representative: the 3-significant-digit decimal layout,
+    including the sub-100 paths that read digits from the fraction."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    rows = [(1, "K", v) for v in (5.37, 42.0, 12345.0, 1.0, 999.49)]
+    t = {
+        "orders": spark.createDataFrame(
+            rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+        )
+    }
+    out = RELATIONAL["q_price_quantile_sketch"][0](t).collect()[0]
+    # sorted buckets: 1.0 -> (1,100) rep 1.005; 5.37 -> (1,537) rep 5.375;
+    # 42.0 -> (2,420) rep 42.05; 999.49 -> (3,999) rep 999.5;
+    # 12345 -> (5,123) rep 12350. N=5 -> p25 target 2nd value, p50 3rd,
+    # p75 4th (ceil), p95 5th.
+    assert out["n_rows"] == 5
+    assert out["p25_est"] == 5.375
+    assert out["p50_est"] == 42.05
+    assert out["p75_est"] == 999.5
+    assert out["p95_est"] == 12350.0
+
+
+def test_quantile_sketch_within_band_of_exact(spark):
+    """Every estimate sits within the sketch's guaranteed band of the
+    exact interpolated percentile: the bucket half-width is 0.5/sig
+    <= 0.5%, plus at most one bucket of definitional gap (nearest-rank
+    vs interpolated) -> 1% is a safe bound at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    t = {"orders": table(spark, "/root/testdata/sf0.01", "orders")}
+    est = {
+        r["o_orderpriority"]: r
+        for r in RELATIONAL["q_price_quantile_sketch"][0](t).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r
+        for r in t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.percentile("o_totalprice", p).alias(lbl)
+                for lbl, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+            ]
+        )
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) == 5
+    for grp, e in est.items():
+        for lbl in ("p25", "p50", "p75", "p95"):
+            rel = abs(e[f"{lbl}_est"] - exact[grp][lbl]) / exact[grp][lbl]
+            assert rel <= 0.01, (grp, lbl, e[f"{lbl}_est"], exact[grp][lbl], rel)
+
+
+def test_quantile_sketch_merge_is_order_invariant(spark):
+    """The mergeability contract: sketching two disjoint halves and
+    summing bucket counts gives BIT-IDENTICAL estimates to sketching
+    the whole — in either merge order (count-sum is commutative, the
+    property KLL/GK compaction does not have)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    orders = table(spark, SF_SMALL, "orders")
+    build = RELATIONAL["q_price_quantile_sketch"][0]
+    whole = sorted(tuple(r) for r in build({"orders": orders}).collect())
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    for first, second in ((a, b), (b, a)):
+        merged = sorted(
+            tuple(r)
+            for r in build({"orders": first.unionByName(second)}).collect()
+        )
+        assert merged == whole

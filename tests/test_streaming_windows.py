@@ -1071,3 +1071,50 @@ def test_streaming_dau_wau_short_span_yields_empty_frame(spark, tmp_path):
     )
     assert out.count() == 0
     assert set(out.columns) == {"day", "dau", "wau", "stickiness"}
+
+
+def test_streaming_quantile_sketch_bit_identical_to_batch(spark, tmp_path):
+    """Round-13 sketch-quartet completion: the decimal log-bucket
+    quantile sketch maintained at ingest. Count-sum merge is
+    commutative and associative, so the streamed result must equal
+    the batch q_price_quantile_sketch BIT-FOR-BIT — under both
+    arrival orders and any micro-batch slicing (a stronger contract
+    than the HLL twins' error band), and a checkpoint-wiped replay
+    overwrites its batch partitions instead of double-counting."""
+    import shutil
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+    from real_time_fraud_detection_lakehouse_spark.streaming.windows import (
+        price_quantile_sketch_stream,
+    )
+
+    orders = table(spark, SF_SMALL, "orders")
+    batch = sorted(
+        tuple(r)
+        for r in RELATIONAL["q_price_quantile_sketch"][0]({"orders": orders}).collect()
+    )
+    halves = [
+        orders.filter(F.col("o_orderkey") % 2 == i).localCheckpoint()
+        for i in range(2)
+    ]
+    for tag, order in (("fwd", (0, 1)), ("rev", (1, 0))):
+        src = str(tmp_path / f"src_{tag}")
+        for part in order:
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+        out = price_quantile_sketch_stream(
+            spark, src, str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == batch, (tag, got[:2], batch[:2])
+
+    # replay idempotence: wipe the checkpoint, rerun into the same
+    # out dir — batch partitions overwrite, totals unchanged
+    shutil.rmtree(str(tmp_path / "ckpt_fwd"))
+    replayed = price_quantile_sketch_stream(
+        spark,
+        str(tmp_path / "src_fwd"),
+        str(tmp_path / "out_fwd"),
+        str(tmp_path / "ckpt_fwd2"),
+    )
+    assert sorted(tuple(r) for r in replayed.collect()) == batch
