@@ -781,6 +781,40 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_quantile_sketch"] = _stream_quantile_sketch
 
+    # rows-only (snapshot-store state + foreachBatch fold-in): entity
+    # resolution AT INGEST — arrivals gated against the published
+    # FastSS variant index, admissions folded in; anchored to the
+    # ORACLED dedup_fuzzy_names keeper set + a planted two-batch
+    # chain in tests/test_streaming.py
+    def _stream_fuzzy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            build_entity_index,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            fuzzy_entity_gate_stream,
+        )
+
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+        )
+        # bounded HWM scalar collect — the plans/incremental.py idiom
+        h = cust.agg(F.floor(F.max("entity_id") / 2).cast("long")).first()[0]
+        tmp = tempfile.mkdtemp(prefix="fuzzy_gate_")
+        root = os.path.join(tmp, "idx")
+        build_entity_index(cust.filter(F.col("entity_id") <= h), root)
+        src = os.path.join(tmp, "src")
+        cust.filter(F.col("entity_id") > h).write.mode("overwrite").parquet(src)
+        return fuzzy_entity_gate_stream(
+            spark, src, root, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_fuzzy_entity_gate"] = _stream_fuzzy_gate
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

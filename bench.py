@@ -42,6 +42,12 @@ DOMAIN = [
     "time_period_analysis",
     "dash_multi_factor",
     "rule_predictions",
+    # round-13: the post-close r12 digit screen (the documented
+    # precedent: registered+oracled in r12, timed from r13) + the
+    # fraud-ring graph pair/CC ops
+    "dash_benford_by_fraud",
+    "dash_fraud_ring_pairs",
+    "dash_fraud_rings",
 ]
 
 #: operators that read the testdata tables directly
@@ -167,6 +173,8 @@ DIRECT = [
     "q_basket_rules",
     "q_referential_integrity",
     "dedup_fuzzy_canonical",
+    # round-13: the mergeable decimal log-bucket quantile sketch
+    "q_price_quantile_sketch",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -296,6 +304,45 @@ def _fresh_session(old_spark, app_name: str):
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     return spark
+
+
+#: probe-relative ratio movement (either direction) that flags a
+#: query in the regression gate; queries faster than the probe floor
+#: are skipped (sub-probe timings are all noise).
+MOVER_FACTOR = 2.0
+MOVER_MIN_RATIO = 0.5
+
+
+def _read_prior_detail(path: str) -> dict | None:
+    """The committed BENCH_DETAIL.json (prior run on this tree), or
+    None on first run / unreadable file."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _flag_movers(detail: dict, prior: dict | None) -> list[tuple[str, float, float]]:
+    """Round-12 verdict #8: the triage protocol as code. Compare
+    probe-relative per-query ratios (time / calibration-probe time —
+    host speed divides out) between this run and the committed prior
+    detail; return (name, prior_ratio, current_ratio) for every query
+    whose ratio moved by more than MOVER_FACTOR in either direction.
+    Tiny ratios (query faster than half the probe) are exempt: at
+    that size the measurement is all scheduler noise."""
+    if not prior:
+        return []
+    cur = detail.get("calibration", {}).get("queries_probe_relative", {})
+    old = prior.get("calibration", {}).get("queries_probe_relative", {})
+    movers = []
+    for name, cur_r in cur.items():
+        old_r = old.get(name)
+        if old_r is None or min(cur_r, old_r) < MOVER_MIN_RATIO:
+            continue
+        if cur_r > old_r * MOVER_FACTOR or old_r > cur_r * MOVER_FACTOR:
+            movers.append((name, old_r, cur_r))
+    return sorted(movers, key=lambda m: -(max(m[2] / m[1], m[1] / m[2])))
 
 
 def main() -> None:
@@ -789,6 +836,18 @@ def main() -> None:
         detail["scaling_100x"] = scaling_100x
     detail["streaming_throughput"] = streaming_throughput
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # probe-normalized regression gate (round-12 verdict #8): encode
+    # BENCH_SCALING.md's triage protocol — compare this run's
+    # probe-relative ratios against the COMMITTED BENCH_DETAIL before
+    # overwriting it, and print a flagged-movers table for anything
+    # that moved >2x in either direction (stderr, so the one-line
+    # stdout contract is untouched).
+    movers = _flag_movers(detail, _read_prior_detail(detail_path))
+    if movers:
+        print("bench: flagged movers (probe-relative ratio vs committed "
+              "BENCH_DETAIL.json; threshold 2x):", file=sys.stderr)
+        for name, prior_r, cur_r in movers:
+            print(f"  {name}: {prior_r} -> {cur_r}", file=sys.stderr)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")

@@ -1687,19 +1687,10 @@ def dedup_fuzzy_names(t: Frames) -> DataFrame:
     loop; ``distinct`` before the levenshtein keeps one candidate row
     per pair however many variants it shares."""
     names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
-    variants = names.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.concat(
-                F.array("c_name"),
-                F.expr(
-                    "transform(sequence(1, length(c_name)), i -> "
-                    "concat(substring(c_name, 1, i-1), "
-                    "substring(c_name, i+1, length(c_name))))"
-                ),
-            )
-        ).alias("variant"),
+    variants = deletion_variants(names, "c_custkey", "c_name").select(
+        F.col("entity_id").alias("c_custkey"),
+        F.col("name").alias("c_name"),
+        "variant",
     )
     a = variants.select(
         "variant",
@@ -1784,3 +1775,178 @@ DEDUP_OPS["dedup_fuzzy_canonical"] = (
     dedup_fuzzy_canonical,
     _FUZZY_CANONICAL_ORACLE.format(fuzzy_pairs=DEDUP_OPS["dedup_fuzzy_names"][1]),
 )
+
+
+# --- streaming fuzzy-entity gate (round 13) ---------------------------------
+#: base table names of the published FastSS entity index; fold-ins
+#: append ``_dK`` deltas (the corpus-index delta-then-compact cycle).
+ENTITY_INDEX_TABLES = ("entity_names", "entity_variants")
+
+
+def deletion_variants(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """FastSS deletion neighborhood as rows: for each entity, the
+    identity string plus every single-character deletion —
+    (entity_id, name, variant), length+1 rows per entity. The ONE
+    shared blocking-key definition behind ``dedup_fuzzy_names`` and
+    the entity index/gate (d<=1 implies a shared variant)."""
+    return df.select(
+        F.col(id_col).alias("entity_id"),
+        F.col(name_col).alias("name"),
+        F.explode(
+            F.concat(
+                F.array(F.col(name_col)),
+                F.expr(
+                    f"transform(sequence(1, length({name_col})), i -> "
+                    f"concat(substring({name_col}, 1, i-1), "
+                    f"substring({name_col}, i+1, length({name_col}))))"
+                ),
+            )
+        ).alias("variant"),
+    )
+
+
+def build_entity_index(names: DataFrame, root: str) -> int:
+    """Publish the standing entity set's FastSS index as one atomic
+    snapshot group: ``entity_names`` (entity_id, name) and
+    ``entity_variants`` (entity_id, name, variant) — the
+    ``build_corpus_index`` lifecycle applied to entity resolution.
+    ``names`` must carry (entity_id, name). Returns the group
+    version. Both projections are single-scan derivations (the
+    variant fan-out is the bounded length+1 explode); readers flip
+    atomically between publishes."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import publish_tables
+
+    base = names.select("entity_id", "name")
+    return publish_tables(
+        {
+            "entity_names": base,
+            "entity_variants": deletion_variants(base, "entity_id", "name"),
+        },
+        root,
+    )
+
+
+def update_entity_index(admitted: DataFrame, root: str) -> int:
+    """FOLD admitted arrivals into the standing entity index as
+    ``_dK`` delta tables pinned in one atomic group extension — write
+    cost O(admissions), the standing set is never rewritten (the
+    ``update_corpus_index`` delta cycle; a periodic
+    ``build_entity_index`` + vacuum compacts)."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        _latest_group,
+        _read_manifest,
+        extend_published,
+    )
+
+    latest = _latest_group(root)
+    if latest is None:
+        raise FileNotFoundError(f"no entity index at {root} — build_entity_index first")
+    pinned = _read_manifest(root, latest)
+    k = 1 + max(
+        (
+            int(n.rsplit("_d", 1)[1])
+            for n in pinned
+            if "_d" in n and n.rsplit("_d", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+    base = admitted.select("entity_id", "name")
+    return extend_published(
+        {
+            f"entity_names_d{k}": base,
+            f"entity_variants_d{k}": deletion_variants(base, "entity_id", "name"),
+        },
+        root,
+    )
+
+
+def _read_entity_index(spark, root: str):
+    """(entity_names, entity_variants) as base ∪ deltas through ONE
+    manifest — the ``_read_corpus_index`` read side."""
+    from functools import reduce
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    idx = read_published(spark, root)
+    out = []
+    for base in ENTITY_INDEX_TABLES:
+        parts = [
+            df
+            for name, df in sorted(idx.items())
+            if name == base or name.startswith(f"{base}_d")
+        ]
+        out.append(reduce(lambda a, b: a.unionByName(b), parts))
+    return tuple(out)
+
+
+def fuzzy_entity_gate(spark, arrivals: DataFrame, root: str) -> DataFrame:
+    """Gate one arrival batch (entity_id, name) against the standing
+    entity index: an arrival is REJECTED iff its name sits within
+    Levenshtein distance 1 of (a) any indexed entity or (b) any
+    smaller-id arrival in the same batch — the
+    ``docs_dedup_incremental`` id-ordering discipline applied to
+    entities, deliberately conservative on intra-batch chains (a
+    chain A~B~C rejects both B and C; the nightly
+    ``dedup_fuzzy_canonical`` pass is where chain merges are audited).
+    Under singleton batches the gate is exactly greedy-by-id; one
+    whole-table batch equals "keep iff no smaller-id fuzzy pair",
+    the ``dedup_fuzzy_names``-derived keeper set (the exact anchors
+    pinned in tests). Returns (entity_id, name, admitted,
+    matched_entity) — matched_entity the smallest blocking entity for
+    rejections, NULL for admissions.
+
+    Scale design — per-batch cost is ARRIVAL-proportional: the index
+    is READ (two parquet scans), never rebuilt; arrival variants are
+    the bounded length+1 fan-out; the only joins are variant-keyed
+    equi-joins whose arrival side is batch-bounded (AQE broadcasts
+    it, the index side is scanned once — the semi-first discipline);
+    the exact levenshtein filter runs on candidate pairs only."""
+    _, idx_variants = _read_entity_index(spark, root)
+    arr = arrivals.select("entity_id", "name")
+    arr_var = deletion_variants(arr, "entity_id", "name").select(
+        F.col("entity_id").alias("a_id"),
+        F.col("name").alias("a_name"),
+        "variant",
+    )
+    idx_var = idx_variants.select(
+        F.col("entity_id").alias("m_id"),
+        F.col("name").alias("m_name"),
+        "variant",
+    )
+    # candidates vs the standing index (blocks in either id
+    # direction) + vs same-batch arrivals (only a SMALLER id blocks —
+    # keeps the intra-batch relation acyclic), one unioned
+    # variant-keyed join
+    cand = (
+        arr_var.join(
+            idx_var.withColumn("is_index", F.lit(True)).unionByName(
+                arr_var.select(
+                    F.col("a_id").alias("m_id"),
+                    F.col("a_name").alias("m_name"),
+                    "variant",
+                    F.lit(False).alias("is_index"),
+                )
+            ),
+            "variant",
+        )
+        .filter(F.col("m_id") != F.col("a_id"))
+        .drop("variant")
+        .distinct()
+    )
+    blocked = (
+        cand.filter(F.levenshtein("a_name", "m_name") <= 1)
+        .filter(F.col("is_index") | (F.col("m_id") < F.col("a_id")))
+        .groupBy(F.col("a_id").alias("entity_id"))
+        .agg(F.min("m_id").alias("matched_entity"))
+    )
+    return (
+        arr.join(blocked, "entity_id", "left")
+        .select(
+            "entity_id",
+            "name",
+            F.col("matched_entity").isNull().alias("admitted"),
+            "matched_entity",
+        )
+    )

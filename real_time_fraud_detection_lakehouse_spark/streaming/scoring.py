@@ -240,3 +240,67 @@ def fk_orphan_monitor_stream(
     return spark.read.schema(
         "fk_edge string, n_rows long, n_orphans long, batch_id long"
     ).parquet(out_path)
+
+
+def fuzzy_entity_gate_stream(
+    spark: SparkSession,
+    source_path: str,
+    index_root: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Entity resolution AT INGEST — the fraud use: a typo'd signup
+    (one-character edit of a known identity) is flagged BEFORE it
+    reaches scoring, not at the nightly dedup pass. Every micro-batch
+    of arriving (entity_id, name) rows is gated against the published
+    FastSS variant index (``operators.dedup.fuzzy_entity_gate``:
+    variant-keyed candidate join + exact levenshtein filter), the
+    per-arrival decisions land idempotently under ``batch_id=<N>``
+    (the FK-monitor overwrite pattern), and ADMITTED arrivals fold
+    into the index as an atomic delta group extension — so the next
+    batch's near-dups of this batch's admissions are gated too (the
+    ``corpus_ingest_cycle`` loop, entity-shaped).
+
+    Laziness discipline: decisions are parquet-MATERIALIZED before
+    the fold-in commits, and the gate's plan resolved the manifest
+    into immutable pinned versions at build time — the fold-in's new
+    group cannot leak into the already-built plan. Per-batch cost is
+    arrival-proportional (index read, never rebuilt; bounded variant
+    fan-out); state lives in the snapshot store, not stream memory,
+    so the monitor is O(1) in executor state at any rate.
+
+    Returns the full decision table (entity_id, name, admitted,
+    matched_entity, batch_id)."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        fuzzy_entity_gate,
+        update_entity_index,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        decisions = fuzzy_entity_gate(spark, batch, index_root)
+        (
+            decisions.write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+        )
+        admitted = spark.read.parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        ).filter(F.col("admitted"))
+        if admitted.limit(1).count() > 0:
+            update_entity_index(admitted.select("entity_id", "name"), index_root)
+
+    q = (
+        stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "entity_id long, name string, admitted boolean, "
+        "matched_entity long, batch_id long"
+    ).parquet(out_path)

@@ -332,3 +332,110 @@ def test_fk_monitor_unhinted_large_parent_and_replay_idempotence(spark, tmp_path
     ).collect()
     assert len(replayed) == len(first)  # one row per batch_id, no dupes
     assert sorted(tuple(r) for r in replayed) == sorted(tuple(r) for r in first)
+
+
+# --- round 13: streaming fuzzy-entity gate -----------------------------------
+def test_fuzzy_entity_gate_one_batch_anchors_to_fuzzy_pairs(spark, tmp_path):
+    """Exact anchor vs the ORACLED pair op: seed the index with the
+    low-custkey half, gate the rest as ONE batch. An arrival must be
+    rejected iff dedup_fuzzy_names holds a pair with ANY smaller-id
+    customer (index entities block both directions, but the id-HWM
+    split makes every index id smaller), with matched_entity = the
+    minimum such partner."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_entity_index,
+        dedup_fuzzy_names,
+        fuzzy_entity_gate,
+    )
+
+    cust = table(spark, SF_SMALL, "customer")
+    hwm = 75
+    seed = cust.filter(F.col("c_custkey") <= hwm).select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+    )
+    arrivals = cust.filter(F.col("c_custkey") > hwm).select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+    )
+    root = str(tmp_path / "entity_index")
+    build_entity_index(seed, root)
+    got = {
+        r["entity_id"]: (r["admitted"], r["matched_entity"])
+        for r in fuzzy_entity_gate(spark, arrivals, root).collect()
+    }
+    pairs = dedup_fuzzy_names({"customer": cust}).collect()
+    expected_block = {}
+    for p in pairs:
+        a, b = p["custkey_a"], p["custkey_b"]  # a < b by construction
+        if b > hwm:
+            expected_block[b] = min(expected_block.get(b, a), a)
+    assert set(got) == {r["entity_id"] for r in arrivals.collect()}
+    rejected = {k for k, (adm, _) in got.items() if not adm}
+    assert rejected == set(expected_block), (
+        len(rejected), len(expected_block)
+    )
+    assert rejected  # the digit-dense fixture must exercise the path
+    for k in rejected:
+        assert got[k][1] == expected_block[k], (k, got[k], expected_block[k])
+
+
+def test_fuzzy_entity_gate_stream_folds_admissions(spark, tmp_path):
+    """Planted two-batch chain: index {A}; batch1 = {B~A (rejected),
+    D unique (admitted+folded)}; batch2 = {C~B but d2-from-A
+    (ADMITTED — rejected arrivals must NOT block later ones), E~D
+    (rejected — the fold-in must gate against batch1's admission)}.
+    Decisions replay idempotently into their batch_id partitions."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_entity_index,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        fuzzy_entity_gate_stream,
+    )
+
+    root = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(1, "alpha corp")], "entity_id long, name string"
+    )
+    build_entity_index(seed, root)
+
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(
+        [(10, "alpha c0rp"), (11, "zeta holdings")],  # B ~ A, D unique
+        "entity_id long, name string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "alpha c0rpX"), (21, "zeta holding")],  # C ~ B (d2 from A), E ~ D
+        "entity_id long, name string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    out = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    first = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in out.collect()}
+    assert first == {10: (False, 1), 11: (True, None)}, first
+
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    out = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    both = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in out.collect()}
+    assert both == {
+        10: (False, 1),
+        11: (True, None),
+        20: (True, None),   # blocked only by REJECTED B -> admitted
+        21: (False, 11),    # blocked by batch1's folded admission D
+    }, both
+
+    # restart idempotence: same checkpoint, no new input -> nothing
+    # re-gates, nothing re-folds, decisions unchanged (a true mid-batch
+    # crash replays into the SAME batch_id partition via overwrite —
+    # the FK-monitor write pattern this sink reuses)
+    again = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in again.collect()}
+    assert len(again.collect()) == 4 and rows == both
