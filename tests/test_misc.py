@@ -186,3 +186,46 @@ def test_spread_small_input_guard_semantics(spark):
 
     wide = spark.range(0, 100, 1, p)
     assert spread_small_input(wide) is wide  # no-op path returns input
+
+
+def test_bench_flag_movers_trips_on_synthetic_slowdown():
+    """Round-12 verdict #8: the probe-normalized regression gate. A
+    synthetic 3x probe-relative slowdown trips the flag; clean runs
+    (ratios within 2x) and sub-probe noise entries flag nothing; a
+    missing prior detail (first run) flags nothing."""
+    import bench
+
+    prior = {
+        "calibration": {
+            "queries_probe_relative": {
+                "steady": 4.0,
+                "slowed": 2.0,
+                "tiny": 0.1,
+                "retired": 1.0,
+            }
+        }
+    }
+    clean = {
+        "calibration": {
+            "queries_probe_relative": {
+                "steady": 5.0,   # 1.25x — inside the band
+                "slowed": 2.1,
+                "tiny": 0.3,     # 3x but sub-probe: exempt noise
+                "new_op": 9.9,   # no prior: never flagged
+            }
+        }
+    }
+    assert bench._flag_movers(clean, prior) == []
+    assert bench._flag_movers(clean, None) == []
+
+    slowed = {
+        "calibration": {
+            "queries_probe_relative": {"steady": 4.1, "slowed": 6.0}
+        }
+    }
+    assert bench._flag_movers(slowed, prior) == [("slowed", 2.0, 6.0)]
+    # either direction: a 3x speed-UP is also worth a look
+    sped = {
+        "calibration": {"queries_probe_relative": {"steady": 1.2}}
+    }
+    assert bench._flag_movers(sped, prior) == [("steady", 4.0, 1.2)]
