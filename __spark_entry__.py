@@ -62,16 +62,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 24-entry r9 cohort named by the r12 verdict (all 24
 #:     judge-validated oracle-ok at sf0.01 in the r12 independent
 #:     sweep), in CORRECTNESS_r09 insertion order;
-#: (d) q_price_quantile_sketch — NEW r13 oracled op, first driver
-#:     row: the mergeable decimal log-bucket quantile sketch (the
-#:     distribution member of the sketch quartet); its exact
-#:     integer/string bucketing makes a SKETCH fully oracle-able
-#:     (validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 22 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (d) q_price_quantile_sketch + docs_length_quantile_sketch — NEW
+#:     r13 oracled ops, first driver rows: the mergeable decimal
+#:     log-bucket quantile sketch (the distribution member of the
+#:     sketch quartet) on the fraud axis and the corpus axis; its
+#:     exact integer/string bucketing makes a SKETCH fully
+#:     oracle-able (validate_driver-green at sf0.001 AND sf0.01
+#:     in-round);
+#: (e) the 21 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 1 + 22 = exactly 50. The 28 r10-green entries that
-#: did not fit (docs_pii_scrub, docs_mix_weights, docs_epoch_shuffle,
-#: docs_bm25_search,
+#: 1 + 2 + 24 + 2 + 21 = exactly 50. The 29 r10-green entries that
+#: did not fit (docs_repetition_stats, docs_pii_scrub,
+#: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
 #: gold_dim_merchant, gold_dim_time, gold_dim_location,
@@ -126,9 +128,10 @@ _DRIVER_FRONT = [
     "docs_pack_sequences",
     "embedding_label_centroids",
     "sql_daily_summary",
-    # (d) new r13 oracled op, first driver row
+    # (d) new r13 oracled ops, first driver rows
     "q_price_quantile_sketch",
-    # (e) the 22 oldest r10-green entries (CORRECTNESS_r10 order)
+    "docs_length_quantile_sketch",
+    # (e) the 21 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -150,7 +153,6 @@ _DRIVER_FRONT = [
     "q_clickers_not_purchasers",
     "q_unpivot_lineitem_stats",
     "docs_strip_boilerplate",
-    "docs_repetition_stats",
 ]
 
 

@@ -173,8 +173,10 @@ DIRECT = [
     "q_basket_rules",
     "q_referential_integrity",
     "dedup_fuzzy_canonical",
-    # round-13: the mergeable decimal log-bucket quantile sketch
+    # round-13: the mergeable decimal log-bucket quantile sketch,
+    # both axes (order prices / corpus doc lengths)
     "q_price_quantile_sketch",
+    "docs_length_quantile_sketch",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -3834,12 +3834,14 @@ def _qsk_pow10_col(d_col) -> F.Column:
     return expr
 
 
-@_register(
-    "q_price_quantile_sketch",
-    f"""
+def _qsk_sql(table: str, key: str, val: str, out_key: str) -> str:
+    """The whole sketch as one parametrized SQL statement — the
+    oracle twin of qsk_histogram + qsk_finalize, shared by every
+    keyed-value registration (one definition)."""
+    return f"""
     WITH vals AS (
-      SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
-      WHERE o_totalprice >= 1 AND o_totalprice < 1e12
+      SELECT {key} AS grp, {val} AS v FROM {table}
+      WHERE {val} >= 1 AND {val} < 1e12
     ),
     bkt AS (
       SELECT grp,
@@ -3863,7 +3865,7 @@ def _qsk_pow10_col(d_col) -> F.Column:
              SUM(n) OVER (PARTITION BY grp) AS total
       FROM hist
     )
-    SELECT grp AS o_orderpriority,
+    SELECT grp AS {out_key},
            CAST(MIN(total) AS BIGINT) AS n_rows,
            {", ".join(
              _r4s(f"MIN(CASE WHEN cum >= CAST(ceil({p} * total) AS BIGINT)"
@@ -3871,7 +3873,12 @@ def _qsk_pow10_col(d_col) -> F.Column:
              for lbl, p in _QSK_PS
            )}
     FROM walk GROUP BY grp
-    """,
+    """
+
+
+@_register(
+    "q_price_quantile_sketch",
+    None,  # bound right below via the shared template
 )
 def q_price_quantile_sketch(t: Frames) -> DataFrame:
     """Per-priority order-price quantiles from a MERGEABLE decimal
@@ -3897,17 +3904,48 @@ def q_price_quantile_sketch(t: Frames) -> DataFrame:
     1-ulp cross-engine wobble flips boundary buckets; here the DuckDB
     oracle agrees bit-for-bit, so a SKETCH op gets a full hash-checked
     oracle rather than the usual rows-only band."""
-    return qsk_finalize(qsk_histogram(t["orders"]))
+    return qsk_finalize(qsk_histogram(t["orders"])).withColumnRenamed(
+        "grp", "o_orderpriority"
+    )
 
 
-def qsk_histogram(orders: DataFrame) -> DataFrame:
+@_register("docs_length_quantile_sketch", None)  # bound below (shared template)
+def docs_length_quantile_sketch(t: Frames) -> DataFrame:
+    """The same mergeable sketch on the TRAINING-DATA axis: per-source
+    document-length quantiles over the corpus — the per-key
+    distribution profile a mixture designer reads before setting
+    packing lengths and source weights (q_price_quantile_sketch's
+    docstring carries the machinery; this registration carries it to
+    the documents table, where corpus-scale inputs are the actual
+    100 TB case)."""
+    docs = t["documents"].select(
+        "source", F.col("n_chars").cast("double").alias("len")
+    )
+    return qsk_finalize(
+        qsk_histogram(docs, key="source", val="len")
+    ).withColumnRenamed("grp", "source")
+
+
+RELATIONAL["q_price_quantile_sketch"] = (
+    q_price_quantile_sketch,
+    _qsk_sql("orders", "o_orderpriority", "o_totalprice", "o_orderpriority"),
+)
+RELATIONAL["docs_length_quantile_sketch"] = (
+    docs_length_quantile_sketch,
+    _qsk_sql("documents", "source", "CAST(n_chars AS DOUBLE)", "source"),
+)
+
+
+def qsk_histogram(
+    df: DataFrame, key: str = "o_orderpriority", val: str = "o_totalprice"
+) -> DataFrame:
     """The sketch itself: (grp, d, sig) bucket counts — the mergeable
     representation (merge = sum of n on the bucket key). Shared by the
-    batch op and the streaming twin (one definition)."""
+    batch ops and the streaming twin (one definition)."""
     vals = (
-        orders
-        .filter((F.col("o_totalprice") >= 1) & (F.col("o_totalprice") < 1e12))
-        .select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v"))
+        df
+        .filter((F.col(val) >= 1) & (F.col(val) < 1e12))
+        .select(F.col(key).alias("grp"), F.col(val).alias("v"))
     )
     istr = F.floor("v").cast("long").cast("string")
     d = F.length(istr)
@@ -3955,7 +3993,7 @@ def qsk_finalize(hist: DataFrame) -> DataFrame:
         )
 
     return agg.select(
-        F.col("grp").alias("o_orderpriority"),
+        "grp",
         F.col("total").alias("n_rows"),
         *[_r4(est_for(float(p))).alias(f"{lbl}_est") for lbl, p in _QSK_PS],
     )

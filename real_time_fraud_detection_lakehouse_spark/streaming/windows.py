@@ -546,4 +546,4 @@ def price_quantile_sketch_stream(
     merged = hists.groupBy("grp", "d", "sig").agg(
         F.sum("n").cast("long").alias("n")
     )
-    return qsk_finalize(merged)
+    return qsk_finalize(merged).withColumnRenamed("grp", "o_orderpriority")

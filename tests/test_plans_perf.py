@@ -851,3 +851,42 @@ def test_round12_ops_plan_shapes(spark):
         if name in flat:
             assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Window" not in plan, f"{name} grew a window"
+
+
+def test_round13_ops_plan_shapes(spark):
+    """Round-13 operators: the quantile sketches run with NO window
+    and no cartesian/nested-loop join (the walk is an aggregate()
+    over a per-group sorted array); fraud-ring pairs is pure hash
+    joins + keyed counts (no window, no cartesian); fraud rings may
+    window only partitioned-by-component (ring_size), never
+    ordered-only, and its CC rounds stay hash joins."""
+    import re
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_fraud_ring_pairs,
+        dash_fraud_rings,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import gold_frames
+
+    frames = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    for name in ("q_price_quantile_sketch", "docs_length_quantile_sketch"):
+        plan = _plan(RELATIONAL[name][0](frames))
+        assert "Window" not in plan, f"{name} grew a window"
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "partial_count" in plan, f"{name} lost map-side partials"
+
+    g = gold_frames(spark, SF_SMALL)
+    pairs_plan = _plan(dash_fraud_ring_pairs(g))
+    assert "Window" not in pairs_plan
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+
+    rings_plan = _plan(dash_fraud_rings(g))
+    assert "CartesianProduct" not in rings_plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", rings_plan)
+    for spec in specs:
+        first = spec.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            "ring window became ordered-only", spec
+        )
