@@ -67,12 +67,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     log-bucket quantile sketch (the distribution member of the
 #:     sketch quartet) on the fraud axis and the corpus axis; its
 #:     exact integer/string bucketing makes a SKETCH fully
-#:     oracle-able (validate_driver-green at sf0.001 AND sf0.01
+#:     oracle-able — plus dash_fraud_ring_stats, the ring-score
+#:     surface (rings joined back to the fact stream; shared
+#:     recursive-CTE body with dash_fraud_rings, different final
+#:     SELECT) (all validate_driver-green at sf0.001 AND sf0.01
 #:     in-round);
-#: (e) the 21 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 20 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 2 + 21 = exactly 50. The 29 r10-green entries that
-#: did not fit (docs_repetition_stats, docs_pii_scrub,
+#: 1 + 2 + 24 + 3 + 20 = exactly 50. The 30 r10-green entries that
+#: did not fit (docs_strip_boilerplate, docs_repetition_stats,
+#: docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
@@ -131,7 +135,8 @@ _DRIVER_FRONT = [
     # (d) new r13 oracled ops, first driver rows
     "q_price_quantile_sketch",
     "docs_length_quantile_sketch",
-    # (e) the 21 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_fraud_ring_stats",
+    # (e) the 20 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -152,7 +157,6 @@ _DRIVER_FRONT = [
     "q_repeat_engagers",
     "q_clickers_not_purchasers",
     "q_unpivot_lineitem_stats",
-    "docs_strip_boilerplate",
 ]
 
 
@@ -860,11 +864,16 @@ def oracle_sql() -> dict[str, str]:
     # (the dedup_fuzzy_canonical precedent)
     from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
         RING_CC_ORACLE,
+        RING_STATS_ORACLE,
         RING_STRONG_SUPPORT,
         _ring_pairs_sql,
     )
 
     o["dash_fraud_rings"] = RING_CC_ORACLE.format(
+        transactions_cte=TRANSACTIONS_CTE,
+        ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
+    )
+    o["dash_fraud_ring_stats"] = RING_STATS_ORACLE.format(
         transactions_cte=TRANSACTIONS_CTE,
         ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
     )

@@ -48,6 +48,7 @@ DOMAIN = [
     "dash_benford_by_fraud",
     "dash_fraud_ring_pairs",
     "dash_fraud_rings",
+    "dash_fraud_ring_stats",
 ]
 
 #: operators that read the testdata tables directly

@@ -778,8 +778,10 @@ def dash_fraud_ring_pairs(g) -> DataFrame:
 
 #: bound in __spark_entry__ (needs WITH RECURSIVE — the
 #: dedup_fuzzy_canonical precedent; gold_prelude's chain cannot open
-#: one mid-list, so the oracle is assembled standalone there).
-RING_CC_ORACLE = """
+#: one mid-list, so the oracles are assembled standalone there).
+#: Shared CTE body: recursive min-label closure over the strong-pair
+#: graph; the two registrations differ only in the final SELECT.
+_RING_CC_CTES = """
 WITH RECURSIVE transactions AS ({transactions_cte})
 {ring_pairs}
 , redges AS (
@@ -794,9 +796,22 @@ rreach(n, m) AS (
   SELECT r.n, e.b FROM rreach r JOIN redges e ON r.m = e.a
 ),
 rcomp AS (SELECT n AS cc_num, MIN(m) AS ring_id FROM rreach GROUP BY n)
+"""
+
+RING_CC_ORACLE = _RING_CC_CTES + """
 SELECT cc_num, ring_id,
        COUNT(*) OVER (PARTITION BY ring_id) AS ring_size
 FROM rcomp
+"""
+
+RING_STATS_ORACLE = _RING_CC_CTES + f"""
+SELECT r.ring_id,
+       CAST(COUNT(DISTINCT r.cc_num) AS BIGINT) AS n_cards,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(CASE WHEN t.is_fraud = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fraud,
+       {_r4s("AVG(CAST(t.is_fraud AS DOUBLE))")} AS fraud_rate
+FROM rcomp r JOIN transactions t ON t.cc_num = r.cc_num
+GROUP BY r.ring_id
 """
 
 
@@ -830,4 +845,34 @@ def dash_fraud_rings(g) -> DataFrame:
             F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
         )
         .withColumn("ring_size", F.count("*").over(w))
+    )
+
+
+@_register("dash_fraud_ring_stats", None)  # SQL bound in __spark_entry__
+def dash_fraud_ring_stats(g) -> DataFrame:
+    """The ring-score surface: every detected ring joined back to the
+    fact stream — member count, transaction volume, and the ring's
+    fraud rate (vs dash_fraud_rate's population baseline, the column
+    an investigator triages by: a 30-card ring at 8x the base rate is
+    a case, a 2-card ring at base rate is a household).
+
+    Scale design: the ring membership table is O(linked cards) rows
+    (tiny relative to the fact table), so the join back to
+    transactions is a classic small⋈huge the planner broadcasts on
+    its own; everything after is one keyed aggregate with map-side
+    partials. The recursive oracle reuses the shared CC closure CTEs
+    with a different final SELECT (one definition)."""
+    rings = dash_fraud_rings(g).select("cc_num", "ring_id")
+    return (
+        g["transactions"]
+        .join(rings, "cc_num")
+        .groupBy("ring_id")
+        .agg(
+            F.countDistinct("cc_num").cast("long").alias("n_cards"),
+            F.count("*").cast("long").alias("n_tx"),
+            F.sum(F.when(F.col("is_fraud") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fraud"),
+            _r4(F.avg(F.col("is_fraud").cast("double"))).alias("fraud_rate"),
+        )
     )

@@ -114,3 +114,34 @@ def test_fraud_rings_chain_merges_transitively(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         10: (10, 2), 11: (10, 2),
     }, got
+
+
+def test_fraud_ring_stats_planted_rates(spark):
+    """Ring stats on a planted two-ring graph: per-ring fraud rate,
+    distinct member count, and tx volume are exact; unlinked cards
+    contribute nothing."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    rows = []
+    # ring {1,2}: 1 is all-fraud, 2 clean; ring {10,11}: all clean;
+    # card 99 unlinked (never co-occurs enough)
+    for i in range(1, dash.RING_STRONG_SUPPORT + 1):
+        d = dt.datetime(2024, 3, i, 10, 0, 0)
+        rows += [(1, f"a{i}", d, 1), (2, f"a{i}", d, 0)]
+        rows += [(10, f"b{i}", d, 0), (11, f"b{i}", d, 0)]
+    rows += [(99, "solo", dt.datetime(2024, 3, 1, 11, 0, 0), 1)]
+    g = {
+        "transactions": spark.createDataFrame(
+            rows,
+            "cc_num long, merchant string, trans_timestamp timestamp, is_fraud int",
+        )
+    }
+    got = {r["ring_id"]: r for r in dash.dash_fraud_ring_stats(g).collect()}
+    k = dash.RING_STRONG_SUPPORT
+    assert set(got) == {1, 10}
+    assert (got[1]["n_cards"], got[1]["n_tx"], got[1]["n_fraud"]) == (2, 2 * k, k)
+    assert got[1]["fraud_rate"] == 0.5
+    assert (got[10]["n_cards"], got[10]["n_fraud"]) == (2, 0)
+    assert got[10]["fraud_rate"] == 0.0
