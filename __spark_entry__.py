@@ -70,13 +70,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     oracle-able — plus dash_fraud_ring_stats, the ring-score
 #:     surface (rings joined back to the fact stream; shared
 #:     recursive-CTE body with dash_fraud_rings, different final
-#:     SELECT) (all validate_driver-green at sf0.001 AND sf0.01
-#:     in-round);
-#: (e) the 20 oldest r10-green entries (CORRECTNESS_r10 insertion
+#:     SELECT) and dash_fraud_hotspots (1-degree grid fraud
+#:     concentration with a support floor) (all
+#:     validate_driver-green at sf0.001 AND sf0.01 in-round);
+#: (e) the 19 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 3 + 20 = exactly 50. The 30 r10-green entries that
-#: did not fit (docs_strip_boilerplate, docs_repetition_stats,
-#: docs_pii_scrub,
+#: 1 + 2 + 24 + 4 + 19 = exactly 50. The 31 r10-green entries that
+#: did not fit (q_unpivot_lineitem_stats, docs_strip_boilerplate,
+#: docs_repetition_stats, docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
@@ -136,7 +137,8 @@ _DRIVER_FRONT = [
     "q_price_quantile_sketch",
     "docs_length_quantile_sketch",
     "dash_fraud_ring_stats",
-    # (e) the 20 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_fraud_hotspots",
+    # (e) the 19 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -156,7 +158,6 @@ _DRIVER_FRONT = [
     "docs_clean_pipeline",
     "q_repeat_engagers",
     "q_clickers_not_purchasers",
-    "q_unpivot_lineitem_stats",
 ]
 
 

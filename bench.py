@@ -49,6 +49,7 @@ DOMAIN = [
     "dash_fraud_ring_pairs",
     "dash_fraud_rings",
     "dash_fraud_ring_stats",
+    "dash_fraud_hotspots",
 ]
 
 #: operators that read the testdata tables directly

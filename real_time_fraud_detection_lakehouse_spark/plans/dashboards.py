@@ -876,3 +876,81 @@ def dash_fraud_ring_stats(g) -> DataFrame:
             _r4(F.avg(F.col("is_fraud").cast("double"))).alias("fraud_rate"),
         )
     )
+
+
+# --- geographic fraud hotspots (round 13) ------------------------------------
+#: minimum transactions for a grid cell to appear — the support floor
+#: that keeps the surface deterministic and noise-free.
+HOTSPOT_MIN_TX = 20
+
+
+@_register(
+    "dash_fraud_hotspots",
+    f"""
+    , geo AS (
+      SELECT CAST(floor(merch_lat) AS BIGINT) AS cell_lat_i,
+             CAST(floor(merch_long) AS BIGINT) AS cell_lon_i,
+             is_fraud
+      FROM transactions
+      WHERE merch_lat IS NOT NULL AND merch_long IS NOT NULL
+    ),
+    cells AS (
+      SELECT cell_lat_i, cell_lon_i,
+             CAST(COUNT(*) AS BIGINT) AS n_tx,
+             CAST(SUM(CASE WHEN is_fraud = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fraud
+      FROM geo GROUP BY cell_lat_i, cell_lon_i
+      HAVING COUNT(*) >= {HOTSPOT_MIN_TX}
+    )
+    SELECT cell_lat_i, cell_lon_i,
+           {_r4s('cell_lat_i + 0.5')} AS cell_lat,
+           {_r4s('cell_lon_i + 0.5')} AS cell_lon,
+           n_tx, n_fraud,
+           {_r4s('CAST(n_fraud AS DOUBLE) / n_tx')} AS fraud_rate
+    FROM cells
+    """,
+)
+def dash_fraud_hotspots(g) -> DataFrame:
+    """Geographic fraud hotspots: merchant locations bucketed onto a
+    1-degree grid (~110 km cells — the resolution the synthetic
+    merchant spread supports; production would drop to 0.1 degree by
+    swapping the floor argument), per-cell transaction volume,
+    fraud count and rate, floored at HOTSPOT_MIN_TX so a single
+    unlucky merchant cannot paint a cell hot. The map the fraud-ops
+    dashboard renders next to the ring table — rings say WHO moves
+    together, hotspots say WHERE the loss concentrates.
+
+    Scale design: one keyed count with map-side partials over integer
+    grid keys; at 100 TB the cell space is bounded by geography
+    (~6.5M cells worldwide), so the aggregate output is fixed-size no
+    matter the fact volume. Bucketing is ``floor(x * 10)`` on
+    integers — one IEEE multiply, bit-agreed across engines (the
+    quantile-sketch bucketing discipline); the cell-center division
+    rides the dround(4) output discipline."""
+    geo = (
+        g["transactions"]
+        .filter(F.col("merch_lat").isNotNull() & F.col("merch_long").isNotNull())
+        .select(
+            F.floor(F.col("merch_lat")).cast("long").alias("cell_lat_i"),
+            F.floor(F.col("merch_long")).cast("long").alias("cell_lon_i"),
+            "is_fraud",
+        )
+    )
+    cells = (
+        geo.groupBy("cell_lat_i", "cell_lon_i")
+        .agg(
+            F.count("*").cast("long").alias("n_tx"),
+            F.sum(F.when(F.col("is_fraud") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fraud"),
+        )
+        .filter(F.col("n_tx") >= HOTSPOT_MIN_TX)
+    )
+    return cells.select(
+        "cell_lat_i",
+        "cell_lon_i",
+        _r4(F.col("cell_lat_i") + 0.5).alias("cell_lat"),
+        _r4(F.col("cell_lon_i") + 0.5).alias("cell_lon"),
+        "n_tx",
+        "n_fraud",
+        _r4(F.col("n_fraud").cast("double") / F.col("n_tx")).alias("fraud_rate"),
+    )
