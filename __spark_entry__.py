@@ -822,6 +822,31 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_fuzzy_entity_gate"] = _stream_fuzzy_gate
 
+    # rows-only (foreachBatch link-table sink; merge = distinct-union,
+    # commutative AND idempotent): the ring monitor maintained AT
+    # INGEST — pinned BIT-IDENTICAL to batch dash_fraud_ring_pairs
+    # under both arrival orders and at-least-once replay in
+    # tests/test_streaming.py
+    def _stream_ring_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            ring_monitor_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="ring_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return ring_monitor_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_ring_monitor"] = _stream_ring_monitor
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

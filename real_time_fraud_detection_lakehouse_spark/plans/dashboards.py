@@ -720,14 +720,20 @@ def _ring_pairs_sql(min_links: int) -> str:
     """
 
 
-def _ring_pair_frame(g, min_links: int) -> DataFrame:
-    links = (
-        g["transactions"]
-        .select(
-            "cc_num", "merchant", F.to_date("trans_timestamp").alias("day")
-        )
-        .distinct()
-    )
+def ring_links(transactions: DataFrame) -> DataFrame:
+    """The ring graph's link table: distinct (cc_num, merchant, day)
+    triples — the only projection of the fact stream the ring
+    machinery ever needs (O(cards × active days), mergeable by
+    distinct-union — the streaming monitor maintains exactly this)."""
+    return transactions.select(
+        "cc_num", "merchant", F.to_date("trans_timestamp").alias("day")
+    ).distinct()
+
+
+def ring_pairs_from_links(links: DataFrame, min_links: int) -> DataFrame:
+    """Pair generation over a link table: hub-cap prune, (merchant,
+    day)-keyed self-join, support-floor filter (see
+    dash_fraud_ring_pairs for the scale story)."""
     ok = links.groupBy("merchant", "day").agg(F.count("*").alias("__c")).filter(
         F.col("__c") <= RING_HUB_CAP
     ).drop("__c")
@@ -746,6 +752,10 @@ def _ring_pair_frame(g, min_links: int) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_links"))
         .filter(F.col("n_links") >= min_links)
     )
+
+
+def _ring_pair_frame(g, min_links: int) -> DataFrame:
+    return ring_pairs_from_links(ring_links(g["transactions"]), min_links)
 
 
 @_register(

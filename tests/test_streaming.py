@@ -439,3 +439,42 @@ def test_fuzzy_entity_gate_stream_folds_admissions(spark, tmp_path):
     )
     rows = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in again.collect()}
     assert len(again.collect()) == 4 and rows == both
+
+
+def test_ring_monitor_stream_bit_identical_to_batch(spark, tmp_path):
+    """The ring monitor's link table is a distinct-union — commutative
+    AND idempotent — so the streamed pair set must equal batch
+    dash_fraud_ring_pairs BIT-FOR-BIT under both arrival orders and
+    an at-least-once source (one half delivered twice)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_fraud_ring_pairs,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        ring_monitor_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    batch = sorted(
+        tuple(r) for r in dash_fraud_ring_pairs({"transactions": tx}).collect()
+    )
+    assert batch  # fixture must exercise the path
+    halves = [
+        tx.filter(F.col("cc_num") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    for tag, order in (("fwd", (0, 1)), ("rev", (1, 0))):
+        src = str(tmp_path / f"src_{tag}")
+        for part in order:
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+        halves[order[0]].coalesce(1).write.mode("append").parquet(src)  # replay
+        out = ring_monitor_stream(
+            spark, src, str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == batch, tag
