@@ -70,14 +70,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     oracle-able — plus dash_fraud_ring_stats, the ring-score
 #:     surface (rings joined back to the fact stream; shared
 #:     recursive-CTE body with dash_fraud_rings, different final
-#:     SELECT) and dash_fraud_hotspots (1-degree grid fraud
-#:     concentration with a support floor) (all
-#:     validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 19 oldest r10-green entries (CORRECTNESS_r10 insertion
+#:     SELECT), dash_fraud_hotspots (1-degree grid fraud
+#:     concentration with a support floor), and
+#:     dash_category_anomaly_mad (the per-category keyed twin of the
+#:     MAD detector — grouped percentile aggregates, no crossJoin)
+#:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
+#: (e) the 18 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 4 + 19 = exactly 50. The 31 r10-green entries that
-#: did not fit (q_unpivot_lineitem_stats, docs_strip_boilerplate,
-#: docs_repetition_stats, docs_pii_scrub,
+#: 1 + 2 + 24 + 5 + 18 = exactly 50. The 32 r10-green entries that
+#: did not fit (q_clickers_not_purchasers, q_unpivot_lineitem_stats,
+#: docs_strip_boilerplate, docs_repetition_stats, docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
@@ -138,7 +140,8 @@ _DRIVER_FRONT = [
     "docs_length_quantile_sketch",
     "dash_fraud_ring_stats",
     "dash_fraud_hotspots",
-    # (e) the 19 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_category_anomaly_mad",
+    # (e) the 18 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -157,7 +160,6 @@ _DRIVER_FRONT = [
     "corpus_sample_hash",
     "docs_clean_pipeline",
     "q_repeat_engagers",
-    "q_clickers_not_purchasers",
 ]
 
 

@@ -50,6 +50,7 @@ DOMAIN = [
     "dash_fraud_rings",
     "dash_fraud_ring_stats",
     "dash_fraud_hotspots",
+    "dash_category_anomaly_mad",
 ]
 
 #: operators that read the testdata tables directly

@@ -29,6 +29,7 @@ from real_time_fraud_detection_lakehouse_spark.plans.views import (
     _r4,
     _r4s,
 )
+from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
 
 DASHBOARDS: dict[str, tuple[Builder, str]] = {}
 
@@ -963,4 +964,79 @@ def dash_fraud_hotspots(g) -> DataFrame:
         "n_tx",
         "n_fraud",
         _r4(F.col("n_fraud").cast("double") / F.col("n_tx")).alias("fraud_rate"),
+    )
+
+
+# --- per-category robust anomaly screen (round 13) ---------------------------
+@_register(
+    "dash_category_anomaly_mad",
+    f"""
+    , cat_daily AS (
+      SELECT transaction_category AS category,
+             CAST(transaction_timestamp AS DATE) AS day,
+             SUM(transaction_amount) AS revenue
+      FROM fact_transactions GROUP BY 1, 2
+    ),
+    cat_med AS (
+      SELECT category, quantile_cont(revenue, 0.5) AS med
+      FROM cat_daily GROUP BY category
+    ),
+    cat_dev AS (
+      SELECT d.category, d.day, d.revenue, m.med,
+             abs(d.revenue - m.med) AS adev
+      FROM cat_daily d JOIN cat_med m USING (category)
+    ),
+    cat_mad AS (
+      SELECT category, quantile_cont(adev, 0.5) AS mad
+      FROM cat_dev GROUP BY category
+    )
+    SELECT v.category, v.day, {dround_sql('v.revenue', 2)} AS revenue,
+           {_r4s('(v.revenue - v.med) / (1.4826 * m.mad)')} AS robust_z
+    FROM cat_dev v JOIN cat_mad m USING (category)
+    WHERE m.mad > 0 AND v.adev > 2.5 * 1.4826 * m.mad
+    """,
+)
+def dash_category_anomaly_mad(g) -> DataFrame:
+    """The per-category twin of ``q_revenue_anomaly_mad`` on the
+    fraud domain: each spending category gets its OWN median/MAD
+    baseline over daily revenue, and days more than 3 robust sigmas
+    from their category's median are flagged — a grocery-sized spike
+    hides inside the global total but screams against the grocery
+    baseline (the per-entity-baseline discipline every fraud monitor
+    ends up needing). Zero-MAD categories flag nothing (the r12
+    degenerate guard, inherited).
+
+    Scale design: the windowless-banding family, now KEYED — daily
+    agg collapses the fact table to O(categories × days) rows; the
+    median and MAD are per-category ``percentile`` AGGREGATES (exact,
+    == DuckDB quantile_cont), so the boundaries ride two keyed
+    shuffles over the tiny daily frame and two category-keyed joins
+    the planner broadcasts on its own. No window, no crossJoin at
+    all — the grouped upgrade of the 1-row-broadcast idiom."""
+    daily = (
+        g["fact"]
+        .groupBy(
+            F.col("transaction_category").alias("category"),
+            F.col("transaction_timestamp").cast("date").alias("day"),
+        )
+        .agg(F.sum("transaction_amount").alias("revenue"))
+    )
+    med = daily.groupBy("category").agg(F.percentile("revenue", 0.5).alias("med"))
+    dev = daily.join(med, "category").withColumn(
+        "adev", F.abs(F.col("revenue") - F.col("med"))
+    )
+    mad = dev.groupBy("category").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "category")
+        .filter(
+            (F.col("mad") > 0) & (F.col("adev") > 2.5 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "category",
+            "day",
+            dround(F.col("revenue"), 2).alias("revenue"),
+            _r4(
+                (F.col("revenue") - F.col("med")) / (1.4826 * F.col("mad"))
+            ).alias("robust_z"),
+        )
     )

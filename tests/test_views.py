@@ -145,3 +145,35 @@ def test_fraud_ring_stats_planted_rates(spark):
     assert got[1]["fraud_rate"] == 0.5
     assert (got[10]["n_cards"], got[10]["n_fraud"]) == (2, 0)
     assert got[10]["fraud_rate"] == 0.0
+
+
+def test_category_anomaly_mad_uses_per_category_baseline(spark):
+    """A spike that is tiny on the GLOBAL scale but huge against its
+    own category's baseline is flagged — the per-entity-baseline
+    property this screen exists for. The zero-MAD guard holds per
+    category."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    rows = []
+    # grocery: 20 steady days at ~100 + one day at 400 (global noise,
+    # category outlier); travel: constant 5000 every day (MAD 0 ->
+    # must flag nothing even though it dwarfs grocery)
+    for i in range(1, 21):
+        rows.append(("grocery", dt.datetime(2024, 4, i, 12), 100.0 + i))
+        rows.append(("travel", dt.datetime(2024, 4, i, 13), 5000.0))
+    rows.append(("grocery", dt.datetime(2024, 4, 21, 12), 400.0))
+    rows.append(("travel", dt.datetime(2024, 4, 21, 13), 5000.0))
+    g = {
+        "fact": spark.createDataFrame(
+            rows,
+            "transaction_category string, transaction_timestamp timestamp, "
+            "transaction_amount double",
+        )
+    }
+    got = [
+        (r["category"], r["day"].day)
+        for r in dash.dash_category_anomaly_mad(g).collect()
+    ]
+    assert got == [("grocery", 21)], got
