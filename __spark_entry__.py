@@ -74,12 +74,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     concentration with a support floor), and
 #:     dash_category_anomaly_mad (the per-category keyed twin of the
 #:     MAD detector — grouped percentile aggregates, no crossJoin)
+#:     plus dash_merchant_risk_propagation (two-round label
+#:     propagation over the card<->merchant bipartite graph — an
+#:     ITERATIVE graph algorithm with a full hash-checked oracle,
+#:     the rounds unrolled as SQL joins)
 #:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 18 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 17 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 5 + 18 = exactly 50. The 32 r10-green entries that
-#: did not fit (q_clickers_not_purchasers, q_unpivot_lineitem_stats,
-#: docs_strip_boilerplate, docs_repetition_stats, docs_pii_scrub,
+#: 1 + 2 + 24 + 6 + 17 = exactly 50. The 33 r10-green entries that
+#: did not fit (q_repeat_engagers, q_clickers_not_purchasers,
+#: q_unpivot_lineitem_stats, docs_strip_boilerplate,
+#: docs_repetition_stats, docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
 #: docs_hybrid_rrf, q_scd2_customer_history, q_sales_opportunity,
 #: q_events_gapfill_ffill, docs_dsir_weights, q_shuffled_hash_join,
@@ -141,7 +146,8 @@ _DRIVER_FRONT = [
     "dash_fraud_ring_stats",
     "dash_fraud_hotspots",
     "dash_category_anomaly_mad",
-    # (e) the 18 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_merchant_risk_propagation",
+    # (e) the 17 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -159,7 +165,6 @@ _DRIVER_FRONT = [
     "dedup_embedding_cosine",
     "corpus_sample_hash",
     "docs_clean_pipeline",
-    "q_repeat_engagers",
 ]
 
 

@@ -51,6 +51,7 @@ DOMAIN = [
     "dash_fraud_ring_stats",
     "dash_fraud_hotspots",
     "dash_category_anomaly_mad",
+    "dash_merchant_risk_propagation",
 ]
 
 #: operators that read the testdata tables directly

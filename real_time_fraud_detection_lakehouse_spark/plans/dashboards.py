@@ -1040,3 +1040,109 @@ def dash_category_anomaly_mad(g) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# --- merchant risk propagation (round 13) ------------------------------------
+#: damping: how much of a merchant's propagated risk comes from its
+#: own observed fraud rate vs its visiting cards' exposure.
+RISK_DAMPING = 0.5
+
+#: propagation rounds — FIXED, so the op is deterministic and the
+#: oracle can unroll the iterations as plain SQL joins.
+RISK_ROUNDS = 2
+
+
+@_register(
+    "dash_merchant_risk_propagation",
+    f"""
+    , rp_edges AS (
+      SELECT DISTINCT cc_num, merchant FROM transactions
+    ),
+    rp_seed AS (
+      SELECT merchant, AVG(CAST(is_fraud AS DOUBLE)) AS risk0
+      FROM transactions GROUP BY merchant
+    ),
+    rp_card1 AS (
+      SELECT e.cc_num, AVG(s.risk0) AS card_risk
+      FROM rp_edges e JOIN rp_seed s USING (merchant) GROUP BY e.cc_num
+    ),
+    rp_m1 AS (
+      SELECT e.merchant,
+             {RISK_DAMPING} * s.risk0 + {1 - RISK_DAMPING} * AVG(c.card_risk) AS risk1
+      FROM rp_edges e
+      JOIN rp_seed s USING (merchant)
+      JOIN rp_card1 c USING (cc_num)
+      GROUP BY e.merchant, s.risk0
+    ),
+    rp_card2 AS (
+      SELECT e.cc_num, AVG(m.risk1) AS card_risk
+      FROM rp_edges e JOIN rp_m1 m USING (merchant) GROUP BY e.cc_num
+    ),
+    rp_m2 AS (
+      SELECT e.merchant,
+             {RISK_DAMPING} * s.risk0 + {1 - RISK_DAMPING} * AVG(c.card_risk) AS risk2
+      FROM rp_edges e
+      JOIN rp_seed s USING (merchant)
+      JOIN rp_card2 c USING (cc_num)
+      GROUP BY e.merchant, s.risk0
+    )
+    SELECT m.merchant, {_r4s('s.risk0')} AS seed_risk,
+           {_r4s('m.risk2')} AS propagated_risk,
+           {_r4s('m.risk2 - s.risk0')} AS risk_lift
+    FROM rp_m2 m JOIN rp_seed s USING (merchant)
+    """,
+)
+def dash_merchant_risk_propagation(g) -> DataFrame:
+    """Guilt-by-association merchant risk: label propagation over the
+    card↔merchant bipartite graph. Seed each merchant with its
+    observed fraud rate, then alternate two message-passing rounds —
+    a card's risk is the mean of its merchants' risks, a merchant's
+    next risk is damping·seed + (1−damping)·mean of its cards' risks
+    — so a merchant whose OWN ledger looks clean but whose customers
+    frequent hot merchants rises (risk_lift > 0), the signal a
+    fraud-rate dashboard structurally cannot see. Fixed two rounds:
+    enough to cross the bipartite graph twice, deterministic, and the
+    ORACLE unrolls the same rounds as plain SQL joins — an iterative
+    graph algorithm with a full hash-checked oracle (the averaging
+    is per-key AVG of identical double sets in both engines; output
+    rides dround(4)).
+
+    Scale design: each round is two edge-keyed joins + keyed AVGs
+    over the DISTINCT edge projection (O(cards × merchants-visited),
+    collapsed once, reused every round — Catalyst reuses the
+    exchange); degrees bound the fan-out, nothing is ever quadratic,
+    no window, no driver loop (rounds are a Python-unrolled FIXED
+    count, not data-dependent)."""
+    tx = g["transactions"]
+    edges = tx.select("cc_num", "merchant").distinct()
+    seed = tx.groupBy("merchant").agg(
+        F.avg(F.col("is_fraud").cast("double")).alias("risk0")
+    )
+    risk = seed.withColumnRenamed("risk0", "risk")
+    for _ in range(RISK_ROUNDS):
+        card = (
+            edges.join(risk, "merchant")
+            .groupBy("cc_num")
+            .agg(F.avg("risk").alias("card_risk"))
+        )
+        risk = (
+            edges.join(seed, "merchant")
+            .join(card, "cc_num")
+            .groupBy("merchant", "risk0")
+            .agg(
+                (
+                    RISK_DAMPING * F.col("risk0")
+                    + (1 - RISK_DAMPING) * F.avg("card_risk")
+                ).alias("risk")
+            )
+            .select("merchant", "risk")
+        )
+    return (
+        risk.join(seed, "merchant")
+        .select(
+            "merchant",
+            _r4(F.col("risk0")).alias("seed_risk"),
+            _r4(F.col("risk")).alias("propagated_risk"),
+            _r4(F.col("risk") - F.col("risk0")).alias("risk_lift"),
+        )
+    )

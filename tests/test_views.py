@@ -177,3 +177,43 @@ def test_category_anomaly_mad_uses_per_category_baseline(spark):
         for r in dash.dash_category_anomaly_mad(g).collect()
     ]
     assert got == [("grocery", 21)], got
+
+
+def test_risk_propagation_lifts_clean_merchant_with_hot_cards(spark):
+    """The guilt-by-association property on a planted graph: merchant
+    'clean' has zero observed fraud but shares BOTH its cards with
+    all-fraud merchant 'hot' -> propagated risk rises (lift > 0);
+    merchant 'island' (clean, isolated cards) stays at its seed.
+    Hand-computed fixed point of the two unrolled rounds."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    d = dt.datetime(2024, 5, 1, 12)
+    rows = [
+        # cards 1,2 visit both 'hot' (all fraud) and 'clean' (no fraud)
+        (1, "hot", d, 1), (2, "hot", d, 1),
+        (1, "clean", d, 0), (2, "clean", d, 0),
+        # card 3 only visits 'island' (no fraud)
+        (3, "island", d, 0),
+    ]
+    g = {
+        "transactions": spark.createDataFrame(
+            rows,
+            "cc_num long, merchant string, trans_timestamp timestamp, is_fraud int",
+        )
+    }
+    got = {r["merchant"]: r for r in dash.dash_merchant_risk_propagation(g).collect()}
+    # seeds: hot 1.0, clean 0.0, island 0.0
+    # round 1: card1=card2=avg(1,0)=0.5, card3=0
+    #   hot   = .5*1 + .5*.5  = 0.75
+    #   clean = .5*0 + .5*.5  = 0.25
+    #   island= 0
+    # round 2: card1=card2=avg(.75,.25)=0.5, card3=0 -> same risks
+    assert got["hot"]["seed_risk"] == 1.0
+    assert got["clean"]["seed_risk"] == 0.0
+    assert got["clean"]["propagated_risk"] == 0.25
+    assert got["clean"]["risk_lift"] == 0.25
+    assert got["hot"]["propagated_risk"] == 0.75
+    assert got["island"]["propagated_risk"] == 0.0
+    assert got["island"]["risk_lift"] == 0.0
