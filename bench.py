@@ -213,6 +213,10 @@ SCALING_QUERIES = [
     # claim is that WAU costs two keyed aggs over a x7 projection,
     # never a range self-join, so 10x users ~ 10x time, not 100x
     "q_events_dau_wau",
+    # r13: the mergeable quantile sketch — the claim is that ANY input
+    # volume collapses to O(groups x buckets) histogram rows in one
+    # keyed count, so 10x rows ~ scan-bound, the walk constant
+    "q_price_quantile_sketch",
 ]
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))

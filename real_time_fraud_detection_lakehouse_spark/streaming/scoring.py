@@ -264,7 +264,14 @@ def fuzzy_entity_gate_stream(
     Laziness discipline: decisions are parquet-MATERIALIZED before
     the fold-in commits, and the gate's plan resolved the manifest
     into immutable pinned versions at build time — the fold-in's new
-    group cannot leak into the already-built plan. Per-batch cost is
+    group cannot leak into the already-built plan. Crash windows: a
+    replay before the fold-in committed recomputes identical
+    decisions (same index) and overwrites them; a replay AFTER it
+    re-gates against the grown index, where the ``m_id != a_id``
+    self-match guard keeps the decisions identical (an arrival never
+    rejects against its own folded copy) at the cost of one duplicate
+    delta table — gating-idempotent, compacted away by the next
+    ``build_entity_index`` + vacuum. Per-batch cost is
     arrival-proportional (index read, never rebuilt; bounded variant
     fan-out); state lives in the snapshot store, not stream memory,
     so the monitor is O(1) in executor state at any rate.
