@@ -78,11 +78,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     propagation over the card<->merchant bipartite graph — an
 #:     ITERATIVE graph algorithm with a full hash-checked oracle,
 #:     the rounds unrolled as SQL joins)
+#:     and docs_quality_report (the Deequ-style one-scan constraint
+#:     suite on the corpus side, with the n_chars==length(text)
+#:     metadata-consistency check)
 #:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 17 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 16 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 6 + 17 = exactly 50. The 33 r10-green entries that
-#: did not fit (q_repeat_engagers, q_clickers_not_purchasers,
+#: 1 + 2 + 24 + 7 + 16 = exactly 50. The 34 r10-green entries that
+#: did not fit (docs_clean_pipeline, q_repeat_engagers,
+#: q_clickers_not_purchasers,
 #: q_unpivot_lineitem_stats, docs_strip_boilerplate,
 #: docs_repetition_stats, docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
@@ -147,7 +151,8 @@ _DRIVER_FRONT = [
     "dash_fraud_hotspots",
     "dash_category_anomaly_mad",
     "dash_merchant_risk_propagation",
-    # (e) the 17 oldest r10-green entries (CORRECTNESS_r10 order)
+    "docs_quality_report",
+    # (e) the 16 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -164,7 +169,6 @@ _DRIVER_FRONT = [
     "embedding_norms",
     "dedup_embedding_cosine",
     "corpus_sample_hash",
-    "docs_clean_pipeline",
 ]
 
 

@@ -178,9 +178,11 @@ DIRECT = [
     "q_referential_integrity",
     "dedup_fuzzy_canonical",
     # round-13: the mergeable decimal log-bucket quantile sketch,
-    # both axes (order prices / corpus doc lengths)
+    # both axes (order prices / corpus doc lengths) + the corpus
+    # constraint suite
     "q_price_quantile_sketch",
     "docs_length_quantile_sketch",
+    "docs_quality_report",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

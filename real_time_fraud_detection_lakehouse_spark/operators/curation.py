@@ -1309,3 +1309,80 @@ def docs_sample_epochs(t: Frames) -> DataFrame:
         "n_tokens",
         F.explode(epochs).alias("epoch"),
     ).withColumn("epoch", F.col("epoch").cast("int"))
+
+
+@_register(
+    "docs_quality_report",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_row_count,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_id_nulls,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS m_id_dups,
+             CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_text_empty,
+             CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_len_range,
+             CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS m_len_consistent,
+             CAST(SUM(CASE WHEN lang IS NULL OR length(lang) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_lang_nulls,
+             CAST(SUM(CASE WHEN source IS NULL OR length(source) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_source_nulls
+      FROM documents
+    )
+    SELECT 'row_count_min' AS rule, m_row_count AS metric, m_row_count >= 1 AS passed FROM m
+    UNION ALL SELECT 'doc_id_not_null', m_id_nulls, m_id_nulls = 0 FROM m
+    UNION ALL SELECT 'doc_id_unique', m_id_dups, m_id_dups = 0 FROM m
+    UNION ALL SELECT 'text_not_empty', m_text_empty, m_text_empty = 0 FROM m
+    UNION ALL SELECT 'n_chars_positive', m_len_range, m_len_range = 0 FROM m
+    UNION ALL SELECT 'n_chars_matches_text', m_len_consistent, m_len_consistent = 0 FROM m
+    UNION ALL SELECT 'lang_not_null', m_lang_nulls, m_lang_nulls = 0 FROM m
+    UNION ALL SELECT 'source_not_null', m_source_nulls, m_source_nulls = 0 FROM m
+    """,
+)
+def docs_quality_report(t: Frames) -> DataFrame:
+    """The ingestion-validation suite for the CORPUS side — the
+    ``q_quality_report`` discipline applied to documents before they
+    enter the curation pipeline: completeness (id/lang/source/text),
+    key uniqueness, and the metadata-consistency check production
+    corpora actually break on (``n_chars == length(text)`` — stale
+    counts after a re-clean are how budget reports silently lie).
+    Deequ-style: ALL eight constraints ride ONE aggregate pass (a
+    per-rule scan is a per-rule 100 TB job); the 1-row metric vector
+    explodes into the report driver-side — 8 rows, no shuffle."""
+    d = t["documents"]
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("long").alias("m_row_count"),
+        viol(F.col("doc_id").isNull()).alias("m_id_nulls"),
+        (F.count("*") - F.countDistinct("doc_id")).cast("long").alias("m_id_dups"),
+        viol(
+            F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+        ).alias("m_text_empty"),
+        viol(F.col("n_chars").isNull() | (F.col("n_chars") <= 0)).alias("m_len_range"),
+        viol(F.col("n_chars") != F.length("text")).alias("m_len_consistent"),
+        viol(
+            F.col("lang").isNull() | (F.length("lang") == 0)
+        ).alias("m_lang_nulls"),
+        viol(
+            F.col("source").isNull() | (F.length("source") == 0)
+        ).alias("m_source_nulls"),
+    )
+    rules = [
+        ("row_count_min", "m_row_count", F.col("m_row_count") >= 1),
+        ("doc_id_not_null", "m_id_nulls", F.col("m_id_nulls") == 0),
+        ("doc_id_unique", "m_id_dups", F.col("m_id_dups") == 0),
+        ("text_not_empty", "m_text_empty", F.col("m_text_empty") == 0),
+        ("n_chars_positive", "m_len_range", F.col("m_len_range") == 0),
+        ("n_chars_matches_text", "m_len_consistent", F.col("m_len_consistent") == 0),
+        ("lang_not_null", "m_lang_nulls", F.col("m_lang_nulls") == 0),
+        ("source_not_null", "m_source_nulls", F.col("m_source_nulls") == 0),
+    ]
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(metric).alias("metric"),
+                    passed.alias("passed"),
+                )
+                for name, metric, passed in rules
+            ]
+        )
+    ).alias("r")
+    return m.select(report).select("r.rule", "r.metric", "r.passed")

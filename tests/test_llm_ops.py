@@ -2259,3 +2259,36 @@ def test_fuzzy_canonical_merges_transitive_chain(spark):
         10: (10, 3), 11: (10, 3), 12: (10, 3),
         20: (20, 2), 21: (20, 2),
     }, got
+
+
+def test_docs_quality_report_planted_violations(spark):
+    """Each corpus constraint fires on a planted violation and passes
+    on clean rows — including the metadata-consistency check
+    (n_chars != length(text), the stale-count lie)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        CURATION_OPS,
+    )
+
+    rows = [
+        (1, "good text", "en", "web", 9),
+        (1, "   ", "en", "web", 3),        # dup id + whitespace-only text
+        (2, "ok", None, "web", 5),          # lang null + stale n_chars (5 != 2)
+        (3, "fine", "de", None, 4),         # source null
+    ]
+    t = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    got = {
+        r["rule"]: (r["metric"], r["passed"])
+        for r in CURATION_OPS["docs_quality_report"][0](t).collect()
+    }
+    assert got["row_count_min"] == (4, True)
+    assert got["doc_id_not_null"] == (0, True)
+    assert got["doc_id_unique"] == (1, False)
+    assert got["text_not_empty"] == (1, False)
+    assert got["n_chars_positive"] == (0, True)
+    assert got["n_chars_matches_text"] == (1, False)
+    assert got["lang_not_null"] == (1, False)
+    assert got["source_not_null"] == (1, False)
