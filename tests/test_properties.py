@@ -472,3 +472,75 @@ def test_deletion_neighborhood_blocking_iff(a, b):
         assert variants(a) & variants(b), "recall hole: candidate pair missed"
     # precision-side regression pin for the converse counter-example
     assert lev("aaab", "aaba") == 2 and (variants("aaab") & variants("aaba"))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quantile_sketch_band_holds_for_arbitrary_values(spark, vals):
+    """The sketch's error contract, adversarially: for ANY positive
+    value set, each p-estimate is the midpoint of the bucket holding
+    the ceil(p*N)-th order statistic, so it sits within 0.5% relative
+    of that order statistic (bucket half-width 0.5/sig <= 0.5/100) —
+    the provable band the docstring claims."""
+    import math
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+
+    t = {
+        "orders": spark.createDataFrame(
+            [(i, "K", v) for i, v in enumerate(vals)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+    }
+    out = RELATIONAL["q_price_quantile_sketch"][0](t).collect()[0]
+    n = len(vals)
+    s = sorted(vals)
+    assert out["n_rows"] == n
+    for lbl, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)):
+        order_stat = s[max(0, math.ceil(p * n) - 1)]
+        est = out[f"{lbl}_est"]
+        assert abs(est - order_stat) <= 0.005 * order_stat + 1e-9, (
+            lbl, est, order_stat, vals
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_quantile_sketch_merge_invariant_for_arbitrary_splits(spark, vals, mod):
+    """Mergeability, adversarially: sketching ANY partition of the
+    rows and summing histograms equals sketching the whole —
+    bit-identical, for arbitrary split keys (count-sum commutes)."""
+    from functools import reduce
+
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import (
+        qsk_finalize,
+        qsk_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "K", v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    whole = sorted(tuple(r) for r in qsk_finalize(qsk_histogram(df)).collect())
+    parts = [df.filter(F.col("o_orderkey") % mod == i) for i in range(mod)]
+    hists = [qsk_histogram(p) for p in parts]
+    merged_hist = (
+        reduce(lambda a, b: a.unionByName(b), hists)
+        .groupBy("grp", "d", "sig")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    merged = sorted(tuple(r) for r in qsk_finalize(merged_hist).collect())
+    assert merged == whole
