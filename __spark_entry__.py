@@ -78,15 +78,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     propagation over the card<->merchant bipartite graph — an
 #:     ITERATIVE graph algorithm with a full hash-checked oracle,
 #:     the rounds unrolled as SQL joins)
-#:     and docs_quality_report (the Deequ-style one-scan constraint
+#:     docs_quality_report (the Deequ-style one-scan constraint
 #:     suite on the corpus side, with the n_chars==length(text)
-#:     metadata-consistency check)
+#:     metadata-consistency check), and dash_fraud_rate_cusum (the
+#:     sequential CUSUM recurrence as its prefix-sum/running-min
+#:     closed form — two bounded windows over the O(days) frame)
 #:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 16 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 15 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 7 + 16 = exactly 50. The 34 r10-green entries that
-#: did not fit (docs_clean_pipeline, q_repeat_engagers,
-#: q_clickers_not_purchasers,
+#: 1 + 2 + 24 + 8 + 15 = exactly 50. The 35 r10-green entries that
+#: did not fit (corpus_sample_hash, docs_clean_pipeline,
+#: q_repeat_engagers, q_clickers_not_purchasers,
 #: q_unpivot_lineitem_stats, docs_strip_boilerplate,
 #: docs_repetition_stats, docs_pii_scrub,
 #: docs_mix_weights, docs_epoch_shuffle, docs_bm25_search,
@@ -152,7 +154,8 @@ _DRIVER_FRONT = [
     "dash_category_anomaly_mad",
     "dash_merchant_risk_propagation",
     "docs_quality_report",
-    # (e) the 16 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_fraud_rate_cusum",
+    # (e) the 15 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -168,7 +171,6 @@ _DRIVER_FRONT = [
     "dedup_exact",
     "embedding_norms",
     "dedup_embedding_cosine",
-    "corpus_sample_hash",
 ]
 
 

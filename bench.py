@@ -52,6 +52,7 @@ DOMAIN = [
     "dash_fraud_hotspots",
     "dash_category_anomaly_mad",
     "dash_merchant_risk_propagation",
+    "dash_fraud_rate_cusum",
 ]
 
 #: operators that read the testdata tables directly

@@ -1146,3 +1146,97 @@ def dash_merchant_risk_propagation(g) -> DataFrame:
             _r4(F.col("risk") - F.col("risk0")).alias("risk_lift"),
         )
     )
+
+
+# --- CUSUM drift screen (round 13) -------------------------------------------
+#: slack per day (in robust sigmas) the CUSUM absorbs before it
+#: accumulates — detects SUSTAINED shifts ~0.5 sigma and up, the drift
+#: class the per-day MAD screen structurally misses.
+CUSUM_SLACK = 0.5
+
+#: alarm threshold in robust sigmas of accumulated drift.
+CUSUM_THRESHOLD = 4.0
+
+
+@_register(
+    "dash_fraud_rate_cusum",
+    f"""
+    , cu_daily AS (
+      SELECT CAST(transaction_timestamp AS DATE) AS day,
+             AVG(CAST(is_fraud AS DOUBLE)) AS rate
+      FROM fact_transactions GROUP BY 1
+    ),
+    cu_base AS (
+      SELECT quantile_cont(rate, 0.5) AS med,
+             quantile_cont(abs(rate - (SELECT quantile_cont(rate, 0.5) FROM cu_daily)), 0.5) AS mad
+      FROM cu_daily
+    ),
+    cu_z AS (
+      SELECT d.day, d.rate,
+             (d.rate - b.med) / (1.4826 * b.mad) - {CUSUM_SLACK} AS step
+      FROM cu_daily d, cu_base b
+      WHERE b.mad > 0
+    ),
+    cu_prefix AS (
+      SELECT day, rate, SUM(step) OVER (ORDER BY day) AS p FROM cu_z
+    ),
+    cu_run AS (
+      SELECT day, rate, p,
+             MIN(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+      FROM cu_prefix
+    )
+    SELECT day, {_r4s('rate')} AS fraud_rate,
+           {_r4s('p - LEAST(pmin, 0)')} AS cusum,
+           p - LEAST(pmin, 0) > {CUSUM_THRESHOLD} AS alarm
+    FROM cu_run
+    """,
+)
+def dash_fraud_rate_cusum(g) -> DataFrame:
+    """CUSUM drift screen over the daily fraud rate: the one-sided
+    cumulative-sum statistic S_t = max(0, S_{{t-1}} + z_t - slack),
+    which fires on SUSTAINED small shifts (a 0.5-sigma rate creep
+    over a week) that per-day outlier screens — including the MAD
+    family — structurally cannot see. Standardization uses the
+    median/MAD baseline (robust to the very drift being hunted);
+    alarm at {CUSUM_THRESHOLD} accumulated robust sigmas.
+
+    Closed form instead of recurrence: S_t = P_t - min(0, min_{{j<=t}}
+    P_j) where P is the prefix sum of (z - slack) — so the
+    sequential-looking recurrence becomes ONE cumulative sum plus a
+    running min, two ordered windows over the O(days) daily frame
+    (bounded — this is the windowed-over-tiny-aggregates class, the
+    gap-fill/SCD2 precedent, never a window over fact rows). Both
+    engines compute the identical closed form; output rides
+    dround(4)."""
+    daily = (
+        g["fact"]
+        .groupBy(F.col("transaction_timestamp").cast("date").alias("day"))
+        .agg(F.avg(F.col("is_fraud").cast("double")).alias("rate"))
+    )
+    med = daily.agg(F.percentile("rate", 0.5).alias("med"))
+    dev = daily.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.percentile(F.abs(F.col("rate") - F.col("med")), 0.5).alias("mad")
+    )
+    z = (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "step",
+            (F.col("rate") - F.col("med")) / (1.4826 * F.col("mad"))
+            - CUSUM_SLACK,
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum("step").over(w)
+    prefix = z.select("day", "rate", p.alias("p"))
+    pmin = F.min("p").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = F.col("p") - F.least(pmin, F.lit(0.0))
+    return prefix.select(
+        "day",
+        _r4(F.col("rate")).alias("fraud_rate"),
+        _r4(cusum).alias("cusum"),
+        (cusum > CUSUM_THRESHOLD).alias("alarm"),
+    )

@@ -217,3 +217,43 @@ def test_risk_propagation_lifts_clean_merchant_with_hot_cards(spark):
     assert got["hot"]["propagated_risk"] == 0.75
     assert got["island"]["propagated_risk"] == 0.0
     assert got["island"]["risk_lift"] == 0.0
+
+
+def test_cusum_fires_on_sustained_drift_per_day_screen_misses(spark):
+    """The complementarity CUSUM exists for: a sustained +2-robust-
+    sigma fraud-rate creep (below the per-day screen's threshold
+    every single day) accumulates past the CUSUM alarm on the 3rd
+    drift day. Hand-computed: baseline 40 days alternating rates
+    0.019/0.021 (median 0.021, MAD 0.002), drift 6 days at 0.027 ->
+    z = 2.0235 per day (< 2.5: per-day silent), step = 1.5235 ->
+    cusum crosses 4.0 at drift day 3."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    days = []
+    base = dt.date(2024, 1, 1)
+    for i in range(40):
+        days.append((base + dt.timedelta(days=i), 19 if i % 2 == 0 else 21))
+    for i in range(6):
+        days.append((base + dt.timedelta(days=40 + i), 27))
+    per_day = spark.createDataFrame(days, "day date, n_fraud int")
+    fact = per_day.select(
+        F.col("day").cast("timestamp").alias("transaction_timestamp"),
+        F.explode(F.sequence(F.lit(1), F.lit(1000))).alias("i"),
+        "n_fraud",
+    ).select(
+        "transaction_timestamp",
+        F.when(F.col("i") <= F.col("n_fraud"), 1).otherwise(0).alias("is_fraud"),
+    )
+    got = {r["day"]: r for r in dash.dash_fraud_rate_cusum({"fact": fact}).collect()}
+    assert len(got) == 46
+    alarms = sorted(d for d, r in got.items() if r["alarm"])
+    assert alarms == [base + dt.timedelta(days=40 + i) for i in (2, 3, 4, 5)], alarms
+    # every baseline day is fully absorbed (cusum clamped at 0)
+    assert all(got[base + dt.timedelta(days=i)]["cusum"] == 0.0 for i in range(40))
+    # drift days accumulate ~1.5235/day
+    d1 = got[base + dt.timedelta(days=40)]["cusum"]
+    assert abs(d1 - 1.5235) < 0.001, d1
