@@ -82,12 +82,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     suite on the corpus side, with the n_chars==length(text)
 #:     metadata-consistency check), and dash_fraud_rate_cusum (the
 #:     sequential CUSUM recurrence as its prefix-sum/running-min
-#:     closed form — two bounded windows over the O(days) frame)
+#:     closed form — two bounded windows over the O(days) frame),
+#:     and dash_impossible_travel (per-card lag window, shared
+#:     haversine pair, integer-microsecond simultaneous-use branch)
 #:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 15 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 14 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 8 + 15 = exactly 50. The 35 r10-green entries that
-#: did not fit (corpus_sample_hash, docs_clean_pipeline,
+#: 1 + 2 + 24 + 9 + 14 = exactly 50. The 36 r10-green entries that
+#: did not fit (dedup_embedding_cosine, corpus_sample_hash,
+#: docs_clean_pipeline,
 #: q_repeat_engagers, q_clickers_not_purchasers,
 #: q_unpivot_lineitem_stats, docs_strip_boilerplate,
 #: docs_repetition_stats, docs_pii_scrub,
@@ -155,7 +158,8 @@ _DRIVER_FRONT = [
     "dash_merchant_risk_propagation",
     "docs_quality_report",
     "dash_fraud_rate_cusum",
-    # (e) the 15 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_impossible_travel",
+    # (e) the 14 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -170,7 +174,6 @@ _DRIVER_FRONT = [
     "text_corpus_stats",
     "dedup_exact",
     "embedding_norms",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -53,6 +53,7 @@ DOMAIN = [
     "dash_category_anomaly_mad",
     "dash_merchant_risk_propagation",
     "dash_fraud_rate_cusum",
+    "dash_impossible_travel",
 ]
 
 #: operators that read the testdata tables directly

@@ -29,6 +29,7 @@ from real_time_fraud_detection_lakehouse_spark.plans.views import (
     _r4,
     _r4s,
 )
+from real_time_fraud_detection_lakehouse_spark.plans.silver import _haversine_sql
 from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround, dround_sql
 
 DASHBOARDS: dict[str, tuple[Builder, str]] = {}
@@ -1239,4 +1240,109 @@ def dash_fraud_rate_cusum(g) -> DataFrame:
         _r4(F.col("rate")).alias("fraud_rate"),
         _r4(cusum).alias("cusum"),
         (cusum > CUSUM_THRESHOLD).alias("alarm"),
+    )
+
+
+# --- impossible-travel detector (round 13) -----------------------------------
+#: km/h above which consecutive same-card transactions are physically
+#: impossible (faster than commercial flight).
+TRAVEL_MAX_KMH = 900.0
+
+#: same-timestamp pairs are impossible whenever the locations differ
+#: by more than this many km (two card-present uses at once).
+TRAVEL_SAME_TS_KM = 1.0
+
+
+@_register(
+    "dash_impossible_travel",
+    f"""
+    , tr_lag AS (
+      SELECT cc_num, trans_num, trans_timestamp, merch_lat, merch_long,
+             LAG(trans_timestamp) OVER w AS prev_ts,
+             LAG(merch_lat) OVER w AS prev_lat,
+             LAG(merch_long) OVER w AS prev_long
+      FROM transactions
+      WHERE merch_lat IS NOT NULL AND merch_long IS NOT NULL
+      WINDOW w AS (PARTITION BY cc_num ORDER BY trans_timestamp, trans_num)
+    ),
+    tr_pairs AS (
+      SELECT cc_num, trans_num, trans_timestamp, prev_ts,
+             {_haversine_sql("prev_lat", "prev_long", "merch_lat", "merch_long")} AS dist_km,
+             epoch_us(trans_timestamp) - epoch_us(prev_ts) AS dt_us
+      FROM tr_lag WHERE prev_ts IS NOT NULL
+    )
+    SELECT cc_num, trans_num, trans_timestamp, prev_ts,
+           {_r4s('dist_km')} AS distance_km,
+           {_r4s('CASE WHEN dt_us > 0 THEN dist_km / (dt_us / 3600000000.0) END')} AS speed_kmh
+    FROM tr_pairs
+    WHERE (dt_us = 0 AND dist_km > {TRAVEL_SAME_TS_KM})
+       OR (dt_us > 0 AND dist_km / (dt_us / 3600000000.0) > {TRAVEL_MAX_KMH})
+    """,
+)
+def dash_impossible_travel(g) -> DataFrame:
+    """The classic card-present fraud detector: consecutive
+    transactions on the same card whose implied travel speed exceeds
+    {TRAVEL_MAX_KMH} km/h (or simultaneous use at locations more than
+    {TRAVEL_SAME_TS_KM} km apart) — physically impossible movement,
+    the highest-precision single signal a rules engine owns.
+
+    Scale design: ONE window, partitioned by cc_num and ordered
+    within the card's own history — the allowed window class
+    (per-card history is bounded; no global sort, the shuffle is the
+    same cc_num hash the scoring path already uses). Distance reuses
+    the module-shared haversine pair (functions.features.haversine_km
+    / plans.silver._haversine_sql — one definition, the silver
+    discipline), the speed ratio is computed identically in both
+    engines, and ties within a timestamp order deterministically by
+    trans_num. dt in integer microseconds so the simultaneous-use
+    branch is exact, never a double-equality."""
+    from real_time_fraud_detection_lakehouse_spark.functions.features import (
+        haversine_km,
+    )
+
+    w = (
+        Window.partitionBy("cc_num")
+        .orderBy("trans_timestamp", "trans_num")
+    )
+    lagged = (
+        g["transactions"]
+        .filter(F.col("merch_lat").isNotNull() & F.col("merch_long").isNotNull())
+        .select(
+            "cc_num",
+            "trans_num",
+            "trans_timestamp",
+            "merch_lat",
+            "merch_long",
+            F.lag("trans_timestamp").over(w).alias("prev_ts"),
+            F.lag("merch_lat").over(w).alias("prev_lat"),
+            F.lag("merch_long").over(w).alias("prev_long"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+    )
+    dist = haversine_km(
+        F.col("prev_lat"), F.col("prev_long"), F.col("merch_lat"), F.col("merch_long")
+    )
+    dt_us = F.unix_micros("trans_timestamp") - F.unix_micros("prev_ts")
+    pairs = lagged.select(
+        "cc_num",
+        "trans_num",
+        "trans_timestamp",
+        "prev_ts",
+        dist.alias("dist_km"),
+        dt_us.alias("dt_us"),
+    )
+    speed = F.col("dist_km") / (F.col("dt_us") / 3_600_000_000.0)
+    return (
+        pairs.filter(
+            ((F.col("dt_us") == 0) & (F.col("dist_km") > TRAVEL_SAME_TS_KM))
+            | ((F.col("dt_us") > 0) & (speed > TRAVEL_MAX_KMH))
+        )
+        .select(
+            "cc_num",
+            "trans_num",
+            "trans_timestamp",
+            "prev_ts",
+            _r4(F.col("dist_km")).alias("distance_km"),
+            _r4(F.when(F.col("dt_us") > 0, speed)).alias("speed_kmh"),
+        )
     )

@@ -257,3 +257,44 @@ def test_cusum_fires_on_sustained_drift_per_day_screen_misses(spark):
     # drift days accumulate ~1.5235/day
     d1 = got[base + dt.timedelta(days=40)]["cusum"]
     assert abs(d1 - 1.5235) < 0.001, d1
+
+
+def test_impossible_travel_planted_pairs(spark):
+    """NY->LA in one hour flags (~3936 km/h); the same-timestamp
+    different-place pair flags with NULL speed; an overnight NY->LA
+    pair (plausible) and a cross-CARD fast pair do not flag."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    ny, la = (40.71, -74.0), (34.05, -118.24)
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # card 1: NY then LA one hour later -> impossible
+        (1, "t1", t0, ny[0], ny[1]),
+        (1, "t2", t0 + dt.timedelta(hours=1), la[0], la[1]),
+        # card 2: NY then LA ten hours later -> plausible flight, silent
+        (2, "t3", t0, ny[0], ny[1]),
+        (2, "t4", t0 + dt.timedelta(hours=10), la[0], la[1]),
+        # card 3: simultaneous use NY + LA -> flagged, speed NULL
+        (3, "t5", t0, ny[0], ny[1]),
+        (3, "t6", t0, la[0], la[1]),
+        # cards 4/5: fast pair across DIFFERENT cards -> silent
+        (4, "t7", t0, ny[0], ny[1]),
+        (5, "t8", t0 + dt.timedelta(minutes=5), la[0], la[1]),
+    ]
+    g = {
+        "transactions": spark.createDataFrame(
+            rows,
+            "cc_num long, trans_num string, trans_timestamp timestamp, "
+            "merch_lat double, merch_long double",
+        )
+    }
+    got = {r["cc_num"]: r for r in dash.dash_impossible_travel(g).collect()}
+    assert set(got) == {1, 3}
+    assert 3900 < got[1]["speed_kmh"] < 4000, got[1]
+    assert got[3]["speed_kmh"] is None
+    assert got[3]["distance_km"] > 3900
+    # tie order: the t0-pair on card 3 orders by trans_num -> t6 is
+    # the flagged (second) transaction
+    assert got[3]["trans_num"] == "t6"
