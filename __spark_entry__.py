@@ -83,14 +83,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     metadata-consistency check), and dash_fraud_rate_cusum (the
 #:     sequential CUSUM recurrence as its prefix-sum/running-min
 #:     closed form — two bounded windows over the O(days) frame),
-#:     and dash_impossible_travel (per-card lag window, shared
-#:     haversine pair, integer-microsecond simultaneous-use branch)
+#:     dash_impossible_travel (per-card lag window, shared
+#:     haversine pair, integer-microsecond simultaneous-use branch),
+#:     and dash_new_merchant_risk (bust-out screening: early-window
+#:     vs overall fraud rate per merchant, windowless)
 #:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 14 oldest r10-green entries (CORRECTNESS_r10 insertion
+#: (e) the 13 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 9 + 14 = exactly 50. The 36 r10-green entries that
-#: did not fit (dedup_embedding_cosine, corpus_sample_hash,
-#: docs_clean_pipeline,
+#: 1 + 2 + 24 + 10 + 13 = exactly 50. The 37 r10-green entries that
+#: did not fit (embedding_norms, dedup_embedding_cosine,
+#: corpus_sample_hash, docs_clean_pipeline,
 #: q_repeat_engagers, q_clickers_not_purchasers,
 #: q_unpivot_lineitem_stats, docs_strip_boilerplate,
 #: docs_repetition_stats, docs_pii_scrub,
@@ -159,7 +161,8 @@ _DRIVER_FRONT = [
     "docs_quality_report",
     "dash_fraud_rate_cusum",
     "dash_impossible_travel",
-    # (e) the 14 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_new_merchant_risk",
+    # (e) the 13 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -173,7 +176,6 @@ _DRIVER_FRONT = [
     "text_token_count_bpe",
     "text_corpus_stats",
     "dedup_exact",
-    "embedding_norms",
 ]
 
 

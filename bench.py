@@ -54,6 +54,7 @@ DOMAIN = [
     "dash_merchant_risk_propagation",
     "dash_fraud_rate_cusum",
     "dash_impossible_travel",
+    "dash_new_merchant_risk",
 ]
 
 #: operators that read the testdata tables directly

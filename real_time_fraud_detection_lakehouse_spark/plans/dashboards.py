@@ -1346,3 +1346,69 @@ def dash_impossible_travel(g) -> DataFrame:
             _r4(F.when(F.col("dt_us") > 0, speed)).alias("speed_kmh"),
         )
     )
+
+
+# --- new-merchant early-risk profile (round 13) ------------------------------
+#: days after a merchant's first observed transaction that count as
+#: its "early" window — bust-out merchants front-load fraud here.
+EARLY_WINDOW_DAYS = 7
+
+
+@_register(
+    "dash_new_merchant_risk",
+    f"""
+    , nm_first AS (
+      SELECT merchant, MIN(CAST(trans_timestamp AS DATE)) AS first_day
+      FROM transactions GROUP BY merchant
+    ),
+    nm_join AS (
+      SELECT t.merchant, f.first_day, t.is_fraud,
+             CAST(t.trans_timestamp AS DATE) <= f.first_day + {EARLY_WINDOW_DAYS} AS is_early
+      FROM transactions t JOIN nm_first f USING (merchant)
+    )
+    SELECT merchant, MIN(first_day) AS first_day,
+           CAST(SUM(CASE WHEN is_early THEN 1 ELSE 0 END) AS BIGINT) AS n_tx_early,
+           {_r4s('AVG(CASE WHEN is_early THEN CAST(is_fraud AS DOUBLE) END)')} AS early_fraud_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_tx_total,
+           {_r4s('AVG(CAST(is_fraud AS DOUBLE))')} AS overall_fraud_rate,
+           {_r4s('AVG(CASE WHEN is_early THEN CAST(is_fraud AS DOUBLE) END)'
+                 ' - AVG(CAST(is_fraud AS DOUBLE))')} AS early_lift
+    FROM nm_join GROUP BY merchant
+    """,
+)
+def dash_new_merchant_risk(g) -> DataFrame:
+    """Bust-out screening: per merchant, the fraud rate inside its
+    FIRST {EARLY_WINDOW_DAYS} observed days vs its overall rate — a
+    merchant created to launder stolen cards front-loads fraud into
+    its onboarding window (early_lift ≫ 0), while an honest merchant
+    that later gets hit shows the opposite shape. The
+    first-seen-entity profile every onboarding-risk dashboard keys
+    on.
+
+    Scale design: one keyed MIN for first-seen (map-side partials),
+    one merchant-keyed join the planner broadcasts (the first-seen
+    frame is O(merchants)), one keyed aggregate — the early window is
+    a per-row comparison against the joined first_day, NO window
+    function anywhere, no self-join on time ranges."""
+    tx = g["transactions"]
+    first = tx.groupBy("merchant").agg(
+        F.min(F.col("trans_timestamp").cast("date")).alias("first_day")
+    )
+    joined = tx.join(first, "merchant").withColumn(
+        "is_early",
+        F.col("trans_timestamp").cast("date")
+        <= F.date_add(F.col("first_day"), EARLY_WINDOW_DAYS),
+    )
+    fraud_d = F.col("is_fraud").cast("double")
+    early_rate = F.avg(F.when(F.col("is_early"), fraud_d))
+    overall_rate = F.avg(fraud_d)
+    return joined.groupBy("merchant").agg(
+        F.min("first_day").alias("first_day"),
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tx_early"),
+        _r4(early_rate).alias("early_fraud_rate"),
+        F.count("*").cast("long").alias("n_tx_total"),
+        _r4(overall_rate).alias("overall_fraud_rate"),
+        _r4(early_rate - overall_rate).alias("early_lift"),
+    )

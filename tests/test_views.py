@@ -298,3 +298,43 @@ def test_impossible_travel_planted_pairs(spark):
     # tie order: the t0-pair on card 3 orders by trans_num -> t6 is
     # the flagged (second) transaction
     assert got[3]["trans_num"] == "t6"
+
+
+def test_new_merchant_risk_frontloaded_fraud_lifts(spark):
+    """Planted bust-out shape: merchant 'burst' is all-fraud in its
+    first week then clean (early_lift > 0); merchant 'steady' has a
+    uniform rate (lift 0); a merchant hit only LATER shows negative
+    lift. Early window is first_day + 7 inclusive."""
+    import datetime as dt
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    t0 = dt.datetime(2024, 7, 1, 12)
+    rows = []
+    # burst: 4 fraud tx days 0-7, then 4 clean tx days 20-23
+    for i in range(4):
+        rows.append(("burst", t0 + dt.timedelta(days=2 * i), 1))
+        rows.append(("burst", t0 + dt.timedelta(days=20 + i), 0))
+    # steady: alternating, 2 in early window, 2 later, same rate
+    rows += [
+        ("steady", t0, 1), ("steady", t0 + dt.timedelta(days=3), 0),
+        ("steady", t0 + dt.timedelta(days=30), 1),
+        ("steady", t0 + dt.timedelta(days=33), 0),
+    ]
+    # late-hit: clean early, fraud later
+    rows += [
+        ("late", t0, 0), ("late", t0 + dt.timedelta(days=40), 1),
+    ]
+    g = {
+        "transactions": spark.createDataFrame(
+            rows, "merchant string, trans_timestamp timestamp, is_fraud int"
+        )
+    }
+    got = {r["merchant"]: r for r in dash.dash_new_merchant_risk(g).collect()}
+    assert got["burst"]["n_tx_early"] == 4
+    assert got["burst"]["early_fraud_rate"] == 1.0
+    assert got["burst"]["overall_fraud_rate"] == 0.5
+    assert got["burst"]["early_lift"] == 0.5
+    assert got["steady"]["early_lift"] == 0.0
+    assert got["late"]["early_fraud_rate"] == 0.0
+    assert got["late"]["early_lift"] == -0.5
