@@ -890,3 +890,48 @@ def test_round13_ops_plan_shapes(spark):
         assert "ASC" not in first and "DESC" not in first, (
             "ring window became ordered-only", spec
         )
+
+
+def test_round13_late_ops_plan_shapes(spark):
+    """The late-round fraud ops hold the module's plan discipline:
+    category-MAD and new-merchant-risk run with NO window at all
+    (keyed percentile aggregates / keyed min+join); risk propagation
+    has no window and no cartesian (edge-keyed joins only); CUSUM's
+    two windows and impossible-travel's one lag window are the ONLY
+    windows in their plans, and the travel window partitions by
+    cc_num (never ordered-only over the fact table)."""
+    import re
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_category_anomaly_mad,
+        dash_fraud_rate_cusum,
+        dash_impossible_travel,
+        dash_merchant_risk_propagation,
+        dash_new_merchant_risk,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import gold_frames
+
+    g = gold_frames(spark, SF_SMALL)
+    for fn in (dash_category_anomaly_mad, dash_new_merchant_risk):
+        plan = _plan(fn(g))
+        assert "Window" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    rp = _plan(dash_merchant_risk_propagation(g))
+    assert "Window" not in rp and "CartesianProduct" not in rp
+
+    travel = _plan(dash_impossible_travel(g))
+    assert "CartesianProduct" not in travel
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", travel)
+    assert specs, "travel lost its lag window"
+    for spec in specs:
+        first = spec.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            "travel window became ordered-only (global sort!)", spec
+        )
+
+    cusum = _plan(dash_fraud_rate_cusum(g))
+    # the two ordered-only windows run over the O(days) daily frame —
+    # allowed by construction; pin that the input to the window is an
+    # AGGREGATED frame (partial_avg before the window), not fact rows
+    assert "partial_avg" in cusum or "partial_count" in cusum, cusum[:500]
