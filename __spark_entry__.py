@@ -865,6 +865,30 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_ring_monitor"] = _stream_ring_monitor
 
+    # rows-only (applyInPandasWithState per-card last-location state):
+    # the impossible-travel detector AT INGEST — pinned set-equal to
+    # the batch op on a per-card-ordered source with a cross-batch
+    # split + restart idempotence in tests/test_stateful.py
+    def _stream_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+            impossible_travel_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="travel_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return impossible_travel_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_impossible_travel"] = _stream_travel
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -317,3 +317,118 @@ def velocity_stream_tws(
     q.awaitTermination()
     # explicit schema: same zero-row-sink rationale as velocity_stream
     return spark.read.schema(OUTPUT_SCHEMA).parquet(out_path)
+
+
+# --- streaming impossible-travel (per-card last-location state) --------------
+TRAVEL_OUTPUT_SCHEMA = (
+    "cc_num long, trans_num string, trans_timestamp timestamp, "
+    "prev_ts timestamp, distance_km double, speed_kmh double"
+)
+TRAVEL_STATE_SCHEMA = "last_ts_us long, last_lat double, last_long double"
+
+
+def _haversine_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Python mirror of functions.features.haversine_km (same atan2
+    form, same constants) for the per-card state walk."""
+    import math
+
+    dphi = math.radians(lat2 - lat1)
+    dlam = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dphi / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlam / 2) ** 2
+    )
+    return 6371.0 * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+def _track_travel(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        TRAVEL_MAX_KMH,
+        TRAVEL_SAME_TS_KM,
+    )
+
+    (cc_num,) = key
+    last = state.get if state.exists else None  # (ts_us, lat, long)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+        out = []
+        for row in pdf.itertuples():
+            ts_us = int(row.trans_timestamp.value // 1000)  # ns -> us
+            if last is not None:
+                dist = _haversine_py(last[1], last[2], row.merch_lat, row.merch_long)
+                dt_us = ts_us - last[0]
+                speed = dist / (dt_us / 3_600_000_000.0) if dt_us > 0 else None
+                if (dt_us == 0 and dist > TRAVEL_SAME_TS_KM) or (
+                    dt_us > 0 and speed is not None and speed > TRAVEL_MAX_KMH
+                ):
+                    out.append(
+                        {
+                            "cc_num": cc_num,
+                            "trans_num": row.trans_num,
+                            "trans_timestamp": row.trans_timestamp,
+                            "prev_ts": pd.Timestamp(last[0] * 1000),
+                            "distance_km": dist,
+                            "speed_kmh": speed,
+                        }
+                    )
+            last = (ts_us, float(row.merch_lat), float(row.merch_long))
+        if out:
+            yield pd.DataFrame(out)
+    if last is not None:
+        state.update(tuple(last))
+
+
+def impossible_travel_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The impossible-travel detector AT INGEST — the stateful twin of
+    ``dash_impossible_travel``: each card keeps ONE (last timestamp,
+    last location) tuple in streaming state, every arrival is checked
+    against it and the alert is emitted in the SAME micro-batch the
+    impossible hop lands in — not at the nightly batch pass, which is
+    the whole point for a physical card being driven around a city.
+
+    Semantics: identical to the batch op when events arrive in
+    per-card timestamp order (the CDC/file-source case — pinned by the
+    set-equality test on the real table); a late event is compared
+    against the newest seen location (at-ingest semantics,
+    documented) rather than re-sorting history — state is O(1) per
+    card (three scalars), the minimum any location tracker can hold.
+
+    Scale design: the state store shuffles once per micro-batch on
+    cc_num (the same key every per-card op here uses), state size is
+    3 scalars x live cards, and the per-row walk is the Arrow-batched
+    applyInPandasWithState kernel — no rescan of history, ever."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    tracked = (
+        stream.select(
+            "cc_num", "trans_num", "trans_timestamp", "merch_lat", "merch_long"
+        )
+        .filter(F.col("merch_lat").isNotNull() & F.col("merch_long").isNotNull())
+        .groupBy("cc_num")
+        .applyInPandasWithState(
+            _track_travel,
+            TRAVEL_OUTPUT_SCHEMA,
+            TRAVEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(TRAVEL_OUTPUT_SCHEMA).parquet(out_path)

@@ -94,3 +94,61 @@ def test_velocity_tws_matches_legacy_api(spark, tmp_path):
     a = sorted(map(tuple, legacy.select(cols).collect()))
     b = sorted(map(tuple, tws.select(cols).collect()))
     assert a == b
+
+
+def test_impossible_travel_stream_matches_batch_on_ordered_source(spark, tmp_path):
+    """Per-card last-location state: on a per-card-timestamp-ordered
+    source the stream flags EXACTLY the batch op's pair set (state
+    carries across micro-batches — the source is split in time so
+    cross-batch hops must still flag), distances agree to 1e-6, and a
+    restart emits nothing new."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_impossible_travel,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        impossible_travel_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    batch = {
+        (r["cc_num"], r["trans_num"]): r
+        for r in dash_impossible_travel({"transactions": tx}).collect()
+    }
+    assert batch  # fixture exercises the path
+
+    # time-ordered source in two files split at the median timestamp
+    # (per-card order preserved; hops across the split must still flag)
+    mid = tx.agg(
+        F.percentile(F.unix_micros("trans_timestamp"), 0.5)
+    ).first()[0]
+    src = str(tmp_path / "src")
+    tx.filter(F.unix_micros("trans_timestamp") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    tx.filter(F.unix_micros("trans_timestamp") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = impossible_travel_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = {(r["cc_num"], r["trans_num"]): r for r in out.collect()}
+    assert set(got) == set(batch)
+    for k, r in got.items():
+        assert abs(r["distance_km"] - batch[k]["distance_km"]) < 1e-4
+        if batch[k]["speed_kmh"] is None:
+            assert r["speed_kmh"] is None
+        else:
+            assert abs(r["speed_kmh"] - batch[k]["speed_kmh"]) < 1e-2
+
+    again = impossible_travel_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert again.count() == len(got)
