@@ -85,13 +85,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     closed form — two bounded windows over the O(days) frame),
 #:     dash_impossible_travel (per-card lag window, shared
 #:     haversine pair, integer-microsecond simultaneous-use branch),
-#:     and dash_new_merchant_risk (bust-out screening: early-window
-#:     vs overall fraud rate per merchant, windowless)
-#:     (all validate_driver-green at sf0.001 AND sf0.01 in-round);
-#: (e) the 13 oldest r10-green entries (CORRECTNESS_r10 insertion
+#:     dash_new_merchant_risk (bust-out screening: early-window
+#:     vs overall fraud rate per merchant, windowless), and
+#:     dash_round_amount_bias (the Benford companion — exact-cents
+#:     round-number shares per cohort)
+#:     (all validate_driver-green at sf0.001 AND sf0.01 in-round;
+#:     the late additions also at sf0.1);
+#: (e) the 12 oldest r10-green entries (CORRECTNESS_r10 insertion
 #:     order) to the 50 cap.
-#: 1 + 2 + 24 + 10 + 13 = exactly 50. The 37 r10-green entries that
-#: did not fit (embedding_norms, dedup_embedding_cosine,
+#: 1 + 2 + 24 + 11 + 12 = exactly 50. The 38 r10-green entries that
+#: did not fit (dedup_exact, embedding_norms, dedup_embedding_cosine,
 #: corpus_sample_hash, docs_clean_pipeline,
 #: q_repeat_engagers, q_clickers_not_purchasers,
 #: q_unpivot_lineitem_stats, docs_strip_boilerplate,
@@ -162,7 +165,8 @@ _DRIVER_FRONT = [
     "dash_fraud_rate_cusum",
     "dash_impossible_travel",
     "dash_new_merchant_risk",
-    # (e) the 13 oldest r10-green entries (CORRECTNESS_r10 order)
+    "dash_round_amount_bias",
+    # (e) the 12 oldest r10-green entries (CORRECTNESS_r10 order)
     "q_promo_revenue_share",
     "docs_contamination_report",
     "dedup_cluster_stats",
@@ -175,7 +179,6 @@ _DRIVER_FRONT = [
     "text_fingerprint",
     "text_token_count_bpe",
     "text_corpus_stats",
-    "dedup_exact",
 ]
 
 

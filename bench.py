@@ -55,6 +55,7 @@ DOMAIN = [
     "dash_fraud_rate_cusum",
     "dash_impossible_travel",
     "dash_new_merchant_risk",
+    "dash_round_amount_bias",
 ]
 
 #: operators that read the testdata tables directly

@@ -1412,3 +1412,55 @@ def dash_new_merchant_risk(g) -> DataFrame:
         _r4(overall_rate).alias("overall_fraud_rate"),
         _r4(early_rate - overall_rate).alias("early_lift"),
     )
+
+
+# --- round-amount bias screen (round 13) --------------------------------------
+@_register(
+    "dash_round_amount_bias",
+    f"""
+    , ra AS (
+      SELECT is_fraud,
+             CAST(floor(transaction_amount * 100 + 0.5) AS BIGINT) AS cents
+      FROM fact_transactions WHERE transaction_amount >= 0
+    )
+    SELECT is_fraud,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           {_r4s('AVG(CASE WHEN cents % 100 = 0 THEN 1.0 ELSE 0.0 END)')} AS whole_dollar_share,
+           {_r4s('AVG(CASE WHEN cents % 1000 = 0 THEN 1.0 ELSE 0.0 END)')} AS ten_dollar_share,
+           {_r4s('AVG(CASE WHEN cents % 100 = 0 THEN 1.0 ELSE 0.0 END) / 0.01')} AS whole_dollar_lift,
+           {_r4s('AVG(CASE WHEN cents % 1000 = 0 THEN 1.0 ELSE 0.0 END) / 0.001')} AS ten_dollar_lift
+    FROM ra GROUP BY is_fraud
+    """,
+)
+def dash_round_amount_bias(g) -> DataFrame:
+    """Benford's companion screen: humans typing stolen-card amounts
+    favor round numbers — per cohort, the share of exact-dollar and
+    exact-ten-dollar amounts, with the lift over what uniform cents
+    would produce (1% and 0.1%). A fraud cohort whose
+    whole_dollar_lift runs multiples above the legit cohort's is
+    operator-entered, not skimmed. Cents are recovered EXACTLY as
+    ``floor(amt*100 + 0.5)`` — one IEEE multiply + floor, bit-agreed
+    across engines (the quantile-sketch bucketing discipline), never
+    a double modulo.
+
+    Scale design: one keyed aggregate with map-side partials, two
+    output rows."""
+    ra = (
+        g["fact"]
+        .filter(F.col("transaction_amount") >= 0)
+        .select(
+            "is_fraud",
+            F.floor(F.col("transaction_amount") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    whole = F.avg(F.when(F.col("cents") % 100 == 0, 1.0).otherwise(0.0))
+    ten = F.avg(F.when(F.col("cents") % 1000 == 0, 1.0).otherwise(0.0))
+    return ra.groupBy("is_fraud").agg(
+        F.count("*").cast("long").alias("n_tx"),
+        _r4(whole).alias("whole_dollar_share"),
+        _r4(ten).alias("ten_dollar_share"),
+        _r4(whole / 0.01).alias("whole_dollar_lift"),
+        _r4(ten / 0.001).alias("ten_dollar_lift"),
+    )

@@ -338,3 +338,27 @@ def test_new_merchant_risk_frontloaded_fraud_lifts(spark):
     assert got["steady"]["early_lift"] == 0.0
     assert got["late"]["early_fraud_rate"] == 0.0
     assert got["late"]["early_lift"] == -0.5
+
+
+def test_round_amount_bias_exact_cents_logic(spark):
+    """Cents recovery is exact through the float representation:
+    19.99 / 20.00 / 30.00 / 20.10 classify correctly (the 0.5 nudge
+    defeats the 1999.9999... representation), shares and lifts are
+    the closed form."""
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    rows = [
+        (0, 19.99), (0, 20.00), (0, 20.10), (0, 33.33),
+        (1, 30.00), (1, 100.00),
+    ]
+    g = {
+        "fact": spark.createDataFrame(
+            rows, "is_fraud int, transaction_amount double"
+        )
+    }
+    got = {r["is_fraud"]: r for r in dash.dash_round_amount_bias(g).collect()}
+    assert got[0]["n_tx"] == 4
+    assert got[0]["whole_dollar_share"] == 0.25   # only 20.00
+    assert got[0]["ten_dollar_share"] == 0.25
+    assert got[1]["whole_dollar_share"] == 1.0    # 30.00 and 100.00
+    assert got[1]["whole_dollar_lift"] == 100.0
