@@ -345,8 +345,11 @@ def _flag_movers(detail: dict, prior: dict | None) -> list[tuple[str, float, flo
     host speed divides out) between this run and the committed prior
     detail; return (name, prior_ratio, current_ratio) for every query
     whose ratio moved by more than MOVER_FACTOR in either direction.
-    Tiny ratios (query faster than half the probe) are exempt: at
-    that size the measurement is all scheduler noise."""
+    A pair is exempt only when BOTH ratios sit under the sub-probe
+    noise floor — at that size the measurement is all scheduler
+    noise. Exempting on min() instead would silence exactly the
+    mover the gate exists for: a query regressing FROM sub-probe TO
+    many times the probe (round-13 review finding)."""
     if not prior:
         return []
     cur = detail.get("calibration", {}).get("queries_probe_relative", {})
@@ -354,7 +357,7 @@ def _flag_movers(detail: dict, prior: dict | None) -> list[tuple[str, float, flo
     movers = []
     for name, cur_r in cur.items():
         old_r = old.get(name)
-        if old_r is None or min(cur_r, old_r) < MOVER_MIN_RATIO:
+        if old_r is None or max(cur_r, old_r) < MOVER_MIN_RATIO:
             continue
         if cur_r > old_r * MOVER_FACTOR or old_r > cur_r * MOVER_FACTOR:
             movers.append((name, old_r, cur_r))

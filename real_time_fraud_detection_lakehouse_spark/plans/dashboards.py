@@ -933,11 +933,12 @@ def dash_fraud_hotspots(g) -> DataFrame:
 
     Scale design: one keyed count with map-side partials over integer
     grid keys; at 100 TB the cell space is bounded by geography
-    (~6.5M cells worldwide), so the aggregate output is fixed-size no
-    matter the fact volume. Bucketing is ``floor(x * 10)`` on
-    integers — one IEEE multiply, bit-agreed across engines (the
-    quantile-sketch bucketing discipline); the cell-center division
-    rides the dround(4) output discipline."""
+    (~65k cells worldwide at 1 degree, ~6.5M at 0.1), so the
+    aggregate output is fixed-size no matter the fact volume.
+    Bucketing is a bare ``floor(x)`` — bit-agreed across engines by
+    construction (a 0.1-degree production grid would floor(x*10) AND
+    change the +0.5 cell-center math to (i+0.5)/10); the cell-center
+    offset rides the dround(4) output discipline."""
     geo = (
         g["transactions"]
         .filter(F.col("merch_lat").isNotNull() & F.col("merch_long").isNotNull())
@@ -1000,8 +1001,11 @@ def dash_fraud_hotspots(g) -> DataFrame:
 def dash_category_anomaly_mad(g) -> DataFrame:
     """The per-category twin of ``q_revenue_anomaly_mad`` on the
     fraud domain: each spending category gets its OWN median/MAD
-    baseline over daily revenue, and days more than 3 robust sigmas
-    from their category's median are flagged — a grocery-sized spike
+    baseline over daily revenue, and days more than 2.5 robust
+    sigmas from their category's median are flagged (the SCREEN
+    level, deliberately more sensitive than the global detector's
+    3.0 — per-category baselines are tighter, and a screen feeds
+    triage, not alerts) — a grocery-sized spike
     hides inside the global total but screams against the grocery
     baseline (the per-entity-baseline discipline every fraud monitor
     ends up needing). Zero-MAD categories flag nothing (the r12
@@ -1194,15 +1198,15 @@ CUSUM_THRESHOLD = 4.0
 )
 def dash_fraud_rate_cusum(g) -> DataFrame:
     """CUSUM drift screen over the daily fraud rate: the one-sided
-    cumulative-sum statistic S_t = max(0, S_{{t-1}} + z_t - slack),
+    cumulative-sum statistic S_t = max(0, S_[t-1] + z_t - slack),
     which fires on SUSTAINED small shifts (a 0.5-sigma rate creep
     over a week) that per-day outlier screens — including the MAD
     family — structurally cannot see. Standardization uses the
     median/MAD baseline (robust to the very drift being hunted);
-    alarm at {CUSUM_THRESHOLD} accumulated robust sigmas.
+    alarm at CUSUM_THRESHOLD (4.0) accumulated robust sigmas.
 
-    Closed form instead of recurrence: S_t = P_t - min(0, min_{{j<=t}}
-    P_j) where P is the prefix sum of (z - slack) — so the
+    Closed form instead of recurrence: S_t = P_t - min(0, min over
+    j<=t of P_j) where P is the prefix sum of (z - slack) — so the
     sequential-looking recurrence becomes ONE cumulative sum plus a
     running min, two ordered windows over the O(days) daily frame
     (bounded — this is the windowed-over-tiny-aggregates class, the
@@ -1282,8 +1286,9 @@ TRAVEL_SAME_TS_KM = 1.0
 def dash_impossible_travel(g) -> DataFrame:
     """The classic card-present fraud detector: consecutive
     transactions on the same card whose implied travel speed exceeds
-    {TRAVEL_MAX_KMH} km/h (or simultaneous use at locations more than
-    {TRAVEL_SAME_TS_KM} km apart) — physically impossible movement,
+    TRAVEL_MAX_KMH (900 km/h — faster than commercial flight), or
+    simultaneous use at locations more than TRAVEL_SAME_TS_KM (1 km)
+    apart — physically impossible movement,
     the highest-precision single signal a rules engine owns.
 
     Scale design: ONE window, partitioned by cc_num and ordered
@@ -1378,7 +1383,7 @@ EARLY_WINDOW_DAYS = 7
 )
 def dash_new_merchant_risk(g) -> DataFrame:
     """Bust-out screening: per merchant, the fraud rate inside its
-    FIRST {EARLY_WINDOW_DAYS} observed days vs its overall rate — a
+    first EARLY_WINDOW_DAYS (7) observed days vs its overall rate — a
     merchant created to launder stolen cards front-loads fraud into
     its onboarding window (early_lift ≫ 0), while an honest merchant
     that later gets hit shows the opposite shape. The

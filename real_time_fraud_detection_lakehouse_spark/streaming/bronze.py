@@ -95,8 +95,13 @@ def write_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
         F.struct(F.when(~is_tomb, after).alias("after")),
         {"ignoreNullFields": "false"},
     )
+    from pyspark.sql import Observation
+
+    obs = Observation("cdc_fixture")
     (
-        tx.select(line.alias("value"))
+        tx.select(line.alias("value"), is_tomb.alias("__tomb"))
+        .observe(obs, F.sum((~F.col("__tomb")).cast("long")).alias("n_data"))
+        .select("value")
         .repartition(_FIXTURE_FILES)
         .write.mode("overwrite")
         .text(out_dir)
@@ -112,10 +117,10 @@ def write_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
         crc = os.path.join(out_dir, f".{name}.crc")
         if os.path.exists(crc):
             os.remove(crc)
-    # one 1-row aggregate for the data-record count (no row collect)
-    return tx.select(
-        F.sum((~is_tomb).cast("long")).alias("n")
-    ).first()["n"] or 0
+    # the data-record count rides the write job itself (observe
+    # metric — round-13 review finding: a separate count aggregate
+    # re-derived the whole source a second time)
+    return int(obs.get["n_data"] or 0)
 
 
 def parse_cdc(raw: DataFrame, json_col: str = "value") -> DataFrame:

@@ -198,7 +198,10 @@ def fk_orphan_monitor_stream(
     (count/sum distribute over the micro-batch partition of the
     child), pinned in tests/test_streaming.py under a planted-orphan
     fixture."""
-    import os
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
 
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
@@ -211,35 +214,24 @@ def fk_orphan_monitor_stream(
     )
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        (
-            batch.agg(
-                F.lit(edge_name).alias("fk_edge"),
-                F.count("*").cast("long").alias("n_rows"),
-                # coalesce: SUM over an EMPTY batch is NULL, and an
-                # all-clear audit row must read 0 orphans, not null
-                F.coalesce(
-                    F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_orphans"),
+        audit = batch.agg(
+            F.lit(edge_name).alias("fk_edge"),
+            F.count("*").cast("long").alias("n_rows"),
+            # coalesce: SUM over an EMPTY batch is NULL, and an
+            # all-clear audit row must read 0 orphans, not null
+            F.coalesce(
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)),
+                F.lit(0),
             )
-            # idempotent per batch: the partition dir IS the batch key,
-            # replays overwrite instead of appending a duplicate
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+            .cast("long")
+            .alias("n_orphans"),
         )
+        write_batch_partition(audit, out_path, batch_id)
 
-    q = (
-        flagged.writeStream.foreachBatch(_emit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_partitioned_foreach_stream(
+        spark, flagged, _emit, out_path, checkpoint_dir,
+        "fk_edge string, n_rows long, n_orphans long, batch_id long",
     )
-    q.awaitTermination()
-    return spark.read.schema(
-        "fk_edge string, n_rows long, n_orphans long, batch_id long"
-    ).parquet(out_path)
 
 
 def fuzzy_entity_gate_stream(
@@ -284,33 +276,28 @@ def fuzzy_entity_gate_stream(
         fuzzy_entity_gate,
         update_entity_index,
     )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
 
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
         decisions = fuzzy_entity_gate(spark, batch, index_root)
-        (
-            decisions.write.mode("overwrite")
-            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
-        )
+        write_batch_partition(decisions, out_path, batch_id)
         admitted = spark.read.parquet(
             os.path.join(out_path, f"batch_id={batch_id}")
         ).filter(F.col("admitted"))
         if admitted.limit(1).count() > 0:
             update_entity_index(admitted.select("entity_id", "name"), index_root)
 
-    q = (
-        stream.writeStream.foreachBatch(_emit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(
+    return run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
         "entity_id long, name string, admitted boolean, "
-        "matched_entity long, batch_id long"
-    ).parquet(out_path)
+        "matched_entity long, batch_id long",
+    )
 
 
 def ring_monitor_stream(
@@ -335,35 +322,24 @@ def ring_monitor_stream(
     tests. At 100 TB rates the per-trigger cost is one map-side
     distinct over the batch; the dashboard refresh touches
     O(cards × active days) link rows however large the stream."""
-    import os
-
     from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
         RING_SUPPORT,
         ring_links,
         ring_pairs_from_links,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
     )
 
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        (
-            ring_links(batch)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
-        )
+        write_batch_partition(ring_links(batch), out_path, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(_emit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    links = (
-        spark.read.schema("cc_num long, merchant string, day date, batch_id long")
-        .parquet(out_path)
-        .select("cc_num", "merchant", "day")
-        .distinct()
-    )
+    links = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "cc_num long, merchant string, day date, batch_id long",
+    ).select("cc_num", "merchant", "day").distinct()
     return ring_pairs_from_links(links, RING_SUPPORT)

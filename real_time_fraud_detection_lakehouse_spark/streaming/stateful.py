@@ -327,6 +327,17 @@ TRAVEL_OUTPUT_SCHEMA = (
 TRAVEL_STATE_SCHEMA = "last_ts_us long, last_lat double, last_long double"
 
 
+def _dround_py(x: float, digits: int = 4) -> float:
+    """Python mirror of sources.transactions.dround — the same
+    floor(x*10^n + 0.5)/10^n formula in IEEE doubles, so the stream's
+    emitted values carry the batch op's rounding discipline (round-13
+    review finding: the twin emitted raw doubles)."""
+    import math
+
+    scale = float(10**digits)
+    return math.floor(x * scale + 0.5) / scale
+
+
 def _haversine_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
     """Python mirror of functions.features.haversine_km (same atan2
     form, same constants) for the per-card state walk."""
@@ -371,8 +382,8 @@ def _track_travel(
                             "trans_num": row.trans_num,
                             "trans_timestamp": row.trans_timestamp,
                             "prev_ts": pd.Timestamp(last[0] * 1000),
-                            "distance_km": dist,
-                            "speed_kmh": speed,
+                            "distance_km": _dround_py(dist),
+                            "speed_kmh": None if speed is None else _dround_py(speed),
                         }
                     )
             last = (ts_us, float(row.merch_lat), float(row.merch_long))
@@ -397,7 +408,11 @@ def impossible_travel_stream(
 
     Semantics: identical to the batch op when events arrive in
     per-card timestamp order (the CDC/file-source case — pinned by the
-    set-equality test on the real table); a late event is compared
+    set-equality test on the real table; outputs carry the same
+    dround(4) discipline, with the caveat that the Python-kernel
+    haversine can differ from the JVM's by ~1 ulp, so a rounded value
+    may sit one 1e-4 step away exactly at a floor boundary — the test
+    pins that band); a late event is compared
     against the newest seen location (at-ingest semantics,
     documented) rather than re-sorting history — state is O(1) per
     card (three scalars), the minimum any location tracker can hold.

@@ -516,33 +516,25 @@ def price_quantile_sketch_stream(
     stream is never re-scanned: per-trigger cost is one map-side
     partial count, and the dashboard refresh touches only histogram
     rows."""
-    import os
-
     from real_time_fraud_detection_lakehouse_spark.plans.relational import (
         qsk_finalize,
         qsk_histogram,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
     )
 
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        (
-            qsk_histogram(batch)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
-        )
+        write_batch_partition(qsk_histogram(batch), out_path, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(_emit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    hists = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "grp string, d int, sig long, n long, batch_id long",
     )
-    q.awaitTermination()
-    hists = spark.read.schema(
-        "grp string, d int, sig long, n long, batch_id long"
-    ).parquet(out_path)
     merged = hists.groupBy("grp", "d", "sig").agg(
         F.sum("n").cast("long").alias("n")
     )

@@ -224,6 +224,12 @@ def test_bench_flag_movers_trips_on_synthetic_slowdown():
         }
     }
     assert bench._flag_movers(slowed, prior) == [("slowed", 2.0, 6.0)]
+    # the min()-exemption bug class: a regression FROM sub-probe TO
+    # well past the probe floor must flag (round-13 review finding)
+    from_tiny = {
+        "calibration": {"queries_probe_relative": {"steady": 4.1, "tiny": 9.0}}
+    }
+    assert bench._flag_movers(from_tiny, prior) == [("tiny", 0.1, 9.0)]
     # either direction: a 3x speed-UP is also worth a look
     sped = {
         "calibration": {"queries_probe_relative": {"steady": 1.2}}

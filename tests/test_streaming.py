@@ -478,3 +478,31 @@ def test_ring_monitor_stream_bit_identical_to_batch(spark, tmp_path):
         )
         got = sorted(tuple(r) for r in out.collect())
         assert got == batch, tag
+
+
+def test_batchsink_zero_batch_source_returns_empty_frame(spark, tmp_path):
+    """The shared scaffold's zero-batch guard (round-13 review
+    finding): a source directory with no files produces zero batches,
+    out_path never materializes, and the read-back is an EMPTY frame
+    of the declared schema instead of a path-not-found crash."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("x long").parquet(src)
+    out_path = str(tmp_path / "out")
+
+    def _emit(batch, batch_id):
+        write_batch_partition(batch, out_path, batch_id)
+
+    got = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, str(tmp_path / "ckpt"),
+        "x long, batch_id long",
+    )
+    assert got.count() == 0
+    assert got.columns == ["x", "batch_id"]
