@@ -95,13 +95,8 @@ def write_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
         F.struct(F.when(~is_tomb, after).alias("after")),
         {"ignoreNullFields": "false"},
     )
-    from pyspark.sql import Observation
-
-    obs = Observation("cdc_fixture")
     (
-        tx.select(line.alias("value"), is_tomb.alias("__tomb"))
-        .observe(obs, F.sum((~F.col("__tomb")).cast("long")).alias("n_data"))
-        .select("value")
+        tx.select(line.alias("value"))
         .repartition(_FIXTURE_FILES)
         .write.mode("overwrite")
         .text(out_dir)
@@ -117,10 +112,16 @@ def write_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
         crc = os.path.join(out_dir, f".{name}.crc")
         if os.path.exists(crc):
             os.remove(crc)
-    # the data-record count rides the write job itself (observe
-    # metric — round-13 review finding: a separate count aggregate
-    # re-derived the whole source a second time)
-    return int(obs.get["n_data"] or 0)
+    # data-record count from ONE distributed scan of the fixture just
+    # written — never a second derivation of the source (round-13
+    # review finding). An Observation metric was considered and
+    # rejected: .get has no timeout, so a missed listener callback
+    # would hang the driver path forever.
+    return (
+        spark.read.text(out_dir)
+        .filter(~F.col("value").startswith('{"after":null'))
+        .count()
+    )
 
 
 def parse_cdc(raw: DataFrame, json_col: str = "value") -> DataFrame:
