@@ -361,7 +361,14 @@ def _flag_movers(detail: dict, prior: dict | None) -> list[tuple[str, float, flo
             continue
         if cur_r > old_r * MOVER_FACTOR or old_r > cur_r * MOVER_FACTOR:
             movers.append((name, old_r, cur_r))
-    return sorted(movers, key=lambda m: -(max(m[2] / m[1], m[1] / m[2])))
+    # clamp denominators: stored ratios are round(v/probe, 2), so a
+    # sub-probe timing can persist as 0.0 — a raw ratio sort key would
+    # raise ZeroDivisionError after the full run (round-13 advice)
+    def _sev(m: tuple[str, float, float]) -> float:
+        a, b = max(m[1], 0.01), max(m[2], 0.01)
+        return max(a / b, b / a)
+
+    return sorted(movers, key=lambda m: -_sev(m))
 
 
 def main() -> None:
@@ -483,6 +490,69 @@ def main() -> None:
                 frames = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
             builder, _ = ops[name]
             timings[name] = _timed(lambda: builder(frames))
+
+        # --- retry-confirm pass (round-13 verdict #2): on a bursty
+        # host even min-of-2 trips spurious movers — 16 flagged on an
+        # UNCHANGED tree in r13. Before the final gate, re-time every
+        # DOMAIN/DIRECT entry whose provisional probe-relative ratio
+        # regressed >MOVER_FACTOR vs the committed detail (min-of-2 in
+        # a fresh session) and keep the overall min: a real regression
+        # reproduces and stays flagged; a scheduler burst does not.
+        # Only slowdowns are retried — a faster-than-prior entry can't
+        # be "fixed" by re-timing and still prints for triage.
+        prior_for_retry = _read_prior_detail(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        )
+        if prior_for_retry:
+            old_ratios = prior_for_retry.get("calibration", {}).get(
+                "queries_probe_relative", {}
+            )
+            suspects = []
+            for name in list(DOMAIN) + list(DIRECT):
+                old_r = old_ratios.get(name)
+                if name not in timings or old_r is None:
+                    continue
+                cur_r = timings[name] / probe_start
+                if max(cur_r, old_r) < MOVER_MIN_RATIO:
+                    continue
+                if cur_r > old_r * MOVER_FACTOR:
+                    suspects.append(name)
+            if suspects:
+                print(
+                    f"bench: retry-confirming {len(suspects)} provisional "
+                    f"slowdown(s): {suspects}",
+                    file=sys.stderr,
+                )
+                spark = _fresh_session(spark, "bench-retry")
+                mat_r = {
+                    name: spark.read.parquet(os.path.join(warehouse, name))
+                    for name in (
+                        "silver", "fact", "dim_customer", "dim_merchant",
+                        "dim_time", "dim_location",
+                    )
+                }
+                mat_r["transactions"] = mat_r["silver"]
+                frames_r = {t: table(spark, SF_DIR, t) for t in TESTDATA_TABLES}
+                for name in suspects:
+                    if name in registry:
+                        builder, _ = registry[name]
+                        retimed = _timed(lambda: builder(mat_r))
+                    else:
+                        builder, _ = ops[name]
+                        retimed = _timed(lambda: builder(frames_r))
+                    if retimed < timings[name]:
+                        print(
+                            f"  {name}: {timings[name]} -> {retimed} "
+                            "(burst cleared)",
+                            file=sys.stderr,
+                        )
+                        timings[name] = retimed
+                    else:
+                        print(
+                            f"  {name}: {timings[name]} reproduced "
+                            f"(retry {retimed}) — real mover",
+                            file=sys.stderr,
+                        )
 
         # --- phase 4: streaming exactly-once dedup micro-bench
         # (source setup excluded; timed part = the AvailableNow stream

@@ -1261,6 +1261,49 @@ def _near_drop_ids(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
 CORPUS_INDEX_TABLES = ("corpus_fps", "corpus_grams")
 
 
+def _fold_deltas(root: str, make_tables, missing_msg: str) -> int:
+    """Commit a delta fold-in with a collision-retry on the ``_dK``
+    suffix (round-13 advice): the next-K computation reads the latest
+    manifest OUTSIDE ``extend_published``'s store lock, so two
+    concurrent fold-ins can pick the same K — the loser hits the
+    name-collision ValueError that exists to reject REPLACEMENT, not
+    to fail a second writer. The collision is the linearization
+    signal: each retry re-reads the (now newer) manifest, recomputes
+    K, and rebuilds the (lazy) delta frames, so N rivals converge in
+    at most N retries. ``make_tables(k)`` must return the
+    ``{name_dK: df}`` dict for suffix k."""
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        _latest_group,
+        _read_manifest,
+        extend_published,
+    )
+
+    last_err: ValueError | None = None
+    for _ in range(100):  # bounded backstop; real contention is tiny
+        latest = _latest_group(root)
+        if latest is None:
+            raise FileNotFoundError(missing_msg)
+        pinned = _read_manifest(root, latest)
+        k = 1 + max(
+            (
+                int(n.rsplit("_d", 1)[1])
+                for n in pinned
+                if "_d" in n and n.rsplit("_d", 1)[1].isdigit()
+            ),
+            default=0,
+        )
+        try:
+            return extend_published(make_tables(k), root)
+        except ValueError as e:
+            if "already pinned" not in str(e):
+                raise  # not the suffix race — a genuine misuse
+            last_err = e
+    raise RuntimeError(
+        f"delta fold-in at {root} could not claim a _dK suffix after 100 "
+        "attempts"
+    ) from last_err
+
+
 def build_corpus_index(t: Frames, root: str) -> int:
     """The NIGHTLY pass that makes ``docs_dedup_incremental``'s scale
     story real (round-11 verdict #4): materialize the standing
@@ -1311,21 +1354,8 @@ def update_corpus_index(t: Frames, root: str) -> int:
 
     Readers (``_read_corpus_index``) union base + deltas by name
     prefix from ONE manifest, so a gate never sees a half-folded
-    index."""
-    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
-        _latest_group,
-        _read_manifest,
-        extend_published,
-    )
-
-    latest = _latest_group(root)
-    if latest is None:
-        raise FileNotFoundError(f"no corpus index at {root} — build_corpus_index first")
-    pinned = _read_manifest(root, latest)
-    k = 1 + max(
-        (int(n.rsplit("_d", 1)[1]) for n in pinned if "_d" in n and n.rsplit("_d", 1)[1].isdigit()),
-        default=0,
-    )
+    index. Concurrent fold-ins serialize via ``_fold_deltas``'s
+    collision-retry on the ``_dK`` suffix."""
     docs = t["documents"]
     fps = docs.select(
         "doc_id",
@@ -1334,8 +1364,10 @@ def update_corpus_index(t: Frames, root: str) -> int:
         fp_col().alias("fp"),
     )
     grams = _gram_projection(t)
-    return extend_published(
-        {f"corpus_fps_d{k}": fps, f"corpus_grams_d{k}": grams}, root
+    return _fold_deltas(
+        root,
+        lambda k: {f"corpus_fps_d{k}": fps, f"corpus_grams_d{k}": grams},
+        f"no corpus index at {root} — build_corpus_index first",
     )
 
 
@@ -1716,6 +1748,99 @@ def dedup_fuzzy_names(t: Frames) -> DataFrame:
     )
 
 
+def deletion_variants2(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """Depth-<=2 deletion neighborhood (one row per (entity, variant)):
+    {s} ∪ {s minus one char} ∪ {s minus two chars}. The FastSS
+    blocking key set for edit distance <= 2: lev(a, b) <= 2 IMPLIES a
+    and b share a member (delete from each side the <=2 positions its
+    half of the edit script touches and the remainders coincide) —
+    recall is exact, precision comes from the downstream levenshtein
+    filter. The converse is false (e.g. 'xyab' and 'abxy' share the
+    variant 'ab' at distance 4) — hypothesis-pinned.
+
+    Memory/recall trade vs the d<=1 neighborhood
+    (:func:`deletion_variants`): fan-out grows from length+1 to
+    1 + L + L(L-1)/2 ≈ L²/2 variants per name (~170 for L=18 vs 19),
+    i.e. ~9x the index size and join input, buying exact recall one
+    edit further out. ``array_distinct`` collapses the duplicate
+    variants repeated characters produce before the explode."""
+    n = name_col
+    d1 = (
+        f"transform(sequence(1, length({n})), i -> "
+        f"concat(substring({n}, 1, i-1), substring({n}, i+1, length({n}))))"
+    )
+    d2 = (
+        f"CASE WHEN length({n}) >= 2 THEN flatten("
+        f"transform(sequence(1, length({n}) - 1), i -> "
+        f"transform(sequence(i + 1, length({n})), j -> "
+        f"concat(substring({n}, 1, i-1), substring({n}, i+1, j-i-1), "
+        f"substring({n}, j+1, length({n})))))) "
+        f"ELSE array() END"
+    )
+    return df.select(
+        F.col(id_col).alias("entity_id"),
+        F.col(name_col).alias("name"),
+        F.explode(
+            F.array_distinct(
+                F.concat(F.array(F.col(n)), F.expr(d1), F.expr(d2))
+            )
+        ).alias("variant"),
+    )
+
+
+@_register(
+    "dedup_fuzzy_names_d2",
+    """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_fuzzy_names_d2(t: Frames) -> DataFrame:
+    """Edit-distance-<=2 similarity self-join over customer names —
+    ``dedup_fuzzy_names`` one step deeper, for the typo'd-identity
+    surface where a single fat-finger plus an OCR slip still denotes
+    one entity (reference: feature_engineering.py's name fields).
+
+    Scale design — FastSS depth-2 deletion-neighborhood blocking
+    (:func:`deletion_variants2`): candidates come from ONE
+    variant-keyed equi-join over the depth-<=2 neighborhoods (exact
+    recall by the shared-variant implication), then the exact
+    ``levenshtein <= 2`` filter drops the blocking false positives.
+    The ORACLE is the all-pairs quadratic form (fine at sf0.01's 1.5k
+    names); the Spark plan is the production shape — at 10⁹ names the
+    fan-out is ~L²/2 rows keyed on near-unique variants vs 10¹⁸
+    all-pairs comparisons. ``distinct`` on the pair BEFORE the
+    levenshtein keeps one candidate row per pair however many of the
+    O(L²) variants it shares — the filter cost is per-pair, not
+    per-collision."""
+    names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
+    variants = deletion_variants2(names, "c_custkey", "c_name")
+    a = variants.select(
+        "variant",
+        F.col("entity_id").alias("custkey_a"),
+        F.col("name").alias("name_a"),
+    )
+    b = variants.select(
+        "variant",
+        F.col("entity_id").alias("custkey_b"),
+        F.col("name").alias("name_b"),
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+        )
+    )
+
+
 _FUZZY_CANONICAL_ORACLE = """
 WITH RECURSIVE fpairs AS (
   SELECT custkey_a, custkey_b FROM ({fuzzy_pairs})
@@ -1831,32 +1956,16 @@ def update_entity_index(admitted: DataFrame, root: str) -> int:
     ``_dK`` delta tables pinned in one atomic group extension — write
     cost O(admissions), the standing set is never rewritten (the
     ``update_corpus_index`` delta cycle; a periodic
-    ``build_entity_index`` + vacuum compacts)."""
-    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
-        _latest_group,
-        _read_manifest,
-        extend_published,
-    )
-
-    latest = _latest_group(root)
-    if latest is None:
-        raise FileNotFoundError(f"no entity index at {root} — build_entity_index first")
-    pinned = _read_manifest(root, latest)
-    k = 1 + max(
-        (
-            int(n.rsplit("_d", 1)[1])
-            for n in pinned
-            if "_d" in n and n.rsplit("_d", 1)[1].isdigit()
-        ),
-        default=0,
-    )
+    ``build_entity_index`` + vacuum compacts). Concurrent fold-ins
+    serialize via ``_fold_deltas``'s collision-retry on ``_dK``."""
     base = admitted.select("entity_id", "name")
-    return extend_published(
-        {
+    return _fold_deltas(
+        root,
+        lambda k: {
             f"entity_names_d{k}": base,
             f"entity_variants_d{k}": deletion_variants(base, "entity_id", "name"),
         },
-        root,
+        f"no entity index at {root} — build_entity_index first",
     )
 
 

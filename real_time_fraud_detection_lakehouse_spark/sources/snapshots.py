@@ -405,11 +405,25 @@ def _store_lock(root: str, action: str, wait: bool = False):
     try:
         yield
     finally:
-        try:
-            with open(path, encoding="utf-8", errors="replace") as fh:
-                mine = f"token={token}" in fh.read()
-        except (FileNotFoundError, OSError):
-            mine = False  # already taken over / released: nothing to do
+        # Token-matched release. A transient OSError here must NOT read
+        # as 'not mine' (round-13 advice): our pid is alive, and the
+        # stale takeover is liveness-gated, so no rival can legitimately
+        # hold this lockfile while we run — skipping the unlink on a
+        # read error would leak a lock nobody can ever take over.
+        # Retry the read once; if it still errors (anything but
+        # FileNotFoundError), unlink anyway.
+        mine = True
+        for attempt in range(2):
+            try:
+                with open(path, encoding="utf-8", errors="replace") as fh:
+                    mine = f"token={token}" in fh.read()
+                break
+            except FileNotFoundError:
+                mine = False  # already taken over / released: nothing to do
+                break
+            except OSError:
+                if attempt == 0:
+                    time.sleep(0.01)
         if mine:
             try:
                 os.unlink(path)

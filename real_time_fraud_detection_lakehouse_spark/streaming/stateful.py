@@ -40,8 +40,17 @@ def _track_velocity(
         count, total = state.get
     else:
         count, total = 0, 0.0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+    # Concatenate the Arrow chunk iterator BEFORE sorting: a group's
+    # micro-batch arrives in arbitrary post-shuffle order, chunked at
+    # arrow.maxRecordsPerBatch — sorting each chunk independently would
+    # silently break the global per-card ordering whenever one card
+    # spans chunks. Per-card per-batch volume is bounded, so one
+    # concat+sort is safe.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["trans_timestamp", "trans_num"]
+        )
         seqs, cums, avgs = [], [], []
         for amt in pdf["amt"]:
             count += 1
@@ -250,8 +259,13 @@ try:  # pyspark >= 4.0 AND protobuf present (the TWS state-server
             (cc_num,) = key
             prior = self._state.get() if self._state.exists() else None
             count, total = prior if prior is not None else (0, 0.0)
-            for pdf in rows:
-                pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+            # same chunk-boundary rule as _track_velocity: one
+            # concat+sort over the whole group, never per Arrow chunk
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["trans_timestamp", "trans_num"]
+                )
                 seqs, cums, avgs = [], [], []
                 for amt in pdf["amt"]:
                     count += 1
@@ -364,8 +378,15 @@ def _track_travel(
 
     (cc_num,) = key
     last = state.get if state.exists else None  # (ts_us, lat, long)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["trans_timestamp", "trans_num"])
+    # One concat+sort over the whole micro-batch group (not per Arrow
+    # chunk): chunks arrive in arbitrary post-shuffle order, so a
+    # per-chunk sort would compare prev-locations across an unsorted
+    # chunk boundary and diverge from dash_impossible_travel.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["trans_timestamp", "trans_num"]
+        )
         out = []
         for row in pdf.itertuples():
             ts_us = int(row.trans_timestamp.value // 1000)  # ns -> us

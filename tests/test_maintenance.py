@@ -1180,3 +1180,105 @@ def test_maintenance_lock_live_holder_survives_stale_mtime(spark, tmp_path):
     os.utime(lock, (old, old))
     assert snap.vacuum_published(root, keep=1) == []
     assert not os.path.exists(lock)
+
+
+def test_store_lock_release_survives_transient_read_error(tmp_path, monkeypatch):
+    """Round-13 advice: a transient OSError re-reading our own
+    lockfile at release must not leak the lock — our pid is alive, so
+    the liveness-gated takeover can never fire on it and every later
+    actor would block forever. The release retries the read once and,
+    if it still errors, unlinks anyway."""
+    import builtins
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lock = os.path.join(root, snap._LOCK_NAME)
+    real_open = builtins.open
+    calls = {"n": 0}
+
+    def flaky(path, *a, **kw):
+        if str(path) == lock:
+            calls["n"] += 1
+            raise OSError(5, "transient I/O error")
+        return real_open(path, *a, **kw)
+
+    # persistent read error (both attempts): unlink happens regardless
+    with snap._store_lock(root, "publish_tables"):
+        monkeypatch.setattr(builtins, "open", flaky)
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert calls["n"] >= 2  # the retry actually ran
+    assert not os.path.exists(lock)
+
+    # single transient error: retry reads the token and releases
+    calls["n"] = 0
+
+    def flaky_once(path, *a, **kw):
+        if str(path) == lock and calls["n"] == 0:
+            calls["n"] += 1
+            raise OSError(5, "transient I/O error")
+        return real_open(path, *a, **kw)
+
+    with snap._store_lock(root, "publish_tables"):
+        monkeypatch.setattr(builtins, "open", flaky_once)
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert not os.path.exists(lock)
+
+    # FileNotFoundError still means 'taken over / released': no unlink
+    # of a rival lock that replaced ours mid-context
+    with snap._store_lock(root, "publish_tables"):
+        os.unlink(lock)
+        with open(lock, "w", encoding="utf-8") as fh:
+            fh.write("rival pid=99999 token=r1v4l\n")
+    with open(lock, encoding="utf-8") as fh:
+        assert "r1v4l" in fh.read()
+    os.unlink(lock)
+
+
+def test_fold_deltas_retries_on_suffix_collision(spark, tmp_path, monkeypatch):
+    """Round-13 advice: two concurrent fold-ins that read the same
+    latest manifest pick the same _dK suffix; the loser must retry
+    with the next K (serializing) instead of surfacing
+    extend_published's name-collision ValueError."""
+    from real_time_fraud_detection_lakehouse_spark.operators import dedup
+    from real_time_fraud_detection_lakehouse_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "ent")
+    names = spark.createDataFrame([(1, "acme")], ["entity_id", "name"])
+    dedup.build_entity_index(names, root)
+
+    real_extend = snap.extend_published
+    state = {"raced": False}
+
+    def racing_extend(dfs, root_):
+        if not state["raced"]:
+            state["raced"] = True
+            # a rival fold-in lands between our manifest read and commit,
+            # claiming the same _d1 suffix we computed
+            rival = spark.createDataFrame([(9, "rival")], ["entity_id", "name"])
+            real_extend(
+                {
+                    "entity_names_d1": rival,
+                    "entity_variants_d1": dedup.deletion_variants(
+                        rival, "entity_id", "name"
+                    ),
+                },
+                root_,
+            )
+        return real_extend(dfs, root_)
+
+    monkeypatch.setattr(snap, "extend_published", racing_extend)
+    arrivals = spark.createDataFrame([(2, "acmee")], ["entity_id", "name"])
+    dedup.update_entity_index(arrivals, root)
+    monkeypatch.setattr(snap, "extend_published", real_extend)
+
+    # the loser retried at _d2 — all three entities are readable
+    idx_names, idx_vars = dedup._read_entity_index(spark, root)
+    assert sorted(r["entity_id"] for r in idx_names.collect()) == [1, 2, 9]
+    # and a genuine misuse ValueError still surfaces (not swallowed)
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one table"):
+        snap.extend_published({}, root)

@@ -235,3 +235,14 @@ def test_bench_flag_movers_trips_on_synthetic_slowdown():
         "calibration": {"queries_probe_relative": {"steady": 1.2}}
     }
     assert bench._flag_movers(sped, prior) == [("steady", 4.0, 1.2)]
+    # round-13 advice: a stored 0.0 ratio (sub-probe timing rounded
+    # down) paired with a past-floor mover must not crash the sort key
+    zero_prior = {
+        "calibration": {"queries_probe_relative": {"z": 0.0, "steady": 4.0}}
+    }
+    zero_cur = {
+        "calibration": {"queries_probe_relative": {"z": 9.0, "steady": 4.0}}
+    }
+    assert bench._flag_movers(zero_cur, zero_prior) == [("z", 0.0, 9.0)]
+    # and the reverse direction (current side stored as 0.0)
+    assert bench._flag_movers(zero_prior, zero_cur) == [("z", 9.0, 0.0)]

@@ -474,6 +474,46 @@ def test_deletion_neighborhood_blocking_iff(a, b):
     assert lev("aaab", "aaba") == 2 and (variants("aaab") & variants("aaba"))
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab", max_size=6),
+    st.text(alphabet="ab", max_size=6),
+)
+def test_deletion_neighborhood_depth2_blocking(a, b):
+    """The depth-2 FastSS implication dedup_fuzzy_names_d2 rests on:
+    lev ≤ 2 IMPLIES the depth-≤2 deletion neighborhoods intersect
+    (delete from each side the ≤2 positions its half of the edit
+    script touches; the remainders coincide). The converse is FALSE
+    — 'xyab' and 'abxy' share the variant 'ab' at distance 4 — which
+    is why the operator keeps the exact levenshtein ≤ 2 verify after
+    the variant join. Pure-Python mirror of deletion_variants2."""
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    def v2(s):
+        d1 = {s[:i] + s[i + 1 :] for i in range(len(s))}
+        d2 = {
+            s[:i] + s[i + 1 : j] + s[j + 1 :]
+            for i in range(len(s))
+            for j in range(i + 1, len(s))
+        }
+        return {s} | d1 | d2
+
+    if lev(a, b) <= 2:
+        assert v2(a) & v2(b), "depth-2 recall hole: candidate pair missed"
+    # converse counter-example: shared depth-2 variant at distance 4
+    assert lev("xyab", "abxy") == 4 and ("ab" in (v2("xyab") & v2("abxy")))
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

@@ -152,3 +152,53 @@ def test_impossible_travel_stream_matches_batch_on_ordered_source(spark, tmp_pat
         spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
     )
     assert again.count() == len(got)
+
+
+def test_velocity_multi_chunk_group_sorts_globally(spark, tmp_path):
+    """Round-13 advice: a card whose micro-batch rows span multiple
+    Arrow chunks (arrow.maxRecordsPerBatch) must see ONE global
+    per-card sort, not per-chunk sorts — shuffle delivers chunks in
+    arbitrary order, so a per-chunk sort assigns txn_seq out of
+    timestamp order. Shrink the chunk size so a single card's batch
+    spans many chunks and write the source deliberately shuffled."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key)
+    src = str(tmp_path / "tx")
+    tx = (
+        transactions_df(spark, SF_SMALL)
+        .filter(F.col("cc_num").isNotNull())
+        .limit(400)
+        # anti-sort: reverse timestamp order on disk
+        .orderBy(F.col("trans_timestamp").desc())
+        .coalesce(1)
+    )
+    tx.write.mode("overwrite").parquet(src)
+    n_cards = tx.select("cc_num").distinct().count()
+    assert tx.count() / max(n_cards, 1) > 1  # groups really span rows
+    spark.conf.set(key, "7")
+    try:
+        tracked = velocity_stream(
+            spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        rows = tracked.collect()
+    finally:
+        spark.conf.set(key, prior)
+    # txn_seq must follow the (trans_timestamp, trans_num) order per
+    # card — exactly what a per-chunk sort breaks
+    per_card: dict = {}
+    for r in rows:
+        per_card.setdefault(r["cc_num"], []).append(r)
+    assert per_card
+    for recs in per_card.values():
+        by_seq = sorted(recs, key=lambda r: r["txn_seq"])
+        by_time = sorted(
+            recs, key=lambda r: (r["trans_timestamp"], r["trans_num"])
+        )
+        assert [r["trans_num"] for r in by_seq] == [
+            r["trans_num"] for r in by_time
+        ]
+        # and the running sum is consistent with that order
+        cum = 0.0
+        for r in by_seq:
+            cum += r["amt"]
+            assert abs(r["cum_amount"] - cum) < 1e-6
