@@ -56,6 +56,12 @@ DOMAIN = [
     "dash_impossible_travel",
     "dash_new_merchant_risk",
     "dash_round_amount_bias",
+    # round-14: ring activity timeline + weekday-aware MAD screen +
+    # card-testing probe clusters + rolling-hour velocity burst
+    "dash_ring_evolution",
+    "dash_seasonal_anomaly",
+    "dash_card_testing",
+    "dash_velocity_burst",
 ]
 
 #: operators that read the testdata tables directly
@@ -187,6 +193,9 @@ DIRECT = [
     "q_price_quantile_sketch",
     "docs_length_quantile_sketch",
     "docs_quality_report",
+    # round-14: depth-2 FastSS edit-distance join (L²/2 variant
+    # fan-out — the documented memory/recall trade one step deeper)
+    "dedup_fuzzy_names_d2",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

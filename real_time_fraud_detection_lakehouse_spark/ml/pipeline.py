@@ -69,10 +69,65 @@ def rebalance(df: DataFrame, label: str = "is_fraud", seed: int = SEED) -> DataF
     return fraud.union(sampled)
 
 
-def build_pipeline(model: str = "rf", fast: bool = False) -> Pipeline:
-    """assembler → scaler → classifier (ML2/ML3/ML4/ML5/ML6)."""
+#: per-card velocity features (the stateful streaming tracker's
+#: txn_seq/cum_amount surface as TRAINING inputs) — causal by
+#: construction: each row's value uses only that card's rows at or
+#: before it in (trans_timestamp, trans_num) order.
+VELOCITY_FEATURES = [
+    "txn_seq",
+    "cum_amount",
+    "avg_amount_so_far",
+    "amt_over_card_avg",
+]
+
+
+def add_velocity_features(silver: DataFrame) -> DataFrame:
+    """Annotate silver with the per-card running velocity features the
+    streaming tracker (streaming/stateful.py) emits at ingest —
+    txn_seq, cum_amount, avg_amount_so_far — plus the ratio of this
+    amount to the card's running average (the classic realtime fraud
+    signal). The window is CAUSAL (rows unbounded-preceding to
+    current, ordered by (trans_timestamp, trans_num)), so a train-time
+    feature never sees a future row — computing over the full table
+    and computing over any time-prefix agree exactly on the prefix
+    (the leakage test pins this).
+
+    Scale design: one per-card running window over rows already keyed
+    by cc_num — the same single shuffle the stateful stream pays; no
+    self-joins, no collect."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cc_num")
+        .orderBy("trans_timestamp", "trans_num")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    txn_seq = F.count("*").over(w).cast("double")
+    cum = F.sum("amt").over(w)
+    avg_so_far = cum / txn_seq
+    return (
+        silver.withColumn("txn_seq", txn_seq)
+        .withColumn("cum_amount", cum)
+        .withColumn("avg_amount_so_far", avg_so_far)
+        .withColumn(
+            "amt_over_card_avg",
+            F.when(avg_so_far > 0, F.col("amt") / avg_so_far).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+
+
+def build_pipeline(
+    model: str = "rf", fast: bool = False, features: list[str] | None = None
+) -> Pipeline:
+    """assembler → scaler → classifier (ML2/ML3/ML4/ML5/ML6).
+    ``features`` defaults to the reference's exact 15-column contract;
+    the velocity-training variant widens it."""
     assembler = VectorAssembler(
-        inputCols=ML_FEATURES, outputCol="features_raw", handleInvalid="skip"
+        inputCols=features or ML_FEATURES,
+        outputCol="features_raw",
+        handleInvalid="skip",
     )
     scaler = MinMaxScaler(inputCol="features_raw", outputCol="features")
     if model == "rf":
@@ -203,6 +258,90 @@ def ml_metrics_df(spark, sf_dir: str, model: str = "lr") -> DataFrame:
     return spark.createDataFrame(
         rows,
         "model string, auc double, accuracy double, precision double, recall double, f1 double, promoted boolean",
+    )
+
+
+def train_velocity_time_split(
+    spark,
+    sf_dir: str,
+    model: str = "lr",
+    train_frac: float = 0.8,
+    seed: int = SEED,
+) -> DataFrame:
+    """Velocity-feature training with a LEAKAGE-SAFE TIME split: the
+    per-card running features (``add_velocity_features``) join the
+    static 15, and the train/test boundary is a timestamp quantile —
+    train on the past, test on the future, the only split that is
+    honest for running-history features (a random split would hand
+    the model test-row history through cum_amount).
+
+    Leakage discipline, each piece pinned in tests/test_ml.py:
+    - velocity features are CAUSAL windows, so train-row values are
+      identical whether computed over the full table or over the
+      train prefix alone (future rows cannot move them);
+    - imputation medians come from the TRAIN side only and are
+      applied to both (a full-data median would leak the future's
+      distribution);
+    - rebalancing samples the train side only; the test side keeps
+      the natural class mix (metrics reflect deployment).
+
+    Returns one metrics row (rows-only correctness — training is
+    engine-specific). Scale design: the split boundary is one scalar
+    aggregate (the HWM idiom); everything else is the existing
+    pipeline over one extra per-card window."""
+    from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
+
+    feats = ML_FEATURES + VELOCITY_FEATURES
+    enriched = add_velocity_features(build_silver(spark, sf_dir)).select(
+        "is_fraud", "trans_timestamp", *feats
+    )
+    # exact quantile over the O(rows) timestamp column — one scalar
+    split_us = enriched.agg(
+        F.percentile(F.unix_micros("trans_timestamp"), train_frac)
+    ).first()[0]
+    train = enriched.filter(F.unix_micros("trans_timestamp") <= split_us)
+    test = enriched.filter(F.unix_micros("trans_timestamp") > split_us)
+
+    # train-side medians applied to BOTH splits
+    quantiles = train.approxQuantile(feats, [0.5], 0.01)
+    medians = {c: (q[0] if q else 0.0) for c, q in zip(feats, quantiles)}
+
+    def _impute(df: DataFrame) -> DataFrame:
+        for c, m in medians.items():
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull() | F.isnan(F.col(c)), F.lit(m)
+                ).otherwise(F.col(c)),
+            )
+        return df
+
+    train = rebalance(_impute(train).drop("trans_timestamp"), seed=seed).cache()
+    test = _impute(test).drop("trans_timestamp").cache()
+    fitted = build_pipeline(model, fast=True, features=feats).fit(train)
+    _strip_training_summaries(fitted)
+    pred = fitted.transform(test).cache()
+    auc = BinaryClassificationEvaluator(
+        labelCol="is_fraud", metricName="areaUnderROC"
+    ).evaluate(pred)
+    multi = MulticlassClassificationEvaluator(labelCol="is_fraud")
+    rows = [
+        (
+            f"{model}+velocity",
+            int(train.count()),
+            int(test.count()),
+            float(auc),
+            float(multi.setMetricName("accuracy").evaluate(pred)),
+            float(multi.setMetricName("f1").evaluate(pred)),
+        )
+    ]
+    train.unpersist()
+    test.unpersist()
+    pred.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "model string, n_train long, n_test long, auc double, "
+        "accuracy double, f1 double",
     )
 
 

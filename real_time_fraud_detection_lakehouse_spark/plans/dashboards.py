@@ -826,6 +826,37 @@ FROM rcomp r JOIN transactions t ON t.cc_num = r.cc_num
 GROUP BY r.ring_id
 """
 
+RING_EVOLUTION_ORACLE = _RING_CC_CTES + f"""
+, rl AS (
+  SELECT r.ring_id, l.cc_num, l.day
+  FROM rcomp r JOIN ring_links l ON l.cc_num = r.cc_num
+),
+rmember AS (
+  SELECT ring_id, cc_num, MIN(day) AS member_first FROM rl GROUP BY 1, 2
+),
+rringd AS (
+  SELECT ring_id, MIN(day) AS first_seen, MAX(day) AS last_seen,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days
+  FROM rl GROUP BY 1
+),
+revo AS (
+  SELECT m.ring_id, d.first_seen, d.last_seen, d.active_days,
+         CAST(COUNT(*) AS BIGINT) AS n_cards,
+         CAST(SUM(CASE WHEN m.member_first >= d.last_seen - 6
+                       THEN 1 ELSE 0 END) AS BIGINT) AS new_cards_last_week
+  FROM rmember m JOIN rringd d USING (ring_id)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ring_id, first_seen, last_seen, active_days, n_cards,
+       new_cards_last_week,
+       CAST((date_diff('day', first_seen, last_seen) + 7) // 7 AS BIGINT)
+         AS span_weeks,
+       {_r4s("CAST(n_cards AS DOUBLE) / "
+             "((date_diff('day', first_seen, last_seen) + 7) // 7)")}
+         AS cards_per_week
+FROM revo
+"""
+
 
 @_register("dash_fraud_rings", None)  # SQL bound in __spark_entry__
 def dash_fraud_rings(g) -> DataFrame:
@@ -886,6 +917,61 @@ def dash_fraud_ring_stats(g) -> DataFrame:
             .cast("long")
             .alias("n_fraud"),
             _r4(F.avg(F.col("is_fraud").cast("double"))).alias("fraud_rate"),
+        )
+    )
+
+
+@_register("dash_ring_evolution", None)  # SQL bound in __spark_entry__
+def dash_ring_evolution(g) -> DataFrame:
+    """Ring temporal evolution — the investigator's "is this ring
+    ACTIVE" surface: rings are static membership sets in
+    ``dash_fraud_rings``; here each ring gets its activity timeline —
+    first_seen / last_seen link days, distinct active days, and
+    growth (members whose FIRST linked day falls in the trailing week
+    of the ring's life, plus average cards recruited per week of
+    span). A ring whose last_seen is months old is a closed case; a
+    ring recruiting new cards this week is an open one.
+
+    Scale design: ring membership is O(linked cards) rows and the
+    day-grain link table is O(cards × active days) — both tiny
+    relative to the fact stream, so the membership⋈links join is
+    keyed on cc_num with a broadcastable ring side; everything after
+    is two keyed aggregates (member-level min, ring-level span) with
+    map-side partials. span_weeks uses integer ceil-division
+    ((span_days + 6) DIV 7) so both engines agree bit-for-bit with no
+    float boundary. The recursive oracle reuses the shared CC closure
+    CTEs with a third final SELECT (one definition)."""
+    rings = dash_fraud_rings(g).select("cc_num", "ring_id")
+    links = ring_links(g["transactions"])
+    rl = links.join(rings, "cc_num")
+    member = rl.groupBy("ring_id", "cc_num").agg(
+        F.min("day").alias("member_first")
+    )
+    ringd = rl.groupBy("ring_id").agg(
+        F.min("day").alias("first_seen"),
+        F.max("day").alias("last_seen"),
+        F.countDistinct("day").cast("long").alias("active_days"),
+    )
+    span_weeks = F.expr(
+        "CAST((datediff(last_seen, first_seen) + 7) DIV 7 AS BIGINT)"
+    )
+    return (
+        member.join(ringd, "ring_id")
+        .groupBy("ring_id", "first_seen", "last_seen", "active_days")
+        .agg(
+            F.count("*").cast("long").alias("n_cards"),
+            F.sum(
+                F.when(
+                    F.col("member_first") >= F.date_sub(F.col("last_seen"), 6), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_cards_last_week"),
+        )
+        .withColumn("span_weeks", span_weeks)
+        .withColumn(
+            "cards_per_week",
+            _r4(F.col("n_cards").cast("double") / F.col("span_weeks")),
         )
     )
 
@@ -1039,6 +1125,95 @@ def dash_category_anomaly_mad(g) -> DataFrame:
         .select(
             "category",
             "day",
+            dround(F.col("revenue"), 2).alias("revenue"),
+            _r4(
+                (F.col("revenue") - F.col("med")) / (1.4826 * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )
+
+
+# --- seasonality-adjusted anomaly screen (round 14) --------------------------
+@_register(
+    "dash_seasonal_anomaly",
+    f"""
+    , sea_daily AS (
+      SELECT transaction_category AS category,
+             CAST(transaction_timestamp AS DATE) AS day,
+             SUM(transaction_amount) AS revenue
+      FROM fact_transactions GROUP BY 1, 2
+    ),
+    sea_key AS (
+      SELECT category, day, CAST(isodow(day) - 1 AS INTEGER) AS dow, revenue
+      FROM sea_daily
+    ),
+    sea_med AS (
+      SELECT category, dow, quantile_cont(revenue, 0.5) AS med
+      FROM sea_key GROUP BY 1, 2
+    ),
+    sea_dev AS (
+      SELECT k.category, k.day, k.dow, k.revenue, m.med,
+             abs(k.revenue - m.med) AS adev
+      FROM sea_key k JOIN sea_med m USING (category, dow)
+    ),
+    sea_mad AS (
+      SELECT category, dow, quantile_cont(adev, 0.5) AS mad
+      FROM sea_dev GROUP BY 1, 2
+    )
+    SELECT v.category, v.day, v.dow, {dround_sql('v.revenue', 2)} AS revenue,
+           {_r4s('(v.revenue - v.med) / (1.4826 * m.mad)')} AS robust_z
+    FROM sea_dev v JOIN sea_mad m USING (category, dow)
+    WHERE m.mad > 0 AND v.adev > 2.5 * 1.4826 * m.mad
+    """,
+)
+def dash_seasonal_anomaly(g) -> DataFrame:
+    """Seasonality-adjusted anomaly screen: the MAD family keys on
+    global (``q_revenue_anomaly_mad``) or per-category
+    (``dash_category_anomaly_mad``) baselines, but retail revenue has
+    weekly structure — every Saturday "spikes" against a flat weekly
+    baseline, and a real Tuesday anomaly hides under the Saturday
+    band. Here each (category × day-of-week) cell gets its OWN
+    median/MAD baseline, so a day is flagged only when it deviates
+    from ITS weekday's band — seasonality-aware spikes, complementing
+    ``dash_fraud_rate_cusum``'s level-drift detection. dow is
+    Monday=0 (Spark ``weekday`` == DuckDB ``isodow - 1`` — the
+    cross-engine-stable encoding; ``dayofweek`` differs between the
+    two).
+
+    Scale design: identical to the category-MAD plan one key wider —
+    daily agg collapses the fact table to O(categories × days) rows,
+    the baselines are exact grouped ``percentile`` aggregates over
+    that tiny frame (7× more groups, each ~1/7 the rows — same total
+    work), and the two baseline joins broadcast. No window, no
+    crossJoin. The screen's 2.5-sigma level is inherited: a
+    seasonality-aware screen feeds the same triage queue."""
+    daily = (
+        g["fact"]
+        .groupBy(
+            F.col("transaction_category").alias("category"),
+            F.col("transaction_timestamp").cast("date").alias("day"),
+        )
+        .agg(F.sum("transaction_amount").alias("revenue"))
+        .withColumn("dow", F.expr("CAST(weekday(day) AS INT)"))
+    )
+    med = daily.groupBy("category", "dow").agg(
+        F.percentile("revenue", 0.5).alias("med")
+    )
+    dev = daily.join(med, ["category", "dow"]).withColumn(
+        "adev", F.abs(F.col("revenue") - F.col("med"))
+    )
+    mad = dev.groupBy("category", "dow").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, ["category", "dow"])
+        .filter(
+            (F.col("mad") > 0) & (F.col("adev") > 2.5 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "category",
+            "day",
+            "dow",
             dround(F.col("revenue"), 2).alias("revenue"),
             _r4(
                 (F.col("revenue") - F.col("med")) / (1.4826 * F.col("mad"))
@@ -1218,6 +1393,14 @@ def dash_fraud_rate_cusum(g) -> DataFrame:
         .groupBy(F.col("transaction_timestamp").cast("date").alias("day"))
         .agg(F.avg(F.col("is_fraud").cast("double")).alias("rate"))
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM closed form over a (day, rate) frame — shared by the
+    batch dashboard and the streaming monitor (whose merged per-day
+    partials reduce to the identical daily frame, so the two surfaces
+    are bit-identical by construction)."""
     med = daily.agg(F.percentile("rate", 0.5).alias("med"))
     dev = daily.crossJoin(F.broadcast(med))
     mad = dev.agg(
@@ -1350,6 +1533,131 @@ def dash_impossible_travel(g) -> DataFrame:
             _r4(F.col("dist_km")).alias("distance_km"),
             _r4(F.when(F.col("dt_us") > 0, speed)).alias("speed_kmh"),
         )
+    )
+
+
+# --- card-testing screen (round 14) ------------------------------------------
+#: transactions under this amount count as "probe-sized" — fraudsters
+#: validate stolen card numbers with micro-charges before the real
+#: spend.
+CARD_TESTING_MAX_AMT = 5.0
+
+#: minimum probe-sized transactions for a merchant-day to surface —
+#: tuned to the synthetic data's sparse small-amount tail (max 3 per
+#: merchant-day at test SFs); production raises it with volume.
+CARD_TESTING_MIN = 2
+
+
+@_register(
+    "dash_card_testing",
+    f"""
+    , ct AS (
+      SELECT merchant, CAST(trans_timestamp AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_tx,
+             CAST(SUM(CASE WHEN amt < {CARD_TESTING_MAX_AMT} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_small,
+             CAST(COUNT(DISTINCT CASE WHEN amt < {CARD_TESTING_MAX_AMT}
+               THEN cc_num END) AS BIGINT) AS n_cards_small
+      FROM transactions GROUP BY 1, 2
+    )
+    SELECT merchant, day, n_tx, n_small, n_cards_small,
+           {_r4s('CAST(n_small AS DOUBLE) / n_tx')} AS small_share
+    FROM ct WHERE n_small >= {CARD_TESTING_MIN}
+    """,
+)
+def dash_card_testing(g) -> DataFrame:
+    """Card-testing screen: merchant-days with a cluster of
+    probe-sized (< $5) charges — the signature of a stolen-number
+    validation run, where fraudsters fire micro-charges through a
+    (often compromised or colluding) merchant to find live cards
+    before the real spend. Surfaces the merchant-day with its
+    probe-charge count, distinct cards probed, and the probe share of
+    that day's volume — n_cards_small ≈ n_small is the tell (each
+    probe on a DIFFERENT card; a repeat customer making small buys
+    repeats the same card).
+
+    Scale design: one keyed aggregate over (merchant, day) with
+    map-side partials and conditional counters — the hotspot-screen
+    class; the distinct-card counter is per-group countDistinct over
+    the same shuffle, and the support floor bounds the output. No
+    window, no join."""
+    small = F.col("amt") < CARD_TESTING_MAX_AMT
+    ct = (
+        g["transactions"]
+        .groupBy("merchant", F.to_date("trans_timestamp").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_tx"),
+            F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small"),
+            F.countDistinct(F.when(small, F.col("cc_num")))
+            .cast("long")
+            .alias("n_cards_small"),
+        )
+        .filter(F.col("n_small") >= CARD_TESTING_MIN)
+    )
+    return ct.select(
+        "merchant",
+        "day",
+        "n_tx",
+        "n_small",
+        "n_cards_small",
+        _r4(F.col("n_small").cast("double") / F.col("n_tx")).alias(
+            "small_share"
+        ),
+    )
+
+
+# --- per-card velocity burst screen (round 14) --------------------------------
+#: one hour in integer microseconds — the RANGE window bound both
+#: engines evaluate on the same epoch-µs axis (no timezone, no float).
+BURST_WINDOW_US = 3_600_000_000
+
+#: minimum same-card transactions inside one rolling hour to surface —
+#: tuned to the synthetic cadence (max burst 3 at test SFs);
+#: production raises it with volume.
+BURST_MIN = 2
+
+
+@_register(
+    "dash_velocity_burst",
+    f"""
+    , vb AS (
+      SELECT cc_num,
+             COUNT(*) OVER (PARTITION BY cc_num
+               ORDER BY epoch_us(trans_timestamp)
+               RANGE BETWEEN {BURST_WINDOW_US} PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM transactions
+    )
+    SELECT cc_num, CAST(MAX(burst) AS BIGINT) AS max_burst_1h
+    FROM vb GROUP BY cc_num HAVING MAX(burst) >= {BURST_MIN}
+    """,
+)
+def dash_velocity_burst(g) -> DataFrame:
+    """Per-card velocity burst: the maximum number of same-card
+    transactions inside ANY rolling one-hour window — the batch
+    surface of the rate signal the stateful velocity stream tracks at
+    ingest, and the complement of ``dash_impossible_travel`` (too
+    fast in TIME rather than too far in SPACE). Cards whose burst
+    ever reaches BURST_MIN surface with their lifetime maximum.
+
+    Scale design: ONE per-card RANGE window ordered by epoch-µs (an
+    integer axis, so the window bound is exact and engine-agnostic —
+    a timestamp-interval bound would drag timezone semantics in),
+    riding the same cc_num shuffle every per-card op here uses, then
+    a keyed max with map-side partials. The RANGE frame counts value
+    peers identically in both engines under timestamp ties, so no
+    tiebreak column is needed."""
+    w = (
+        Window.partitionBy("cc_num")
+        .orderBy(F.unix_micros("trans_timestamp"))
+        .rangeBetween(-BURST_WINDOW_US, 0)
+    )
+    return (
+        g["transactions"]
+        .select("cc_num", F.count("*").over(w).alias("burst"))
+        .groupBy("cc_num")
+        .agg(F.max("burst").cast("long").alias("max_burst_1h"))
+        .filter(F.col("max_burst_1h") >= BURST_MIN)
     )
 
 

@@ -343,3 +343,76 @@ def ring_monitor_stream(
         "cc_num long, merchant string, day date, batch_id long",
     ).select("cc_num", "merchant", "day").distinct()
     return ring_pairs_from_links(links, RING_SUPPORT)
+
+
+# --- ring link-table maintenance (round 14) ----------------------------------
+RING_LINKS_SCHEMA = "cc_num long, merchant string, day date"
+
+
+def compact_ring_links(spark: SparkSession, batch_out_path: str, root: str) -> int:
+    """FOLD the ring monitor's accumulated ``batch_id=<N>`` link
+    partitions into ONE published snapshot group (the corpus-index
+    publish cycle): distinct-union the batch partitions with the
+    previously published generation (if any) and publish the merged
+    link table as a fresh ``ring_links`` group. Returns the group
+    version.
+
+    Because the link table's merge IS distinct-union (commutative,
+    idempotent), re-folding already-consumed batch partitions is
+    harmless — a crash between publish and any cleanup of consumed
+    partitions cannot double-count, so the compactor needs no
+    coordination with the monitor beyond the snapshot store's own
+    lock. After a successful publish the batch partitions are dead
+    weight and MAY be deleted; vacuum of superseded generations is
+    ``vacuum_published``'s job, unchanged.
+
+    Scale design: the standing link table is O(cards × active days)
+    rows — tiny against the fact stream — and compaction rewrites
+    only that projection, never fact data; readers flip atomically
+    between generations (MVCC manifests)."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        publish_tables,
+        read_published,
+    )
+
+    if os.path.isdir(batch_out_path):
+        fresh = (
+            spark.read.schema(RING_LINKS_SCHEMA + ", batch_id long")
+            .parquet(batch_out_path)
+            .select("cc_num", "merchant", "day")
+        )
+    else:
+        fresh = spark.createDataFrame([], RING_LINKS_SCHEMA)
+    try:
+        prev = read_published(spark, root)["ring_links"]
+        merged = prev.unionByName(fresh).distinct()
+    except FileNotFoundError:
+        merged = fresh.distinct()
+    return publish_tables({"ring_links": merged}, root)
+
+
+def ring_pairs_from_published(
+    spark: SparkSession, root: str, min_links: int | None = None
+) -> DataFrame:
+    """The standing ring-pair surface over the PUBLISHED link-table
+    generation — what the monitor reads once a compaction has folded
+    its batch partitions (one compact group instead of an ever-growing
+    batch_id partition list). Pair semantics are unchanged:
+    distinct-union is order/slicing-insensitive, so this equals batch
+    ``dash_fraud_ring_pairs`` over the same folded data (pinned in
+    tests/test_streaming.py)."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        RING_SUPPORT,
+        ring_pairs_from_links,
+    )
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    links = read_published(spark, root)["ring_links"]
+    return ring_pairs_from_links(
+        links, RING_SUPPORT if min_links is None else min_links
+    )

@@ -539,3 +539,68 @@ def price_quantile_sketch_stream(
         F.sum("n").cast("long").alias("n")
     )
     return qsk_finalize(merged).withColumnRenamed("grp", "o_orderpriority")
+
+
+def fraud_rate_cusum_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drift-screen-at-ingest twin of ``dash_fraud_rate_cusum``: every
+    micro-batch of the transactions stream folds to per-day
+    (n_fraud, n_tx) LONG partials — the rate's mergeable
+    representation, O(days) rows regardless of batch volume —
+    idempotently written under ``batch_id=<N>`` (the shared
+    batch-partition scaffold: replays overwrite, never double-count).
+    The monitor's emit is one keyed count-sum merge over the audit
+    table plus the shared closed-form CUSUM walk
+    (``plans.dashboards.cusum_from_daily``) over the O(days) merged
+    frame.
+
+    Because the partials are integer counts, their merge is exact
+    addition in any order, and day_rate = n_fraud/n_tx reproduces the
+    batch op's ``avg(double)`` bit-for-bit (0/1 values sum exactly in
+    doubles below 2^53) — so the streamed surface is BIT-IDENTICAL to
+    ``dash_fraud_rate_cusum`` on finalized days under ANY micro-batch
+    slicing or arrival order (the quantile-sketch contract), pinned
+    both-arrival-orders + restart in tests/test_streaming_windows.py.
+
+    Scale design: per-trigger cost is one map-side partial count over
+    the arriving rows; the CUSUM recompute touches only the O(days)
+    audit table — the raw stream is never re-scanned. The median/MAD
+    baseline is recomputed over all finalized days per emit, which is
+    exactly what the batch op defines (a frozen baseline would be a
+    DIFFERENT detector)."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        cusum_from_daily,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        partials = batch.groupBy(
+            F.to_date("trans_timestamp").alias("day")
+        ).agg(
+            F.sum(F.when(F.col("is_fraud") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fraud"),
+            F.count("*").cast("long").alias("n_tx"),
+        )
+        write_batch_partition(partials, out_path, batch_id)
+
+    partials = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "day date, n_fraud long, n_tx long, batch_id long",
+    )
+    daily = partials.groupBy("day").agg(
+        (
+            F.sum("n_fraud").cast("double") / F.sum("n_tx").cast("double")
+        ).alias("rate")
+    )
+    return cusum_from_daily(daily)

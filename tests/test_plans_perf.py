@@ -935,3 +935,27 @@ def test_round13_late_ops_plan_shapes(spark):
     # allowed by construction; pin that the input to the window is an
     # AGGREGATED frame (partial_avg before the window), not fact rows
     assert "partial_avg" in cusum or "partial_count" in cusum, cusum[:500]
+
+
+def test_velocity_burst_window_is_per_card(spark):
+    """dash_velocity_burst's RANGE window must stay partitioned by
+    cc_num (one per-card shuffle, never a global single-task window),
+    and the downstream max must keep its map-side partial."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+
+    g = gold_frames(spark, SF_SMALL)
+    plan = _plan(DASHBOARDS["dash_velocity_burst"][0](g))
+    assert "windowspecdefinition(cc_num" in plan, plan
+    assert "partial_max" in plan, "burst max lost its map-side partial"
+
+
+def test_seasonal_anomaly_baselines_broadcast(spark):
+    """dash_seasonal_anomaly's (category, dow) baseline joins ride
+    broadcasts over the O(categories x 7) aggregate — no sort-merge
+    over the daily frame."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+
+    g = gold_frames(spark, SF_SMALL)
+    plan = _plan(DASHBOARDS["dash_seasonal_anomaly"][0](g))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "baseline join degraded to sort-merge"
