@@ -58,9 +58,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     spikes; dow = Spark weekday == DuckDB isodow-1, the
 #:     cross-engine-stable encoding), dash_card_testing (probe-sized
 #:     micro-charge clusters per merchant-day — the stolen-number
-#:     validation signature) and dash_velocity_burst (max same-card
+#:     validation signature), dash_velocity_burst (max same-card
 #:     transactions in any rolling hour — an exact integer-µs RANGE
-#:     window, the time-axis complement of impossible travel) — all
+#:     window, the time-axis complement of impossible travel), and
+#:     dash_card_amount_anomaly (each card's OWN median/MAD amount
+#:     baseline — the per-entity alert the keyed-MAD family builds
+#:     toward) — all
 #:     validate_driver-green at sf0.001 AND sf0.01 in-round (the
 #:     dashboards also at sf0.1);
 #: (b) dash_fraud_rate_cusum — r14 IMPL CHANGE (the CUSUM closed
@@ -70,15 +73,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 38-entry r10 cohort named by the r13 verdict (all 38
 #:     judge-validated oracle-ok at sf0.01 in the r13 independent
 #:     sweep), in CORRECTNESS_r10 insertion order;
-#: (d) the 6 oldest r11-green entries (CORRECTNESS_r11 insertion
+#: (d) the 5 oldest r11-green entries (CORRECTNESS_r11 insertion
 #:     order) to the 50 cap.
-#: 5 + 1 + 38 + 6 = exactly 50. The 43 remaining r11-green entries
-#: (docs_corpus_build onward in CORRECTNESS_r11 order) stay covered
+#: 6 + 1 + 38 + 5 = exactly 50. The 44 remaining r11-green entries
+#: (docs_dedup_incremental_maintained onward in CORRECTNESS_r11
+#: order) stay covered
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 191 oracled entries have driver rows (surface: 240 registered =
-#: 191 oracled + 49 rows-only).
+#: 192 oracled entries have driver rows (surface: 242 registered =
+#: 192 oracled + 50 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -87,7 +91,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tests/test_streaming_windows.py; ml_train_velocity_metrics (NEW
 #: rows-only: causal per-card velocity features + leakage-safe time
 #: split) is pinned by determinism + future-perturbation tests in
-#: tests/test_ml.py; velocity/travel stateful kernels now concat
+#: tests/test_ml.py; streaming_velocity_burst (NEW rows-only:
+#: per-card rolling-hour timestamp-window state — per-card max pinned
+#: equal to dash_velocity_burst on ordered sources + restart) in
+#: tests/test_stateful.py; velocity/travel stateful kernels now concat
 #: Arrow chunks before the per-card sort (r13 advice) — pinned by the
 #: multi-chunk test in tests/test_stateful.py; the ring monitor's
 #: link table gained a publish-fold-read compaction cycle
@@ -99,6 +106,7 @@ _DRIVER_FRONT = [
     "dash_seasonal_anomaly",
     "dash_card_testing",
     "dash_velocity_burst",
+    "dash_card_amount_anomaly",
     # (b) r14 impl change (shared closed-form extraction)
     "dash_fraud_rate_cusum",
     # (c) the 38-entry r10 cohort (CORRECTNESS_r10 insertion order)
@@ -140,13 +148,12 @@ _DRIVER_FRONT = [
     "dash_category",
     "dash_amount_range",
     "dash_high_value",
-    # (d) the 6 oldest r11-green entries (CORRECTNESS_r11 order)
+    # (d) the 5 oldest r11-green entries (CORRECTNESS_r11 order)
     "docs_dedup_apply",
     "docs_split_leakage_safe",
     "docs_dedup_keep_best",
     "docs_dedup_incremental",
     "history_published_gold",
-    "docs_dedup_incremental_maintained",
 ]
 
 
@@ -898,6 +905,31 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_impossible_travel"] = _stream_travel
+
+    # rows-only (applyInPandasWithState per-card rolling-hour window
+    # state): the velocity-burst screen AT INGEST — per-card max of
+    # the emitted burst pinned equal to batch dash_velocity_burst on
+    # a per-card-ordered source with a cross-batch split + restart
+    # idempotence in tests/test_stateful.py
+    def _stream_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+            velocity_burst_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="burst_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return velocity_burst_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_velocity_burst"] = _stream_burst
 
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os

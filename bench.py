@@ -62,6 +62,7 @@ DOMAIN = [
     "dash_seasonal_anomaly",
     "dash_card_testing",
     "dash_velocity_burst",
+    "dash_card_amount_anomaly",
 ]
 
 #: operators that read the testdata tables directly

@@ -1606,6 +1606,80 @@ def dash_card_testing(g) -> DataFrame:
     )
 
 
+# --- per-card amount anomaly (round 14) ---------------------------------------
+#: robust sigmas a single transaction must sit above its own card's
+#: baseline to ALERT — higher than the screens' 2.5 because a
+#: per-card flag feeds a per-customer action (decline/step-up), not a
+#: triage queue.
+CARD_ANOMALY_SIGMAS = 3.5
+
+
+@_register(
+    "dash_card_amount_anomaly",
+    f"""
+    , caa_med AS (
+      SELECT cc_num, quantile_cont(amt, 0.5) AS med
+      FROM transactions GROUP BY cc_num
+    ),
+    caa_dev AS (
+      SELECT t.cc_num, t.trans_num, t.amt, m.med,
+             abs(t.amt - m.med) AS adev
+      FROM transactions t JOIN caa_med m USING (cc_num)
+    ),
+    caa_mad AS (
+      SELECT cc_num, quantile_cont(adev, 0.5) AS mad
+      FROM caa_dev GROUP BY cc_num
+    )
+    SELECT v.cc_num, v.trans_num, {dround_sql('v.amt', 2)} AS amt,
+           {_r4s('(v.amt - v.med) / (1.4826 * m.mad)')} AS robust_z
+    FROM caa_dev v JOIN caa_mad m USING (cc_num)
+    WHERE m.mad > 0 AND v.adev > {CARD_ANOMALY_SIGMAS} * 1.4826 * m.mad
+    """,
+)
+def dash_card_amount_anomaly(g) -> DataFrame:
+    """Per-CARD amount anomaly — THE realtime fraud primitive the MAD
+    family builds toward: each card gets its OWN median/MAD spending
+    baseline, and a single transaction more than 3.5 robust sigmas
+    from that card's median alerts. A $400 charge is routine on a
+    travel card and a scream on a grocery-only card — the population
+    and category baselines structurally cannot see this. Zero-MAD
+    cards (constant spenders) flag nothing: the r12 degenerate guard,
+    inherited.
+
+    Scale design: the keyed-MAD plan one key finer than the category
+    screen — two exact grouped ``percentile`` aggregates over the
+    cc_num shuffle every per-card op here shares, two cc_num-keyed
+    joins of the fact stream against O(cards) baseline rows (AQE
+    picks broadcast vs shuffle by the card count — at 10⁹ cards the
+    baselines are a co-partitioned join, not a broadcast, and the
+    plan degrades gracefully). No window at all."""
+    med = g["transactions"].groupBy("cc_num").agg(
+        F.percentile("amt", 0.5).alias("med")
+    )
+    dev = (
+        g["transactions"]
+        .select("cc_num", "trans_num", "amt")
+        .join(med, "cc_num")
+        .withColumn("adev", F.abs(F.col("amt") - F.col("med")))
+    )
+    mad = dev.groupBy("cc_num").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "cc_num")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("adev") > CARD_ANOMALY_SIGMAS * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "cc_num",
+            "trans_num",
+            dround(F.col("amt"), 2).alias("amt"),
+            _r4(
+                (F.col("amt") - F.col("med")) / (1.4826 * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )
+
+
 # --- per-card velocity burst screen (round 14) --------------------------------
 #: one hour in integer microseconds — the RANGE window bound both
 #: engines evaluate on the same epoch-µs axis (no timezone, no float).

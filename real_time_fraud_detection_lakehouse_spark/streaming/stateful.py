@@ -468,3 +468,102 @@ def impossible_travel_stream(
     )
     q.awaitTermination()
     return spark.read.schema(TRAVEL_OUTPUT_SCHEMA).parquet(out_path)
+
+
+# --- streaming velocity burst (per-card rolling-hour state) ------------------
+BURST_OUTPUT_SCHEMA = (
+    "cc_num long, trans_num string, trans_timestamp timestamp, burst long"
+)
+BURST_STATE_SCHEMA = "ts_us array<long>"
+
+
+def _track_burst(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        BURST_MIN,
+        BURST_WINDOW_US,
+    )
+
+    (cc_num,) = key
+    recent: list[int] = list(state.get[0]) if state.exists else []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["trans_timestamp", "trans_num"]
+        )
+        out = []
+        for row in pdf.itertuples():
+            ts = int(row.trans_timestamp.value // 1000)  # ns -> us
+            recent.append(ts)
+            # prune relative to the NEWEST timestamp seen, so a late
+            # event can still count itself + surviving peers without
+            # the state ever growing past one window of arrivals
+            cutoff = max(recent) - BURST_WINDOW_US
+            recent = [t for t in recent if t >= cutoff]
+            burst = sum(1 for t in recent if ts - BURST_WINDOW_US <= t <= ts)
+            if burst >= BURST_MIN:
+                out.append(
+                    {
+                        "cc_num": cc_num,
+                        "trans_num": row.trans_num,
+                        "trans_timestamp": row.trans_timestamp,
+                        "burst": burst,
+                    }
+                )
+        if out:
+            yield pd.DataFrame(out)
+    state.update((recent,))
+
+
+def velocity_burst_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The velocity-burst screen AT INGEST — the stateful twin of
+    ``dash_velocity_burst``: each card keeps the timestamps of its
+    last rolling hour in streaming state, every arrival is counted
+    against that window, and the alert fires in the SAME micro-batch
+    the burst completes in — a card being machine-fired through a
+    merchant list alerts on the Nth probe, not at the nightly batch.
+
+    Semantics: on a per-card time-ordered source the per-card MAX of
+    the emitted burst equals the batch op's ``max_burst_1h`` exactly
+    (both count events in the closed interval [t-1h, t] on the
+    integer-µs axis; a batch RANGE frame hands every member of a
+    timestamp tie the full tie count, and the stream's last-arriving
+    tie member sees the same) — pinned with a cross-batch split +
+    restart in tests/test_stateful.py. A late event is counted
+    against the surviving window (at-ingest semantics, documented),
+    never against re-sorted history.
+
+    Scale design: state is O(events per card-hour) integers — the
+    minimum any rolling counter can hold — pruned against the newest
+    timestamp per arrival; one state-store shuffle per micro-batch on
+    cc_num like every per-card op here."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    tracked = (
+        stream.select("cc_num", "trans_num", "trans_timestamp")
+        .groupBy("cc_num")
+        .applyInPandasWithState(
+            _track_burst,
+            BURST_OUTPUT_SCHEMA,
+            BURST_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: same zero-row-sink rationale as velocity_stream
+    return spark.read.schema(BURST_OUTPUT_SCHEMA).parquet(out_path)

@@ -202,3 +202,49 @@ def test_velocity_multi_chunk_group_sorts_globally(spark, tmp_path):
         for r in by_seq:
             cum += r["amt"]
             assert abs(r["cum_amount"] - cum) < 1e-6
+
+
+def test_velocity_burst_stream_matches_batch_on_ordered_source(spark, tmp_path):
+    """The rolling-hour burst tracker at ingest: on a per-card
+    time-ordered source (two files split at the median timestamp, so
+    windows span the micro-batch boundary), the per-card MAX of the
+    emitted burst equals batch dash_velocity_burst exactly; replays
+    into the same checkpoint are idempotent."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_velocity_burst,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.stateful import (
+        velocity_burst_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    batch = {
+        r["cc_num"]: r["max_burst_1h"]
+        for r in dash_velocity_burst({"transactions": tx}).collect()
+    }
+    assert batch  # fixture exercises the path
+
+    mid = tx.agg(
+        F.percentile(F.unix_micros("trans_timestamp"), 0.5)
+    ).first()[0]
+    src = str(tmp_path / "src")
+    tx.filter(F.unix_micros("trans_timestamp") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    tx.filter(F.unix_micros("trans_timestamp") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = velocity_burst_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = {
+        r["cc_num"]: r["m"]
+        for r in out.groupBy("cc_num").agg(F.max("burst").alias("m")).collect()
+    }
+    assert got == batch
+
+    again = velocity_burst_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert again.count() == out.count()
