@@ -525,7 +525,12 @@ def main() -> None:
                 cur_r = timings[name] / probe_start
                 if max(cur_r, old_r) < MOVER_MIN_RATIO:
                     continue
-                if cur_r > old_r * MOVER_FACTOR:
+                # screen WIDER than the final gate (0.8x): the gate
+                # normalizes by the averaged opening+closing probe,
+                # which is not known yet — without slack, a run whose
+                # second-half probe comes in faster could flag a mover
+                # this screen never retried (post-round review finding)
+                if cur_r > old_r * MOVER_FACTOR * 0.8:
                     suspects.append(name)
             if suspects:
                 print(

@@ -38,21 +38,32 @@ SEED = 42
 GATE = {"accuracy": 0.90, "f1": 0.85, "auc": 0.90}
 
 
+def median_map(df: DataFrame, cols: list[str]) -> dict[str, float]:
+    """Per-column medians via approxQuantile — one Spark job for ALL
+    columns (approxQuantile drops null/NaN per column itself); the
+    reference issues one job per column (ml_training_job.py:94-104),
+    a 15x scan overhead not inherited."""
+    quantiles = df.approxQuantile(cols, [0.5], 0.01)
+    return {c: (q[0] if q else 0.0) for c, q in zip(cols, quantiles)}
+
+
+def apply_medians(df: DataFrame, medians: dict[str, float]) -> DataFrame:
+    """null/NaN → the given per-column fill values."""
+    for c, m in medians.items():
+        df = df.withColumn(
+            c,
+            F.when(F.col(c).isNull() | F.isnan(F.col(c)), F.lit(m)).otherwise(
+                F.col(c)
+            ),
+        )
+    return df
+
+
 def impute_median(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Median imputation via approxQuantile (ML1/A13,
     ml_training_job.py:93-104): null/NaN → column median."""
     cols = cols or [c for c in ML_FEATURES if c in df.columns]
-    # one Spark job for ALL columns (approxQuantile drops null/NaN per
-    # column itself) — the reference issues one job per column
-    # (ml_training_job.py:94-104), a 15x scan overhead not inherited
-    quantiles = df.approxQuantile(cols, [0.5], 0.01)
-    medians = {c: (q[0] if q else 0.0) for c, q in zip(cols, quantiles)}
-    out = df
-    for c, m in medians.items():
-        out = out.withColumn(
-            c, F.when(F.col(c).isNull() | F.isnan(F.col(c)), F.lit(m)).otherwise(F.col(c))
-        )
-    return out
+    return apply_medians(df, median_map(df, cols))
 
 
 def rebalance(df: DataFrame, label: str = "is_fraud", seed: int = SEED) -> DataFrame:
@@ -292,8 +303,14 @@ def train_velocity_time_split(
     from real_time_fraud_detection_lakehouse_spark.plans.silver import build_silver
 
     feats = ML_FEATURES + VELOCITY_FEATURES
-    enriched = add_velocity_features(build_silver(spark, sf_dir)).select(
-        "is_fraud", "trans_timestamp", *feats
+    # cache the enriched frame: the split scalar, the train-side
+    # medians, rebalance's class counts, and the train/test
+    # materializations would otherwise each re-run the silver
+    # pipeline + the per-card window (post-round review finding)
+    enriched = (
+        add_velocity_features(build_silver(spark, sf_dir))
+        .select("is_fraud", "trans_timestamp", *feats)
+        .cache()
     )
     # exact quantile over the O(rows) timestamp column — one scalar
     split_us = enriched.agg(
@@ -302,22 +319,13 @@ def train_velocity_time_split(
     train = enriched.filter(F.unix_micros("trans_timestamp") <= split_us)
     test = enriched.filter(F.unix_micros("trans_timestamp") > split_us)
 
-    # train-side medians applied to BOTH splits
-    quantiles = train.approxQuantile(feats, [0.5], 0.01)
-    medians = {c: (q[0] if q else 0.0) for c, q in zip(feats, quantiles)}
-
-    def _impute(df: DataFrame) -> DataFrame:
-        for c, m in medians.items():
-            df = df.withColumn(
-                c,
-                F.when(
-                    F.col(c).isNull() | F.isnan(F.col(c)), F.lit(m)
-                ).otherwise(F.col(c)),
-            )
-        return df
-
-    train = rebalance(_impute(train).drop("trans_timestamp"), seed=seed).cache()
-    test = _impute(test).drop("trans_timestamp").cache()
+    # train-side medians applied to BOTH splits (the shared
+    # impute_median helpers, split across the leakage boundary)
+    medians = median_map(train, feats)
+    train = rebalance(
+        apply_medians(train, medians).drop("trans_timestamp"), seed=seed
+    ).cache()
+    test = apply_medians(test, medians).drop("trans_timestamp").cache()
     fitted = build_pipeline(model, fast=True, features=feats).fit(train)
     _strip_training_summaries(fitted)
     pred = fitted.transform(test).cache()
@@ -338,6 +346,7 @@ def train_velocity_time_split(
     train.unpersist()
     test.unpersist()
     pred.unpersist()
+    enriched.unpersist()
     return spark.createDataFrame(
         rows,
         "model string, n_train long, n_test long, auc double, "

@@ -937,9 +937,10 @@ def dash_ring_evolution(g) -> DataFrame:
     relative to the fact stream, so the membership⋈links join is
     keyed on cc_num with a broadcastable ring side; everything after
     is two keyed aggregates (member-level min, ring-level span) with
-    map-side partials. span_weeks uses integer ceil-division
-    ((span_days + 6) DIV 7) so both engines agree bit-for-bit with no
-    float boundary. The recursive oracle reuses the shared CC closure
+    map-side partials. span_weeks is integer ceil-division of
+    span_days = datediff(last, first) + 1, written as
+    (datediff + 7) DIV 7 ≡ (span_days + 6) DIV 7 in BOTH engines, so
+    they agree bit-for-bit with no float boundary. The recursive oracle reuses the shared CC closure
     CTEs with a third final SELECT (one definition)."""
     rings = dash_fraud_rings(g).select("cc_num", "ring_id")
     links = ring_links(g["transactions"])

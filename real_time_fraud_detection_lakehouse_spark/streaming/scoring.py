@@ -362,8 +362,13 @@ def compact_ring_links(spark: SparkSession, batch_out_path: str, root: str) -> i
     harmless — a crash between publish and any cleanup of consumed
     partitions cannot double-count, so the compactor needs no
     coordination with the monitor beyond the snapshot store's own
-    lock. After a successful publish the batch partitions are dead
-    weight and MAY be deleted; vacuum of superseded generations is
+    lock. Deleting consumed partitions is safe ONLY for partitions
+    that existed when this fold's read materialized (or with the
+    monitor quiesced): a partition the live monitor writes
+    concurrently with the fold was never folded, and deleting it
+    would silently drop its links — when in doubt, leave the
+    partitions and let the next fold absorb them (re-folds are free
+    by idempotence). Vacuum of superseded generations is
     ``vacuum_published``'s job, unchanged.
 
     Scale design: the standing link table is O(cards × active days)

@@ -32,6 +32,23 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "count long, total double"
 
 
+def _concat_sorted(pdfs) -> "pd.DataFrame | None":
+    """Concatenate a group's Arrow chunk iterator and sort ONCE by
+    (trans_timestamp, trans_num), or None for an empty group. The
+    chunk-boundary rule every state function here shares (round-13
+    advice): chunks arrive in arbitrary post-shuffle order, chunked at
+    arrow.maxRecordsPerBatch, so sorting per chunk would silently
+    break the global per-card order whenever one card spans chunks.
+    Per-card per-batch volume is bounded, so one concat+sort is
+    safe."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    return pd.concat(chunks, ignore_index=True).sort_values(
+        ["trans_timestamp", "trans_num"]
+    )
+
+
 def _track_velocity(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -40,17 +57,8 @@ def _track_velocity(
         count, total = state.get
     else:
         count, total = 0, 0.0
-    # Concatenate the Arrow chunk iterator BEFORE sorting: a group's
-    # micro-batch arrives in arbitrary post-shuffle order, chunked at
-    # arrow.maxRecordsPerBatch — sorting each chunk independently would
-    # silently break the global per-card ordering whenever one card
-    # spans chunks. Per-card per-batch volume is bounded, so one
-    # concat+sort is safe.
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["trans_timestamp", "trans_num"]
-        )
+    pdf = _concat_sorted(pdfs)
+    if pdf is not None:
         seqs, cums, avgs = [], [], []
         for amt in pdf["amt"]:
             count += 1
@@ -259,13 +267,9 @@ try:  # pyspark >= 4.0 AND protobuf present (the TWS state-server
             (cc_num,) = key
             prior = self._state.get() if self._state.exists() else None
             count, total = prior if prior is not None else (0, 0.0)
-            # same chunk-boundary rule as _track_velocity: one
-            # concat+sort over the whole group, never per Arrow chunk
-            chunks = [pdf for pdf in rows if len(pdf)]
-            if chunks:
-                pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                    ["trans_timestamp", "trans_num"]
-                )
+            # same chunk-boundary rule as _track_velocity
+            pdf = _concat_sorted(rows)
+            if pdf is not None:
                 seqs, cums, avgs = [], [], []
                 for amt in pdf["amt"]:
                     count += 1
@@ -378,15 +382,8 @@ def _track_travel(
 
     (cc_num,) = key
     last = state.get if state.exists else None  # (ts_us, lat, long)
-    # One concat+sort over the whole micro-batch group (not per Arrow
-    # chunk): chunks arrive in arbitrary post-shuffle order, so a
-    # per-chunk sort would compare prev-locations across an unsorted
-    # chunk boundary and diverge from dash_impossible_travel.
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["trans_timestamp", "trans_num"]
-        )
+    pdf = _concat_sorted(pdfs)
+    if pdf is not None:
         out = []
         for row in pdf.itertuples():
             ts_us = int(row.trans_timestamp.value // 1000)  # ns -> us
@@ -485,23 +482,29 @@ def _track_burst(
         BURST_WINDOW_US,
     )
 
+    import bisect
+
     (cc_num,) = key
-    recent: list[int] = list(state.get[0]) if state.exists else []
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["trans_timestamp", "trans_num"]
-        )
+    # state stays SORTED ascending, so each arrival is O(log n):
+    # insort, prune by slicing at the cutoff index, and count the
+    # [ts-1h, ts] band with two bisects — a machine-fired card with
+    # thousands of probes per hour (the detection target) would make
+    # the naive per-event rescan quadratic (post-round review finding)
+    recent: list[int] = sorted(state.get[0]) if state.exists else []
+    pdf = _concat_sorted(pdfs)
+    if pdf is not None:
         out = []
         for row in pdf.itertuples():
             ts = int(row.trans_timestamp.value // 1000)  # ns -> us
-            recent.append(ts)
+            bisect.insort(recent, ts)
             # prune relative to the NEWEST timestamp seen, so a late
             # event can still count itself + surviving peers without
             # the state ever growing past one window of arrivals
-            cutoff = max(recent) - BURST_WINDOW_US
-            recent = [t for t in recent if t >= cutoff]
-            burst = sum(1 for t in recent if ts - BURST_WINDOW_US <= t <= ts)
+            cutoff = recent[-1] - BURST_WINDOW_US
+            recent = recent[bisect.bisect_left(recent, cutoff) :]
+            burst = bisect.bisect_right(recent, ts) - bisect.bisect_left(
+                recent, ts - BURST_WINDOW_US
+            )
             if burst >= BURST_MIN:
                 out.append(
                     {

@@ -584,7 +584,12 @@ def fraud_rate_cusum_stream(
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        partials = batch.groupBy(
+        # same row-membership rule as the batch twin: the dashboard
+        # aggregates fact (silver-filtered), so the stream applies
+        # silver's trans_num quality filter — without it a source
+        # carrying null-trans_num rows would break the bit-identical
+        # contract (post-round review finding)
+        partials = batch.filter(F.col("trans_num").isNotNull()).groupBy(
             F.to_date("trans_timestamp").alias("day")
         ).agg(
             F.sum(F.when(F.col("is_fraud") == 1, 1).otherwise(0))
