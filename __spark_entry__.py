@@ -63,7 +63,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     window, the time-axis complement of impossible travel), and
 #:     dash_card_amount_anomaly (each card's OWN median/MAD amount
 #:     baseline — the per-entity alert the keyed-MAD family builds
-#:     toward) — all
+#:     toward), and dash_ring_triangles (triangle census + edge
+#:     density per ring — the clique-vs-chain over-merge audit the
+#:     CC docstring promises; canonical ordered-adjacency 3-join,
+#:     fourth final SELECT on the shared recursive CTE body) — all
 #:     validate_driver-green at sf0.001 AND sf0.01 in-round (the
 #:     dashboards also at sf0.1);
 #: (b) dash_fraud_rate_cusum — r14 IMPL CHANGE (the CUSUM closed
@@ -73,16 +76,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 38-entry r10 cohort named by the r13 verdict (all 38
 #:     judge-validated oracle-ok at sf0.01 in the r13 independent
 #:     sweep), in CORRECTNESS_r10 insertion order;
-#: (d) the 5 oldest r11-green entries (CORRECTNESS_r11 insertion
+#: (d) the 4 oldest r11-green entries (CORRECTNESS_r11 insertion
 #:     order) to the 50 cap.
-#: 6 + 1 + 38 + 5 = exactly 50. The 44 remaining r11-green entries
-#: (docs_dedup_incremental_maintained onward in CORRECTNESS_r11
-#: order) stay covered
+#: 7 + 1 + 38 + 4 = exactly 50. The 45 remaining r11-green entries
+#: (history_published_gold onward in CORRECTNESS_r11 order) stay
+#: covered
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 192 oracled entries have driver rows (surface: 242 registered =
-#: 192 oracled + 50 rows-only).
+#: 193 oracled entries have driver rows (surface: 243 registered =
+#: 193 oracled + 50 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -107,6 +110,7 @@ _DRIVER_FRONT = [
     "dash_card_testing",
     "dash_velocity_burst",
     "dash_card_amount_anomaly",
+    "dash_ring_triangles",
     # (b) r14 impl change (shared closed-form extraction)
     "dash_fraud_rate_cusum",
     # (c) the 38-entry r10 cohort (CORRECTNESS_r10 insertion order)
@@ -148,12 +152,11 @@ _DRIVER_FRONT = [
     "dash_category",
     "dash_amount_range",
     "dash_high_value",
-    # (d) the 5 oldest r11-green entries (CORRECTNESS_r11 order)
+    # (d) the 4 oldest r11-green entries (CORRECTNESS_r11 order)
     "docs_dedup_apply",
     "docs_split_leakage_safe",
     "docs_dedup_keep_best",
     "docs_dedup_incremental",
-    "history_published_gold",
 ]
 
 
@@ -977,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         RING_EVOLUTION_ORACLE,
         RING_STATS_ORACLE,
         RING_STRONG_SUPPORT,
+        RING_TRIANGLES_ORACLE,
         _ring_pairs_sql,
     )
 
@@ -989,6 +993,10 @@ def oracle_sql() -> dict[str, str]:
         ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
     )
     o["dash_ring_evolution"] = RING_EVOLUTION_ORACLE.format(
+        transactions_cte=TRANSACTIONS_CTE,
+        ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
+    )
+    o["dash_ring_triangles"] = RING_TRIANGLES_ORACLE.format(
         transactions_cte=TRANSACTIONS_CTE,
         ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
     )

@@ -63,6 +63,7 @@ DOMAIN = [
     "dash_card_testing",
     "dash_velocity_burst",
     "dash_card_amount_anomaly",
+    "dash_ring_triangles",
 ]
 
 #: operators that read the testdata tables directly

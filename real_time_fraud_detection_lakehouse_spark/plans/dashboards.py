@@ -826,6 +826,34 @@ FROM rcomp r JOIN transactions t ON t.cc_num = r.cc_num
 GROUP BY r.ring_id
 """
 
+RING_TRIANGLES_ORACLE = _RING_CC_CTES + f"""
+, tri AS (
+  SELECT e1.card_a AS a, e1.card_b AS b, e2.card_b AS c
+  FROM ring_pairs e1
+  JOIN ring_pairs e2 ON e2.card_a = e1.card_b
+  JOIN ring_pairs e3 ON e3.card_a = e1.card_a AND e3.card_b = e2.card_b
+),
+tri_per_ring AS (
+  SELECT r.ring_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM tri t JOIN rcomp r ON r.cc_num = t.a
+  GROUP BY r.ring_id
+),
+ring_nodes AS (
+  SELECT ring_id, CAST(COUNT(*) AS BIGINT) AS n_cards FROM rcomp GROUP BY 1
+),
+ring_edges AS (
+  SELECT r.ring_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM ring_pairs p JOIN rcomp r ON r.cc_num = p.card_a
+  GROUP BY r.ring_id
+)
+SELECT n.ring_id, n.n_cards, e.n_edges,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       {_r4s("2.0 * e.n_edges / (n.n_cards * (n.n_cards - 1))")} AS density
+FROM ring_nodes n
+JOIN ring_edges e USING (ring_id)
+LEFT JOIN tri_per_ring t USING (ring_id)
+"""
+
 RING_EVOLUTION_ORACLE = _RING_CC_CTES + f"""
 , rl AS (
   SELECT r.ring_id, l.cc_num, l.day
@@ -917,6 +945,72 @@ def dash_fraud_ring_stats(g) -> DataFrame:
             .cast("long")
             .alias("n_fraud"),
             _r4(F.avg(F.col("is_fraud").cast("double"))).alias("fraud_rate"),
+        )
+    )
+
+
+@_register("dash_ring_triangles", None)  # SQL bound in __spark_entry__
+def dash_ring_triangles(g) -> DataFrame:
+    """Ring triangle census — the graph-density triage column: a ring
+    whose members pairwise co-occur (many triangles, density near 1)
+    is a coordinated clique; the same member count chained A–B–C–D by
+    overlapping habits (zero triangles) is transitive-closure
+    coincidence. n_triangles and edge density separate the two, which
+    is exactly the over-merge audit ``dash_fraud_rings``' docstring
+    promises (CC is deliberately transitive; this measures how much
+    of each component is real mutual structure).
+
+    Scale design: triangle enumeration over the CANONICAL (a<b)
+    strong-pair edge list — the classic ordered-adjacency join
+    (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)), which counts each triangle exactly
+    once and whose fan-out is bounded by the hub-capped degree the
+    pair generation already enforces; per-ring rollups are keyed
+    aggregates over O(linked cards) rows. Triangles cannot span
+    rings (all three edges lie inside one component), so anchoring
+    the ring_id on vertex ``a`` is exact, not an approximation."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT).select("card_a", "card_b")
+    comp = connected_components(pairs, src="card_a", dst="card_b").select(
+        F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
+    )
+    e1 = pairs.select(F.col("card_a").alias("a"), F.col("card_b").alias("b"))
+    e2 = pairs.select(F.col("card_a").alias("b"), F.col("card_b").alias("c"))
+    e3 = pairs.select(F.col("card_a").alias("a"), F.col("card_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("n_tri_at_a"))
+    )
+    nodes = comp.groupBy("ring_id").agg(
+        F.count("*").cast("long").alias("n_cards")
+    )
+    edges = (
+        pairs.join(comp, pairs.card_a == comp.cc_num)
+        .groupBy("ring_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    tris = (
+        tri.join(comp, tri.a == comp.cc_num)
+        .groupBy("ring_id")
+        .agg(F.sum("n_tri_at_a").cast("long").alias("n_triangles"))
+    )
+    return (
+        nodes.join(edges, "ring_id")
+        .join(tris, "ring_id", "left")
+        .select(
+            "ring_id",
+            "n_cards",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            _r4(
+                2.0
+                * F.col("n_edges")
+                / (F.col("n_cards") * (F.col("n_cards") - 1))
+            ).alias("density"),
         )
     )
 
