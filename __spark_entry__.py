@@ -84,8 +84,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 193 oracled entries have driver rows (surface: 243 registered =
-#: 193 oracled + 50 rows-only).
+#: 193 oracled entries have driver rows (surface: 244 registered =
+#: 193 oracled + 51 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -97,7 +97,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tests/test_ml.py; streaming_velocity_burst (NEW rows-only:
 #: per-card rolling-hour timestamp-window state — per-card max pinned
 #: equal to dash_velocity_burst on ordered sources + restart) in
-#: tests/test_stateful.py; velocity/travel stateful kernels now concat
+#: tests/test_stateful.py; streaming_card_testing (NEW rows-only:
+#: card-grain count partials — the grain that makes the distinct-card
+#: counter mergeable) pinned bit-identical to dash_card_testing in
+#: tests/test_streaming.py; velocity/travel stateful kernels now concat
 #: Arrow chunks before the per-card sort (r13 advice) — pinned by the
 #: multi-chunk test in tests/test_stateful.py; the ring monitor's
 #: link table gained a publish-fold-read compaction cycle
@@ -933,6 +936,31 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_velocity_burst"] = _stream_burst
+
+    # rows-only (foreachBatch card-grain count partials; merge is
+    # exact long SUM, distinct cards collapse at the card grain): the
+    # card-testing screen AT INGEST — pinned BIT-IDENTICAL to batch
+    # dash_card_testing under both arrival orders + checkpoint-wipe
+    # replay in tests/test_streaming.py
+    def _stream_card_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            card_testing_monitor_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cardtest_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return card_testing_monitor_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_card_testing"] = _stream_card_testing
 
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os

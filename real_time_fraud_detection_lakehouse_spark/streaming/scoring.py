@@ -421,3 +421,98 @@ def ring_pairs_from_published(
     return ring_pairs_from_links(
         links, RING_SUPPORT if min_links is None else min_links
     )
+
+
+def card_testing_monitor_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Card-testing screening AT INGEST — the streaming twin of
+    ``dash_card_testing``: each micro-batch folds to partials at the
+    (merchant, day, cc_num) grain — that batch's transaction count
+    and probe-sized (< CARD_TESTING_MAX_AMT) count for the card —
+    idempotently written under ``batch_id=<N>`` (the shared
+    scaffold). The monitor's emit merges partials by SUM at the card
+    grain, then rolls up to the merchant-day screen: total volume,
+    probe count, and DISTINCT cards probed.
+
+    The card grain is what makes the distinct-card counter mergeable:
+    a card probing across two micro-batches collapses to one card at
+    merge time, where day-grain count partials would double-count it.
+    Sums of longs are exact in any order, so the emitted screen is
+    BIT-IDENTICAL to the batch op under ANY micro-batch slicing,
+    arrival order, or replay (partition overwrite) — pinned
+    both-arrival-orders in tests/test_streaming.py.
+
+    Scale design: per-trigger cost is one map-side partial count over
+    the arriving rows; the standing partial table is O(cards active
+    at a merchant-day) rows — the ring-link-table class — and the
+    screen refresh touches only it. ``compact_ring_links``'s
+    publish-fold cycle applies verbatim if the batch partitions ever
+    need folding (counts merge by sum at the same grain)."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        CARD_TESTING_MAX_AMT,
+        CARD_TESTING_MIN,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    small = F.col("amt") < CARD_TESTING_MAX_AMT
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        # NO trans_num filter here: the batch twin aggregates the raw
+        # transactions frame (not silver-filtered fact), so the stream
+        # matches its row membership exactly
+        partials = (
+            batch.groupBy(
+                "merchant",
+                F.to_date("trans_timestamp").alias("day"),
+                "cc_num",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_tx"),
+                F.sum(F.when(small, 1).otherwise(0))
+                .cast("long")
+                .alias("n_small"),
+            )
+        )
+        write_batch_partition(partials, out_path, batch_id)
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    partials = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "merchant string, day date, cc_num long, n_tx long, n_small long, "
+        "batch_id long",
+    )
+    per_card = partials.groupBy("merchant", "day", "cc_num").agg(
+        F.sum("n_tx").cast("long").alias("n_tx"),
+        F.sum("n_small").cast("long").alias("n_small"),
+    )
+    ct = (
+        per_card.groupBy("merchant", "day")
+        .agg(
+            F.sum("n_tx").cast("long").alias("n_tx"),
+            F.sum("n_small").cast("long").alias("n_small"),
+            F.countDistinct(F.when(F.col("n_small") > 0, F.col("cc_num")))
+            .cast("long")
+            .alias("n_cards_small"),
+        )
+        .filter(F.col("n_small") >= CARD_TESTING_MIN)
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround
+
+    return ct.select(
+        "merchant",
+        "day",
+        "n_tx",
+        "n_small",
+        "n_cards_small",
+        dround(F.col("n_small").cast("double") / F.col("n_tx"), 4).alias(
+            "small_share"
+        ),
+    )

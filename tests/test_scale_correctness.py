@@ -26,6 +26,10 @@ QUERIES = [
     "docs_dsir_weights",
     "q_large_volume_customers",
     "q_quality_report",
+    # round-14: the depth-2 FastSS join — the replica's key shift
+    # rewrites every digit of every name, so the variant-blocking
+    # recall theorem is re-proven on a fresh name population at 10x
+    "dedup_fuzzy_names_d2",
 ]
 
 

@@ -588,3 +588,56 @@ def test_ring_link_compaction_publish_fold_read_cycle(spark, tmp_path):
         sorted(tuple(r) for r in ring_pairs_from_published(spark, root).collect())
         == full_pairs
     )
+
+
+def test_card_testing_monitor_bit_identical_to_batch(spark, tmp_path):
+    """Round-14: the card-testing screen at ingest. Card-grain count
+    partials merge by exact long SUM and the distinct-card counter
+    collapses at the card grain, so the streamed screen equals batch
+    dash_card_testing bit-for-bit under both arrival orders;
+    checkpoint-wipe replay is idempotent (partition overwrite)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_card_testing,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        card_testing_monitor_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    batch = sorted(
+        tuple(r) for r in dash_card_testing({"transactions": tx}).collect()
+    )
+    assert batch  # fixture exercises the path
+    # split by card so the SAME merchant-day spans micro-batches (the
+    # distinct-card merge is exactly what that stresses)
+    halves = [
+        tx.filter(F.col("cc_num") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    for tag, order in (("fwd", (0, 1)), ("rev", (1, 0))):
+        src = str(tmp_path / f"src_{tag}")
+        for part in order:
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+        out = card_testing_monitor_stream(
+            spark, src, str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == batch, tag
+
+    # replay idempotence: wipe the checkpoint, rerun into the same out
+    shutil.rmtree(str(tmp_path / "ckpt_fwd"))
+    replayed = card_testing_monitor_stream(
+        spark,
+        str(tmp_path / "src_fwd"),
+        str(tmp_path / "out_fwd"),
+        str(tmp_path / "ckpt_fwd2"),
+    )
+    assert sorted(tuple(r) for r in replayed.collect()) == batch
