@@ -1716,8 +1716,11 @@ def dedup_fuzzy_names(t: Frames) -> DataFrame:
     corpora (all strings equal) degrade to the exact-dup group-size
     class, the same skew profile as ``dedup_exact``; generalizes to
     distance k via k-deletion neighborhoods. No window, no driver
-    loop; ``distinct`` before the levenshtein keeps one candidate row
-    per pair however many variants it shares."""
+    loop. Catalyst pushes the levenshtein verify INTO the variant
+    join condition (ahead of the written distinct-then-filter order)
+    — the right trade: the ~ns kernel runs per variant collision but
+    prunes non-matches BEFORE the distinct's shuffle, and the
+    aggregate then keeps one row per surviving pair."""
     names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
     variants = deletion_variants(names, "c_custkey", "c_name").select(
         F.col("entity_id").alias("c_custkey"),
@@ -1811,10 +1814,13 @@ def dedup_fuzzy_names_d2(t: Frames) -> DataFrame:
     The ORACLE is the all-pairs quadratic form (fine at sf0.01's 1.5k
     names); the Spark plan is the production shape — at 10⁹ names the
     fan-out is ~L²/2 rows keyed on near-unique variants vs 10¹⁸
-    all-pairs comparisons. ``distinct`` on the pair BEFORE the
-    levenshtein keeps one candidate row per pair however many of the
-    O(L²) variants it shares — the filter cost is per-pair, not
-    per-collision."""
+    all-pairs comparisons. Catalyst pushes the levenshtein verify
+    INTO the variant join condition (ahead of the written
+    distinct-then-filter order) — the right trade: the ~ns kernel
+    runs once per variant collision but prunes non-matching
+    candidates BEFORE the distinct's shuffle, and the pair aggregate
+    then keeps one row per surviving pair however many of the O(L²)
+    variants it shares (plan captured in PLANS.md)."""
     names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
     variants = deletion_variants2(names, "c_custkey", "c_name")
     a = variants.select(
