@@ -84,8 +84,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 193 oracled entries have driver rows (surface: 244 registered =
-#: 193 oracled + 51 rows-only).
+#: 193 oracled entries have driver rows (surface: 245 registered =
+#: 193 oracled + 52 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -887,6 +887,45 @@ def queries() -> dict[str, QueryFn]:
         )
 
     q["streaming_ring_monitor"] = _stream_ring_monitor
+
+    # rows-only: the PRODUCTION shape of the ring monitor — standing
+    # links in a published snapshot generation (nightly fold), the
+    # per-emit merge reads published ∪ only-new batch partitions;
+    # pinned equal to batch pairs across a mid-stream fold +
+    # partition cleanup in tests/test_streaming.py
+    def _stream_ring_monitor_maintained(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            compact_ring_links,
+            ring_monitor_stream_maintained,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="ringm_stream_")
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        root = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        tx = transactions_df(spark, sf_dir)
+        # day 1 streams in and is folded + cleaned; day 2 rides the
+        # published generation — the two-cycle production cadence
+        tx.filter(F.col("cc_num") % 2 == 0).write.mode("append").parquet(src)
+        ring_monitor_stream_maintained(spark, src, out, ckpt, root)
+        compact_ring_links(spark, out, root)
+        shutil.rmtree(out)
+        tx.filter(F.col("cc_num") % 2 == 1).write.mode("append").parquet(src)
+        return ring_monitor_stream_maintained(spark, src, out, ckpt, root)
+
+    q["streaming_ring_monitor_maintained"] = _stream_ring_monitor_maintained
 
     # rows-only (applyInPandasWithState per-card last-location state):
     # the impossible-travel detector AT INGEST — pinned set-equal to

@@ -345,6 +345,57 @@ def ring_monitor_stream(
     return ring_pairs_from_links(links, RING_SUPPORT)
 
 
+def ring_monitor_stream_maintained(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    root: str,
+) -> DataFrame:
+    """The production shape of the ring monitor (round-14, closes the
+    r13 stretch): the standing link set lives in the PUBLISHED
+    snapshot generation (``compact_ring_links``' output) and the
+    monitor's pair surface reads published ∪ live batch partitions —
+    so the per-emit merge touches one compact group plus only the
+    partitions accumulated since the last fold, instead of an
+    ever-growing batch_id list. Distinct-union is idempotent, so a
+    link present in both the published generation and a not-yet-
+    compacted partition collapses — pair semantics are IDENTICAL to
+    ``ring_monitor_stream`` and to batch ``dash_fraud_ring_pairs`` on
+    the same data (pinned with a mid-stream fold in
+    tests/test_streaming.py). Runs with no published generation yet
+    (first day): the published side is simply absent."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        RING_SUPPORT,
+        ring_links,
+        ring_pairs_from_links,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partition(ring_links(batch), out_path, batch_id)
+
+    fresh = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "cc_num long, merchant string, day date, batch_id long",
+    ).select("cc_num", "merchant", "day")
+    try:
+        published = read_published(spark, root)["ring_links"]
+        links = published.unionByName(fresh).distinct()
+    except FileNotFoundError:
+        links = fresh.distinct()
+    return ring_pairs_from_links(links, RING_SUPPORT)
+
+
 # --- ring link-table maintenance (round 14) ----------------------------------
 RING_LINKS_SCHEMA = "cc_num long, merchant string, day date"
 

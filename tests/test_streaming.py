@@ -641,3 +641,64 @@ def test_card_testing_monitor_bit_identical_to_batch(spark, tmp_path):
         str(tmp_path / "ckpt_fwd2"),
     )
     assert sorted(tuple(r) for r in replayed.collect()) == batch
+
+
+def test_ring_monitor_maintained_reads_published_generation(spark, tmp_path):
+    """Round-14: the maintained monitor reads published ∪ live batch
+    partitions. After a mid-stream fold + partition cleanup, the pair
+    surface still equals batch dash_fraud_ring_pairs over ALL data —
+    and a link present on both sides (not-yet-cleaned partition)
+    collapses by distinct-union idempotence."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_fraud_ring_pairs,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        compact_ring_links,
+        ring_monitor_stream_maintained,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    halves = [
+        tx.filter(F.col("cc_num") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    root = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    # day 1: no published generation yet — monitor runs on fresh only
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+    p1 = ring_monitor_stream_maintained(spark, src, out, ckpt, root)
+    half_pairs = sorted(
+        tuple(r)
+        for r in dash_fraud_ring_pairs({"transactions": halves[0]}).collect()
+    )
+    assert sorted(tuple(r) for r in p1.collect()) == half_pairs
+
+    # nightly fold; day-1 partitions cleaned (existed at fold time)
+    compact_ring_links(spark, out, root)
+    shutil.rmtree(out)
+
+    # day 2: second half arrives; monitor = published gen ∪ new batch
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    p2 = ring_monitor_stream_maintained(spark, src, out, ckpt, root)
+    full_pairs = sorted(
+        tuple(r) for r in dash_fraud_ring_pairs({"transactions": tx}).collect()
+    )
+    assert full_pairs
+    assert sorted(tuple(r) for r in p2.collect()) == full_pairs
+
+    # overlap case: fold day-2 in but DON'T clean its partitions —
+    # links now live on both sides; idempotent union keeps pairs equal
+    compact_ring_links(spark, out, root)
+    p3 = ring_monitor_stream_maintained(spark, src, out, ckpt, root)
+    assert sorted(tuple(r) for r in p3.collect()) == full_pairs
