@@ -66,7 +66,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     toward), and dash_ring_triangles (triangle census + edge
 #:     density per ring — the clique-vs-chain over-merge audit the
 #:     CC docstring promises; canonical ordered-adjacency 3-join,
-#:     fourth final SELECT on the shared recursive CTE body) — all
+#:     fourth final SELECT on the shared recursive CTE body), and
+#:     docs_gopher_rules (the Gopher §A1.1.1 per-document drop rules
+#:     as one single-scan projection — word window, mean word length,
+#:     symbol ratio, alpha fraction, stopword floor; exact integer
+#:     arithmetic before the one division) — all
 #:     validate_driver-green at sf0.001 AND sf0.01 in-round (the
 #:     dashboards also at sf0.1);
 #: (b) dash_fraud_rate_cusum — r14 IMPL CHANGE (the CUSUM closed
@@ -76,16 +80,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 38-entry r10 cohort named by the r13 verdict (all 38
 #:     judge-validated oracle-ok at sf0.01 in the r13 independent
 #:     sweep), in CORRECTNESS_r10 insertion order;
-#: (d) the 4 oldest r11-green entries (CORRECTNESS_r11 insertion
+#: (d) the 3 oldest r11-green entries (CORRECTNESS_r11 insertion
 #:     order) to the 50 cap.
-#: 7 + 1 + 38 + 4 = exactly 50. The 45 remaining r11-green entries
-#: (history_published_gold onward in CORRECTNESS_r11 order) stay
+#: 8 + 1 + 38 + 3 = exactly 50. The 46 remaining r11-green entries
+#: (docs_dedup_incremental onward in CORRECTNESS_r11 order) stay
 #: covered
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 193 oracled entries have driver rows (surface: 245 registered =
-#: 193 oracled + 52 rows-only).
+#: 194 oracled entries have driver rows (surface: 246 registered =
+#: 194 oracled + 52 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -114,6 +118,7 @@ _DRIVER_FRONT = [
     "dash_velocity_burst",
     "dash_card_amount_anomaly",
     "dash_ring_triangles",
+    "docs_gopher_rules",
     # (b) r14 impl change (shared closed-form extraction)
     "dash_fraud_rate_cusum",
     # (c) the 38-entry r10 cohort (CORRECTNESS_r10 insertion order)
@@ -155,11 +160,10 @@ _DRIVER_FRONT = [
     "dash_category",
     "dash_amount_range",
     "dash_high_value",
-    # (d) the 4 oldest r11-green entries (CORRECTNESS_r11 order)
+    # (d) the 3 oldest r11-green entries (CORRECTNESS_r11 order)
     "docs_dedup_apply",
     "docs_split_leakage_safe",
     "docs_dedup_keep_best",
-    "docs_dedup_incremental",
 ]
 
 

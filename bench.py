@@ -197,7 +197,9 @@ DIRECT = [
     "docs_quality_report",
     # round-14: depth-2 FastSS edit-distance join (L²/2 variant
     # fan-out — the documented memory/recall trade one step deeper)
+    # + the Gopher per-document drop-rule screen
     "dedup_fuzzy_names_d2",
+    "docs_gopher_rules",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -103,6 +103,119 @@ def text_quality(t: Frames) -> DataFrame:
     )
 
 
+# --- Gopher-style rule screen (round 14) ------------------------------------
+#: Gopher (Rae et al. 2021, "Scaling Language Models") quality-rule
+#: bounds, adapted to this corpus's scale: word-count window,
+#: mean-word-length band, symbol-to-word ceiling, alphabetic-word
+#: floor, stopword floor. Thresholds are the published heuristics
+#: except the word floor (30 vs Gopher's 50 — the synthetic docs
+#: median 56 words, so 50 would flag half the corpus; documented
+#: dial, same machinery).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_SQL_PARTS = {
+    "n": f"len({_TOKENS})",
+    "mwl": f"CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE) / len({_TOKENS})",
+    "sym": (
+        "CAST((length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / "
+        f"len({_TOKENS})"
+    ),
+    "alpha": f"CAST(len(list_filter({_TOKENS}, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len({_TOKENS})",
+    "stops": f"len(list_filter({_TOKENS}, x -> list_contains({_EN_SET}, x)))",
+}
+
+
+@_register(
+    "docs_gopher_rules",
+    f"""
+    WITH gr AS (
+      SELECT doc_id,
+             CAST({_GOPHER_SQL_PARTS["n"]} AS BIGINT) AS n_words,
+             {_GOPHER_SQL_PARTS["mwl"]} AS mwl,
+             {_GOPHER_SQL_PARTS["sym"]} AS sym,
+             {_GOPHER_SQL_PARTS["alpha"]} AS alpha,
+             CAST({_GOPHER_SQL_PARTS["stops"]} AS BIGINT) AS n_stopwords
+      FROM documents
+      WHERE len({_TOKENS}) > 0
+    )
+    SELECT doc_id, n_words,
+           {dround_sql('mwl')} AS mean_word_len,
+           {dround_sql('sym')} AS symbol_ratio,
+           {dround_sql('alpha')} AS alpha_word_frac,
+           n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+             AND (sym < {GOPHER_MAX_SYMBOL_RATIO})
+             AND (alpha >= {GOPHER_MIN_ALPHA_FRAC})
+             AND (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS pass_gopher
+    FROM gr
+    """,
+)
+def docs_gopher_rules(t: Frames) -> DataFrame:
+    """Gopher-style quality-rule screen (Rae et al. 2021 §A1.1.1):
+    the published pretraining heuristics — word-count window, mean
+    word length 3–10, symbol-to-word ratio, alphabetic-word fraction,
+    stopword floor — as one single-scan projection with per-rule
+    observables and the conjunction flag. Complements
+    ``text_quality``'s diversity score (statistical) and
+    ``docs_quality_report``'s constraint suite (corpus-level): this
+    is the per-document DROP decision a curation pipeline applies
+    before anything expensive touches the text.
+
+    Scale design: pure narrow projection — tokenize once, every rule
+    is integer/length arithmetic over the token array (exact in both
+    engines; the mean-word-length sum is an integer before the one
+    division), zero shuffles, codegen end to end. The thresholds are
+    module constants (the documented dials), so retuning them is a
+    config change, not a new operator."""
+    toks = _tokens_col()
+    n = F.size(toks)
+    mwl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("...")))
+        )
+        / 3
+    ).cast("double") / n
+    alpha = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n
+    )
+    en = F.lit(list(EN_STOPWORDS))
+    stops = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    return (
+        t["documents"]
+        .filter(F.size(_tokens_col()) > 0)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_words"),
+            dround(mwl).alias("mean_word_len"),
+            dround(sym).alias("symbol_ratio"),
+            dround(alpha).alias("alpha_word_frac"),
+            stops.cast("long").alias("n_stopwords"),
+            (
+                n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+                & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+                & (sym < GOPHER_MAX_SYMBOL_RATIO)
+                & (alpha >= GOPHER_MIN_ALPHA_FRAC)
+                & (stops >= GOPHER_MIN_STOPWORDS)
+            ).alias("pass_gopher"),
+        )
+    )
+
+
 # --- heuristic language ID --------------------------------------------------
 @_register(
     "text_lang_id",
