@@ -40,12 +40,22 @@ QUERIES = [
     "q_user_velocity",     # window function over events
     "dedup_exact",         # hash-agg dedup over documents
     "text_stats",          # pure-projection text ops
+    # round-14 fraud screens + the Gopher drop-rule projection
+    # (dashboard names resolve through gold_frames over each dir)
+    "dash_card_amount_anomaly",  # per-card keyed median/MAD
+    "dash_velocity_burst",       # per-card RANGE window + max
+    "dash_seasonal_anomaly",     # (category x dow) keyed MAD
+    "dash_card_testing",         # merchant-day conditional counts
+    "docs_gopher_rules",         # single-scan rule projection
 ]
 
 
 def main() -> None:
     from real_time_fraud_detection_lakehouse_spark.operators import LLM_OPS
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+    from real_time_fraud_detection_lakehouse_spark.plans.gold import gold_frames
     from real_time_fraud_detection_lakehouse_spark.plans.relational import RELATIONAL
+    from real_time_fraud_detection_lakehouse_spark.plans.views import VIEWS
 
     spark = get_spark(
         "bench-scale",
@@ -61,12 +71,16 @@ def main() -> None:
         build_secs = round(time.time() - t0, 1)
 
         ops = {**RELATIONAL, **LLM_OPS}
+        domain = {**VIEWS, **DASHBOARDS}
         results = {}
         for name in QUERIES:
-            builder, _ = ops[name]
+            builder, _ = ops[name] if name in ops else domain[name]
             per_sf = {}
             for label, sf_dir in (("sf0.1", SF_DIR), ("sf1", big_dir)):
-                frames = {t: table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+                if name in ops:
+                    frames = {t: table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+                else:
+                    frames = gold_frames(spark, sf_dir)
                 q = builder(frames)
                 q.write.format("noop").mode("overwrite").save()  # warm-up
                 t0 = time.time()
