@@ -70,7 +70,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     docs_gopher_rules (the Gopher §A1.1.1 per-document drop rules
 #:     as one single-scan projection — word window, mean word length,
 #:     symbol ratio, alpha fraction, stopword floor; exact integer
-#:     arithmetic before the one division) — all
+#:     arithmetic before the one division), and
+#:     dash_merchant_centrality (two unrolled power-iteration rounds
+#:     of degree-damped PageRank over the card<->merchant bipartite
+#:     graph — the structural companion to risk propagation, same
+#:     fixed-rounds-unrolled-as-SQL oracle discipline) — all
 #:     validate_driver-green at sf0.001 AND sf0.01 in-round (the
 #:     dashboards also at sf0.1);
 #: (b) dash_fraud_rate_cusum — r14 IMPL CHANGE (the CUSUM closed
@@ -80,16 +84,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (c) the full 38-entry r10 cohort named by the r13 verdict (all 38
 #:     judge-validated oracle-ok at sf0.01 in the r13 independent
 #:     sweep), in CORRECTNESS_r10 insertion order;
-#: (d) the 3 oldest r11-green entries (CORRECTNESS_r11 insertion
+#: (d) the 2 oldest r11-green entries (CORRECTNESS_r11 insertion
 #:     order) to the 50 cap.
-#: 8 + 1 + 38 + 3 = exactly 50. The 46 remaining r11-green entries
-#: (docs_dedup_incremental onward in CORRECTNESS_r11 order) stay
+#: 9 + 1 + 38 + 2 = exactly 50. The 47 remaining r11-green entries
+#: (docs_dedup_keep_best onward in CORRECTNESS_r11 order) stay
 #: covered
 #: in-round by the parametrized pytest oracles and LEAD the r15
 #: refresh. Post-round invariant: every oracled entry's latest green
 #: row is r11 or newer (the r10 cohort refreshes to r14), and all
-#: 194 oracled entries have driver rows (surface: 246 registered =
-#: 194 oracled + 52 rows-only).
+#: 195 oracled entries have driver rows (surface: 247 registered =
+#: 195 oracled + 52 rows-only).
 #: Rows-only r14 changes hold no front slots per the r8 rule:
 #: streaming_cusum_monitor (NEW rows-only: per-day long count
 #: partials via the shared batch-partition scaffold + the shared
@@ -119,6 +123,7 @@ _DRIVER_FRONT = [
     "dash_card_amount_anomaly",
     "dash_ring_triangles",
     "docs_gopher_rules",
+    "dash_merchant_centrality",
     # (b) r14 impl change (shared closed-form extraction)
     "dash_fraud_rate_cusum",
     # (c) the 38-entry r10 cohort (CORRECTNESS_r10 insertion order)
@@ -160,10 +165,9 @@ _DRIVER_FRONT = [
     "dash_category",
     "dash_amount_range",
     "dash_high_value",
-    # (d) the 3 oldest r11-green entries (CORRECTNESS_r11 order)
+    # (d) the 2 oldest r11-green entries (CORRECTNESS_r11 order)
     "docs_dedup_apply",
     "docs_split_leakage_safe",
-    "docs_dedup_keep_best",
 ]
 
 

@@ -64,6 +64,7 @@ DOMAIN = [
     "dash_velocity_burst",
     "dash_card_amount_anomaly",
     "dash_ring_triangles",
+    "dash_merchant_centrality",
 ]
 
 #: operators that read the testdata tables directly

@@ -1423,6 +1423,162 @@ def dash_merchant_risk_propagation(g) -> DataFrame:
     )
 
 
+# --- merchant structural centrality (round 14) --------------------------------
+#: PageRank damping (the canonical 0.85) for the 2-round power
+#: iteration over the card↔merchant bipartite graph.
+PR_DAMPING = 0.85
+
+#: fixed unrolled rounds — deterministic, oracle-able as plain SQL
+#: joins (the RISK_ROUNDS precedent for a different recurrence).
+PR_ROUNDS = 2
+
+
+@_register(
+    "dash_merchant_centrality",
+    f"""
+    , pr_edges AS (
+      SELECT DISTINCT cc_num, merchant FROM transactions
+    ),
+    pr_degc AS (
+      SELECT cc_num, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+    ),
+    pr_degm AS (
+      SELECT merchant, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+    ),
+    pr_n AS (
+      SELECT (SELECT COUNT(*) FROM pr_degc) + (SELECT COUNT(*) FROM pr_degm)
+        AS n FROM (SELECT 1)
+    ),
+    pr_c1 AS (
+      SELECT e.cc_num,
+             (1 - {PR_DAMPING}) / n.n
+               + {PR_DAMPING} * SUM((1.0 / n.n) / dm.deg) AS rank
+      FROM pr_edges e
+      JOIN pr_degm dm USING (merchant), pr_n n
+      GROUP BY e.cc_num, n.n
+    ),
+    pr_m1 AS (
+      SELECT e.merchant,
+             (1 - {PR_DAMPING}) / n.n
+               + {PR_DAMPING} * SUM((1.0 / n.n) / dc.deg) AS rank
+      FROM pr_edges e
+      JOIN pr_degc dc USING (cc_num), pr_n n
+      GROUP BY e.merchant, n.n
+    ),
+    pr_c2 AS (
+      SELECT e.cc_num,
+             (1 - {PR_DAMPING}) / n.n
+               + {PR_DAMPING} * SUM(m1.rank / dm.deg) AS rank
+      FROM pr_edges e
+      JOIN pr_m1 m1 USING (merchant)
+      JOIN pr_degm dm USING (merchant), pr_n n
+      GROUP BY e.cc_num, n.n
+    ),
+    pr_m2 AS (
+      SELECT e.merchant,
+             (1 - {PR_DAMPING}) / n.n
+               + {PR_DAMPING} * SUM(c2.rank / dc.deg) AS rank
+      FROM pr_edges e
+      JOIN pr_c2 c2 USING (cc_num)
+      JOIN pr_degc dc USING (cc_num), pr_n n
+      GROUP BY e.merchant, n.n
+    )
+    SELECT m2.merchant, dm.deg AS n_cards,
+           {_r4s('m2.rank * n.n')} AS centrality
+    FROM pr_m2 m2 JOIN pr_degm dm USING (merchant), pr_n n
+    """,
+)
+def dash_merchant_centrality(g) -> DataFrame:
+    """Merchant structural centrality: two unrolled power-iteration
+    rounds of degree-damped PageRank over the undirected
+    card↔merchant bipartite graph — each side's rank alternately
+    redistributes through the other side's degree-normalized edges
+    with the canonical 0.85 damping. The STRUCTURAL companion to
+    ``dash_merchant_risk_propagation``: risk propagation weights by
+    observed fraud, centrality by pure connectivity, and a merchant
+    high on BOTH lists is a mule hub, not just a busy store.
+    ``centrality`` is reported relative to the uniform baseline
+    (rank × N, so 1.0 = average node) — O(1)-scale values that round
+    stably at dround(4) (raw ranks ~1/N would quantize to nothing).
+
+    Scale design: the RISK_ROUNDS recurrence at a different formula —
+    each round is an edge-keyed join + keyed SUM over the DISTINCT
+    edge projection (collapsed once, exchange reused across rounds);
+    degrees bound the redistribution fan-out, N is one broadcast
+    scalar, rounds are a FIXED Python-unrolled count. The oracle
+    unrolls the identical rounds as SQL joins — an iterative graph
+    algorithm with a full hash-checked oracle."""
+    edges = g["transactions"].select("cc_num", "merchant").distinct()
+    degc = edges.groupBy("cc_num").agg(F.count("*").cast("long").alias("degc"))
+    degm = edges.groupBy("merchant").agg(
+        F.count("*").cast("long").alias("degm")
+    )
+    n = degc.select(F.count("*").alias("nc")).crossJoin(
+        F.broadcast(degm.select(F.count("*").alias("nm")))
+    ).select((F.col("nc") + F.col("nm")).cast("double").alias("n"))
+    base = 1 - PR_DAMPING
+
+    # round state: (cc_num, rank) / (merchant, rank); r0 = 1/N both sides
+    e_n = edges.crossJoin(F.broadcast(n))
+    c_rank = None
+    m_rank = None
+    for rnd in range(PR_ROUNDS):
+        if rnd == 0:
+            c_rank = (
+                e_n.join(degm, "merchant")
+                .groupBy("cc_num", "n")
+                .agg(
+                    (
+                        base / F.col("n")
+                        + PR_DAMPING
+                        * F.sum((1.0 / F.col("n")) / F.col("degm"))
+                    ).alias("rank")
+                )
+            )
+            m_rank = (
+                e_n.join(degc, "cc_num")
+                .groupBy("merchant", "n")
+                .agg(
+                    (
+                        base / F.col("n")
+                        + PR_DAMPING
+                        * F.sum((1.0 / F.col("n")) / F.col("degc"))
+                    ).alias("rank")
+                )
+            )
+        else:
+            c_rank = (
+                e_n.join(m_rank.select("merchant", "rank"), "merchant")
+                .join(degm, "merchant")
+                .groupBy("cc_num", "n")
+                .agg(
+                    (
+                        base / F.col("n")
+                        + PR_DAMPING * F.sum(F.col("rank") / F.col("degm"))
+                    ).alias("rank")
+                )
+            )
+            m_rank = (
+                e_n.join(c_rank.select("cc_num", "rank"), "cc_num")
+                .join(degc, "cc_num")
+                .groupBy("merchant", "n")
+                .agg(
+                    (
+                        base / F.col("n")
+                        + PR_DAMPING * F.sum(F.col("rank") / F.col("degc"))
+                    ).alias("rank")
+                )
+            )
+    return (
+        m_rank.join(degm, "merchant")
+        .select(
+            "merchant",
+            F.col("degm").alias("n_cards"),
+            _r4(F.col("rank") * F.col("n")).alias("centrality"),
+        )
+    )
+
+
 # --- CUSUM drift screen (round 13) -------------------------------------------
 #: slack per day (in robust sigmas) the CUSUM absorbs before it
 #: accumulates — detects SUSTAINED shifts ~0.5 sigma and up, the drift
