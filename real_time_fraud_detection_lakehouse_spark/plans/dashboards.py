@@ -1451,7 +1451,7 @@ PR_ROUNDS = 2
     ),
     pr_c1 AS (
       SELECT e.cc_num,
-             (1 - {PR_DAMPING}) / n.n
+             {1 - PR_DAMPING} / n.n
                + {PR_DAMPING} * SUM((1.0 / n.n) / dm.deg) AS rank
       FROM pr_edges e
       JOIN pr_degm dm USING (merchant), pr_n n
@@ -1459,7 +1459,7 @@ PR_ROUNDS = 2
     ),
     pr_m1 AS (
       SELECT e.merchant,
-             (1 - {PR_DAMPING}) / n.n
+             {1 - PR_DAMPING} / n.n
                + {PR_DAMPING} * SUM((1.0 / n.n) / dc.deg) AS rank
       FROM pr_edges e
       JOIN pr_degc dc USING (cc_num), pr_n n
@@ -1467,7 +1467,7 @@ PR_ROUNDS = 2
     ),
     pr_c2 AS (
       SELECT e.cc_num,
-             (1 - {PR_DAMPING}) / n.n
+             {1 - PR_DAMPING} / n.n
                + {PR_DAMPING} * SUM(m1.rank / dm.deg) AS rank
       FROM pr_edges e
       JOIN pr_m1 m1 USING (merchant)
@@ -1476,7 +1476,7 @@ PR_ROUNDS = 2
     ),
     pr_m2 AS (
       SELECT e.merchant,
-             (1 - {PR_DAMPING}) / n.n
+             {1 - PR_DAMPING} / n.n
                + {PR_DAMPING} * SUM(c2.rank / dc.deg) AS rank
       FROM pr_edges e
       JOIN pr_c2 c2 USING (cc_num)

@@ -411,7 +411,12 @@ def _store_lock(root: str, action: str, wait: bool = False):
         # hold this lockfile while we run — skipping the unlink on a
         # read error would leak a lock nobody can ever take over.
         # Retry the read once; if it still errors (anything but
-        # FileNotFoundError), unlink anyway.
+        # FileNotFoundError), unlink anyway. The 'no rival can hold
+        # it' premise rides on _holder_alive's SAME-HOST pid check —
+        # on a shared filesystem a cross-host takeover plus a local
+        # read error could unlink the rival's lock; acceptable under
+        # the O_EXCL lock's documented local-filesystem scope (see
+        # the locking contract above).
         mine = True
         for attempt in range(2):
             try:

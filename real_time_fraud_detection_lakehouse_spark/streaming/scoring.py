@@ -389,9 +389,12 @@ def ring_monitor_stream_maintained(
         "cc_num long, merchant string, day date, batch_id long",
     ).select("cc_num", "merchant", "day")
     try:
+        # KeyError (published generations that never included a
+        # ring_links table) falls back exactly like no-store-yet
+        # (r14 advice) — fresh-only links, same as first run
         published = read_published(spark, root)["ring_links"]
         links = published.unionByName(fresh).distinct()
-    except FileNotFoundError:
+    except (FileNotFoundError, KeyError):
         links = fresh.distinct()
     return ring_pairs_from_links(links, RING_SUPPORT)
 
@@ -442,9 +445,11 @@ def compact_ring_links(spark: SparkSession, batch_out_path: str, root: str) -> i
     else:
         fresh = spark.createDataFrame([], RING_LINKS_SCHEMA)
     try:
+        # same KeyError fallback as the maintained monitor: a store
+        # whose generations lack ring_links folds fresh-only
         prev = read_published(spark, root)["ring_links"]
         merged = prev.unionByName(fresh).distinct()
-    except FileNotFoundError:
+    except (FileNotFoundError, KeyError):
         merged = fresh.distinct()
     return publish_tables({"ring_links": merged}, root)
 
@@ -468,9 +473,15 @@ def ring_pairs_from_published(
         read_published,
     )
 
-    links = read_published(spark, root)["ring_links"]
+    tables = read_published(spark, root)
+    if "ring_links" not in tables:
+        # normalize to the error readers already handle (a published
+        # store whose generations lack ring_links == no link surface)
+        raise FileNotFoundError(
+            f"published store at {root!r} has no ring_links table"
+        )
     return ring_pairs_from_links(
-        links, RING_SUPPORT if min_links is None else min_links
+        tables["ring_links"], RING_SUPPORT if min_links is None else min_links
     )
 
 

@@ -72,6 +72,33 @@ def main() -> None:
 
         ops = {**RELATIONAL, **LLM_OPS}
         domain = {**VIEWS, **DASHBOARDS}
+        # materialize the medallion ONCE per sf_dir (bench.py's
+        # warehouse phase, r14 advice): dashboard builders are timed
+        # over MATERIALIZED silver/fact, so each ratio measures the
+        # screen's own scaling — a lazy gold_frames plan would re-run
+        # the whole shared silver ETL inside every timed write and
+        # dilute the per-op signal. fact is a pure narrow projection
+        # of silver and the dims are tiny keyed dedups, so deriving
+        # them lazily from the materialized silver adds only the scan
+        # the screen itself pays.
+        from real_time_fraud_detection_lakehouse_spark.plans import gold as gold_mod
+
+        mat_frames = {}
+        for label, sf_dir in (("sf0.1", SF_DIR), ("sf1", big_dir)):
+            silver_path = os.path.join(big_dir, f"_silver_{label.replace('.', '_')}")
+            gold_frames(spark, sf_dir)["silver"].write.mode("overwrite").parquet(
+                silver_path
+            )
+            silver_mat = spark.read.parquet(silver_path)
+            mat_frames[label] = {
+                "transactions": silver_mat,
+                "silver": silver_mat,
+                "fact": gold_mod.fact_transactions(silver_mat),
+                "dim_customer": gold_mod.dim_customer(silver_mat),
+                "dim_merchant": gold_mod.dim_merchant(silver_mat),
+                "dim_time": gold_mod.dim_time(silver_mat),
+                "dim_location": gold_mod.dim_location(silver_mat),
+            }
         results = {}
         for name in QUERIES:
             builder, _ = ops[name] if name in ops else domain[name]
@@ -80,7 +107,7 @@ def main() -> None:
                 if name in ops:
                     frames = {t: table(spark, sf_dir, t) for t in TESTDATA_TABLES}
                 else:
-                    frames = gold_frames(spark, sf_dir)
+                    frames = mat_frames[label]
                 q = builder(frames)
                 q.write.format("noop").mode("overwrite").save()  # warm-up
                 t0 = time.time()
