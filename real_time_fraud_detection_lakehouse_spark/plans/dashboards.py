@@ -15,6 +15,8 @@ Same registry shape as plans/views.py; builders receive the gold dict
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -760,6 +762,49 @@ def _ring_pair_frame(g, min_links: int) -> DataFrame:
     return ring_pairs_from_links(ring_links(g["transactions"]), min_links)
 
 
+#: In-session share of the STRONG pair stream + its connected
+#: components across the four ring dashboards (r14 verdict #1: each
+#: previously recomputed the pair self-join + CC from scratch — ~21.5 s
+#: of the 132-entry bench suite spent on one intermediate, and at 100x
+#: the repeated pair-stream term multiplies by four). Keyed WEAKLY on
+#: the transactions DataFrame object — gold_frames() memoizes frames
+#: per (session, sf_dir), so every dashboard call over one medallion
+#: sees the same object and the share is automatic; a test that builds
+#: its own frames gets its own entry, freed when its frame is GC'd
+#: (persisted blocks are then unpersisted by Spark's ContextCleaner).
+#: Compute-on-miss IS the recompute fallback: semantics are identical
+#: by construction (same builders), pinned shared-vs-fresh in
+#: tests/test_plans.py. The published-store twin of this intermediate
+#: (compact_ring_links / ring_pairs_from_published,
+#: streaming/scoring.py) remains the cross-SESSION production path.
+_RING_SHARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _ring_shared(g) -> dict[str, DataFrame]:
+    """The shared (pairs, comp) intermediate for the strong-support
+    ring family: ``pairs`` = hub-capped strong pair stream, ``comp`` =
+    (cc_num, ring_id) membership from min-label CC — both persisted so
+    the four dashboards materialize them ONCE per medallion."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    tx = g["transactions"]
+    cached = _RING_SHARED.get(tx)
+    if cached is None:
+        pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT).persist()
+        comp = (
+            connected_components(pairs, src="card_a", dst="card_b")
+            .select(
+                F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
+            )
+            .persist()
+        )
+        cached = {"pairs": pairs, "comp": comp}
+        _RING_SHARED[tx] = cached
+    return cached
+
+
 @_register(
     "dash_fraud_ring_pairs",
     f"""
@@ -900,23 +945,16 @@ def dash_fraud_rings(g) -> DataFrame:
     via the module-shared min-label propagation with pointer jumping
     (operators/dedup.py:591 — O(log diameter) rounds of keyed joins,
     localCheckpoint-bounded lineage); ring_size is a
-    component-partitioned count, never a global window. The ORACLE's
+    component-partitioned count, never a global window. Membership
+    comes from the session-shared persisted intermediate
+    (``_ring_shared`` — pair stream + CC computed once for all four
+    ring dashboards, r15). The ORACLE's
     recursive closure is O(nodes × component) — exact and cheap at
     driver scale, while the Spark side is the plan that survives a
     10⁹-card graph."""
-    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
-        connected_components,
-    )
-
-    pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT)
-    comp = connected_components(pairs, src="card_a", dst="card_b")
+    comp = _ring_shared(g)["comp"]
     w = Window.partitionBy("ring_id")
-    return (
-        comp.select(
-            F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
-        )
-        .withColumn("ring_size", F.count("*").over(w))
-    )
+    return comp.withColumn("ring_size", F.count("*").over(w))
 
 
 @_register("dash_fraud_ring_stats", None)  # SQL bound in __spark_entry__
@@ -928,12 +966,13 @@ def dash_fraud_ring_stats(g) -> DataFrame:
     a case, a 2-card ring at base rate is a household).
 
     Scale design: the ring membership table is O(linked cards) rows
-    (tiny relative to the fact table), so the join back to
-    transactions is a classic small⋈huge the planner broadcasts on
-    its own; everything after is one keyed aggregate with map-side
-    partials. The recursive oracle reuses the shared CC closure CTEs
-    with a different final SELECT (one definition)."""
-    rings = dash_fraud_rings(g).select("cc_num", "ring_id")
+    (tiny relative to the fact table) and comes from the
+    session-shared persisted intermediate (``_ring_shared``), so the
+    join back to transactions is a classic small⋈huge the planner
+    broadcasts on its own; everything after is one keyed aggregate
+    with map-side partials. The recursive oracle reuses the shared CC
+    closure CTEs with a different final SELECT (one definition)."""
+    rings = _ring_shared(g)["comp"]
     return (
         g["transactions"]
         .join(rings, "cc_num")
@@ -967,15 +1006,12 @@ def dash_ring_triangles(g) -> DataFrame:
     pair generation already enforces; per-ring rollups are keyed
     aggregates over O(linked cards) rows. Triangles cannot span
     rings (all three edges lie inside one component), so anchoring
-    the ring_id on vertex ``a`` is exact, not an approximation."""
-    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
-        connected_components,
-    )
-
-    pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT).select("card_a", "card_b")
-    comp = connected_components(pairs, src="card_a", dst="card_b").select(
-        F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
-    )
+    the ring_id on vertex ``a`` is exact, not an approximation. Pair
+    stream + membership come from the session-shared persisted
+    intermediate (``_ring_shared``, r15)."""
+    shared = _ring_shared(g)
+    pairs = shared["pairs"].select("card_a", "card_b")
+    comp = shared["comp"]
     e1 = pairs.select(F.col("card_a").alias("a"), F.col("card_b").alias("b"))
     e2 = pairs.select(F.col("card_a").alias("b"), F.col("card_b").alias("c"))
     e3 = pairs.select(F.col("card_a").alias("a"), F.col("card_b").alias("c"))
@@ -1026,7 +1062,8 @@ def dash_ring_evolution(g) -> DataFrame:
     span). A ring whose last_seen is months old is a closed case; a
     ring recruiting new cards this week is an open one.
 
-    Scale design: ring membership is O(linked cards) rows and the
+    Scale design: ring membership is O(linked cards) rows (from the
+    session-shared persisted intermediate, ``_ring_shared``) and the
     day-grain link table is O(cards × active days) — both tiny
     relative to the fact stream, so the membership⋈links join is
     keyed on cc_num with a broadcastable ring side; everything after
@@ -1036,7 +1073,7 @@ def dash_ring_evolution(g) -> DataFrame:
     (datediff + 7) DIV 7 ≡ (span_days + 6) DIV 7 in BOTH engines, so
     they agree bit-for-bit with no float boundary. The recursive oracle reuses the shared CC closure
     CTEs with a third final SELECT (one definition)."""
-    rings = dash_fraud_rings(g).select("cc_num", "ring_id")
+    rings = _ring_shared(g)["comp"]
     links = ring_links(g["transactions"])
     rl = links.join(rings, "cc_num")
     member = rl.groupBy("ring_id", "cc_num").agg(
