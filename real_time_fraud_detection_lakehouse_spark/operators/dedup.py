@@ -1908,6 +1908,139 @@ DEDUP_OPS["dedup_fuzzy_canonical"] = (
 )
 
 
+#: The d<=2 canonicalization oracle (r15). Same recursive-closure
+#: semantics as _FUZZY_CANONICAL_ORACLE, two differences:
+#:
+#: 1. ONE round of star contraction BEFORE the recursion: every node
+#:    collapses to min(self, min neighbor) (plain grouped SQL), the
+#:    closure then runs over the CONTRACTED graph. Exact for CC — the
+#:    component's true minimum maps to itself (all its neighbors are
+#:    larger), inter-star edges survive contraction, so the contracted
+#:    graph has the same components and the same minimum labels. On
+#:    the d<=2 pair graph this is the difference between a 40 s and a
+#:    ~4 s oracle at sf0.01: 204k pairs collapse the 1500-customer
+#:    graph to a handful of contracted nodes before the O(nodes x
+#:    component) reach-set recursion ever runs (measured in-round).
+#:    A label with NO contracted edge is a whole component contracted
+#:    into one star; its minimum IS the label (two distinct labels in
+#:    one component force an inter-star edge), hence the COALESCE.
+#: 2. Per-cluster over-merge audit: cluster_edges + edge_density
+#:    (2E / n(n-1)) — the dash_ring_triangles idiom applied to entity
+#:    clusters (a density-1 cluster is mutual typo structure, a
+#:    near-zero one is a transitive chain gluing strangers).
+_FUZZY_CANONICAL_D2_ORACLE = f"""
+WITH RECURSIVE fpairs AS (
+  SELECT custkey_a, custkey_b FROM ({{fuzzy_pairs}})
+),
+fedges AS (
+  SELECT custkey_a AS a, custkey_b AS b FROM fpairs
+  UNION
+  SELECT custkey_b, custkey_a FROM fpairs
+),
+fstar AS (
+  SELECT a AS n, LEAST(a, MIN(b)) AS lab FROM fedges GROUP BY a
+),
+cedges AS (
+  SELECT DISTINCT sa.lab AS a, sb.lab AS b
+  FROM fedges e
+  JOIN fstar sa ON sa.n = e.a
+  JOIN fstar sb ON sb.n = e.b
+  WHERE sa.lab <> sb.lab
+),
+cnodes AS (SELECT DISTINCT a AS n FROM cedges),
+creach(n, m) AS (
+  SELECT n, n FROM cnodes
+  UNION
+  SELECT r.n, e.b FROM creach r JOIN cedges e ON r.m = e.a
+),
+ccomp AS (SELECT n, MIN(m) AS root FROM creach GROUP BY n),
+fcomp AS (
+  SELECT s.n AS c_custkey, COALESCE(c.root, s.lab) AS canonical_custkey
+  FROM fstar s LEFT JOIN ccomp c ON c.n = s.lab
+),
+fsize AS (
+  SELECT canonical_custkey, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM fcomp GROUP BY 1
+),
+fedge_cnt AS (
+  SELECT c.canonical_custkey, CAST(COUNT(*) AS BIGINT) AS cluster_edges
+  FROM fpairs p JOIN fcomp c ON c.c_custkey = p.custkey_a
+  GROUP BY 1
+)
+SELECT f.c_custkey, f.canonical_custkey, s.cluster_size, e.cluster_edges,
+       {dround_sql("2.0 * e.cluster_edges / (s.cluster_size * (s.cluster_size - 1))")}
+         AS edge_density
+FROM fcomp f
+JOIN fsize s USING (canonical_custkey)
+JOIN fedge_cnt e USING (canonical_custkey)
+"""
+
+
+@_register("dedup_fuzzy_canonical_d2", None)  # SQL bound below (nests the d2 oracle)
+def dedup_fuzzy_canonical_d2(t: Frames) -> DataFrame:
+    """Depth-2 entity canonicalization: connected components over the
+    Levenshtein<=2 pair stream (``dedup_fuzzy_names_d2``), every
+    clustered customer mapped to its cluster's minimum custkey — the
+    actionable merge decision for the d<=2 surface, one edit deeper
+    than ``dedup_fuzzy_canonical`` (r14 verdict #3).
+
+    Transitive over-merge is MUCH stronger at d<=2 (at the synthetic
+    SFs the whole digit-dense key space chains into one component), so
+    the audit signal is first-class output: ``cluster_edges`` and
+    ``edge_density`` = 2E/n(n-1) per cluster — the
+    ``dash_ring_triangles`` clique-vs-chain idiom applied to entity
+    clusters. A production ER pass reads density to decide whether a
+    cluster is mutual typo structure (near 1) or a transitive chain
+    gluing strangers (near 0) before acting on the merge.
+
+    Scale design: the pair stream is the depth-2 deletion-neighborhood
+    join (bounded variant-keyed fan-out, never all-pairs); CC is the
+    module's min-label propagation with pointer jumping (O(log
+    diameter) keyed-join rounds); size/edge audits are two keyed
+    aggregates over O(clustered nodes) and O(pairs) rows. The ORACLE
+    runs one star-contraction round before its recursive closure —
+    exact (the docstring above the SQL carries the argument) and ~10x
+    cheaper on the dense d2 graph; like the d1 oracle it is the
+    semantics anchor, deliberately not run at sf0.1."""
+    pairs = dedup_fuzzy_names_d2(t).select("custkey_a", "custkey_b")
+    comp = connected_components(pairs, src="custkey_a", dst="custkey_b")
+    members = comp.select(
+        F.col("node").alias("c_custkey"),
+        F.col("component").alias("canonical_custkey"),
+    )
+    sizes = members.groupBy("canonical_custkey").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    edges = (
+        pairs.join(members, pairs.custkey_a == members.c_custkey)
+        .groupBy("canonical_custkey")
+        .agg(F.count("*").cast("long").alias("cluster_edges"))
+    )
+    return (
+        members.join(sizes, "canonical_custkey")
+        .join(edges, "canonical_custkey")
+        .select(
+            "c_custkey",
+            "canonical_custkey",
+            "cluster_size",
+            "cluster_edges",
+            dround(
+                2.0
+                * F.col("cluster_edges")
+                / (F.col("cluster_size") * (F.col("cluster_size") - 1))
+            ).alias("edge_density"),
+        )
+    )
+
+
+DEDUP_OPS["dedup_fuzzy_canonical_d2"] = (
+    dedup_fuzzy_canonical_d2,
+    _FUZZY_CANONICAL_D2_ORACLE.format(
+        fuzzy_pairs=DEDUP_OPS["dedup_fuzzy_names_d2"][1]
+    ),
+)
+
+
 # --- streaming fuzzy-entity gate (round 13) ---------------------------------
 #: base table names of the published FastSS entity index; fold-ins
 #: append ``_dK`` deltas (the corpus-index delta-then-compact cycle).

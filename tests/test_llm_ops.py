@@ -2292,3 +2292,58 @@ def test_docs_quality_report_planted_violations(spark):
     assert got["n_chars_matches_text"] == (1, False)
     assert got["lang_not_null"] == (1, False)
     assert got["source_not_null"] == (1, False)
+
+
+def test_fuzzy_canonical_d2_planted_density_audit(spark, duck):
+    """r15: d<=2 canonicalization on a planted multi-component graph —
+    a 3-chain (A~B~C at d=2 each, d(A,C)=4: merges transitively,
+    density 2/3), a 3-clique (pairwise d=1: density 1.0), and an exact
+    pair — with hand-computed audit columns. The SAME planted frame is
+    then pushed through the DuckDB oracle (star-contraction + closure)
+    and compared row-for-row: pins the contraction-based oracle's
+    exactness on a graph with several components, a shape the
+    single-giant-component testdata never exercises."""
+    import pandas as pd
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        DEDUP_OPS,
+        dedup_fuzzy_canonical_d2,
+    )
+    from tests.conftest import compare_frames
+
+    rows = [
+        (10, "aaaaaaaa"),
+        (11, "aaaaaabb"),    # d(10,11)=2
+        (12, "aaaabbbb"),    # d(11,12)=2, d(10,12)=4 -> chain merge
+        (20, "zzzzzzz1"),
+        (21, "zzzzzzz2"),    # clique: pairwise d=1
+        (22, "zzzzzzz3"),
+        (30, "qqqqqqqq"),
+        (31, "qqqqqqqq"),    # exact dup pair (d=0)
+        (40, "unrelated name"),
+    ]
+    t = {"customer": spark.createDataFrame(rows, "c_custkey long, c_name string")}
+    sdf = dedup_fuzzy_canonical_d2(t)
+    got = {
+        r["c_custkey"]: (
+            r["canonical_custkey"],
+            r["cluster_size"],
+            r["cluster_edges"],
+            r["edge_density"],
+        )
+        for r in sdf.collect()
+    }
+    assert got == {
+        10: (10, 3, 2, 0.666667), 11: (10, 3, 2, 0.666667), 12: (10, 3, 2, 0.666667),
+        20: (20, 3, 3, 1.0), 21: (20, 3, 3, 1.0), 22: (20, 3, 3, 1.0),
+        30: (30, 2, 1, 1.0), 31: (30, 2, 1, 1.0),
+    }, got
+
+    duck.register(
+        "customer",
+        pd.DataFrame(rows, columns=["c_custkey", "c_name"]),
+    )
+    try:
+        compare_frames(sdf, duck.sql(DEDUP_OPS["dedup_fuzzy_canonical_d2"][1]))
+    finally:
+        duck.unregister("customer")
