@@ -1364,9 +1364,11 @@ RISK_DAMPING = 0.5
 RISK_ROUNDS = 2
 
 
-@_register(
-    "dash_merchant_risk_propagation",
-    f"""
+#: Continued-CTE chain and final SELECT of the risk-propagation
+#: oracle, split so composed screens (``dash_mule_hubs``) can reuse
+#: the chain with the final wrapped as a CTE; the registration below
+#: concatenates them unchanged.
+_RP_CTES = f"""
     , rp_edges AS (
       SELECT DISTINCT cc_num, merchant FROM transactions
     ),
@@ -1397,11 +1399,18 @@ RISK_ROUNDS = 2
       JOIN rp_seed s USING (merchant)
       JOIN rp_card2 c USING (cc_num)
       GROUP BY e.merchant, s.risk0
-    )
-    SELECT m.merchant, {_r4s('s.risk0')} AS seed_risk,
+    )"""
+
+_RP_FINAL = f"""SELECT m.merchant, {_r4s('s.risk0')} AS seed_risk,
            {_r4s('m.risk2')} AS propagated_risk,
            {_r4s('m.risk2 - s.risk0')} AS risk_lift
-    FROM rp_m2 m JOIN rp_seed s USING (merchant)
+    FROM rp_m2 m JOIN rp_seed s USING (merchant)"""
+
+
+@_register(
+    "dash_merchant_risk_propagation",
+    f"""{_RP_CTES}
+    {_RP_FINAL}
     """,
 )
 def dash_merchant_risk_propagation(g) -> DataFrame:
@@ -1470,9 +1479,18 @@ PR_DAMPING = 0.85
 PR_ROUNDS = 2
 
 
-@_register(
-    "dash_merchant_centrality",
-    f"""
+def _pr_ctes(rounds: int) -> str:
+    """Continued-CTE chain for ``rounds`` unrolled power-iteration
+    rounds of the degree-damped bipartite PageRank (pr_edges/degrees/N
+    head + pr_cR/pr_mR per round). Round 1 redistributes the uniform
+    1/N vector from BOTH sides; each later round feeds merchants the
+    FRESH card ranks of its own round (the exact recurrence the Spark
+    builder unrolls — one definition of the round structure, any
+    depth, so the 2-round screen and the 3-round convergence audit
+    share it). The damping complement is interpolated from the
+    PYTHON-computed constant (r14 advice: DuckDB's decimal ``1 - 0.85``
+    is 1 ulp off Python's, enough to flip a dround(4) boundary)."""
+    head = """
     , pr_edges AS (
       SELECT DISTINCT cc_num, merchant FROM transactions
     ),
@@ -1485,66 +1503,51 @@ PR_ROUNDS = 2
     pr_n AS (
       SELECT (SELECT COUNT(*) FROM pr_degc) + (SELECT COUNT(*) FROM pr_degm)
         AS n FROM (SELECT 1)
-    ),
-    pr_c1 AS (
+    )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        c_in = "(1.0 / n.n)" if r == 1 else f"m{r-1}.rank"
+        c_join = (
+            "" if r == 1 else f"\n      JOIN pr_m{r-1} m{r-1} USING (merchant)"
+        )
+        m_in = "(1.0 / n.n)" if r == 1 else f"c{r}.rank"
+        m_join = "" if r == 1 else f"\n      JOIN pr_c{r} c{r} USING (cc_num)"
+        parts.append(f""",
+    pr_c{r} AS (
       SELECT e.cc_num,
              {1 - PR_DAMPING} / n.n
-               + {PR_DAMPING} * SUM((1.0 / n.n) / dm.deg) AS rank
-      FROM pr_edges e
+               + {PR_DAMPING} * SUM({c_in} / dm.deg) AS rank
+      FROM pr_edges e{c_join}
       JOIN pr_degm dm USING (merchant), pr_n n
       GROUP BY e.cc_num, n.n
     ),
-    pr_m1 AS (
+    pr_m{r} AS (
       SELECT e.merchant,
              {1 - PR_DAMPING} / n.n
-               + {PR_DAMPING} * SUM((1.0 / n.n) / dc.deg) AS rank
-      FROM pr_edges e
+               + {PR_DAMPING} * SUM({m_in} / dc.deg) AS rank
+      FROM pr_edges e{m_join}
       JOIN pr_degc dc USING (cc_num), pr_n n
       GROUP BY e.merchant, n.n
-    ),
-    pr_c2 AS (
-      SELECT e.cc_num,
-             {1 - PR_DAMPING} / n.n
-               + {PR_DAMPING} * SUM(m1.rank / dm.deg) AS rank
-      FROM pr_edges e
-      JOIN pr_m1 m1 USING (merchant)
-      JOIN pr_degm dm USING (merchant), pr_n n
-      GROUP BY e.cc_num, n.n
-    ),
-    pr_m2 AS (
-      SELECT e.merchant,
-             {1 - PR_DAMPING} / n.n
-               + {PR_DAMPING} * SUM(c2.rank / dc.deg) AS rank
-      FROM pr_edges e
-      JOIN pr_c2 c2 USING (cc_num)
-      JOIN pr_degc dc USING (cc_num), pr_n n
-      GROUP BY e.merchant, n.n
-    )
-    SELECT m2.merchant, dm.deg AS n_cards,
-           {_r4s('m2.rank * n.n')} AS centrality
-    FROM pr_m2 m2 JOIN pr_degm dm USING (merchant), pr_n n
-    """,
-)
-def dash_merchant_centrality(g) -> DataFrame:
-    """Merchant structural centrality: two unrolled power-iteration
-    rounds of degree-damped PageRank over the undirected
-    card↔merchant bipartite graph — each side's rank alternately
-    redistributes through the other side's degree-normalized edges
-    with the canonical 0.85 damping. The STRUCTURAL companion to
-    ``dash_merchant_risk_propagation``: risk propagation weights by
-    observed fraud, centrality by pure connectivity, and a merchant
-    high on BOTH lists is a mule hub, not just a busy store.
-    ``centrality`` is reported relative to the uniform baseline
-    (rank × N, so 1.0 = average node) — O(1)-scale values that round
-    stably at dround(4) (raw ranks ~1/N would quantize to nothing).
+    )""")
+    return "".join(parts)
 
-    Scale design: the RISK_ROUNDS recurrence at a different formula —
-    each round is an edge-keyed join + keyed SUM over the DISTINCT
-    edge projection (collapsed once, exchange reused across rounds);
-    degrees bound the redistribution fan-out, N is one broadcast
-    scalar, rounds are a FIXED Python-unrolled count. The oracle
-    unrolls the identical rounds as SQL joins — an iterative graph
-    algorithm with a full hash-checked oracle."""
+
+def _pr_final(rounds: int) -> str:
+    """Final SELECT over ``_pr_ctes(rounds)``: merchant, degree, and
+    rank reported x N vs the uniform baseline."""
+    m = f"m{rounds}"
+    return f"""SELECT {m}.merchant, dm.deg AS n_cards,
+           {_r4s(f'{m}.rank * n.n')} AS centrality
+    FROM pr_m{rounds} {m} JOIN pr_degm dm USING (merchant), pr_n n"""
+
+
+def _pr_rank_frames(g, rounds: int):
+    """The Spark side of the SAME recurrence ``_pr_ctes`` unrolls:
+    per-round merchant-rank frames over the distinct card<->merchant
+    edge projection. Returns (m_ranks, degm) where m_ranks[r-1] is the
+    (merchant, n, rank) frame after round r — lazy plans sharing the
+    one edge projection, so Catalyst reuses the exchange across
+    rounds and across consumers asking for different depths."""
     edges = g["transactions"].select("cc_num", "merchant").distinct()
     degc = edges.groupBy("cc_num").agg(F.count("*").cast("long").alias("degc"))
     degm = edges.groupBy("merchant").agg(
@@ -1557,9 +1560,10 @@ def dash_merchant_centrality(g) -> DataFrame:
 
     # round state: (cc_num, rank) / (merchant, rank); r0 = 1/N both sides
     e_n = edges.crossJoin(F.broadcast(n))
+    m_ranks = []
     c_rank = None
     m_rank = None
-    for rnd in range(PR_ROUNDS):
+    for rnd in range(rounds):
         if rnd == 0:
             c_rank = (
                 e_n.join(degm, "merchant")
@@ -1606,12 +1610,169 @@ def dash_merchant_centrality(g) -> DataFrame:
                     ).alias("rank")
                 )
             )
+        m_ranks.append(m_rank)
+    return m_ranks, degm
+
+
+@_register(
+    "dash_merchant_centrality",
+    f"""{_pr_ctes(PR_ROUNDS)}
+    {_pr_final(PR_ROUNDS)}
+    """,
+)
+def dash_merchant_centrality(g) -> DataFrame:
+    """Merchant structural centrality: two unrolled power-iteration
+    rounds of degree-damped PageRank over the undirected
+    card↔merchant bipartite graph — each side's rank alternately
+    redistributes through the other side's degree-normalized edges
+    with the canonical 0.85 damping. The STRUCTURAL companion to
+    ``dash_merchant_risk_propagation``: risk propagation weights by
+    observed fraud, centrality by pure connectivity, and a merchant
+    high on BOTH lists is a mule hub, not just a busy store (the
+    composed screen: ``dash_mule_hubs``).
+    ``centrality`` is reported relative to the uniform baseline
+    (rank × N, so 1.0 = average node) — O(1)-scale values that round
+    stably at dround(4) (raw ranks ~1/N would quantize to nothing).
+
+    Scale design: the RISK_ROUNDS recurrence at a different formula —
+    each round is an edge-keyed join + keyed SUM over the DISTINCT
+    edge projection (collapsed once, exchange reused across rounds);
+    degrees bound the redistribution fan-out, N is one broadcast
+    scalar, rounds are a FIXED Python-unrolled count (r15: the round
+    machinery lives in ``_pr_rank_frames`` / ``_pr_ctes``, shared
+    with the 3-round convergence audit below — semantics unchanged).
+    The oracle unrolls the identical rounds as SQL joins — an
+    iterative graph algorithm with a full hash-checked oracle."""
+    m_ranks, degm = _pr_rank_frames(g, PR_ROUNDS)
+    m_rank = m_ranks[-1]
     return (
         m_rank.join(degm, "merchant")
         .select(
             "merchant",
             F.col("degm").alias("n_cards"),
             _r4(F.col("rank") * F.col("n")).alias("centrality"),
+        )
+    )
+
+
+#: convergence-audit depth: one round PAST the production screen, so
+#: the fixed-round truncation is a MEASURED quantity, not an
+#: assumption (r14 verdict #8).
+PR_AUDIT_ROUNDS = 3
+
+
+@_register(
+    "dash_centrality_convergence",
+    f"""{_pr_ctes(PR_AUDIT_ROUNDS)}
+    SELECT m2.merchant, dm.deg AS n_cards,
+           {_r4s('m2.rank * n.n')} AS centrality_2r,
+           {_r4s('m3.rank * n.n')} AS centrality_3r,
+           {_r4s('abs(m3.rank * n.n - m2.rank * n.n)')} AS abs_move
+    FROM pr_m2 m2
+    JOIN pr_m3 m3 USING (merchant)
+    JOIN pr_degm dm USING (merchant), pr_n n
+    """,
+)
+def dash_centrality_convergence(g) -> DataFrame:
+    """PageRank truncation audit: merchant centrality after round 2
+    (the production screen's depth) NEXT TO round 3, with the absolute
+    movement — the risk-propagation discipline applied to the
+    structural twin: the fixed-round choice in
+    ``dash_merchant_centrality`` becomes a measured truncation error
+    (tests/test_views.py pins the max movement band on the synthetic
+    graph), and an analyst reading the screen sees per-merchant how
+    settled each rank is.
+
+    Scale design: one extra unrolled round over the SAME shared edge
+    projection and degree frames (``_pr_rank_frames`` returns every
+    round's frame from one lineage — the round-2 aggregates are
+    common subplans of round 3, reused exchanges, no second edge
+    scan); the join of the two rank frames is merchant-keyed over
+    O(merchants) rows. abs_move is pure double arithmetic on ranks
+    both engines computed bit-identically, so even the audit column
+    hash-checks."""
+    m_ranks, degm = _pr_rank_frames(g, PR_AUDIT_ROUNDS)
+    m2 = m_ranks[1].select("merchant", "n", F.col("rank").alias("rank2"))
+    m3 = m_ranks[2].select("merchant", F.col("rank").alias("rank3"))
+    return (
+        m2.join(m3, "merchant")
+        .join(degm, "merchant")
+        .select(
+            "merchant",
+            F.col("degm").alias("n_cards"),
+            _r4(F.col("rank2") * F.col("n")).alias("centrality_2r"),
+            _r4(F.col("rank3") * F.col("n")).alias("centrality_3r"),
+            _r4(
+                F.abs(
+                    F.col("rank3") * F.col("n") - F.col("rank2") * F.col("n")
+                )
+            ).alias("abs_move"),
+        )
+    )
+
+
+@_register(
+    "dash_mule_hubs",
+    f"""{_pr_ctes(PR_ROUNDS)}
+    {_RP_CTES},
+    mh_cent AS (
+      {_pr_final(PR_ROUNDS)}
+    ),
+    mh_risk AS (
+      {_RP_FINAL}
+    ),
+    mh AS (
+      SELECT c.merchant, c.n_cards, c.centrality, r.risk_lift,
+             r.propagated_risk
+      FROM mh_cent c JOIN mh_risk r USING (merchant)
+    ),
+    mh_med AS (
+      SELECT quantile_cont(centrality, 0.5) AS med_c,
+             quantile_cont(risk_lift, 0.5) AS med_l
+      FROM mh
+    )
+    SELECT merchant, n_cards, centrality, risk_lift, propagated_risk
+    FROM mh, mh_med
+    WHERE centrality > med_c AND risk_lift > med_l
+    """,
+)
+def dash_mule_hubs(g) -> DataFrame:
+    """Mule-hub composite: merchants STRICTLY ABOVE the population
+    median on BOTH structural centrality (``dash_merchant_centrality``)
+    and propagated risk lift (``dash_merchant_risk_propagation``) —
+    the screen both component docstrings promise: a merchant that is a
+    connectivity hub AND fraud-adjacent beyond its own ledger. Either
+    signal alone has an innocent explanation (a busy supermarket; a
+    store next to a hot one); the conjunction is the mule-hub
+    signature. Median splits (not absolute cuts) because both axes'
+    scales move with graph density across data volumes — the screen
+    always reads "top half on both", deterministic at every SF.
+
+    Scale design: both inputs are merchant-keyed O(merchants) surfaces
+    over the one shared edge projection; the medians are two exact
+    percentile aggregates over that tiny surface broadcast back as a
+    1-row frame (the keyed-MAD idiom); the conjunction is a filter.
+    Both inputs carry full unrolled SQL oracles, so the composition
+    hash-checks end to end — medians computed over the ROUNDED
+    columns in both engines, so the boundary comparisons agree
+    bit-for-bit."""
+    cent = dash_merchant_centrality(g).select("merchant", "n_cards", "centrality")
+    risk = dash_merchant_risk_propagation(g).select(
+        "merchant", "risk_lift", "propagated_risk"
+    )
+    j = cent.join(risk, "merchant")
+    med = j.agg(
+        F.percentile("centrality", 0.5).alias("med_c"),
+        F.percentile("risk_lift", 0.5).alias("med_l"),
+    )
+    return (
+        j.crossJoin(F.broadcast(med))
+        .filter(
+            (F.col("centrality") > F.col("med_c"))
+            & (F.col("risk_lift") > F.col("med_l"))
+        )
+        .select(
+            "merchant", "n_cards", "centrality", "risk_lift", "propagated_risk"
         )
     )
 

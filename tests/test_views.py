@@ -391,3 +391,22 @@ def test_ring_shared_intermediate_equals_recompute(spark):
     assert {tuple(r) for r in s1["pairs"].collect()} == {
         tuple(r) for r in fresh_pairs.collect()
     }
+
+
+def test_centrality_fixed_round_truncation_is_measured(spark):
+    """r15 (r14 verdict #8): dash_merchant_centrality truncates the
+    power iteration at 2 rounds; dash_centrality_convergence makes
+    that a MEASURED quantity. Pin the band observed in-round on the
+    synthetic graph (max relative round-2→3 movement 0.143 at sf0.001,
+    0.056 at sf0.01 — band 0.25 with margin) and, the property the
+    screen actually rides on, that the top-10 hub SET is identical at
+    both depths (observed: identical, Spearman ≥ 0.998 at both SFs)."""
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    rows = dash.dash_centrality_convergence(g).collect()
+    assert rows, "convergence audit returned no merchants"
+    assert max(r["abs_move"] / r["centrality_2r"] for r in rows) < 0.25
+    top2 = {r["merchant"] for r in sorted(rows, key=lambda r: -r["centrality_2r"])[:10]}
+    top3 = {r["merchant"] for r in sorted(rows, key=lambda r: -r["centrality_3r"])[:10]}
+    assert top2 == top3
