@@ -642,6 +642,37 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_bloom_curation"] = _stream_bloom_curation
 
+    # rows-only (r15): the Gopher §A1.1.1 drop rules AT INGEST — the
+    # same gopher_rule_cols conjunction the batch docs_gopher_rules
+    # screen computes (one definition), applied in the curation
+    # stream's projection. Admissions == default-mode admissions ∩
+    # the batch op's pass set, pinned under both arrival orders in
+    # tests/test_streaming_windows.py.
+    def _stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            curation_stream,
+            write_doc_stream_fixture,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="gopher_gate_stream_")
+        src = os.path.join(tmp, "src")
+        write_doc_stream_fixture(spark, sf_dir, src)
+        out = curation_stream(
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            gopher_gate=True,
+        )
+        return out.select(
+            "fp", "n_tokens", "quality_score", "n_pii", "clean_fp"
+        ).orderBy("fp")
+
+    q["streaming_gopher_gate"] = _stream_gopher_gate
+
     # the streaming near-dup ingest gate (round 11, rows-only): exact
     # twins AND near-dups of the standing corpus gated at ingest via
     # stream-static joins against the published corpus index;

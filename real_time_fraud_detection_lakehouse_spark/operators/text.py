@@ -172,7 +172,35 @@ def docs_gopher_rules(t: Frames) -> DataFrame:
     engines; the mean-word-length sum is an integer before the one
     division), zero shuffles, codegen end to end. The thresholds are
     module constants (the documented dials), so retuning them is a
-    config change, not a new operator."""
+    config change, not a new operator. The rule expressions live in
+    ``gopher_rule_cols`` (r15) — ONE definition shared with the
+    streaming ingest gate (streaming/curation.py)."""
+    c = gopher_rule_cols()
+    return (
+        t["documents"]
+        .filter(F.size(_tokens_col()) > 0)
+        .select(
+            "doc_id",
+            c["n"].cast("long").alias("n_words"),
+            dround(c["mwl"]).alias("mean_word_len"),
+            dround(c["sym"]).alias("symbol_ratio"),
+            dround(c["alpha"]).alias("alpha_word_frac"),
+            c["stops"].cast("long").alias("n_stopwords"),
+            c["pass_gopher"].alias("pass_gopher"),
+        )
+    )
+
+
+def gopher_rule_cols() -> dict[str, F.Column]:
+    """The Gopher §A1.1.1 rule expressions over a document row with a
+    ``text`` column — the ONE definition behind the batch screen
+    (``docs_gopher_rules``) and the streaming ingest gate
+    (``curation_stream(gopher_gate=True)``). Keys: ``n`` (word
+    count), ``mwl`` (mean word length), ``sym`` (symbol-to-word
+    ratio), ``alpha`` (alphabetic-word fraction), ``stops`` (stopword
+    hits), ``pass_gopher`` (the conjunction drop flag — null on
+    zero-token docs, which both consumers treat as fail). Pure row
+    expressions, codegen end to end."""
     toks = _tokens_col()
     n = F.size(toks)
     mwl = (
@@ -195,25 +223,20 @@ def docs_gopher_rules(t: Frames) -> DataFrame:
     )
     en = F.lit(list(EN_STOPWORDS))
     stops = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
-    return (
-        t["documents"]
-        .filter(F.size(_tokens_col()) > 0)
-        .select(
-            "doc_id",
-            n.cast("long").alias("n_words"),
-            dround(mwl).alias("mean_word_len"),
-            dround(sym).alias("symbol_ratio"),
-            dround(alpha).alias("alpha_word_frac"),
-            stops.cast("long").alias("n_stopwords"),
-            (
-                n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-                & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-                & (sym < GOPHER_MAX_SYMBOL_RATIO)
-                & (alpha >= GOPHER_MIN_ALPHA_FRAC)
-                & (stops >= GOPHER_MIN_STOPWORDS)
-            ).alias("pass_gopher"),
-        )
-    )
+    return {
+        "n": n,
+        "mwl": mwl,
+        "sym": sym,
+        "alpha": alpha,
+        "stops": stops,
+        "pass_gopher": (
+            n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+            & (sym < GOPHER_MAX_SYMBOL_RATIO)
+            & (alpha >= GOPHER_MIN_ALPHA_FRAC)
+            & (stops >= GOPHER_MIN_STOPWORDS)
+        ),
+    }
 
 
 # --- heuristic language ID --------------------------------------------------

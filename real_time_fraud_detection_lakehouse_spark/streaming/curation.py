@@ -172,6 +172,7 @@ def curation_stream(
     eval_docs: DataFrame | None = _AUTO_EVAL,  # type: ignore[assignment]
     max_files_per_trigger: int | None = None,
     decon_mode: str = "exact",
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """Run the filter-at-ingest gates over a document stream with
     availableNow (test/backfill trigger; production drops the trigger
@@ -202,6 +203,14 @@ def curation_stream(
     pinned under both arrival orders in
     tests/test_streaming_windows.py.
 
+    ``gopher_gate=True`` (r15) additionally applies the Gopher
+    §A1.1.1 per-document drop rules AT INGEST — the same
+    ``gopher_rule_cols`` conjunction the batch ``docs_gopher_rules``
+    screen computes (one definition), evaluated in the stream's
+    projection; zero-token docs read as fail on both paths. Admitted
+    set == default-mode admissions ∩ the batch op's pass set, pinned
+    under both arrival orders in tests/test_streaming_windows.py.
+
     Scale design: the gates and the scrub accounting are stateless
     column math evaluated inside each micro-batch — zero state,
     arbitrarily parallel; decontamination and the fp quarantine are
@@ -226,22 +235,33 @@ def curation_stream(
         # dropDuplicatesWithinWatermark keeps is task-scheduling order,
         # not ingest_ts order; across batches it is state, hence defined
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    proj = [
+        "doc_id",
+        "source",
+        "ingest_ts",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["quality_score"].alias("quality_score"),
+        cols["en_hits"].alias("en_hits"),
+        cols["n_pii"].alias("n_pii"),
+        cols["clean_fp"].alias("clean_fp"),
+        cols["fp"].alias("fp"),
+        decon_gram_hashes(th).alias("gram_hashes"),
+        F.size(toks).alias("_n_toks"),
+    ]
+    if gopher_gate:
+        from real_time_fraud_detection_lakehouse_spark.operators.text import gopher_rule_cols
+
+        # null (zero-token doc) reads as fail — the batch screen's
+        # size>0 pre-filter expressed as a row flag
+        proj.append(
+            F.coalesce(gopher_rule_cols()["pass_gopher"], F.lit(False)).alias(
+                "_pass_gopher"
+            )
+        )
     stream = (
         reader.parquet(source_path)
         .withWatermark("ingest_ts", watermark)
-        .select(
-            "doc_id",
-            "source",
-            "ingest_ts",
-            cols["n_tokens"].alias("n_tokens"),
-            cols["quality_score"].alias("quality_score"),
-            cols["en_hits"].alias("en_hits"),
-            cols["n_pii"].alias("n_pii"),
-            cols["clean_fp"].alias("clean_fp"),
-            cols["fp"].alias("fp"),
-            decon_gram_hashes(th).alias("gram_hashes"),
-            F.size(toks).alias("_n_toks"),
-        )
+        .select(*proj)
     )
     # DEDUP FIRST, gates after: the first arrival per fingerprint is the
     # class representative and its gates decide the class's fate — an
@@ -258,6 +278,8 @@ def curation_stream(
         & (F.col("en_hits") > 0)
         & (F.col("source") != DECON_EVAL_SOURCE)
     )
+    if gopher_gate:
+        stream = stream.filter(F.col("_pass_gopher")).drop("_pass_gopher")
     if decon_mode not in ("exact", "bloom"):
         raise ValueError(f"decon_mode must be 'exact' or 'bloom', got {decon_mode!r}")
     if eval_docs is not None:

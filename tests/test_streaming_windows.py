@@ -1180,3 +1180,67 @@ def test_streaming_cusum_bit_identical_to_batch(spark, tmp_path):
         str(tmp_path / "ckpt_fwd2"),  # already-consumed checkpoint
     )
     assert empty.count() == 0
+
+
+def test_streaming_gopher_gate_equals_batch_pass_set(spark, tmp_path):
+    """r15: curation_stream(gopher_gate=True) admits exactly the
+    default-mode admissions intersected with the batch
+    docs_gopher_rules pass set (one gopher_rule_cols definition on
+    both paths; zero-token docs fail on both) — under both arrival
+    orders, with per-file micro-batches making order real."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.text import TEXT_OPS
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        curation_stream,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    gopher_pass = {
+        r["doc_id"]
+        for r in TEXT_OPS["docs_gopher_rules"][0]({"documents": docs}).collect()
+        if r["pass_gopher"]
+    }
+
+    stamped = docs.withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    )
+    halves = [
+        stamped.filter(F.col("doc_id") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    for tag, order in (("forward", [0, 1]), ("reversed", [1, 0])):
+        src = str(tmp_path / f"gsrc_{tag}")
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, part in enumerate(order):
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+        plain = curation_stream(
+            spark,
+            src,
+            str(tmp_path / f"gout_plain_{tag}"),
+            str(tmp_path / f"gckpt_plain_{tag}"),
+            max_files_per_trigger=1,
+        )
+        gated = curation_stream(
+            spark,
+            src,
+            str(tmp_path / f"gout_gated_{tag}"),
+            str(tmp_path / f"gckpt_gated_{tag}"),
+            max_files_per_trigger=1,
+            gopher_gate=True,
+        )
+        plain_ids = {r["doc_id"] for r in plain.collect()}
+        gated_ids = {r["doc_id"] for r in gated.collect()}
+        assert gated_ids == plain_ids & gopher_pass, tag
+        # the gate must actually bite on this fixture (non-trivial pin)
+        assert plain_ids - gated_ids, tag
