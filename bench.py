@@ -65,6 +65,10 @@ DOMAIN = [
     "dash_card_amount_anomaly",
     "dash_ring_triangles",
     "dash_merchant_centrality",
+    # round-15: the truncation audit (one extra unrolled PageRank
+    # round) + the centrality x risk-lift composite screen
+    "dash_centrality_convergence",
+    "dash_mule_hubs",
 ]
 
 #: operators that read the testdata tables directly
@@ -201,6 +205,15 @@ DIRECT = [
     # + the Gopher per-document drop-rule screen
     "dedup_fuzzy_names_d2",
     "docs_gopher_rules",
+    # round-15: CC + density audit over the d2 pair stream (the pair
+    # join dominates; the audit adds two keyed aggregates)
+    "dedup_fuzzy_canonical_d2",
+    # round-15 (verdict #2 / the explicit-exclusion audit): the two
+    # former UNTIMED variants that measured >=1s warm at sf0.1 in the
+    # r15 classification sweep (1.30s / 1.05s) — past the variant
+    # band, so they graduate to the timed suite
+    "docs_token_budget_report",
+    "docs_dedup_apply",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session
@@ -293,6 +306,173 @@ HEADLINE = [
     "docs_curate_pipeline",
     "streaming_dedup",
 ]
+
+
+
+#: The EXPLICIT timing-exclusion registry (round-15, r14 verdict's
+#: "What's missing #2" / Next #7): every registered ``queries()``
+#: entry is either timed by this suite (DOMAIN / DIRECT / the three
+#: dedicated-phase entries) or named here under a documented reason —
+#: tests/test_entry_contract.py asserts the partition EXACTLY, so a
+#: new operator cannot silently skip timing: add it to a timed list
+#: or to a reason bucket, deliberately, in the same commit.
+#:
+#: Reasons:
+#: - "variant": plan-shape variants of a timed family member (the
+#:   grouped-agg/view/introspection tail). Every one measured < 0.6 s
+#:   warm at sf0.1 in the r15 classification sweep (max 0.52 s,
+#:   q_supplier_order_volume) — below ~2x the calibration probe,
+#:   where timings are scheduler noise, not plan signal. Entries that
+#:   outgrow the band graduate to DIRECT (r15 moved
+#:   docs_token_budget_report at 1.30 s and docs_dedup_apply at
+#:   1.05 s).
+#: - "composite": the medallion components (source map, silver, the
+#:   five gold builders) — their cost IS the timed etl_silver_gold
+#:   composite; timing each alone re-times the same silver scan.
+#: - "baseline": quarantined all-pairs oracle baselines whose SCALE
+#:   path is timed (dedup_embedding_cosine, 19.6 s at sf0.1 vs its
+#:   timed IVF twin — the multimodal_phash precedent: timing the
+#:   deliberately-quadratic semantics anchor buys no plan signal).
+#: - "lifecycle": snapshot-store lifecycle entries timed in their
+#:   dedicated phases (history_published_gold in phase 4c covers the
+#:   publish cycle sql_published_daily_summary rides;
+#:   docs_dedup_incremental_maintained is timed base+scaled+fold in
+#:   phase 6c).
+#: - "rows_only": engine-specific rows-only entries (streaming / ML /
+#:   sketch / multimodal) — throughput is measured in phases 4/4b
+#:   (bronze + dedup rows/s), the 100x blocks (text_bpe_merges_512,
+#:   dedup_clusters_lsh), or isolated min-of-2 probes recorded in
+#:   COVERAGE.md (the pHash kernels); per-entry suite timings of
+#:   fixture-writing wrappers would time tempdir setup, not the
+#:   operator.
+UNTIMED: dict[str, set[str]] = {
+    "variant": {
+        "amount_summary",
+        "category_summary",
+        "class_distribution",
+        "confusion_matrix",
+        "corpus_sample_hash",
+        "dash_age_group",
+        "dash_amount_range",
+        "dash_category",
+        "dash_distance_range",
+        "dash_fraud_rate",
+        "dash_high_risk",
+        "dash_high_value",
+        "dash_hourly_fraud",
+        "dash_late_night",
+        "dash_model_accuracy",
+        "dash_monthly_trend",
+        "dash_overview",
+        "dash_risky_merchants",
+        "dash_score_distribution",
+        "dash_severity",
+        "dash_state_top20",
+        "dash_weekend",
+        "dedup_ngram_jaccard",
+        "docs_clean_pipeline",
+        "embedding_label_centroids",
+        "embedding_norms",
+        "fraud_patterns",
+        "latest_metrics",
+        "q_brand_revenue_share",
+        "q_clickers_not_purchasers",
+        "q_cube_returnflag_status",
+        "q_customer_order_gaps",
+        "q_customers_without_orders",
+        "q_distinct_pairs",
+        "q_distinct_users",
+        "q_epoch_roundtrip",
+        "q_events_hourly_window",
+        "q_events_json",
+        "q_funnel_conversion",
+        "q_median_quantity",
+        "q_order_count_distribution",
+        "q_order_priority",
+        "q_parts_ordered",
+        "q_price_histogram",
+        "q_price_rank_distribution",
+        "q_quantity_quantiles",
+        "q_repeat_engagers",
+        "q_revenue_anomaly_zscore",
+        "q_rolling_7d_spend",
+        "q_selective_revenue",
+        "q_supplier_order_volume",
+        "q_union_rebalance",
+        "q_unpivot_lineitem_stats",
+        "q_user_retention_cohorts",
+        "sql_daily_summary",
+        "sql_describe_fact",
+        "sql_show_tables",
+        "text_corpus_stats",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_quality",
+        "text_token_count_bpe",
+    },
+    "composite": {
+        "transactions_source",
+        "silver_features",
+        "gold_fact_transactions",
+        "gold_dim_customer",
+        "gold_dim_merchant",
+        "gold_dim_time",
+        "gold_dim_location",
+    },
+    "baseline": {
+        "dedup_embedding_cosine",
+    },
+    "lifecycle": {
+        "sql_published_daily_summary",
+        "docs_dedup_incremental_maintained",
+    },
+    "rows_only": {
+        "cdc_python_source",
+        "corpus_ingest_cycle",
+        "dedup_clusters_lsh",
+        "dedup_simhash",
+        "dedup_simhash_candidates",
+        "docs_classifier_scores",
+        "docs_dedup_keep_best_lsh",
+        "embedding_kmeans",
+        "ml_cv_grid",
+        "ml_feature_importance",
+        "ml_train_metrics",
+        "ml_train_velocity_metrics",
+        "multimodal_features",
+        "multimodal_phash_dct_dedup",
+        "multimodal_phash_dedup",
+        "q_distinct_users_approx",
+        "similarity_brp_lsh",
+        "similarity_ivf_topk",
+        "similarity_pq_topk",
+        "stateful_velocity",
+        "streaming_bloom_curation",
+        "streaming_bronze_ingest",
+        "streaming_card_amount_anomaly",
+        "streaming_card_testing",
+        "streaming_curation",
+        "streaming_cusum_monitor",
+        "streaming_dau_wau",
+        "streaming_distinct_hll",
+        "streaming_enrichment",
+        "streaming_fk_monitor",
+        "streaming_fuzzy_entity_gate",
+        "streaming_gopher_gate",
+        "streaming_hourly_windows",
+        "streaming_impossible_travel",
+        "streaming_incremental_dedup",
+        "streaming_interval_join",
+        "streaming_interval_join_outer",
+        "streaming_quantile_sketch",
+        "streaming_ring_monitor",
+        "streaming_ring_monitor_maintained",
+        "streaming_state_inspect",
+        "streaming_top_ngrams",
+        "streaming_velocity_burst",
+        "text_bpe_merges_512",
+    },
+}
 
 
 def _calibration_probe(spark) -> float:

