@@ -66,9 +66,11 @@ DOMAIN = [
     "dash_ring_triangles",
     "dash_merchant_centrality",
     # round-15: the truncation audit (one extra unrolled PageRank
-    # round) + the centrality x risk-lift composite screen
+    # round) + the centrality x risk-lift composite screen + the
+    # score gain/capture curve (every-cut threshold evaluation)
     "dash_centrality_convergence",
     "dash_mule_hubs",
+    "dash_score_gain",
 ]
 
 #: operators that read the testdata tables directly
@@ -214,6 +216,9 @@ DIRECT = [
     # band, so they graduate to the timed suite
     "docs_token_budget_report",
     "docs_dedup_apply",
+    # round-15 late: asymmetric containment pairs on the shared
+    # prefix-bucket gram projection (the Jaccard op's machinery)
+    "dedup_ngram_containment",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -220,6 +220,80 @@ def dedup_ngram_jaccard(t: Frames) -> DataFrame:
     )
 
 
+#: minimum (rounded) containment on EITHER side for a pair to surface
+#: — 0.8 = four fifths of the smaller doc's grams appear in the other.
+CONTAINMENT_MIN = 0.8
+
+
+@_register(
+    "dedup_ngram_containment",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_BUCKET} AS bucket, {_NGRAMS} AS grams FROM documents
+    )
+    SELECT doc_a, doc_b, containment_a, containment_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {dround_sql(
+               "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+               " / len(a.grams)"
+             )} AS containment_a,
+             {dround_sql(
+               "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+               " / len(b.grams)"
+             )} AS containment_b
+      FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    ) WHERE GREATEST(containment_a, containment_b) >= {CONTAINMENT_MIN}
+    """,
+)
+def dedup_ngram_containment(t: Frames) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (r15): for each candidate
+    pair, the fraction of EACH side's gram set found in the other —
+    |A∩B|/|A| and |A∩B|/|B| — surfacing pairs where either side is
+    >= CONTAINMENT_MIN contained. The duplication class symmetric
+    Jaccard structurally under-scores: a document quoted whole inside
+    a 10x-longer one has Jaccard ~0.1 (invisible at any sane
+    threshold) but containment ~1.0 on the short side — the
+    quoted/expanded/boilerplate-wrapped near-dups a pretraining
+    dedup pass wants to catch (Broder's containment measure, the
+    docs_dup_spans complement at the whole-doc grain).
+
+    Scale design: identical candidate machinery to
+    ``dedup_ngram_jaccard`` — the shared prefix-bucket +
+    hashed-3-gram projection (``_gram_projection``,
+    localCheckpointed, one definition), candidates only WITHIN a
+    bucket, never all-pairs; the two containment ratios are row
+    expressions over the same array intersection. Same recall
+    envelope as the Jaccard op (prefix blocking; this corpus's dup
+    classes are prefix-stable — production would swap in MinHash-band
+    blocking, whose machinery ``dedup_minhash_lsh`` already carries).
+    Both ratios are dround'ed BEFORE the threshold compare, so the
+    boundary decision is bit-identical in both engines."""
+    docs = _gram_projection(t)
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    ca = dround(inter.cast("double") / F.size(F.col("a.grams")))
+    cb = dround(inter.cast("double") / F.size(F.col("b.grams")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where((F.size(F.col("a.grams")) > 0) & (F.size(F.col("b.grams")) > 0))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= CONTAINMENT_MIN
+        )
+    )
+
+
 # --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------
 @_register(
     "docs_cross_overlap",

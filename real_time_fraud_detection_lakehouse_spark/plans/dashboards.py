@@ -580,6 +580,82 @@ def dash_score_distribution(g):
 
 
 @_register(
+    "dash_score_gain",
+    f"""
+    , predictions AS ({PREDICTIONS_CTE}),
+    sg AS (
+      SELECT prediction_score AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_tx,
+             CAST(SUM(is_fraud) AS BIGINT) AS n_fraud
+      FROM predictions GROUP BY 1
+    ),
+    sg_tot AS (
+      SELECT SUM(n_tx) AS tot_tx, SUM(n_fraud) AS tot_fraud FROM sg
+    ),
+    sg_cum AS (
+      SELECT score, n_tx, n_fraud,
+             SUM(n_tx) OVER (ORDER BY score DESC) AS cum_tx,
+             SUM(n_fraud) OVER (ORDER BY score DESC) AS cum_fraud
+      FROM sg
+    )
+    SELECT {_r4s('c.score')} AS score, c.n_tx, c.n_fraud,
+           {_r4s('CAST(c.n_fraud AS DOUBLE) / c.n_tx')} AS fraud_rate,
+           {_r4s('CAST(c.cum_tx AS DOUBLE) / t.tot_tx')} AS cum_tx_share,
+           {_r4s('CAST(c.cum_fraud AS DOUBLE) / t.tot_fraud')} AS capture_rate
+    FROM sg_cum c, sg_tot t
+    """,
+)
+def dash_score_gain(g):
+    """Score gain/capture curve (r15): per distinct rule score, the
+    band's volume and fraud count plus the CUMULATIVE share of all
+    transactions and of all fraud captured at-or-above that score —
+    the lift table an alert-budget decision reads ("reviewing the top
+    X% of scores catches Y% of fraud"). The threshold-quality
+    companion to ``confusion_matrix`` (one fixed 0.5 cut) and
+    ``dash_score_distribution`` (volume histogram only): this screen
+    evaluates EVERY cut at once.
+
+    Scale design: the windowless-banding discipline inverted — the
+    raw stream collapses FIRST to one row per distinct score (a keyed
+    count with map-side partials; the rule score is a CASE-chain sum
+    with ~dozens of distinct values), and the cumulative window runs
+    over THAT bounded table (the CUSUM/day-ordered precedent: an
+    unpartitioned window is fine when its input is an aggregate,
+    never the fact stream). Totals ride one broadcast 1-row
+    aggregate. Grouping keys are the raw double scores (identical
+    CASE arithmetic in both engines — the dash_score_distribution
+    contract); output rides dround(4)."""
+    p = predictions(g["silver"]).select("prediction_score", "is_fraud")
+    sg = p.groupBy(F.col("prediction_score").alias("score")).agg(
+        F.count("*").cast("long").alias("n_tx"),
+        F.sum("is_fraud").cast("long").alias("n_fraud"),
+    )
+    tot = sg.agg(
+        F.sum("n_tx").alias("tot_tx"), F.sum("n_fraud").alias("tot_fraud")
+    )
+    w = Window.orderBy(F.col("score").desc())
+    return (
+        sg.withColumn("cum_tx", F.sum("n_tx").over(w))
+        .withColumn("cum_fraud", F.sum("n_fraud").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            _r4(F.col("score")).alias("score"),
+            "n_tx",
+            "n_fraud",
+            _r4(F.col("n_fraud").cast("double") / F.col("n_tx")).alias(
+                "fraud_rate"
+            ),
+            _r4(F.col("cum_tx").cast("double") / F.col("tot_tx")).alias(
+                "cum_tx_share"
+            ),
+            _r4(F.col("cum_fraud").cast("double") / F.col("tot_fraud")).alias(
+                "capture_rate"
+            ),
+        )
+    )
+
+
+@_register(
     "confusion_matrix",
     f"""
     , predictions AS ({PREDICTIONS_CTE})

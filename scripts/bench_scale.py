@@ -47,6 +47,11 @@ QUERIES = [
     "dash_seasonal_anomaly",     # (category x dow) keyed MAD
     "dash_card_testing",         # merchant-day conditional counts
     "docs_gopher_rules",         # single-scan rule projection
+    # round-15 screens (timed over materialized frames per the r14
+    # advice fix, so the ratios measure the screens themselves)
+    "dash_mule_hubs",            # two rank surfaces + median split
+    "dash_centrality_convergence",  # 3 unrolled PR rounds
+    "dedup_fuzzy_canonical_d2",  # CC + audits over the d2 pair join
 ]
 
 

@@ -2347,3 +2347,41 @@ def test_fuzzy_canonical_d2_planted_density_audit(spark, duck):
         compare_frames(sdf, duck.sql(DEDUP_OPS["dedup_fuzzy_canonical_d2"][1]))
     finally:
         duck.unregister("customer")
+
+
+def test_ngram_containment_catches_asymmetric_subset(spark):
+    """r15: a short doc quoted whole inside a longer one has
+    containment ~1.0 on the short side while Jaccard reads ~|A|/|B| —
+    the asymmetric duplication class the op exists for. Planted: B =
+    A plus a long suffix (same 4-token prefix bucket), C shares only
+    the prefix then diverges (low containment both sides, excluded)."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        CONTAINMENT_MIN,
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+    )
+
+    base = "alpha beta gamma delta one two three four five"
+    rows = [
+        (1, base),
+        (2, base + " six seven eight nine ten eleven twelve thirteen "
+                    "fourteen fifteen sixteen seventeen eighteen nineteen "
+                    "twenty apple banana cherry durian elderberry fig"),
+        (3, "alpha beta gamma delta zz yy xx ww vv uu tt ss rr qq pp"),
+    ]
+    t = {"documents": spark.createDataFrame(rows, "doc_id long, text string")}
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup_ngram_containment(t).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < CONTAINMENT_MIN
+    assert (1, 3) not in got and (2, 3) not in got
+    # ...and symmetric Jaccard on the same pair sits BELOW the
+    # containment threshold — the class this op adds over the Jaccard op
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(t).collect()
+    }
+    assert jac[(1, 2)] < CONTAINMENT_MIN

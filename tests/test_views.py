@@ -410,3 +410,26 @@ def test_centrality_fixed_round_truncation_is_measured(spark):
     top2 = {r["merchant"] for r in sorted(rows, key=lambda r: -r["centrality_2r"])[:10]}
     top3 = {r["merchant"] for r in sorted(rows, key=lambda r: -r["centrality_3r"])[:10]}
     assert top2 == top3
+
+
+def test_score_gain_curve_is_cumulative_and_complete(spark):
+    """r15: structural pins for the gain curve — capture_rate and
+    cum_tx_share are non-decreasing as the score cut walks DOWN, the
+    lowest band closes at exactly 1.0 on both, and band counts sum to
+    the population. (No diagonal-dominance pin: the rule score's top
+    band holds zero fraud at sf0.001 — curve SHAPE is data, only the
+    cumulative algebra is contract.) Value correctness is the
+    parametrized DuckDB oracle test."""
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    rows = sorted(
+        dash.dash_score_gain(g).collect(), key=lambda r: -r["score"]
+    )
+    assert len(rows) >= 3
+    n_total = g["silver"].count()
+    assert sum(r["n_tx"] for r in rows) == n_total
+    caps = [r["capture_rate"] for r in rows]
+    shares = [r["cum_tx_share"] for r in rows]
+    assert caps == sorted(caps) and shares == sorted(shares)
+    assert caps[-1] == 1.0 and shares[-1] == 1.0
