@@ -48,10 +48,15 @@ QUERIES = [
     "dash_card_testing",         # merchant-day conditional counts
     "docs_gopher_rules",         # single-scan rule projection
     # round-15 screens (timed over materialized frames per the r14
-    # advice fix, so the ratios measure the screens themselves)
+    # advice fix, so the ratios measure the screens themselves).
+    # dedup_fuzzy_canonical_d2 is deliberately ABSENT: the key-shift
+    # replica copies c_name verbatim (only c_custkey shifts), so every
+    # FastSS variant group grows x10 and candidate PAIRS x100 — a
+    # planted-dup stress test, not corpus growth (the perturb_text /
+    # perturb_embeddings precedent in bench.py phases 5b/6; an honest
+    # d2 datapoint needs a name-perturbed replica).
     "dash_mule_hubs",            # two rank surfaces + median split
     "dash_centrality_convergence",  # 3 unrolled PR rounds
-    "dedup_fuzzy_canonical_d2",  # CC + audits over the d2 pair join
 ]
 
 
@@ -65,7 +70,12 @@ def main() -> None:
     spark = get_spark(
         "bench-scale",
         master=f"local[{CPUS}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(max(int(CPUS), 8))},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(int(CPUS), 8)),
+            # parity with bench.py: the default 1g heap OOMs the
+            # heavier 10x plans (local mode: executors share it)
+            "spark.driver.memory": "16g",
+        },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
