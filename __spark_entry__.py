@@ -1046,6 +1046,32 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_card_amount_anomaly"] = _stream_card_amount_anomaly
 
+    # rows-only (r15): the weekday-aware revenue screen AT INGEST —
+    # (category, day) partials in EXACT INTEGER CENTS (long-SUM merge)
+    # reconstruct the daily table and feed the UNTOUCHED batch
+    # builder; identical under both arrival orders + replay, equal to
+    # batch on the same rows at 2 dp / robust_z ~1e-9 — pinned in
+    # tests/test_streaming.py
+    def _stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            seasonal_anomaly_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="seasonal_stream_")
+        src = os.path.join(tmp, "src")
+        transactions_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        return seasonal_anomaly_stream(
+            spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+
+    q["streaming_seasonal_anomaly"] = _stream_seasonal
+
     def _cdc_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile

@@ -472,6 +472,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_quantile_sketch",
         "streaming_ring_monitor",
         "streaming_ring_monitor_maintained",
+        "streaming_seasonal_anomaly",
         "streaming_state_inspect",
         "streaming_top_ngrams",
         "streaming_velocity_burst",

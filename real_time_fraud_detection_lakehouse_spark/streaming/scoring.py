@@ -691,3 +691,76 @@ def card_amount_anomaly_stream(
         with_med.withColumn("mad_est", _rank_walk(dev_bs))
         .select("cc_num", "n_obs", "med_est", "mad_est")
     )
+
+
+def seasonal_anomaly_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Weekday-aware revenue anomaly AT INGEST — the streaming twin of
+    ``dash_seasonal_anomaly`` (r15): every micro-batch folds to
+    (category, day) revenue partials in EXACT INTEGER CENTS
+    (amounts are 2-dp by source contract, so ``floor(amt*100 + 0.5)``
+    recovers exact cents and the partial merge is a long SUM — the
+    card-testing discipline applied to a money column, sidestepping
+    float-order sensitivity entirely), idempotently written under
+    ``batch_id=<N>``. The emit merges the partials, reconstructs a
+    one-row-per-(category, day) fact-shaped frame (cents / 100), and
+    hands it to the UNTOUCHED batch builder — the screen logic exists
+    once; the stream only maintains the mergeable daily aggregate the
+    batch op would compute from raw rows.
+
+    Because the partial merge is exact integer addition, the emitted
+    screen is identical under any micro-batch slicing, arrival order,
+    or checkpoint-wipe replay; vs the batch op on the same rows it
+    agrees to within one double division (revenue equal at 2 dp,
+    robust_z within ~1e-9 — the float-sum-order delta the cents
+    representation removes from the STREAM side), pinned in
+    tests/test_streaming.py.
+
+    Scale design: per-trigger cost is one map-side partial count; the
+    standing state is the O(categories x days) daily table — the
+    smallest surface that still determines the screen — and the emit's
+    percentile baselines run over THAT, never the raw stream."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_seasonal_anomaly,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch.groupBy(
+                F.col("category"),
+                F.to_date("trans_timestamp").alias("day"),
+            )
+            .agg(
+                F.sum(F.floor(F.col("amt") * 100 + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("rev_cents")
+            )
+        )
+        write_batch_partition(partials, out_path, batch_id)
+
+    partials = run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "category string, day date, rev_cents long, batch_id long",
+    )
+    daily = partials.groupBy("category", "day").agg(
+        F.sum("rev_cents").cast("long").alias("rev_cents")
+    )
+    fact_like = daily.select(
+        F.col("category").alias("transaction_category"),
+        F.col("day").cast("timestamp").alias("transaction_timestamp"),
+        (F.col("rev_cents").cast("double") / 100.0).alias(
+            "transaction_amount"
+        ),
+    )
+    return dash_seasonal_anomaly({"fact": fact_like})

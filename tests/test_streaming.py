@@ -772,3 +772,75 @@ def test_card_amount_anomaly_stream_order_free_and_in_band(spark, tmp_path):
         assert abs(med_est - vk) <= 0.0051 * vk, cc
         dk = sorted(abs(a - vk) for a in amts)[k - 1]
         assert abs(mad_est - dk) <= 0.0051 * (dk + vk), cc
+
+
+def test_seasonal_anomaly_stream_order_free_and_matches_batch(spark, tmp_path):
+    """r15: the weekday-aware revenue screen at ingest. (a) Cent
+    partials merge by exact long SUM, so the emitted screen is
+    IDENTICAL under both arrival orders and checkpoint-wipe replay.
+    (b) vs the untouched batch builder on the same rows: alert key
+    sets equal, revenue equal at 2 dp, robust_z within 1e-6 (the one
+    double division the cents representation leaves)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_seasonal_anomaly,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        seasonal_anomaly_stream,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    batch = {
+        (r["category"], r["day"]): r
+        for r in dash_seasonal_anomaly(
+            {
+                "fact": tx.select(
+                    F.col("category").alias("transaction_category"),
+                    F.col("trans_timestamp").alias("transaction_timestamp"),
+                    F.col("amt").alias("transaction_amount"),
+                )
+            }
+        ).collect()
+    }
+    assert batch  # the screen must fire on the fixture
+
+    # split by card so the SAME (category, day) spans micro-batches
+    halves = [
+        tx.filter(F.pmod(F.xxhash64("trans_num"), F.lit(2)) == i).localCheckpoint()
+        for i in range(2)
+    ]
+    results = {}
+    for tag, order in (("fwd", (0, 1)), ("rev", (1, 0))):
+        src = str(tmp_path / f"seasrc_{tag}")
+        for part in order:
+            halves[part].coalesce(1).write.mode("append").parquet(src)
+        out = seasonal_anomaly_stream(
+            spark, src, str(tmp_path / f"seaout_{tag}"), str(tmp_path / f"seackpt_{tag}")
+        )
+        results[tag] = sorted(tuple(r) for r in out.collect())
+    assert results["fwd"] == results["rev"]
+
+    shutil.rmtree(str(tmp_path / "seackpt_fwd"))
+    replayed = seasonal_anomaly_stream(
+        spark,
+        str(tmp_path / "seasrc_fwd"),
+        str(tmp_path / "seaout_fwd"),
+        str(tmp_path / "seackpt_fwd2"),
+    )
+    assert sorted(tuple(r) for r in replayed.collect()) == results["fwd"]
+
+    # emitted columns: (category, day, dow, revenue, robust_z)
+    got = {(r[0], r[1]): r for r in results["fwd"]}
+    assert set(got) == set(batch)
+    for k, row in got.items():
+        assert row[2] == batch[k]["dow"], k
+        assert abs(row[3] - batch[k]["revenue"]) < 0.011, k
+        assert abs(row[4] - batch[k]["robust_z"]) <= 1e-6, k
