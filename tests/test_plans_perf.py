@@ -959,3 +959,35 @@ def test_seasonal_anomaly_baselines_broadcast(spark):
     plan = _plan(DASHBOARDS["dash_seasonal_anomaly"][0](g))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, "baseline join degraded to sort-merge"
+
+
+def test_round15_ops_plan_shapes(spark):
+    """r15 plan pins: the gain curve aggregates BEFORE its
+    unpartitioned window (window input is the per-score table, never
+    fact rows); mule_hubs broadcasts the 1-row median frame and keeps
+    the cent⋈risk join merchant-KEYED (no cartesian anywhere); the
+    containment self-join stays bucket-keyed (no unkeyed join — the
+    all-pairs shape it exists to avoid)."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import TESTDATA_TABLES, table
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_ngram_containment,
+    )
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+
+    g = gold_frames(spark, SF_SMALL)
+    gain = _plan(DASHBOARDS["dash_score_gain"][0](g))
+    assert "partial_count" in gain, gain[:500]
+    assert "windowspecdefinition(prediction_score" in gain or "windowspecdefinition(score" in gain, gain[:800]
+
+    mule = _plan(DASHBOARDS["dash_mule_hubs"][0](g))
+    assert "CartesianProduct" not in mule
+    assert (
+        "SortMergeJoin [merchant" in mule or "BroadcastHashJoin [merchant" in mule
+    ), "cent⋈risk join lost its merchant key"
+    assert "BroadcastNestedLoopJoin" in mule  # the 1-row median/N scalars
+
+    t = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    cont = _plan(dedup_ngram_containment(t))
+    assert "CartesianProduct" not in cont
+    assert "array_intersect" in cont
+    assert "bucket" in cont, "containment join lost its bucket key"
