@@ -71,6 +71,7 @@ DOMAIN = [
     "dash_centrality_convergence",
     "dash_mule_hubs",
     "dash_score_gain",
+    "dash_card_hubs",
 ]
 
 #: operators that read the testdata tables directly
@@ -217,8 +218,10 @@ DIRECT = [
     "docs_token_budget_report",
     "docs_dedup_apply",
     # round-15 late: asymmetric containment pairs on the shared
-    # prefix-bucket gram projection (the Jaccard op's machinery)
+    # prefix-bucket gram projection (the Jaccard op's machinery) +
+    # the actionable subset-dedup apply over that pair stream
     "dedup_ngram_containment",
+    "docs_dedup_containment_apply",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -294,6 +294,72 @@ def dedup_ngram_containment(t: Frames) -> DataFrame:
     )
 
 
+_CONTAINMENT_APPLY_ORACLE = """
+WITH cpairs AS ({containment_pairs}),
+cdrops AS (
+  SELECT doc_a AS doc_id FROM cpairs
+  WHERE containment_a >= {MIN} AND containment_b < {MIN}
+  UNION
+  SELECT doc_b FROM cpairs WHERE containment_b >= {MIN}
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cdrops)
+"""
+
+
+@_register("docs_dedup_containment_apply", None)  # SQL bound below
+def docs_dedup_containment_apply(t: Frames) -> DataFrame:
+    """Apply the containment decision (r15): the corpus minus every
+    document substantially CONTAINED in another — the actionable twin
+    of ``dedup_ngram_containment`` the way ``docs_dedup_apply`` is
+    Jaccard's. Drop rule per surfaced pair: the contained side loses
+    (its grams are a subset; the container carries strictly more
+    information), and a MUTUAL pair (near-equal docs, both sides >=
+    CONTAINMENT_MIN) keeps the min doc_id — so the relation is
+    acyclic (container gram count strictly grows except at ties,
+    which break by id) and every containment chain keeps its maximal
+    survivor. Greedy, not transitive-closure: X dropped for living
+    inside Y stays dropped even if Y later loses to Z — Z survives
+    and carries both.
+
+    Scale design: the drop list is a projection of the (bucketed,
+    never all-pairs) containment pair stream; the subtraction is the
+    LEFT ANTI join of ``docs_dedup_apply``, un-hinted under the
+    module broadcast policy (drop lists scale with the corpus — AQE
+    sizes the join at runtime)."""
+    pairs = dedup_ngram_containment(t)
+    drops = (
+        pairs.filter(
+            (F.col("containment_a") >= CONTAINMENT_MIN)
+            & (F.col("containment_b") < CONTAINMENT_MIN)
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pairs.filter(F.col("containment_b") >= CONTAINMENT_MIN).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return (
+        t["documents"]
+        .join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+        )
+    )
+
+
+DEDUP_OPS["docs_dedup_containment_apply"] = (
+    docs_dedup_containment_apply,
+    _CONTAINMENT_APPLY_ORACLE.format(
+        containment_pairs=DEDUP_OPS["dedup_ngram_containment"][1],
+        MIN=CONTAINMENT_MIN,
+    ),
+)
+
+
 # --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------
 @_register(
     "docs_cross_overlap",

@@ -1619,11 +1619,14 @@ def _pr_final(rounds: int) -> str:
 
 def _pr_rank_frames(g, rounds: int):
     """The Spark side of the SAME recurrence ``_pr_ctes`` unrolls:
-    per-round merchant-rank frames over the distinct card<->merchant
-    edge projection. Returns (m_ranks, degm) where m_ranks[r-1] is the
-    (merchant, n, rank) frame after round r — lazy plans sharing the
-    one edge projection, so Catalyst reuses the exchange across
-    rounds and across consumers asking for different depths."""
+    per-round rank frames over the distinct card<->merchant edge
+    projection. Returns (m_ranks, degm, c_ranks, degc) where
+    m_ranks[r-1] / c_ranks[r-1] are the (merchant|cc_num, n, rank)
+    frames after round r — lazy plans sharing the one edge
+    projection, so Catalyst reuses the exchange across rounds and
+    across consumers asking for different depths or sides (the
+    merchant screens read m_ranks; ``dash_card_hubs`` reads the
+    card side the same recurrence already computes)."""
     edges = g["transactions"].select("cc_num", "merchant").distinct()
     degc = edges.groupBy("cc_num").agg(F.count("*").cast("long").alias("degc"))
     degm = edges.groupBy("merchant").agg(
@@ -1637,6 +1640,7 @@ def _pr_rank_frames(g, rounds: int):
     # round state: (cc_num, rank) / (merchant, rank); r0 = 1/N both sides
     e_n = edges.crossJoin(F.broadcast(n))
     m_ranks = []
+    c_ranks = []
     c_rank = None
     m_rank = None
     for rnd in range(rounds):
@@ -1687,7 +1691,8 @@ def _pr_rank_frames(g, rounds: int):
                 )
             )
         m_ranks.append(m_rank)
-    return m_ranks, degm
+        c_ranks.append(c_rank)
+    return m_ranks, degm, c_ranks, degc
 
 
 @_register(
@@ -1719,7 +1724,7 @@ def dash_merchant_centrality(g) -> DataFrame:
     with the 3-round convergence audit below — semantics unchanged).
     The oracle unrolls the identical rounds as SQL joins — an
     iterative graph algorithm with a full hash-checked oracle."""
-    m_ranks, degm = _pr_rank_frames(g, PR_ROUNDS)
+    m_ranks, degm = _pr_rank_frames(g, PR_ROUNDS)[:2]
     m_rank = m_ranks[-1]
     return (
         m_rank.join(degm, "merchant")
@@ -1767,7 +1772,7 @@ def dash_centrality_convergence(g) -> DataFrame:
     O(merchants) rows. abs_move is pure double arithmetic on ranks
     both engines computed bit-identically, so even the audit column
     hash-checks."""
-    m_ranks, degm = _pr_rank_frames(g, PR_AUDIT_ROUNDS)
+    m_ranks, degm = _pr_rank_frames(g, PR_AUDIT_ROUNDS)[:2]
     m2 = m_ranks[1].select("merchant", "n", F.col("rank").alias("rank2"))
     m3 = m_ranks[2].select("merchant", F.col("rank").alias("rank3"))
     return (
@@ -1783,6 +1788,42 @@ def dash_centrality_convergence(g) -> DataFrame:
                     F.col("rank3") * F.col("n") - F.col("rank2") * F.col("n")
                 )
             ).alias("abs_move"),
+        )
+    )
+
+
+@_register(
+    "dash_card_hubs",
+    f"""{_pr_ctes(PR_ROUNDS)}
+    SELECT c2.cc_num, dc.deg AS n_merchants,
+           {_r4s('c2.rank * n.n')} AS centrality
+    FROM pr_c2 c2 JOIN pr_degc dc USING (cc_num), pr_n n
+    """,
+)
+def dash_card_hubs(g) -> DataFrame:
+    """Card-side structural centrality (r15): the SAME two-round
+    damped recurrence as ``dash_merchant_centrality``, read from the
+    card side of the bipartite graph — a card whose rank towers over
+    the uniform baseline touches many merchants that are themselves
+    well-connected, the movement signature of card-testing fleets and
+    mule cards (its ring screens see the co-occurrence AFTER cards
+    collude; this ranks single-card breadth BEFORE any pairing). The
+    merchant screens read m_ranks from ``_pr_rank_frames``; this one
+    reads the c_ranks the recurrence already computes — no new round
+    structure, no new oracle machinery (pr_c2 is already a CTE of the
+    shared unrolled chain).
+
+    Scale design: identical to the merchant side — edge-keyed joins +
+    keyed SUMs over the one distinct edge projection, degree-bounded
+    fan-out, fixed unrolled rounds, N one broadcast scalar."""
+    out = _pr_rank_frames(g, PR_ROUNDS)
+    c_rank, degc = out[2][-1], out[3]
+    return (
+        c_rank.join(degc, "cc_num")
+        .select(
+            "cc_num",
+            F.col("degc").alias("n_merchants"),
+            _r4(F.col("rank") * F.col("n")).alias("centrality"),
         )
     )
 

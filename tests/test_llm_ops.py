@@ -2385,3 +2385,33 @@ def test_ngram_containment_catches_asymmetric_subset(spark):
         for r in dedup_ngram_jaccard(t).collect()
     }
     assert jac[(1, 2)] < CONTAINMENT_MIN
+
+
+def test_containment_apply_drops_contained_keeps_container(spark):
+    """r15: the containment-apply drop rule on a planted chain —
+    A ⊂ B (strict: drop A, keep B), C == C' mutual near-equal (keep
+    min id), D unrelated (survives). The container of a dropped doc
+    survives unless itself contained."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_containment_apply,
+    )
+
+    base = "alpha beta gamma delta one two three four five"
+    rows = [
+        (1, base, "en", "web", 10),
+        (2, base + " six seven eight nine ten eleven twelve thirteen "
+                    "fourteen fifteen sixteen seventeen eighteen nineteen "
+                    "twenty apple banana cherry durian elderberry fig",
+         "en", "web", 20),
+        (3, "zz yy xx ww vv uu tt ss rr qq", "en", "web", 30),
+        (4, "zz yy xx ww vv uu tt ss rr qq", "en", "books", 40),
+        (5, "completely different text with no overlap at all here",
+         "en", "web", 50),
+    ]
+    t = {
+        "documents": spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    }
+    kept = {r["doc_id"] for r in docs_dedup_containment_apply(t).collect()}
+    assert kept == {2, 3, 5}, kept
