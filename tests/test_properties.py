@@ -584,3 +584,73 @@ def test_quantile_sketch_merge_invariant_for_arbitrary_splits(spark, vals, mod):
     )
     merged = sorted(tuple(r) for r in qsk_finalize(merged_hist).collect())
     assert merged == whole
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_contracted_closure_equals_plain_closure(pairs):
+    """r15: the d2 canonicalization oracle runs ONE star-contraction
+    round (n -> min(n, min neighbor)) before its recursive closure.
+    Property, on random graphs: the contracted form computes EXACTLY
+    the plain reach-set closure's (node -> min-of-component) map —
+    the component minimum maps to itself under contraction and
+    inter-star edges survive, so no merge is lost and no extra merge
+    appears. Pure DuckDB (both forms), no Spark."""
+    import duckdb
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    duck = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in norm)
+    duck.execute(
+        f"CREATE TABLE fp AS SELECT * FROM (VALUES {values}) t(custkey_a, custkey_b)"
+    )
+    plain = dict(
+        duck.sql("""
+        WITH RECURSIVE fedges AS (
+          SELECT custkey_a AS a, custkey_b AS b FROM fp
+          UNION SELECT custkey_b, custkey_a FROM fp
+        ),
+        fnodes AS (SELECT DISTINCT a AS n FROM fedges),
+        freach(n, m) AS (
+          SELECT n, n FROM fnodes
+          UNION SELECT r.n, e.b FROM freach r JOIN fedges e ON r.m = e.a
+        )
+        SELECT n, MIN(m) FROM freach GROUP BY n
+        """).fetchall()
+    )
+    contracted = dict(
+        duck.sql("""
+        WITH RECURSIVE fedges AS (
+          SELECT custkey_a AS a, custkey_b AS b FROM fp
+          UNION SELECT custkey_b, custkey_a FROM fp
+        ),
+        fstar AS (
+          SELECT a AS n, LEAST(a, MIN(b)) AS lab FROM fedges GROUP BY a
+        ),
+        cedges AS (
+          SELECT DISTINCT sa.lab AS a, sb.lab AS b
+          FROM fedges e
+          JOIN fstar sa ON sa.n = e.a
+          JOIN fstar sb ON sb.n = e.b
+          WHERE sa.lab <> sb.lab
+        ),
+        cnodes AS (SELECT DISTINCT a AS n FROM cedges),
+        creach(n, m) AS (
+          SELECT n, n FROM cnodes
+          UNION SELECT r.n, e.b FROM creach r JOIN cedges e ON r.m = e.a
+        ),
+        ccomp AS (SELECT n, MIN(m) AS root FROM creach GROUP BY n)
+        SELECT s.n, COALESCE(c.root, s.lab)
+        FROM fstar s LEFT JOIN ccomp c ON c.n = s.lab
+        """).fetchall()
+    )
+    duck.close()
+    assert contracted == plain
