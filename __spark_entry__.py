@@ -1138,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
         transactions_cte=TRANSACTIONS_CTE,
         ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
     )
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        RING_HUB_EXPOSURE_ORACLE,
+    )
+
+    o["dash_ring_hub_exposure"] = RING_HUB_EXPOSURE_ORACLE.format(
+        transactions_cte=TRANSACTIONS_CTE,
+        ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
+    )
     # the spark.sql view path computes the same daily_summary
     o["sql_daily_summary"] = f"{prelude} {VIEWS['daily_summary'][1]}"
     # ... and so does the published-group path: publish → register →

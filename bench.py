@@ -72,6 +72,9 @@ DOMAIN = [
     "dash_mule_hubs",
     "dash_score_gain",
     "dash_card_hubs",
+    # round-15 late: the ring x mule-hub composition (reads the
+    # session-shared ring membership + the hub conjunction)
+    "dash_ring_hub_exposure",
 ]
 
 #: operators that read the testdata tables directly

@@ -914,9 +914,10 @@ def dash_fraud_ring_pairs(g) -> DataFrame:
 #: one mid-list, so the oracles are assembled standalone there).
 #: Shared CTE body: recursive min-label closure over the strong-pair
 #: graph; the two registrations differ only in the final SELECT.
-_RING_CC_CTES = """
-WITH RECURSIVE transactions AS ({transactions_cte})
-{ring_pairs}
+#: body of the ring CC closure (redges→rcomp), split from the header
+#: (r15) so composed screens (dash_ring_hub_exposure) can continue
+#: the chain; _RING_CC_CTES concatenates them unchanged.
+_RING_CC_BODY = """
 , redges AS (
   SELECT card_a AS a, card_b AS b FROM ring_pairs
   UNION
@@ -930,6 +931,13 @@ rreach(n, m) AS (
 ),
 rcomp AS (SELECT n AS cc_num, MIN(m) AS ring_id FROM rreach GROUP BY n)
 """
+
+_RING_CC_CTES = (
+    """
+WITH RECURSIVE transactions AS ({transactions_cte})
+{ring_pairs}"""
+    + _RING_CC_BODY
+)
 
 RING_CC_ORACLE = _RING_CC_CTES + """
 SELECT cc_num, ring_id,
@@ -1890,6 +1898,100 @@ def dash_mule_hubs(g) -> DataFrame:
         )
         .select(
             "merchant", "n_cards", "centrality", "risk_lift", "propagated_risk"
+        )
+    )
+
+
+#: standalone oracle for the ring x hub composition (bound in
+#: __spark_entry__ — WITH RECURSIVE cannot open mid-chain): the shared
+#: ring CC closure + the PR/RP chains + the mule conjunction + the
+#: per-ring exposure rollup, composed from the SAME text pieces every
+#: component oracle uses (one definition each).
+RING_HUB_EXPOSURE_ORACLE = (
+    _RING_CC_CTES
+    + _pr_ctes(PR_ROUNDS)
+    + _RP_CTES
+    + f""",
+    mh_cent AS (
+      {_pr_final(PR_ROUNDS)}
+    ),
+    mh_risk AS (
+      {_RP_FINAL}
+    ),
+    mh AS (
+      SELECT c.merchant, c.centrality, r.risk_lift
+      FROM mh_cent c JOIN mh_risk r USING (merchant)
+    ),
+    mh_med AS (
+      SELECT quantile_cont(centrality, 0.5) AS med_c,
+             quantile_cont(risk_lift, 0.5) AS med_l
+      FROM mh
+    ),
+    hubs AS (
+      SELECT merchant FROM mh, mh_med
+      WHERE centrality > med_c AND risk_lift > med_l
+    ),
+    rhe AS (
+      SELECT r.ring_id, r.cc_num, e.merchant,
+             h.merchant IS NOT NULL AS is_hub
+      FROM rcomp r
+      JOIN (SELECT DISTINCT cc_num, merchant FROM transactions) e
+        USING (cc_num)
+      LEFT JOIN hubs h ON h.merchant = e.merchant
+    )
+    SELECT ring_id,
+           CAST(COUNT(DISTINCT cc_num) AS BIGINT) AS n_cards,
+           CAST(COUNT(DISTINCT merchant) AS BIGINT) AS n_merchants,
+           CAST(COUNT(DISTINCT CASE WHEN is_hub THEN merchant END) AS BIGINT)
+             AS n_hub_merchants,
+           {_r4s('CAST(COUNT(DISTINCT CASE WHEN is_hub THEN merchant END) AS DOUBLE)'
+                 ' / COUNT(DISTINCT merchant)')} AS hub_share
+    FROM rhe GROUP BY ring_id
+    """
+)
+
+
+@_register("dash_ring_hub_exposure", None)  # SQL bound in __spark_entry__
+def dash_ring_hub_exposure(g) -> DataFrame:
+    """Ring x mule-hub exposure (r15): for every detected fraud ring,
+    how much of its merchant surface is MULE-HUB territory — distinct
+    merchants its cards touch, how many of those clear the
+    ``dash_mule_hubs`` conjunction, and the share. The screen that
+    joins the two graph families: rings are card-side co-occurrence
+    AFTER collusion, hubs are merchant-side structure x risk — a ring
+    whose merchant surface is half hubs is operating THROUGH the mule
+    layer (prioritize), one at base-rate hub share stumbled into the
+    support floor (triage down).
+
+    Scale design: membership (session-shared persisted intermediate)
+    is O(linked cards); the edges join is the distinct projection
+    keyed on cc_num; the hub flag is a LEFT join against the
+    O(merchants) hub surface; rollups are keyed distinct-counts with
+    the standard two-phase expansion. The ORACLE composes the shared
+    ring-CC closure, the unrolled PR/RP chains, and the mule
+    conjunction from the same text pieces the component oracles use —
+    the whole composition hash-checks."""
+    rings = _ring_shared(g)["comp"]
+    hubs = dash_mule_hubs(g).select("merchant").withColumn("__hub", F.lit(1))
+    edges = g["transactions"].select("cc_num", "merchant").distinct()
+    j = rings.join(edges, "cc_num").join(hubs, "merchant", "left")
+    return (
+        j.groupBy("ring_id")
+        .agg(
+            F.countDistinct("cc_num").cast("long").alias("n_cards"),
+            F.countDistinct("merchant").cast("long").alias("n_merchants"),
+            F.countDistinct(
+                F.when(F.col("__hub") == 1, F.col("merchant"))
+            )
+            .cast("long")
+            .alias("n_hub_merchants"),
+        )
+        .withColumn(
+            "hub_share",
+            _r4(
+                F.col("n_hub_merchants").cast("double")
+                / F.col("n_merchants")
+            ),
         )
     )
 
