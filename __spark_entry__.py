@@ -84,6 +84,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: pinned in tests/test_views.py), dash_merchant_risk_propagation
 #: (oracle string split into reusable CTE constants, byte-equivalent
 #: SQL, builder untouched).
+#: r15 POST-CLOSE oracled ops (registered + oracled after the front
+#: was fixed, each validate_driver-green at sf0.001 AND sf0.01
+#: in-round; the q_events_dau_wau precedent — first driver rows in
+#: r16, timed already): dedup_ngram_containment, dash_score_gain,
+#: docs_dedup_containment_apply, dash_card_hubs,
+#: dash_ring_hub_exposure. Together with the impl-changed list above
+#: these LEAD the r16 front ahead of the 49-entry r12 cohort.
 #: Rows-only r15 changes hold no front slots per the r8 rule:
 #: streaming_card_amount_anomaly (NEW rows-only: per-card mergeable
 #: quantile-sketch baseline, median+MAD walks at emit) is pinned
