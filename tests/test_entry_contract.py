@@ -78,3 +78,17 @@ def test_bench_timing_partition_is_exact():
     # the r8 rule inverted: every rows_only exemption really has no
     # oracle, and no oracled entry hides in the rows_only bucket
     assert not bench.UNTIMED["rows_only"] & set(ORACLES)
+
+
+def test_driver_front_contract():
+    """r15: the rotation contract as code — the front holds EXACTLY
+    the driver's 50 correctness slots, every name is a registered
+    ORACLED query (rows-only entries never occupy slots, the r8
+    rule), queries() leads with the front in order, and no duplicate
+    wastes a slot."""
+    front = entrymod._DRIVER_FRONT
+    assert len(front) == 50
+    assert len(set(front)) == 50
+    assert list(QUERIES)[:50] == front
+    missing_oracle = [n for n in front if n not in ORACLES]
+    assert not missing_oracle, missing_oracle
