@@ -846,11 +846,16 @@ def _ring_pair_frame(g, min_links: int) -> DataFrame:
 #: the transactions DataFrame object — gold_frames() memoizes frames
 #: per (session, sf_dir), so every dashboard call over one medallion
 #: sees the same object and the share is automatic; a test that builds
-#: its own frames gets its own entry, freed when its frame is GC'd
-#: (persisted blocks are then unpersisted by Spark's ContextCleaner).
+#: its own frames gets its own entry. persist() registers the plan
+#: with the session CacheManager, which holds a JVM reference until an
+#: EXPLICIT unpersist (GC of the Python DataFrame does NOT release the
+#: cached blocks — r15 advice), so a ``weakref.finalize`` on the
+#: keying frame unpersists both intermediates the moment the medallion
+#: goes away; long-lived sessions touching many medallions (test
+#: suites, multi-SF benches) therefore don't accrete cached blocks.
 #: Compute-on-miss IS the recompute fallback: semantics are identical
 #: by construction (same builders), pinned shared-vs-fresh in
-#: tests/test_plans.py. The published-store twin of this intermediate
+#: tests/test_views.py. The published-store twin of this intermediate
 #: (compact_ring_links / ring_pairs_from_published,
 #: streaming/scoring.py) remains the cross-SESSION production path.
 _RING_SHARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -878,7 +883,20 @@ def _ring_shared(g) -> dict[str, DataFrame]:
         )
         cached = {"pairs": pairs, "comp": comp}
         _RING_SHARED[tx] = cached
+        # release the CacheManager blocks when the keying medallion is
+        # collected — the WeakKeyDictionary only drops OUR entry; the
+        # JVM-side cache needs the explicit unpersist (r15 advice). The
+        # callback must not (and does not) close over ``tx``.
+        weakref.finalize(tx, _ring_shared_release, pairs, comp)
     return cached
+
+
+def _ring_shared_release(pairs: DataFrame, comp: DataFrame) -> None:
+    try:
+        pairs.unpersist()
+        comp.unpersist()
+    except Exception:
+        pass  # session already stopped — nothing left to free
 
 
 @_register(
@@ -1448,47 +1466,95 @@ RISK_DAMPING = 0.5
 RISK_ROUNDS = 2
 
 
-#: Continued-CTE chain and final SELECT of the risk-propagation
-#: oracle, split so composed screens (``dash_mule_hubs``) can reuse
-#: the chain with the final wrapped as a CTE; the registration below
-#: concatenates them unchanged.
-_RP_CTES = f"""
+def _rp_ctes(rounds: int) -> str:
+    """Continued-CTE chain for ``rounds`` unrolled message-passing
+    rounds of the damped risk propagation (rp_edges/rp_seed head +
+    rp_cardR/rp_mR per round) — the ``_pr_ctes`` discipline applied
+    to the risk recurrence (r15 verdict #7: a fixed 2-round string
+    would silently desync from a changed RISK_ROUNDS instead of
+    failing, and the convergence audit needs the chain one round
+    deeper). Round 1's cards average the seed risks; each later
+    round's cards average the PREVIOUS round's merchant risks. The
+    damping weights are interpolated from the PYTHON-computed
+    constants (the r14-advice decimal-ulp discipline)."""
+    parts = ["""
     , rp_edges AS (
       SELECT DISTINCT cc_num, merchant FROM transactions
     ),
     rp_seed AS (
       SELECT merchant, AVG(CAST(is_fraud AS DOUBLE)) AS risk0
       FROM transactions GROUP BY merchant
+    )"""]
+    for r in range(1, rounds + 1):
+        src = "rp_seed" if r == 1 else f"rp_m{r - 1}"
+        parts.append(f""",
+    rp_card{r} AS (
+      SELECT e.cc_num, AVG(x.risk{r - 1}) AS card_risk
+      FROM rp_edges e JOIN {src} x USING (merchant) GROUP BY e.cc_num
     ),
-    rp_card1 AS (
-      SELECT e.cc_num, AVG(s.risk0) AS card_risk
-      FROM rp_edges e JOIN rp_seed s USING (merchant) GROUP BY e.cc_num
-    ),
-    rp_m1 AS (
+    rp_m{r} AS (
       SELECT e.merchant,
-             {RISK_DAMPING} * s.risk0 + {1 - RISK_DAMPING} * AVG(c.card_risk) AS risk1
+             {RISK_DAMPING} * s.risk0 + {1 - RISK_DAMPING} * AVG(c.card_risk) AS risk{r}
       FROM rp_edges e
       JOIN rp_seed s USING (merchant)
-      JOIN rp_card1 c USING (cc_num)
+      JOIN rp_card{r} c USING (cc_num)
       GROUP BY e.merchant, s.risk0
-    ),
-    rp_card2 AS (
-      SELECT e.cc_num, AVG(m.risk1) AS card_risk
-      FROM rp_edges e JOIN rp_m1 m USING (merchant) GROUP BY e.cc_num
-    ),
-    rp_m2 AS (
-      SELECT e.merchant,
-             {RISK_DAMPING} * s.risk0 + {1 - RISK_DAMPING} * AVG(c.card_risk) AS risk2
-      FROM rp_edges e
-      JOIN rp_seed s USING (merchant)
-      JOIN rp_card2 c USING (cc_num)
-      GROUP BY e.merchant, s.risk0
-    )"""
+    )""")
+    return "".join(parts)
 
-_RP_FINAL = f"""SELECT m.merchant, {_r4s('s.risk0')} AS seed_risk,
-           {_r4s('m.risk2')} AS propagated_risk,
-           {_r4s('m.risk2 - s.risk0')} AS risk_lift
-    FROM rp_m2 m JOIN rp_seed s USING (merchant)"""
+
+def _rp_final(rounds: int) -> str:
+    """Final SELECT over ``_rp_ctes(rounds)``: merchant, seed,
+    propagated risk, and lift (CTE/column names derived from the
+    round constant the way ``_pr_final`` does)."""
+    return f"""SELECT m.merchant, {_r4s('s.risk0')} AS seed_risk,
+           {_r4s(f'm.risk{rounds}')} AS propagated_risk,
+           {_r4s(f'm.risk{rounds} - s.risk0')} AS risk_lift
+    FROM rp_m{rounds} m JOIN rp_seed s USING (merchant)"""
+
+
+#: Chain + final at the production depth, reused verbatim by the
+#: composed screens (``dash_mule_hubs``, ``RING_HUB_EXPOSURE_ORACLE``).
+_RP_CTES = _rp_ctes(RISK_ROUNDS)
+
+_RP_FINAL = _rp_final(RISK_ROUNDS)
+
+
+def _rp_risk_frames(g, rounds: int):
+    """The Spark side of the SAME recurrence ``_rp_ctes`` unrolls:
+    per-round merchant risk frames over the distinct card<->merchant
+    edge projection. Returns (risks, seed) where risks[r-1] is the
+    (merchant, risk) frame after round r — lazy plans sharing the one
+    edge projection (reused exchange), so the production screen and
+    the convergence audit read different depths of ONE lineage (the
+    ``_pr_rank_frames`` discipline for the risk recurrence)."""
+    tx = g["transactions"]
+    edges = tx.select("cc_num", "merchant").distinct()
+    seed = tx.groupBy("merchant").agg(
+        F.avg(F.col("is_fraud").cast("double")).alias("risk0")
+    )
+    risk = seed.withColumnRenamed("risk0", "risk")
+    risks = []
+    for _ in range(rounds):
+        card = (
+            edges.join(risk, "merchant")
+            .groupBy("cc_num")
+            .agg(F.avg("risk").alias("card_risk"))
+        )
+        risk = (
+            edges.join(seed, "merchant")
+            .join(card, "cc_num")
+            .groupBy("merchant", "risk0")
+            .agg(
+                (
+                    RISK_DAMPING * F.col("risk0")
+                    + (1 - RISK_DAMPING) * F.avg("card_risk")
+                ).alias("risk")
+            )
+            .select("merchant", "risk")
+        )
+        risks.append(risk)
+    return risks, seed
 
 
 @_register(
@@ -1517,38 +1583,75 @@ def dash_merchant_risk_propagation(g) -> DataFrame:
     collapsed once, reused every round — Catalyst reuses the
     exchange); degrees bound the fan-out, nothing is ever quadratic,
     no window, no driver loop (rounds are a Python-unrolled FIXED
-    count, not data-dependent)."""
-    tx = g["transactions"]
-    edges = tx.select("cc_num", "merchant").distinct()
-    seed = tx.groupBy("merchant").agg(
-        F.avg(F.col("is_fraud").cast("double")).alias("risk0")
-    )
-    risk = seed.withColumnRenamed("risk0", "risk")
-    for _ in range(RISK_ROUNDS):
-        card = (
-            edges.join(risk, "merchant")
-            .groupBy("cc_num")
-            .agg(F.avg("risk").alias("card_risk"))
-        )
-        risk = (
-            edges.join(seed, "merchant")
-            .join(card, "cc_num")
-            .groupBy("merchant", "risk0")
-            .agg(
-                (
-                    RISK_DAMPING * F.col("risk0")
-                    + (1 - RISK_DAMPING) * F.avg("card_risk")
-                ).alias("risk")
-            )
-            .select("merchant", "risk")
-        )
+    count, not data-dependent; r16: the round machinery lives in
+    ``_rp_risk_frames`` / ``_rp_ctes``, shared with the convergence
+    audit below — semantics unchanged)."""
+    risks, seed = _rp_risk_frames(g, RISK_ROUNDS)
     return (
-        risk.join(seed, "merchant")
+        risks[-1].join(seed, "merchant")
         .select(
             "merchant",
             _r4(F.col("risk0")).alias("seed_risk"),
             _r4(F.col("risk")).alias("propagated_risk"),
             _r4(F.col("risk") - F.col("risk0")).alias("risk_lift"),
+        )
+    )
+
+
+#: convergence-audit depth for the risk recurrence: one round PAST
+#: the production screen (the PR_AUDIT_ROUNDS discipline — r15
+#: verdict #7: the fixed-round choice becomes a measured quantity).
+RP_AUDIT_ROUNDS = 3
+
+
+@_register(
+    "dash_rp_convergence",
+    f"""{_rp_ctes(RP_AUDIT_ROUNDS)}
+    SELECT m2.merchant, {_r4s('s.risk0')} AS seed_risk,
+           {_r4s(f'm2.risk{RISK_ROUNDS} - s.risk0')} AS lift_2r,
+           {_r4s(f'm3.risk{RP_AUDIT_ROUNDS} - s.risk0')} AS lift_3r,
+           {_r4s(f'abs(m3.risk{RP_AUDIT_ROUNDS} - m2.risk{RISK_ROUNDS})')} AS abs_move
+    FROM rp_m{RISK_ROUNDS} m2
+    JOIN rp_m{RP_AUDIT_ROUNDS} m3 USING (merchant)
+    JOIN rp_seed s USING (merchant)
+    """,
+)
+def dash_rp_convergence(g) -> DataFrame:
+    """Risk-propagation truncation audit (r16): per-merchant risk
+    LIFT after round 2 (the production depth of
+    ``dash_merchant_risk_propagation``) NEXT TO round 3, with the
+    absolute movement — the ``dash_centrality_convergence``
+    discipline applied to the risk recurrence, so the LAST fixed-round
+    choice in the graph family becomes a measured truncation error
+    instead of an assumption (tests/test_views.py pins the movement
+    band on the synthetic graph, and the damping geometry bounds it:
+    each extra round's contribution is scaled by (1-damping)^r).
+
+    Scale design: one extra unrolled round over the SAME shared edge
+    projection and seed frame (``_rp_risk_frames`` returns every
+    round's frame from one lineage — round 2's aggregates are common
+    subplans of round 3, reused exchanges, no second edge scan); the
+    join of the two risk frames is merchant-keyed over O(merchants)
+    rows. All four output columns are double arithmetic on risks both
+    engines computed identically, so the audit hash-checks."""
+    risks, seed = _rp_risk_frames(g, RP_AUDIT_ROUNDS)
+    m2 = risks[RISK_ROUNDS - 1].select(
+        "merchant", F.col("risk").alias("risk_prod")
+    )
+    m3 = risks[RP_AUDIT_ROUNDS - 1].select(
+        "merchant", F.col("risk").alias("risk_audit")
+    )
+    return (
+        m2.join(m3, "merchant")
+        .join(seed, "merchant")
+        .select(
+            "merchant",
+            _r4(F.col("risk0")).alias("seed_risk"),
+            _r4(F.col("risk_prod") - F.col("risk0")).alias("lift_2r"),
+            _r4(F.col("risk_audit") - F.col("risk0")).alias("lift_3r"),
+            _r4(F.abs(F.col("risk_audit") - F.col("risk_prod"))).alias(
+                "abs_move"
+            ),
         )
     )
 
@@ -1752,13 +1855,16 @@ PR_AUDIT_ROUNDS = 3
 
 @_register(
     "dash_centrality_convergence",
+    # CTE names derived from the round constants the way _pr_final
+    # does (r15 advice: a hardcoded pr_m2/pr_m3 would silently desync
+    # from a changed PR_ROUNDS/PR_AUDIT_ROUNDS instead of failing)
     f"""{_pr_ctes(PR_AUDIT_ROUNDS)}
     SELECT m2.merchant, dm.deg AS n_cards,
            {_r4s('m2.rank * n.n')} AS centrality_2r,
            {_r4s('m3.rank * n.n')} AS centrality_3r,
            {_r4s('abs(m3.rank * n.n - m2.rank * n.n)')} AS abs_move
-    FROM pr_m2 m2
-    JOIN pr_m3 m3 USING (merchant)
+    FROM pr_m{PR_ROUNDS} m2
+    JOIN pr_m{PR_AUDIT_ROUNDS} m3 USING (merchant)
     JOIN pr_degm dm USING (merchant), pr_n n
     """,
 )
@@ -1802,10 +1908,11 @@ def dash_centrality_convergence(g) -> DataFrame:
 
 @_register(
     "dash_card_hubs",
+    # final-round card CTE name derived from PR_ROUNDS (r15 advice)
     f"""{_pr_ctes(PR_ROUNDS)}
     SELECT c2.cc_num, dc.deg AS n_merchants,
            {_r4s('c2.rank * n.n')} AS centrality
-    FROM pr_c2 c2 JOIN pr_degc dc USING (cc_num), pr_n n
+    FROM pr_c{PR_ROUNDS} c2 JOIN pr_degc dc USING (cc_num), pr_n n
     """,
 )
 def dash_card_hubs(g) -> DataFrame:

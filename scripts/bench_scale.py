@@ -105,8 +105,20 @@ def main() -> None:
                 silver_path
             )
             silver_mat = spark.read.parquet(silver_path)
+            # "transactions" must stay the RAW source projection per
+            # the gold_frames contract (r15 advice: silver filters
+            # null trans_num and carries the feature projection, so
+            # transaction-scanning screens would otherwise time over a
+            # wider, row-filtered input than in bench.py). The raw
+            # frame is a narrow no-shuffle projection over events —
+            # the same lazy plan bench.py's gold_frames hands out, so
+            # cross-suite ratios stay comparable.
+            from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+                transactions_df,
+            )
+
             mat_frames[label] = {
-                "transactions": silver_mat,
+                "transactions": transactions_df(spark, sf_dir),
                 "silver": silver_mat,
                 "fact": gold_mod.fact_transactions(silver_mat),
                 "dim_customer": gold_mod.dim_customer(silver_mat),

@@ -779,8 +779,12 @@ def test_seasonal_anomaly_stream_order_free_and_matches_batch(spark, tmp_path):
     partials merge by exact long SUM, so the emitted screen is
     IDENTICAL under both arrival orders and checkpoint-wipe replay.
     (b) vs the untouched batch builder on the same rows: alert key
-    sets equal, revenue equal at 2 dp, robust_z within 1e-6 (the one
-    double division the cents representation leaves)."""
+    sets equal MODULO rows within epsilon of the 2.5-sigma cut (r15
+    advice: the batch baselines run on float-order-sensitive double
+    sums, the stream's on exact cents, so a boundary-grazing key can
+    flip sides); shared rows have revenue equal at 2 dp and robust_z
+    within 1e-6 (the one double division the cents representation
+    leaves)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -839,8 +843,14 @@ def test_seasonal_anomaly_stream_order_free_and_matches_batch(spark, tmp_path):
 
     # emitted columns: (category, day, dow, revenue, robust_z)
     got = {(r[0], r[1]): r for r in results["fwd"]}
-    assert set(got) == set(batch)
-    for k, row in got.items():
+    # alert sets equal MODULO threshold-marginal rows: a key present
+    # on only one side must sit at the 2.5-sigma boundary (|robust_z|
+    # within 1e-6 of the cut) — anywhere else a flip is a real bug
+    for k in set(got) ^ set(batch):
+        z = got[k][4] if k in got else batch[k]["robust_z"]
+        assert abs(abs(z) - 2.5) <= 1e-6, (k, z)
+    for k in set(got) & set(batch):
+        row = got[k]
         assert row[2] == batch[k]["dow"], k
         assert abs(row[3] - batch[k]["revenue"]) < 0.011, k
         assert abs(row[4] - batch[k]["robust_z"]) <= 1e-6, k

@@ -412,6 +412,28 @@ def test_centrality_fixed_round_truncation_is_measured(spark):
     assert top2 == top3
 
 
+def test_rp_fixed_round_truncation_is_measured(spark):
+    """r16 (r15 verdict #7): dash_merchant_risk_propagation truncates
+    the message passing at 2 rounds; dash_rp_convergence makes that a
+    MEASURED quantity — the centrality-convergence discipline on the
+    risk recurrence. Observed in-round on the synthetic graph: the
+    third round moves NO merchant at the screen's dround(4) precision
+    (max abs_move 0.0 at sf0.001 AND sf0.01 — damping geometry: each
+    extra round's contribution is scaled by (1-damping)^r = 0.25 and
+    the round-2 card averages are already near-stationary), so the
+    production depth is fully converged at reported precision. Pin
+    the band with margin plus per-merchant lift agreement at one
+    rounding ulp."""
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    rows = dash.dash_rp_convergence(g).collect()
+    assert rows, "rp convergence audit returned no merchants"
+    assert max(r["abs_move"] for r in rows) <= 0.001
+    for r in rows:
+        assert abs(r["lift_3r"] - r["lift_2r"]) <= 0.0002, r["merchant"]
+
+
 def test_score_gain_curve_is_cumulative_and_complete(spark):
     """r15: structural pins for the gain curve — capture_rate and
     cum_tx_share are non-decreasing as the score cut walks DOWN, the
