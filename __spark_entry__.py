@@ -952,6 +952,47 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_ring_monitor_maintained"] = _stream_ring_monitor_maintained
 
+    # rows-only (r16): the PRODUCTION shape of the PR/RP screen family
+    # — distinct edge rows + per-merchant long seed partials maintained
+    # at ingest (every merge distinct-union: commutative AND
+    # idempotent), mid-stream fold into a published generation, emit
+    # feeds the UNTOUCHED dash_mule_hubs builder; all four family
+    # screens pinned equal to batch across the fold in
+    # tests/test_streaming.py
+    def _stream_centrality_maintained(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            centrality_monitor_stream_maintained,
+            compact_centrality_graph,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="centm_stream_")
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        root = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        tx = transactions_df(spark, sf_dir)
+        # day 1 streams in and is folded + cleaned; day 2 rides the
+        # published generation — the two-cycle production cadence
+        tx.filter(F.col("cc_num") % 2 == 0).write.mode("append").parquet(src)
+        centrality_monitor_stream_maintained(spark, src, out, ckpt, root)
+        compact_centrality_graph(spark, out, root)
+        shutil.rmtree(out)
+        tx.filter(F.col("cc_num") % 2 == 1).write.mode("append").parquet(src)
+        return centrality_monitor_stream_maintained(spark, src, out, ckpt, root)
+
+    q["streaming_centrality_maintained"] = _stream_centrality_maintained
+
     # rows-only (applyInPandasWithState per-card last-location state):
     # the impossible-travel detector AT INGEST — pinned set-equal to
     # the batch op on a per-card-ordered source with a cross-batch
@@ -1147,9 +1188,14 @@ def oracle_sql() -> dict[str, str]:
     )
     from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
         RING_HUB_EXPOSURE_ORACLE,
+        RING_HUB_TREND_ORACLE,
     )
 
     o["dash_ring_hub_exposure"] = RING_HUB_EXPOSURE_ORACLE.format(
+        transactions_cte=TRANSACTIONS_CTE,
+        ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
+    )
+    o["dash_ring_hub_trend"] = RING_HUB_TREND_ORACLE.format(
         transactions_cte=TRANSACTIONS_CTE,
         ring_pairs=_ring_pairs_sql(RING_STRONG_SUPPORT),
     )

@@ -75,6 +75,12 @@ DOMAIN = [
     # round-15 late: the ring x mule-hub composition (reads the
     # session-shared ring membership + the hub conjunction)
     "dash_ring_hub_exposure",
+    # round-16: the risk-propagation truncation audit (one extra
+    # unrolled message-passing round over the shared edge projection)
+    # + the per-week ring-hub exposure trend (lag window over the
+    # O(rings x weeks) rollup)
+    "dash_rp_convergence",
+    "dash_ring_hub_trend",
 ]
 
 #: operators that read the testdata tables directly
@@ -462,6 +468,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_bronze_ingest",
         "streaming_card_amount_anomaly",
         "streaming_card_testing",
+        "streaming_centrality_maintained",
         "streaming_curation",
         "streaming_cusum_monitor",
         "streaming_dau_wau",

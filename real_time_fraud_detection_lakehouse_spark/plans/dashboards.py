@@ -1520,19 +1520,39 @@ _RP_CTES = _rp_ctes(RISK_ROUNDS)
 _RP_FINAL = _rp_final(RISK_ROUNDS)
 
 
-def _rp_risk_frames(g, rounds: int):
+def _graph_edges(g, edges: DataFrame | None = None) -> DataFrame:
+    """The distinct card<->merchant edge projection every PR/RP screen
+    rides — from the fact stream by default, or an externally
+    MAINTAINED edge table (r16: the streaming monitor's published ∪
+    live surface; distinct-union keeps it identical to the recompute
+    by construction)."""
+    if edges is not None:
+        return edges
+    return g["transactions"].select("cc_num", "merchant").distinct()
+
+
+def _rp_risk_frames(
+    g,
+    rounds: int,
+    edges: DataFrame | None = None,
+    seed: DataFrame | None = None,
+):
     """The Spark side of the SAME recurrence ``_rp_ctes`` unrolls:
     per-round merchant risk frames over the distinct card<->merchant
     edge projection. Returns (risks, seed) where risks[r-1] is the
     (merchant, risk) frame after round r — lazy plans sharing the one
     edge projection (reused exchange), so the production screen and
     the convergence audit read different depths of ONE lineage (the
-    ``_pr_rank_frames`` discipline for the risk recurrence)."""
-    tx = g["transactions"]
-    edges = tx.select("cc_num", "merchant").distinct()
-    seed = tx.groupBy("merchant").agg(
-        F.avg(F.col("is_fraud").cast("double")).alias("risk0")
-    )
+    ``_pr_rank_frames`` discipline for the risk recurrence).
+    ``edges``/``seed`` overrides let the maintained-graph streaming
+    monitor feed the identical screen logic (seed must be the
+    (merchant, risk0) fraud-rate frame; long-count partials divide to
+    the same double because 0/1 sums are exact)."""
+    edges = _graph_edges(g, edges)
+    if seed is None:
+        seed = g["transactions"].groupBy("merchant").agg(
+            F.avg(F.col("is_fraud").cast("double")).alias("risk0")
+        )
     risk = seed.withColumnRenamed("risk0", "risk")
     risks = []
     for _ in range(rounds):
@@ -1563,7 +1583,9 @@ def _rp_risk_frames(g, rounds: int):
     {_RP_FINAL}
     """,
 )
-def dash_merchant_risk_propagation(g) -> DataFrame:
+def dash_merchant_risk_propagation(
+    g, edges: DataFrame | None = None, seed: DataFrame | None = None
+) -> DataFrame:
     """Guilt-by-association merchant risk: label propagation over the
     card↔merchant bipartite graph. Seed each merchant with its
     observed fraud rate, then alternate two message-passing rounds —
@@ -1586,7 +1608,7 @@ def dash_merchant_risk_propagation(g) -> DataFrame:
     count, not data-dependent; r16: the round machinery lives in
     ``_rp_risk_frames`` / ``_rp_ctes``, shared with the convergence
     audit below — semantics unchanged)."""
-    risks, seed = _rp_risk_frames(g, RISK_ROUNDS)
+    risks, seed = _rp_risk_frames(g, RISK_ROUNDS, edges, seed)
     return (
         risks[-1].join(seed, "merchant")
         .select(
@@ -1616,7 +1638,9 @@ RP_AUDIT_ROUNDS = 3
     JOIN rp_seed s USING (merchant)
     """,
 )
-def dash_rp_convergence(g) -> DataFrame:
+def dash_rp_convergence(
+    g, edges: DataFrame | None = None, seed: DataFrame | None = None
+) -> DataFrame:
     """Risk-propagation truncation audit (r16): per-merchant risk
     LIFT after round 2 (the production depth of
     ``dash_merchant_risk_propagation``) NEXT TO round 3, with the
@@ -1634,7 +1658,7 @@ def dash_rp_convergence(g) -> DataFrame:
     join of the two risk frames is merchant-keyed over O(merchants)
     rows. All four output columns are double arithmetic on risks both
     engines computed identically, so the audit hash-checks."""
-    risks, seed = _rp_risk_frames(g, RP_AUDIT_ROUNDS)
+    risks, seed = _rp_risk_frames(g, RP_AUDIT_ROUNDS, edges, seed)
     m2 = risks[RISK_ROUNDS - 1].select(
         "merchant", F.col("risk").alias("risk_prod")
     )
@@ -1728,7 +1752,7 @@ def _pr_final(rounds: int) -> str:
     FROM pr_m{rounds} {m} JOIN pr_degm dm USING (merchant), pr_n n"""
 
 
-def _pr_rank_frames(g, rounds: int):
+def _pr_rank_frames(g, rounds: int, edges: DataFrame | None = None):
     """The Spark side of the SAME recurrence ``_pr_ctes`` unrolls:
     per-round rank frames over the distinct card<->merchant edge
     projection. Returns (m_ranks, degm, c_ranks, degc) where
@@ -1737,8 +1761,9 @@ def _pr_rank_frames(g, rounds: int):
     projection, so Catalyst reuses the exchange across rounds and
     across consumers asking for different depths or sides (the
     merchant screens read m_ranks; ``dash_card_hubs`` reads the
-    card side the same recurrence already computes)."""
-    edges = g["transactions"].select("cc_num", "merchant").distinct()
+    card side the same recurrence already computes). ``edges``
+    override: the maintained-graph streaming monitor (r16)."""
+    edges = _graph_edges(g, edges)
     degc = edges.groupBy("cc_num").agg(F.count("*").cast("long").alias("degc"))
     degm = edges.groupBy("merchant").agg(
         F.count("*").cast("long").alias("degm")
@@ -1812,7 +1837,7 @@ def _pr_rank_frames(g, rounds: int):
     {_pr_final(PR_ROUNDS)}
     """,
 )
-def dash_merchant_centrality(g) -> DataFrame:
+def dash_merchant_centrality(g, edges: DataFrame | None = None) -> DataFrame:
     """Merchant structural centrality: two unrolled power-iteration
     rounds of degree-damped PageRank over the undirected
     card↔merchant bipartite graph — each side's rank alternately
@@ -1835,7 +1860,7 @@ def dash_merchant_centrality(g) -> DataFrame:
     with the 3-round convergence audit below — semantics unchanged).
     The oracle unrolls the identical rounds as SQL joins — an
     iterative graph algorithm with a full hash-checked oracle."""
-    m_ranks, degm = _pr_rank_frames(g, PR_ROUNDS)[:2]
+    m_ranks, degm = _pr_rank_frames(g, PR_ROUNDS, edges)[:2]
     m_rank = m_ranks[-1]
     return (
         m_rank.join(degm, "merchant")
@@ -1868,7 +1893,7 @@ PR_AUDIT_ROUNDS = 3
     JOIN pr_degm dm USING (merchant), pr_n n
     """,
 )
-def dash_centrality_convergence(g) -> DataFrame:
+def dash_centrality_convergence(g, edges: DataFrame | None = None) -> DataFrame:
     """PageRank truncation audit: merchant centrality after round 2
     (the production screen's depth) NEXT TO round 3, with the absolute
     movement — the risk-propagation discipline applied to the
@@ -1886,7 +1911,7 @@ def dash_centrality_convergence(g) -> DataFrame:
     O(merchants) rows. abs_move is pure double arithmetic on ranks
     both engines computed bit-identically, so even the audit column
     hash-checks."""
-    m_ranks, degm = _pr_rank_frames(g, PR_AUDIT_ROUNDS)[:2]
+    m_ranks, degm = _pr_rank_frames(g, PR_AUDIT_ROUNDS, edges)[:2]
     m2 = m_ranks[1].select("merchant", "n", F.col("rank").alias("rank2"))
     m3 = m_ranks[2].select("merchant", F.col("rank").alias("rank3"))
     return (
@@ -1915,7 +1940,7 @@ def dash_centrality_convergence(g) -> DataFrame:
     FROM pr_c{PR_ROUNDS} c2 JOIN pr_degc dc USING (cc_num), pr_n n
     """,
 )
-def dash_card_hubs(g) -> DataFrame:
+def dash_card_hubs(g, edges: DataFrame | None = None) -> DataFrame:
     """Card-side structural centrality (r15): the SAME two-round
     damped recurrence as ``dash_merchant_centrality``, read from the
     card side of the bipartite graph — a card whose rank towers over
@@ -1931,7 +1956,7 @@ def dash_card_hubs(g) -> DataFrame:
     Scale design: identical to the merchant side — edge-keyed joins +
     keyed SUMs over the one distinct edge projection, degree-bounded
     fan-out, fixed unrolled rounds, N one broadcast scalar."""
-    out = _pr_rank_frames(g, PR_ROUNDS)
+    out = _pr_rank_frames(g, PR_ROUNDS, edges)
     c_rank, degc = out[2][-1], out[3]
     return (
         c_rank.join(degc, "cc_num")
@@ -1968,7 +1993,9 @@ def dash_card_hubs(g) -> DataFrame:
     WHERE centrality > med_c AND risk_lift > med_l
     """,
 )
-def dash_mule_hubs(g) -> DataFrame:
+def dash_mule_hubs(
+    g, edges: DataFrame | None = None, seed: DataFrame | None = None
+) -> DataFrame:
     """Mule-hub composite: merchants STRICTLY ABOVE the population
     median on BOTH structural centrality (``dash_merchant_centrality``)
     and propagated risk lift (``dash_merchant_risk_propagation``) —
@@ -1988,8 +2015,10 @@ def dash_mule_hubs(g) -> DataFrame:
     hash-checks end to end — medians computed over the ROUNDED
     columns in both engines, so the boundary comparisons agree
     bit-for-bit."""
-    cent = dash_merchant_centrality(g).select("merchant", "n_cards", "centrality")
-    risk = dash_merchant_risk_propagation(g).select(
+    cent = dash_merchant_centrality(g, edges).select(
+        "merchant", "n_cards", "centrality"
+    )
+    risk = dash_merchant_risk_propagation(g, edges, seed).select(
         "merchant", "risk_lift", "propagated_risk"
     )
     j = cent.join(risk, "merchant")
@@ -2100,6 +2129,137 @@ def dash_ring_hub_exposure(g) -> DataFrame:
                 / F.col("n_merchants")
             ),
         )
+    )
+
+
+#: standalone oracle for the ring-hub TREND (bound in __spark_entry__
+#: — WITH RECURSIVE): the same composed chain as the exposure screen,
+#: rolled up per (ring, ISO-ish week) with a lag window for the
+#: week-over-week movement. week_idx is integer floor-division of
+#: days-since-Monday-1970-01-05 by 7 — bit-agreed integer arithmetic
+#: in both engines, no calendar-function dialect risk.
+RING_HUB_TREND_ORACLE = (
+    _RING_CC_CTES
+    + _pr_ctes(PR_ROUNDS)
+    + _RP_CTES
+    + f""",
+    mh_cent AS (
+      {_pr_final(PR_ROUNDS)}
+    ),
+    mh_risk AS (
+      {_RP_FINAL}
+    ),
+    mh AS (
+      SELECT c.merchant, c.centrality, r.risk_lift
+      FROM mh_cent c JOIN mh_risk r USING (merchant)
+    ),
+    mh_med AS (
+      SELECT quantile_cont(centrality, 0.5) AS med_c,
+             quantile_cont(risk_lift, 0.5) AS med_l
+      FROM mh
+    ),
+    hubs AS (
+      SELECT merchant FROM mh, mh_med
+      WHERE centrality > med_c AND risk_lift > med_l
+    ),
+    rht_wk AS (
+      SELECT DISTINCT cc_num, merchant,
+             CAST((day - DATE '1970-01-05') // 7 AS BIGINT) AS week_idx
+      FROM ring_links
+    ),
+    rht_weekly AS (
+      SELECT r.ring_id, w.week_idx,
+             CAST(COUNT(DISTINCT w.merchant) AS BIGINT) AS n_merchants,
+             CAST(COUNT(DISTINCT CASE WHEN h.merchant IS NOT NULL
+                                      THEN w.merchant END) AS BIGINT)
+               AS n_hub_merchants
+      FROM rcomp r
+      JOIN rht_wk w USING (cc_num)
+      LEFT JOIN hubs h ON h.merchant = w.merchant
+      GROUP BY 1, 2
+    ),
+    rht_share AS (
+      SELECT ring_id, week_idx, n_merchants, n_hub_merchants,
+             {_r4s('CAST(n_hub_merchants AS DOUBLE) / n_merchants')}
+               AS hub_share
+      FROM rht_weekly
+    )
+    SELECT ring_id,
+           DATE '1970-01-05' + CAST(week_idx * 7 AS INTEGER) AS week_start,
+           n_merchants, n_hub_merchants, hub_share,
+           {_r4s('hub_share - LAG(hub_share) OVER '
+                 '(PARTITION BY ring_id ORDER BY week_idx)')}
+             AS hub_share_delta
+    FROM rht_share
+    """
+)
+
+
+@_register("dash_ring_hub_trend", None)  # SQL bound in __spark_entry__
+def dash_ring_hub_trend(g) -> DataFrame:
+    """Ring-hub exposure TREND (r16, r15 verdict #8): per detected
+    ring, per calendar week of its activity, the share of its distinct
+    merchant surface that is mule-hub territory, with the
+    week-over-week movement — ``dash_ring_evolution`` gives a ring a
+    timeline, ``dash_ring_hub_exposure`` a static hub share; the
+    composition answers the question both leave open: is this ring
+    MOVING INTO the mule layer (rising hub_share → prioritize the
+    open case) or drifting out of it. Week buckets are integer
+    floor-division of days-since-epoch-Monday by 7 (bit-exact in both
+    engines); hub_share_delta is LAG over the rounded share, NULL for
+    a ring's first active week.
+
+    Scale design: the weekly link surface is the SAME
+    O(cards x active days) ``ring_links`` projection every ring
+    screen rides, collapsed to (cc_num, merchant, week) — strictly
+    smaller; membership comes from the session-shared persisted CC
+    intermediate and the hub flag is a LEFT join against the
+    O(merchants) mule surface; the lag window partitions by ring over
+    the O(rings x weeks) rollup — the windowed-over-bounded-aggregates
+    class, never a window over fact rows. The ORACLE composes the
+    shared ring-CC closure, the unrolled PR/RP chains, and the mule
+    conjunction from the same text pieces the component oracles use,
+    so the whole trend hash-checks."""
+    rings = _ring_shared(g)["comp"]
+    hubs = dash_mule_hubs(g).select("merchant").withColumn("__hub", F.lit(1))
+    wk = (
+        ring_links(g["transactions"])
+        .select(
+            "cc_num",
+            "merchant",
+            F.expr(
+                "CAST(datediff(day, DATE '1970-01-05') DIV 7 AS BIGINT)"
+            ).alias("week_idx"),
+        )
+        .distinct()
+    )
+    weekly = (
+        rings.join(wk, "cc_num")
+        .join(hubs, "merchant", "left")
+        .groupBy("ring_id", "week_idx")
+        .agg(
+            F.countDistinct("merchant").cast("long").alias("n_merchants"),
+            F.countDistinct(F.when(F.col("__hub") == 1, F.col("merchant")))
+            .cast("long")
+            .alias("n_hub_merchants"),
+        )
+        .withColumn(
+            "hub_share",
+            _r4(F.col("n_hub_merchants").cast("double") / F.col("n_merchants")),
+        )
+    )
+    w = Window.partitionBy("ring_id").orderBy("week_idx")
+    return weekly.select(
+        "ring_id",
+        F.expr(
+            "date_add(DATE '1970-01-05', CAST(week_idx * 7 AS INT))"
+        ).alias("week_start"),
+        "n_merchants",
+        "n_hub_merchants",
+        "hub_share",
+        _r4(F.col("hub_share") - F.lag("hub_share").over(w)).alias(
+            "hub_share_delta"
+        ),
     )
 
 

@@ -704,6 +704,84 @@ def test_ring_monitor_maintained_reads_published_generation(spark, tmp_path):
     assert sorted(tuple(r) for r in p3.collect()) == full_pairs
 
 
+def test_centrality_monitor_maintained_matches_batch_screens(spark, tmp_path):
+    """r16 (r15 verdict #4): the maintained bipartite graph for the
+    PR/RP family. The monitor folds distinct edges + per-merchant
+    long seed partials at ingest; after a mid-stream fold into the
+    published generation + partition cleanup, the maintained
+    (edges, seed) feed the UNTOUCHED batch builders and all four
+    family screens equal the batch screens over ALL data (edge merge
+    is distinct-union; seed partials collapse on (merchant,
+    batch_id) and 0/1 sums are exact, so AVG is recovered to the
+    identical double). Overlap case: re-folding without cleanup
+    changes nothing by idempotence."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_card_hubs,
+        dash_merchant_centrality,
+        dash_merchant_risk_propagation,
+        dash_mule_hubs,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        centrality_graph_maintained,
+        centrality_monitor_stream_maintained,
+        compact_centrality_graph,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    halves = [
+        tx.filter(F.col("cc_num") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    root = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # day 1: no published generation yet — fresh partitions only
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+    m1 = centrality_monitor_stream_maintained(spark, src, out, ckpt, root)
+    assert rows(m1) == rows(dash_mule_hubs({"transactions": halves[0]}))
+
+    # nightly fold; day-1 partitions cleaned (existed at fold time)
+    compact_centrality_graph(spark, out, root)
+    shutil.rmtree(out)
+
+    # day 2: maintained = published gen ∪ new batch partitions
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    m2 = centrality_monitor_stream_maintained(spark, src, out, ckpt, root)
+    g_full = {"transactions": tx}
+    assert rows(m2) == rows(dash_mule_hubs(g_full))
+
+    edges, seed = centrality_graph_maintained(spark, out, root)
+    assert rows(dash_merchant_centrality(None, edges=edges)) == rows(
+        dash_merchant_centrality(g_full)
+    )
+    assert rows(dash_card_hubs(None, edges=edges)) == rows(
+        dash_card_hubs(g_full)
+    )
+    assert rows(
+        dash_merchant_risk_propagation(None, edges=edges, seed=seed)
+    ) == rows(dash_merchant_risk_propagation(g_full))
+
+    # overlap: fold day-2 in but DON'T clean — partials on both sides
+    compact_centrality_graph(spark, out, root)
+    e2, s2 = centrality_graph_maintained(spark, out, root)
+    assert rows(dash_mule_hubs(None, edges=e2, seed=s2)) == rows(
+        dash_mule_hubs(g_full)
+    )
+
+
 def test_card_amount_anomaly_stream_order_free_and_in_band(spark, tmp_path):
     """r15: the per-card amount baseline at ingest. (a) The sketch
     merges by exact long SUM on the bucket key, so the emitted frame

@@ -412,6 +412,48 @@ def test_centrality_fixed_round_truncation_is_measured(spark):
     assert top2 == top3
 
 
+def test_ring_hub_trend_delta_algebra_and_family_consistency(spark):
+    """r16 (r15 verdict #8): the ring-hub TREND composes the ring
+    timeline with the mule-hub surface. Pin (a) the lag algebra —
+    per ring, the first active week's delta is NULL and every later
+    delta is exactly round4(share - prev share); (b) family
+    consistency — the trend's ring set equals the static exposure
+    screen's, every weekly hub count is bounded by that week's
+    merchant count, and each ring's weeks sit inside the
+    [first_seen, last_seen] span dash_ring_evolution reports."""
+    from collections import defaultdict
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    rows = dash.dash_ring_hub_trend(g).collect()
+    assert rows, "trend returned no ring-weeks"
+
+    per_ring = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["n_hub_merchants"] <= r["n_merchants"]
+        per_ring[r["ring_id"]].append(r)
+    for ring, rs in per_ring.items():
+        rs.sort(key=lambda r: r["week_start"])
+        assert rs[0]["hub_share_delta"] is None, ring
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["hub_share_delta"] == round(
+                cur["hub_share"] - prev["hub_share"], 4
+            ), (ring, cur["week_start"])
+
+    expo = {r["ring_id"] for r in dash.dash_ring_hub_exposure(g).collect()}
+    assert set(per_ring) == expo
+
+    evo = {r["ring_id"]: r for r in dash.dash_ring_evolution(g).collect()}
+    for ring, rs in per_ring.items():
+        lo, hi = evo[ring]["first_seen"], evo[ring]["last_seen"]
+        for r in rs:
+            wk = r["week_start"]
+            # the week bucket containing a link day starts at most 6
+            # days before it and ends at most 6 days after
+            assert (hi - wk).days >= 0 and (wk - lo).days >= -6, (ring, wk)
+
+
 def test_rp_fixed_round_truncation_is_measured(spark):
     """r16 (r15 verdict #7): dash_merchant_risk_propagation truncates
     the message passing at 2 rounds; dash_rp_convergence makes that a
