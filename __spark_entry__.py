@@ -711,6 +711,57 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_incremental_dedup"] = _stream_incremental_dedup
 
+    # rows-only (r16): the CONTAINMENT ingest gate — arrivals
+    # substantially contained in the standing corpus dropped at
+    # ingest via a stream-static anti-join against the published gram
+    # projection (the class the Jaccard gate structurally misses);
+    # admissions == batch containment-apply survivors among arrivals
+    # modulo the documented peer-containment deferral, pinned both
+    # arrival orders + deferral closure in
+    # tests/test_streaming_windows.py
+    def _stream_containment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            _INCR_HWM_FRACTION,
+            build_corpus_index,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            INGEST_BASE,
+            containment_gate_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cont_gate_stream_")
+        docs = table(spark, sf_dir, "documents")
+        h = docs.agg(
+            F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+        ).first()[0]
+        build_corpus_index(
+            {"documents": docs.filter(F.col("doc_id") <= h)},
+            os.path.join(tmp, "index"),
+        )
+        src = os.path.join(tmp, "src")
+        arrivals = docs.filter(F.col("doc_id") > h).withColumn(
+            "ingest_ts",
+            F.lit(INGEST_BASE).cast("timestamp")
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+        )
+        arrivals.write.mode("overwrite").parquet(src)
+        arrivals.write.mode("append").parquet(src)  # at-least-once replay
+        out = containment_gate_stream(
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            os.path.join(tmp, "index"),
+        )
+        return out.select("fp", "source", "n_chars").orderBy("fp")
+
+    q["streaming_containment_gate"] = _stream_containment_gate
+
     # rows-only (streaming MG state; no SQL analog): row-for-row
     # equality with the exact batch pass in the no-eviction regime and
     # the bounded-state eviction contract are both pinned in

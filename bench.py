@@ -469,6 +469,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_card_amount_anomaly",
         "streaming_card_testing",
         "streaming_centrality_maintained",
+        "streaming_containment_gate",
         "streaming_curation",
         "streaming_cusum_monitor",
         "streaming_dau_wau",

@@ -79,6 +79,25 @@ def near_pair_cond(a_grams: F.Column, b_grams: F.Column) -> F.Column:
     )
 
 
+def containment_gate_cond(a_grams: F.Column, c_grams: F.Column) -> F.Column:
+    """The CONTAINMENT gate predicate (r16): the arrival side's gram
+    set is >= CONTAINMENT_MIN contained in a corpus mate's — both
+    sides non-empty (the batch op's 0/0 guard) and the ratio dround'ed
+    BEFORE the compare (the boundary discipline), asymmetric BY
+    DESIGN: an ingest gate drops the arrival when the ARRIVAL is the
+    contained side (the batch apply's contained-side-loses rule with
+    the corpus as the smaller-id side); a corpus doc contained in an
+    arrival is the nightly pass's business, not the gate's. One
+    definition shared by the streaming gate's join condition and any
+    batch recompute twin — the ``near_pair_cond`` discipline."""
+    inter = F.size(F.array_intersect(a_grams, c_grams))
+    return (
+        (F.size(a_grams) > 0)
+        & (F.size(c_grams) > 0)
+        & (dround(inter.cast("double") / F.size(a_grams)) >= CONTAINMENT_MIN)
+    )
+
+
 def gram_cols() -> dict[str, F.Column]:
     """Stage-ONE of the candidate-pair projection as COLUMN
     EXPRESSIONS over a ``text`` column — {"bucket": 4-token-prefix

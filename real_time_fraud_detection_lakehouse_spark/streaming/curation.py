@@ -454,3 +454,104 @@ def incremental_dedup_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def containment_gate_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    index_root: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The CONTAINMENT ingest gate (r16, r15 verdict #5): drop each
+    arriving document that is substantially CONTAINED in the standing
+    corpus — the stream twin of ``docs_dedup_containment_apply``'s
+    corpus-side drop rule, riding the published gram projection
+    ``build_corpus_index`` already maintains. Where the Jaccard gate
+    (``incremental_dedup_stream``) catches near-equal twins, this one
+    catches the quoted/expanded/boilerplate-wrapped class: an arrival
+    living >= CONTAINMENT_MIN inside a corpus doc has Jaccard ~|A|/|C|
+    (invisible) but arrival-side containment ~1.0.
+
+    Two gates: (1) ``dropDuplicatesWithinWatermark`` on the fp —
+    replay/same-batch byte-twins collapse (watermark-bounded state);
+    (2) stream-static LEFT ANTI join against ``corpus_grams`` keyed
+    on the shared prefix bucket with ``containment_gate_cond`` inline
+    — an arrival is dropped iff ANY corpus bucket-mate contains it.
+    The asymmetry is the documented ingest contract (see the cond's
+    docstring): arrival-vs-arrival containment and corpus-docs-
+    contained-in-arrivals are the nightly pass's job — a gate decides
+    per document against the published index, never against in-flight
+    peers or retroactively against the corpus. The batch-agreement
+    test pins admissions == arrivals minus the corpus-containment
+    drops EXACTLY, and pins the deferral as exactly the batch apply's
+    arrival-vs-arrival classes, both arrival orders
+    (tests/test_streaming_windows.py).
+
+    Scale design: the gate is one STATELESS stream-static join —
+    corpus ``text`` is never touched (the index is the standing gram
+    projection), the join is bucket-keyed (never all-pairs), the
+    micro-batch is the small side (AQE broadcasts at runtime, module
+    policy), and the only state is the fp set, watermark-bounded."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _read_corpus_index,
+        containment_gate_cond,
+        fp_col,
+        gram_cols,
+        grams_from_th,
+    )
+
+    _idx_fps, idx_grams = _read_corpus_index(spark, index_root)
+    corpus_grams = idx_grams.select(
+        F.col("bucket").alias("c_bucket"), F.col("grams").alias("c_grams")
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stage1 = gram_cols()
+    stream = (
+        reader.parquet(source_path)
+        .withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "ingest_ts",
+            "text",
+            fp_col().alias("fp"),
+        )
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "ingest_ts",
+            "fp",
+            stage1["bucket"].alias("bucket"),
+            stage1["th"].alias("th"),
+        )
+        .select(
+            "doc_id", "source", "n_chars", "ingest_ts", "fp", "bucket",
+            grams_from_th("th").alias("grams"),
+        )
+    )
+    gate = (F.col("bucket") == F.col("c_bucket")) & containment_gate_cond(
+        F.col("grams"), F.col("c_grams")
+    )
+    stream = stream.join(corpus_grams, gate, "left_anti").select(
+        "doc_id", "source", "n_chars", "ingest_ts", "fp"
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

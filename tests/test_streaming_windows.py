@@ -603,6 +603,141 @@ def test_streaming_incremental_dedup_matches_batch_both_orders(spark, tmp_path):
     assert fresh_idx == [], "re-indexed gate must drop the near-dup of an admission"
 
 
+def test_streaming_containment_gate_matches_batch_both_orders(spark, tmp_path):
+    """r16 (r15 verdict #5): the containment ingest gate admits
+    EXACTLY the arrivals not substantially contained in the standing
+    corpus, under BOTH arrival orders — the class the Jaccard gate
+    structurally misses (a short doc quoted whole inside a long
+    corpus doc has Jaccard ~0.26 here, containment 1.0). The
+    documented asymmetries are pinned as exactly the batch apply's
+    deferred classes: a corpus doc contained IN an arrival survives
+    the gate (nightly's job to drop the corpus side), and an
+    arrival contained in a PEER arrival is admitted today, then
+    gated once the nightly pass re-indexes over the admissions."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_corpus_index,
+        docs_dedup_containment_apply,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        containment_gate_stream,
+    )
+
+    long_doc = " ".join(f"tok{i:02d}" for i in range(40))
+    short_in_long = " ".join(f"tok{i:02d}" for i in range(12))
+    old_short = " ".join(f"old{i:02d}" for i in range(12))
+    old_long = " ".join(f"old{i:02d}" for i in range(40))
+    fresh = " ".join(f"new{i:02d}" for i in range(25))
+    partial = " ".join(
+        [f"tok{i:02d}" for i in range(10)] + [f"zzz{i:02d}" for i in range(10, 20)]
+    )
+    contained_in_fresh = " ".join(f"new{i:02d}" for i in range(12))
+    rows = [
+        (1, "en", "web", long_doc),    # corpus: the container
+        (2, "en", "web", old_short),   # corpus: contained in arrival 17
+        (13, "en", "web", short_in_long),  # ⊂ corpus 1 → DROPPED
+        (14, "en", "web", fresh),          # fresh → ADMITTED
+        (15, "en", "web", partial),        # same bucket, cont. 8/18 → ADMITTED
+        (16, "en", "web", fresh),          # byte twin of 14 → fp-collapsed
+        (17, "en", "web", old_long),       # CONTAINS corpus 2 → ADMITTED
+        (18, "en", "web", contained_in_fresh),  # ⊂ peer arrival 14 → deferred
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    fp_of = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+        ).collect()
+    }
+
+    # fixture sanity via the BATCH apply over the full table: corpus 2
+    # and arrivals 13/16/18 fall, so survivors-among-arrivals are
+    # {14, 15, 17}
+    batch_survivors = {
+        r["doc_id"]
+        for r in docs_dedup_containment_apply({"documents": docs}).collect()
+    }
+    assert batch_survivors == {1, 14, 15, 17}
+
+    root = str(tmp_path / "corpus_index")
+    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= 12)}, root)
+    arrivals = docs.filter(F.col("doc_id") > 12)
+
+    def write_sequential(src, order):
+        seen: set[str] = set()
+        mtime_base = _time.time() - 3600
+        for i, doc_id in enumerate(order):
+            one = arrivals.filter(F.col("doc_id") == doc_id).withColumn(
+                "ingest_ts",
+                F.lit(INGEST_BASE).cast("timestamp")
+                + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+            )
+            one.coalesce(1).write.mode("append").parquet(src)
+            for f in _glob.glob(_os.path.join(src, "*.parquet")):
+                if f not in seen:
+                    _os.utime(f, (mtime_base + i, mtime_base + i))
+                    seen.add(f)
+
+    # gate expectation: batch survivors among arrivals PLUS the
+    # deferred peer-containment class {18}
+    expected_fps = {fp_of[d] for d in (14, 15, 17, 18)}
+    for tag, order in (
+        ("forward", [13, 14, 15, 16, 17, 18]),
+        ("reversed", [18, 17, 16, 15, 14, 13]),
+    ):
+        src = str(tmp_path / f"csrc_{tag}")
+        write_sequential(src, order)
+        ckpt = str(tmp_path / f"cckpt_{tag}")
+        out = containment_gate_stream(
+            spark,
+            src,
+            str(tmp_path / f"cout_{tag}"),
+            ckpt,
+            root,
+            max_files_per_trigger=1,
+        ).collect()
+        n_batches = len(
+            [n for n in _os.listdir(_os.path.join(ckpt, "offsets")) if not n.startswith(".")]
+        )
+        assert n_batches >= 6, f"{tag}: expected ≥6 micro-batches, got {n_batches}"
+        got = {r["fp"] for r in out}
+        assert got == expected_fps, f"{tag} diverged"
+        # the deferral, pinned exactly: admissions minus the batch
+        # apply's survivors-among-arrivals is {18} and nothing else
+        assert got - {fp_of[d] for d in batch_survivors if d > 12} == {
+            fp_of[18]
+        }
+
+    # deferral closure: the nightly pass re-indexes corpus + the
+    # admitted arrivals; a day-2 twin of the peer-contained class is
+    # then a CORPUS containment and the same gate drops it
+    root2 = str(tmp_path / "corpus_index_day2")
+    build_corpus_index(
+        {"documents": docs.filter(F.col("doc_id").isin(1, 2, 14, 15, 17))},
+        root2,
+    )
+    day2 = spark.createDataFrame(
+        [(19, "en", "web", contained_in_fresh)],
+        "doc_id long, lang string, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+    src2 = str(tmp_path / "csrc_day2")
+    day2.withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    ).write.parquet(src2)
+    gated = containment_gate_stream(
+        spark, src2, str(tmp_path / "cout_day2"), str(tmp_path / "cckpt_day2"), root2
+    ).collect()
+    assert gated == [], "re-indexed gate must drop the peer-contained class"
+
+
 def test_streaming_incremental_dedup_restart_is_idempotent(spark, tmp_path):
     """Exactly-once on checkpoint reuse for the ingest gate: a re-run
     against the same source + checkpoint + index emits nothing new —
