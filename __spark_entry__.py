@@ -939,6 +939,45 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_fuzzy_entity_gate"] = _stream_fuzzy_gate
 
+    # rows-only (r16): the DEPTH-2 entity gate — same snapshot-store
+    # ingest loop over the deletion_variants2 neighborhood (variant
+    # fan-out 1+L+L(L-1)/2, the documented memory/recall trade);
+    # anchored to the ORACLED dedup_fuzzy_names_d2 block set +
+    # dedup_fuzzy_canonical_d2 keeper set and a planted two-batch d2
+    # chain in tests/test_streaming.py
+    def _stream_fuzzy_gate_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            build_entity_index,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            fuzzy_entity_gate_stream,
+        )
+
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+        )
+        h = cust.agg(F.floor(F.max("entity_id") / 2).cast("long")).first()[0]
+        tmp = tempfile.mkdtemp(prefix="fuzzy_gate_d2_")
+        root = os.path.join(tmp, "idx")
+        build_entity_index(cust.filter(F.col("entity_id") <= h), root, depth=2)
+        src = os.path.join(tmp, "src")
+        cust.filter(F.col("entity_id") > h).write.mode("overwrite").parquet(src)
+        return fuzzy_entity_gate_stream(
+            spark,
+            src,
+            root,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            depth=2,
+        )
+
+    q["streaming_fuzzy_entity_gate_d2"] = _stream_fuzzy_gate_d2
+
     # rows-only (foreachBatch link-table sink; merge = distinct-union,
     # commutative AND idempotent): the ring monitor maintained AT
     # INGEST — pinned BIT-IDENTICAL to batch dash_fraud_ring_pairs

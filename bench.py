@@ -477,6 +477,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_enrichment",
         "streaming_fk_monitor",
         "streaming_fuzzy_entity_gate",
+        "streaming_fuzzy_entity_gate_d2",
         "streaming_gopher_gate",
         "streaming_hourly_windows",
         "streaming_impossible_travel",

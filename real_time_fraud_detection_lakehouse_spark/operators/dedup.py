@@ -2238,28 +2238,45 @@ def deletion_variants(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
 
 
-def build_entity_index(names: DataFrame, root: str) -> int:
+def _variants_at(depth: int):
+    """The FastSS neighborhood generator for a gate depth — d<=1
+    (:func:`deletion_variants`, length+1 fan-out) or d<=2
+    (:func:`deletion_variants2`, 1+L+L(L-1)/2 — the documented
+    memory/recall trade). ONE dispatch point shared by index build,
+    delta fold-in, and gate, so the three sites cannot drift on what
+    neighborhood the published variants encode; the caller contract
+    is that an index is built, folded, and gated at ONE depth."""
+    if depth == 1:
+        return deletion_variants
+    if depth == 2:
+        return deletion_variants2
+    raise ValueError(f"unsupported FastSS gate depth {depth} (1 or 2)")
+
+
+def build_entity_index(names: DataFrame, root: str, depth: int = 1) -> int:
     """Publish the standing entity set's FastSS index as one atomic
     snapshot group: ``entity_names`` (entity_id, name) and
     ``entity_variants`` (entity_id, name, variant) — the
     ``build_corpus_index`` lifecycle applied to entity resolution.
     ``names`` must carry (entity_id, name). Returns the group
     version. Both projections are single-scan derivations (the
-    variant fan-out is the bounded length+1 explode); readers flip
-    atomically between publishes."""
+    variant fan-out is the bounded length+1 explode at depth 1,
+    ~L²/2 at depth 2); readers flip atomically between publishes.
+    ``depth`` picks the neighborhood (see ``_variants_at``) and MUST
+    match the gate's depth."""
     from real_time_fraud_detection_lakehouse_spark.sources.snapshots import publish_tables
 
     base = names.select("entity_id", "name")
     return publish_tables(
         {
             "entity_names": base,
-            "entity_variants": deletion_variants(base, "entity_id", "name"),
+            "entity_variants": _variants_at(depth)(base, "entity_id", "name"),
         },
         root,
     )
 
 
-def update_entity_index(admitted: DataFrame, root: str) -> int:
+def update_entity_index(admitted: DataFrame, root: str, depth: int = 1) -> int:
     """FOLD admitted arrivals into the standing entity index as
     ``_dK`` delta tables pinned in one atomic group extension — write
     cost O(admissions), the standing set is never rewritten (the
@@ -2271,7 +2288,7 @@ def update_entity_index(admitted: DataFrame, root: str) -> int:
         root,
         lambda k: {
             f"entity_names_d{k}": base,
-            f"entity_variants_d{k}": deletion_variants(base, "entity_id", "name"),
+            f"entity_variants_d{k}": _variants_at(depth)(base, "entity_id", "name"),
         },
         f"no entity index at {root} — build_entity_index first",
     )
@@ -2298,11 +2315,15 @@ def _read_entity_index(spark, root: str):
     return tuple(out)
 
 
-def fuzzy_entity_gate(spark, arrivals: DataFrame, root: str) -> DataFrame:
+def fuzzy_entity_gate(
+    spark, arrivals: DataFrame, root: str, depth: int = 1
+) -> DataFrame:
     """Gate one arrival batch (entity_id, name) against the standing
     entity index: an arrival is REJECTED iff its name sits within
-    Levenshtein distance 1 of (a) any indexed entity or (b) any
-    smaller-id arrival in the same batch — the
+    Levenshtein distance ``depth`` (default 1; depth 2 = the r16 gate
+    over the ``deletion_variants2`` neighborhood, anchored to the
+    ORACLED d2 pair/keeper ops in tests) of (a) any indexed entity or
+    (b) any smaller-id arrival in the same batch — the
     ``docs_dedup_incremental`` id-ordering discipline applied to
     entities, deliberately conservative on intra-batch chains (a
     chain A~B~C rejects both B and C; the nightly
@@ -2322,7 +2343,7 @@ def fuzzy_entity_gate(spark, arrivals: DataFrame, root: str) -> DataFrame:
     the exact levenshtein filter runs on candidate pairs only."""
     _, idx_variants = _read_entity_index(spark, root)
     arr = arrivals.select("entity_id", "name")
-    arr_var = deletion_variants(arr, "entity_id", "name").select(
+    arr_var = _variants_at(depth)(arr, "entity_id", "name").select(
         F.col("entity_id").alias("a_id"),
         F.col("name").alias("a_name"),
         "variant",
@@ -2353,7 +2374,7 @@ def fuzzy_entity_gate(spark, arrivals: DataFrame, root: str) -> DataFrame:
         .distinct()
     )
     blocked = (
-        cand.filter(F.levenshtein("a_name", "m_name") <= 1)
+        cand.filter(F.levenshtein("a_name", "m_name") <= depth)
         .filter(F.col("is_index") | (F.col("m_id") < F.col("a_id")))
         .groupBy(F.col("a_id").alias("entity_id"))
         .agg(F.min("m_id").alias("matched_entity"))

@@ -240,6 +240,7 @@ def fuzzy_entity_gate_stream(
     index_root: str,
     out_path: str,
     checkpoint_dir: str,
+    depth: int = 1,
 ) -> DataFrame:
     """Entity resolution AT INGEST — the fraud use: a typo'd signup
     (one-character edit of a known identity) is flagged BEFORE it
@@ -269,7 +270,10 @@ def fuzzy_entity_gate_stream(
     so the monitor is O(1) in executor state at any rate.
 
     Returns the full decision table (entity_id, name, admitted,
-    matched_entity, batch_id)."""
+    matched_entity, batch_id). ``depth`` picks the FastSS
+    neighborhood (1 default; 2 = the r16 depth-2 gate — variant
+    fan-out 1+L+L(L-1)/2, the documented memory/recall trade — whose
+    index must be built at depth 2)."""
     import os
 
     from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
@@ -285,13 +289,15 @@ def fuzzy_entity_gate_stream(
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        decisions = fuzzy_entity_gate(spark, batch, index_root)
+        decisions = fuzzy_entity_gate(spark, batch, index_root, depth=depth)
         write_batch_partition(decisions, out_path, batch_id)
         admitted = spark.read.parquet(
             os.path.join(out_path, f"batch_id={batch_id}")
         ).filter(F.col("admitted"))
         if admitted.limit(1).count() > 0:
-            update_entity_index(admitted.select("entity_id", "name"), index_root)
+            update_entity_index(
+                admitted.select("entity_id", "name"), index_root, depth=depth
+            )
 
     return run_partitioned_foreach_stream(
         spark, stream, _emit, out_path, checkpoint_dir,

@@ -441,6 +441,142 @@ def test_fuzzy_entity_gate_stream_folds_admissions(spark, tmp_path):
     assert len(again.collect()) == 4 and rows == both
 
 
+def test_fuzzy_entity_gate_d2_one_batch_anchors_to_d2_pairs(spark, tmp_path):
+    """r16 (r15 verdict #6): the depth-2 gate, anchored to the
+    ORACLED d2 ops. Seed the index (built at depth 2) with the
+    low-custkey half, gate the rest as ONE batch: an arrival must be
+    rejected iff dedup_fuzzy_names_d2 holds a pair with ANY
+    smaller-id customer, with matched_entity the minimum partner —
+    and the dedup_fuzzy_canonical_d2 keeper set restricted to
+    arrivals is a SUBSET of admissions (every component minimum has
+    no smaller d2-neighbor; greedy-by-id can only admit MORE, on
+    chain tails connected through distance >2)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import table
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_entity_index,
+        dedup_fuzzy_canonical_d2,
+        dedup_fuzzy_names_d2,
+        fuzzy_entity_gate,
+    )
+
+    cust = table(spark, SF_SMALL, "customer")
+    hwm = 75
+    seed = cust.filter(F.col("c_custkey") <= hwm).select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+    )
+    arrivals = cust.filter(F.col("c_custkey") > hwm).select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+    )
+    root = str(tmp_path / "entity_index_d2")
+    build_entity_index(seed, root, depth=2)
+    got = {
+        r["entity_id"]: (r["admitted"], r["matched_entity"])
+        for r in fuzzy_entity_gate(spark, arrivals, root, depth=2).collect()
+    }
+    pairs = dedup_fuzzy_names_d2({"customer": cust}).collect()
+    expected_block = {}
+    for p in pairs:
+        a, b = p["custkey_a"], p["custkey_b"]  # a < b by construction
+        if b > hwm:
+            expected_block[b] = min(expected_block.get(b, a), a)
+    assert set(got) == {r["entity_id"] for r in arrivals.collect()}
+    rejected = {k for k, (adm, _) in got.items() if not adm}
+    assert rejected == set(expected_block)
+    assert rejected  # the digit-dense fixture must exercise d2
+    for k in rejected:
+        assert got[k][1] == expected_block[k], (k, got[k], expected_block[k])
+    # the deeper neighborhood must actually be searched: on this
+    # digit-dense fixture every arrival already has a d1 partner (the
+    # rejection SETS coincide — measured in-round), but the d2 gate
+    # finds smaller minimum partners for most arrivals; at least one
+    # matched_entity must differ from the d1 gate's (the planted
+    # two-batch test pins the d2-only REJECTION case)
+    root1 = str(tmp_path / "entity_index_d1")
+    build_entity_index(seed, root1, depth=1)
+    got_d1 = {
+        r["entity_id"]: (r["admitted"], r["matched_entity"])
+        for r in fuzzy_entity_gate(spark, arrivals, root1, depth=1).collect()
+    }
+    assert {k for k, (adm, _) in got_d1.items() if not adm} <= rejected
+    assert any(
+        got[k][1] != got_d1[k][1] for k in rejected if k in got_d1
+    ), "d2 gate never found a deeper partner than d1"
+
+    # keeper-set anchor: canonical d2 keepers (component minima, the
+    # distinct canonical_custkey values) among arrivals ⊆ admitted —
+    # a component minimum has no smaller d2-neighbor by definition
+    keepers = {
+        r["canonical_custkey"]
+        for r in dedup_fuzzy_canonical_d2({"customer": cust})
+        .select("canonical_custkey")
+        .distinct()
+        .collect()
+    }
+    admitted = {k for k, (adm, _) in got.items() if adm}
+    assert {k for k in keepers if k > hwm} <= admitted
+
+
+def test_fuzzy_entity_gate_stream_d2_folds_admissions(spark, tmp_path):
+    """r16: the depth-2 gate at ingest — planted two-batch chain one
+    edit DEEPER than the d1 test: index {A}; batch1 = {B at d2 from A
+    (rejected — d1 would ADMIT it), D unique (admitted+folded)};
+    batch2 = {C at d2 from B but d4 from A (ADMITTED — rejected
+    arrivals must not block), E at d2 from D (rejected via batch1's
+    fold-in)}. Decisions replay idempotently."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_entity_index,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        fuzzy_entity_gate_stream,
+    )
+
+    root = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(1, "alpha corp")], "entity_id long, name string"
+    )
+    build_entity_index(seed, root, depth=2)
+
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(
+        [(10, "alpha c0rq"), (11, "zeta holdings")],  # B d2~A, D unique
+        "entity_id long, name string",
+    )
+    batch2 = spark.createDataFrame(
+        # C is d2 from B (append XY) but d4 from A; E is d2 from D
+        [(20, "alpha c0rqXY"), (21, "zeta holdinXX")],
+        "entity_id long, name string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    out = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt"), depth=2
+    )
+    first = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in out.collect()}
+    assert first == {10: (False, 1), 11: (True, None)}, first
+
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    out = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt"), depth=2
+    )
+    both = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in out.collect()}
+    assert both == {
+        10: (False, 1),
+        11: (True, None),
+        20: (True, None),   # blocked only by REJECTED B -> admitted
+        21: (False, 11),    # blocked by batch1's folded admission D
+    }, both
+
+    # restart idempotence: same checkpoint, no new input
+    again = fuzzy_entity_gate_stream(
+        spark, src, root, str(tmp_path / "out"), str(tmp_path / "ckpt"), depth=2
+    )
+    rows = {r["entity_id"]: (r["admitted"], r["matched_entity"]) for r in again.collect()}
+    assert len(again.collect()) == 4 and rows == both
+
+
 def test_ring_monitor_stream_bit_identical_to_batch(spark, tmp_path):
     """The ring monitor's link table is a distinct-union — commutative
     AND idempotent — so the streamed pair set must equal batch
