@@ -991,3 +991,30 @@ def test_round15_ops_plan_shapes(spark):
     assert "CartesianProduct" not in cont
     assert "array_intersect" in cont
     assert "bucket" in cont, "containment join lost its bucket key"
+
+
+def test_round16_ops_plan_shapes(spark):
+    """r16 plan pins: the RP convergence audit stays merchant-KEYED
+    end to end (no cartesian, no window — the two depth frames join
+    on merchant with map-side partial AVGs); the ring-hub trend's lag
+    window runs over the (ring, week) ROLLUP — partial counts feed
+    the window, never fact rows — and its only nested-loop joins are
+    the 1-row median/N scalar broadcasts inherited from the mule-hub
+    chain."""
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import DASHBOARDS
+
+    g = gold_frames(spark, SF_SMALL)
+    rp = _plan(DASHBOARDS["dash_rp_convergence"][0](g))
+    assert "CartesianProduct" not in rp
+    assert "windowspecdefinition" not in rp, "audit must not window"
+    assert (
+        "SortMergeJoin [merchant" in rp or "BroadcastHashJoin [merchant" in rp
+    ), "depth-frame join lost its merchant key"
+    assert "partial_avg" in rp
+
+    tr = _plan(DASHBOARDS["dash_ring_hub_trend"][0](g))
+    assert "CartesianProduct" not in tr
+    assert "windowspecdefinition(ring_id" in tr, (
+        "lag window lost its ring partition"
+    )
+    assert "partial_count" in tr  # the rollup aggregates before the lag
