@@ -1068,6 +1068,48 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_centrality_maintained"] = _stream_centrality_maintained
 
+    # rows-only (r16 capstone): the COMPOSED trend from maintained
+    # state — ONE stream pass folds ring links + centrality edges +
+    # seed partials, both stores fold independently, the emit feeds
+    # the UNTOUCHED dash_ring_hub_trend builder; pinned equal to the
+    # batch trend across a mid-stream fold in tests/test_streaming.py
+    def _stream_ring_hub_trend_maintained(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+            transactions_df,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+            compact_ring_hub_graph,
+            ring_hub_trend_stream_maintained,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="rhtm_stream_")
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ring_root = os.path.join(tmp, "ring_store")
+        cent_root = os.path.join(tmp, "cent_store")
+        ckpt = os.path.join(tmp, "ckpt")
+        tx = transactions_df(spark, sf_dir)
+        tx.filter(F.col("cc_num") % 2 == 0).write.mode("append").parquet(src)
+        ring_hub_trend_stream_maintained(
+            spark, src, out, ckpt, ring_root, cent_root
+        )
+        compact_ring_hub_graph(spark, out, ring_root, cent_root)
+        shutil.rmtree(out)
+        tx.filter(F.col("cc_num") % 2 == 1).write.mode("append").parquet(src)
+        return ring_hub_trend_stream_maintained(
+            spark, src, out, ckpt, ring_root, cent_root
+        )
+
+    q["streaming_ring_hub_trend_maintained"] = _stream_ring_hub_trend_maintained
+
     # rows-only (applyInPandasWithState per-card last-location state):
     # the impossible-travel detector AT INGEST — pinned set-equal to
     # the batch op on a per-card-ordered source with a cross-batch

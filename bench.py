@@ -485,6 +485,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_interval_join",
         "streaming_interval_join_outer",
         "streaming_quantile_sketch",
+        "streaming_ring_hub_trend_maintained",
         "streaming_ring_monitor",
         "streaming_ring_monitor_maintained",
         "streaming_seasonal_anomaly",

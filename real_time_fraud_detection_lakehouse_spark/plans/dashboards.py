@@ -2196,7 +2196,12 @@ RING_HUB_TREND_ORACLE = (
 
 
 @_register("dash_ring_hub_trend", None)  # SQL bound in __spark_entry__
-def dash_ring_hub_trend(g) -> DataFrame:
+def dash_ring_hub_trend(
+    g,
+    links: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    seed: DataFrame | None = None,
+) -> DataFrame:
     """Ring-hub exposure TREND (r16, r15 verdict #8): per detected
     ring, per calendar week of its activity, the share of its distinct
     merchant surface that is mule-hub territory, with the
@@ -2219,11 +2224,33 @@ def dash_ring_hub_trend(g) -> DataFrame:
     class, never a window over fact rows. The ORACLE composes the
     shared ring-CC closure, the unrolled PR/RP chains, and the mule
     conjunction from the same text pieces the component oracles use,
-    so the whole trend hash-checks."""
-    rings = _ring_shared(g)["comp"]
-    hubs = dash_mule_hubs(g).select("merchant").withColumn("__hub", F.lit(1))
+    so the whole trend hash-checks.
+
+    ``links``/``edges``/``seed`` overrides (r16): the maintained-
+    graph streaming monitors feed the identical screen logic —
+    ``links`` replaces BOTH the ring-CC input (pairs + components
+    recomputed from the maintained link table, same builders) and
+    the weekly surface; ``edges``/``seed`` flow to the mule-hub
+    conjunction. Every maintained merge is distinct-union, so the
+    composed trend is identical to the recompute by construction."""
+    if links is None:
+        rings = _ring_shared(g)["comp"]
+        lk = ring_links(g["transactions"])
+    else:
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = ring_pairs_from_links(links, RING_STRONG_SUPPORT)
+        rings = connected_components(pairs, src="card_a", dst="card_b").select(
+            F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
+        )
+        lk = links
+    hubs = dash_mule_hubs(g, edges, seed).select("merchant").withColumn(
+        "__hub", F.lit(1)
+    )
     wk = (
-        ring_links(g["transactions"])
+        lk
         .select(
             "cc_num",
             "merchant",

@@ -376,9 +376,6 @@ def ring_monitor_stream_maintained(
         ring_links,
         ring_pairs_from_links,
     )
-    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
-        read_published,
-    )
     from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
         run_partitioned_foreach_stream,
         write_batch_partition,
@@ -390,19 +387,13 @@ def ring_monitor_stream_maintained(
     def _emit(batch: DataFrame, batch_id: int) -> None:
         write_batch_partition(ring_links(batch), out_path, batch_id)
 
-    fresh = run_partitioned_foreach_stream(
+    run_partitioned_foreach_stream(
         spark, stream, _emit, out_path, checkpoint_dir,
         "cc_num long, merchant string, day date, batch_id long",
-    ).select("cc_num", "merchant", "day")
-    try:
-        # KeyError (published generations that never included a
-        # ring_links table) falls back exactly like no-store-yet
-        # (r14 advice) — fresh-only links, same as first run
-        published = read_published(spark, root)["ring_links"]
-        links = published.unionByName(fresh).distinct()
-    except (FileNotFoundError, KeyError):
-        links = fresh.distinct()
-    return ring_pairs_from_links(links, RING_SUPPORT)
+    )
+    return ring_pairs_from_links(
+        ring_links_maintained(spark, out_path, root), RING_SUPPORT
+    )
 
 
 # --- ring link-table maintenance (round 14) ----------------------------------
@@ -460,6 +451,36 @@ def compact_ring_links(spark: SparkSession, batch_out_path: str, root: str) -> i
     return publish_tables({"ring_links": merged}, root)
 
 
+def ring_links_maintained(
+    spark: SparkSession, batch_out_path: str, root: str
+) -> DataFrame:
+    """The standing link table over published ∪ not-yet-folded batch
+    partitions — the maintained monitor's merge, exposed so composed
+    readers (the maintained trend, r16) share ONE definition.
+    KeyError (generations without a ring_links table) falls back like
+    no-store-yet (r14 advice); a missing batch dir means zero
+    unfolded partitions (the scaffold's zero-batch guard)."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    if os.path.isdir(batch_out_path):
+        fresh = (
+            spark.read.schema(RING_LINKS_SCHEMA + ", batch_id long")
+            .parquet(batch_out_path)
+            .select("cc_num", "merchant", "day")
+        )
+    else:
+        fresh = spark.createDataFrame([], RING_LINKS_SCHEMA)
+    try:
+        published = read_published(spark, root)["ring_links"]
+        return published.unionByName(fresh).distinct()
+    except (FileNotFoundError, KeyError):
+        return fresh.distinct()
+
+
 def ring_pairs_from_published(
     spark: SparkSession, root: str, min_links: int | None = None
 ) -> DataFrame:
@@ -494,6 +515,30 @@ def ring_pairs_from_published(
 # --- centrality/risk graph maintenance (round 16) -----------------------------
 CENTRALITY_EDGES_SCHEMA = "cc_num long, merchant string"
 CENTRALITY_SEED_SCHEMA = "merchant string, n_tx long, n_fraud long, batch_id long"
+
+
+def _centrality_emit(
+    batch: DataFrame, batch_id: int, edges_dir: str, seed_dir: str
+) -> None:
+    """Per-batch fold of the PR/RP graph partials — distinct edge
+    rows + per-merchant long seed counts, idempotently written under
+    ``batch_id=<N>``. ONE definition shared by the standalone
+    centrality monitor and the composed ring-hub-trend monitor."""
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        write_batch_partition,
+    )
+
+    write_batch_partition(
+        batch.select("cc_num", "merchant").distinct(), edges_dir, batch_id
+    )
+    write_batch_partition(
+        batch.groupBy("merchant").agg(
+            F.count("*").cast("long").alias("n_tx"),
+            F.sum(F.col("is_fraud").cast("long")).cast("long").alias("n_fraud"),
+        ),
+        seed_dir,
+        batch_id,
+    )
 
 
 def centrality_graph_stream_maintained(
@@ -534,19 +579,7 @@ def centrality_graph_stream_maintained(
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
-        write_batch_partition(
-            batch.select("cc_num", "merchant").distinct(), edges_dir, batch_id
-        )
-        write_batch_partition(
-            batch.groupBy("merchant").agg(
-                F.count("*").cast("long").alias("n_tx"),
-                F.sum(F.col("is_fraud").cast("long")).cast("long").alias(
-                    "n_fraud"
-                ),
-            ),
-            seed_dir,
-            batch_id,
-        )
+        _centrality_emit(batch, batch_id, edges_dir, seed_dir)
 
     run_partitioned_foreach_stream(
         spark, stream, _emit, edges_dir, checkpoint_dir,
@@ -667,6 +700,80 @@ def centrality_monitor_stream_maintained(
     )
     edges, seed = centrality_graph_maintained(spark, out_path, root)
     return dash_mule_hubs(None, edges=edges, seed=seed)
+
+
+def ring_hub_trend_stream_maintained(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    ring_root: str,
+    cent_root: str,
+) -> DataFrame:
+    """The production shape of the COMPOSED trend screen (r16
+    capstone): ONE pass of the transaction stream maintains all three
+    graph projections — the ring link table (distinct-union) and the
+    centrality edge/seed surfaces (distinct-union on the row /
+    (merchant, batch_id) partial) — in one foreachBatch, and the emit
+    hands the published ∪ live surfaces to the UNTOUCHED
+    ``dash_ring_hub_trend`` builder. The two stores fold
+    independently (``compact_ring_hub_graph``: the ring compactor and
+    the centrality compactor on their own roots — separate snapshot
+    groups, so neither publish shadows the other's tables). Pinned
+    equal to the batch trend across a mid-stream fold + partition
+    cleanup in tests/test_streaming.py.
+
+    Scale design: per-trigger cost is one map-side distinct + two
+    keyed counts over the batch; every standing surface is tiny
+    against the fact stream (O(cards x active days) links,
+    O(cards x merchants-visited) edges, O(merchants x batches) seed
+    partials); the trend's own plan — rollup before the lag window —
+    is the batch screen's, unchanged."""
+    import os
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_ring_hub_trend,
+        ring_links,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    links_dir = os.path.join(out_path, "links")
+    edges_dir = os.path.join(out_path, "edges")
+    seed_dir = os.path.join(out_path, "seed")
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partition(ring_links(batch), links_dir, batch_id)
+        _centrality_emit(batch, batch_id, edges_dir, seed_dir)
+
+    run_partitioned_foreach_stream(
+        spark, stream, _emit, links_dir, checkpoint_dir,
+        RING_LINKS_SCHEMA + ", batch_id long",
+    )
+    links = ring_links_maintained(spark, links_dir, ring_root)
+    edges, seed = centrality_graph_maintained(spark, out_path, cent_root)
+    return dash_ring_hub_trend(None, links=links, edges=edges, seed=seed)
+
+
+def compact_ring_hub_graph(
+    spark: SparkSession, out_path: str, ring_root: str, cent_root: str
+) -> tuple[int, int]:
+    """FOLD the composed monitor's accumulated partitions into their
+    two published stores — the ring link compactor on ``out/links``
+    and the centrality compactor on ``out`` (its edges/seed layout) —
+    returning both group versions. Separate roots by design: each
+    ``publish_tables`` group carries only its own tables, so a shared
+    root would shadow the other store's surface at every fold."""
+    import os
+
+    return (
+        compact_ring_links(spark, os.path.join(out_path, "links"), ring_root),
+        compact_centrality_graph(spark, out_path, cent_root),
+    )
 
 
 def card_testing_monitor_stream(

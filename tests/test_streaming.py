@@ -918,6 +918,72 @@ def test_centrality_monitor_maintained_matches_batch_screens(spark, tmp_path):
     )
 
 
+def test_ring_hub_trend_maintained_matches_batch_across_fold(spark, tmp_path):
+    """r16 capstone: the COMPOSED trend from maintained state — one
+    stream pass folds ring links + centrality edges + seed partials;
+    after a mid-stream fold into BOTH published stores + partition
+    cleanup, the maintained surfaces feed the untouched
+    dash_ring_hub_trend builder and the trend equals batch over ALL
+    data (ring CC recomputed from the identical distinct-union link
+    set; hubs equal by the maintained-graph equalities)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from real_time_fraud_detection_lakehouse_spark.plans.dashboards import (
+        dash_ring_hub_trend,
+    )
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import (
+        transactions_df,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.scoring import (
+        compact_ring_hub_graph,
+        ring_hub_trend_stream_maintained,
+    )
+
+    tx = transactions_df(spark, SF_SMALL)
+    halves = [
+        tx.filter(F.col("cc_num") % 2 == i).localCheckpoint() for i in range(2)
+    ]
+    ring_root = str(tmp_path / "ring_store")
+    cent_root = str(tmp_path / "cent_store")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # day 1: no published generations yet
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+    t1 = ring_hub_trend_stream_maintained(
+        spark, src, out, ckpt, ring_root, cent_root
+    )
+    assert rows(t1) == rows(dash_ring_hub_trend({"transactions": halves[0]}))
+
+    # nightly fold into BOTH stores; partitions cleaned
+    compact_ring_hub_graph(spark, out, ring_root, cent_root)
+    shutil.rmtree(out)
+
+    # day 2: composed surfaces = published generations ∪ new batches
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    t2 = ring_hub_trend_stream_maintained(
+        spark, src, out, ckpt, ring_root, cent_root
+    )
+    full = rows(dash_ring_hub_trend({"transactions": tx}))
+    assert full
+    assert rows(t2) == full
+
+    # overlap: fold day-2 in but DON'T clean — idempotent on both
+    compact_ring_hub_graph(spark, out, ring_root, cent_root)
+    t3 = ring_hub_trend_stream_maintained(
+        spark, src, out, ckpt, ring_root, cent_root
+    )
+    assert rows(t3) == full
+
+
 def test_card_amount_anomaly_stream_order_free_and_in_band(spark, tmp_path):
     """r15: the per-card amount baseline at ingest. (a) The sketch
     merges by exact long SUM on the bucket key, so the emitted frame
