@@ -74,6 +74,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:     order. 2 + 5 + 9 + 34 = exactly 50. The remaining 15
 #:     r12-cohort entries (q_dominant_suppliers onward) LEAD the r17
 #:     front.
+#: r16 POST-CLOSE oracled op (registered + oracled after the front
+#: was validated, validate_driver-green at sf0.001 AND sf0.01
+#: in-round; the r15 precedent — first driver rows in r17, timed
+#: already): dedup_containment_global (exact-recall prefix-filter
+#: containment join — the all-pairs oracle from a bounded plan).
+#: Together with the 15 remaining r12-cohort entries it LEADS the
+#: r17 front.
 #: Rows-only r16 changes hold no front slots per the r8 rule:
 #: streaming_centrality_maintained (NEW: the maintained bipartite
 #: graph — all four PR/RP screens pinned equal to batch across a

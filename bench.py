@@ -231,6 +231,10 @@ DIRECT = [
     # the actionable subset-dedup apply over that pair stream
     "dedup_ngram_containment",
     "docs_dedup_containment_apply",
+    # round-16: the exact-recall prefix-filter containment join
+    # (rarest-gram probes vs the posting list; the all-pairs relation
+    # from a bounded plan)
+    "dedup_containment_global",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -379,6 +379,116 @@ DEDUP_OPS["docs_dedup_containment_apply"] = (
 )
 
 
+#: rounding slack folded into the prefix-filter probe count: the
+#: surfacing threshold compares the DROUND(4)ed ratio, so a raw
+#: containment as low as MIN - 0.00005 still rounds in; widening the
+#: missing-gram budget by that slack keeps the recall theorem exact
+#: for the rounded threshold at any gram-set size.
+_CONTAINMENT_ROUND_SLACK = 0.00005
+
+
+@_register(
+    "dedup_containment_global",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_NGRAMS} AS grams FROM documents
+    )
+    SELECT doc_a, doc_b, containment_a, containment_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {dround_sql(
+               "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+               " / len(a.grams)"
+             )} AS containment_a,
+             {dround_sql(
+               "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+               " / len(b.grams)"
+             )} AS containment_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    ) WHERE GREATEST(containment_a, containment_b) >= {CONTAINMENT_MIN}
+    """,
+)
+def dedup_containment_global(t: Frames) -> DataFrame:
+    """GLOBAL containment pairs with EXACT recall (r16): every pair
+    where either side's gram set is >= CONTAINMENT_MIN contained in
+    the other — across the WHOLE corpus, no blocking-recall caveat.
+    ``dedup_ngram_containment`` blocks on the 4-token-prefix bucket,
+    so a document quoted in the MIDDLE of another (different prefix)
+    is structurally invisible to it; this op surfaces exactly the
+    full all-pairs relation (the oracle IS the quadratic form) from a
+    bounded plan.
+
+    Scale design — the set-similarity-join prefix filter (PPJoin
+    family) on GLOBALLY-RAREST grams: if side A is t-contained in B,
+    at most (1-t)·|A| of A's grams are outside B, so probing the
+    index with any floor((1-t)·|A|)+1 of A's grams MUST hit B —
+    recall is a theorem, not a tuning claim (the probe budget also
+    absorbs the dround boundary slack, ``_CONTAINMENT_ROUND_SLACK``).
+    Probes are chosen rarest-first by corpus document frequency
+    (ties by gram hash) purely to bound the candidate fan-out: a
+    probe gram's join hits df(gram) postings, and the rarest ~20% of
+    a doc's grams sit in the df tail. The stages are all keyed — one
+    df aggregate over the exploded grams (the TF-IDF cost class), a
+    per-doc ranking window (partition bounded by doc length), the
+    probe⋈postings equi-join on the gram hash, a pair-keyed distinct,
+    and two doc_id-keyed join-backs for the EXACT array-intersect
+    verify that makes precision exact too. Nothing is ever all-pairs;
+    at 100 TB the df table is the standing corpus statistic the
+    nightly index publishes."""
+    docs = (
+        _gram_projection(t)
+        .select("doc_id", "grams")
+        .filter(F.size("grams") > 0)
+    )
+    exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
+    df_tab = exploded.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = exploded.join(df_tab, "gram").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "gram")
+        ),
+    )
+    probes = (
+        ranked.join(docs.select("doc_id", F.size("grams").alias("n")), "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.floor(
+                F.col("n") * F.lit(1 - CONTAINMENT_MIN + _CONTAINMENT_ROUND_SLACK)
+            )
+            + 1
+        )
+        .select(F.col("doc_id").alias("p_id"), "gram")
+    )
+    cand = (
+        probes.join(
+            exploded.select(F.col("doc_id").alias("o_id"), "gram"), "gram"
+        )
+        .filter(F.col("p_id") != F.col("o_id"))
+        .select(
+            F.least("p_id", "o_id").alias("doc_a"),
+            F.greatest("p_id", "o_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(inter.cast("double") / F.size("ga")).alias("containment_a"),
+            dround(inter.cast("double") / F.size("gb")).alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= CONTAINMENT_MIN
+        )
+    )
+
+
 # --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------
 @_register(
     "docs_cross_overlap",

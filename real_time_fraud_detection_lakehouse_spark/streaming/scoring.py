@@ -767,7 +767,12 @@ def compact_ring_hub_graph(
     and the centrality compactor on ``out`` (its edges/seed layout) —
     returning both group versions. Separate roots by design: each
     ``publish_tables`` group carries only its own tables, so a shared
-    root would shadow the other store's surface at every fold."""
+    root would shadow the other store's surface at every fold. The
+    two publishes are NOT atomic as a pair — a crash between them
+    leaves one store a generation ahead, which re-running this fold
+    converges (every merge is an idempotent re-fold); partition
+    CLEANUP is therefore safe only after BOTH publishes committed
+    (the per-store rule, conjuncted)."""
     import os
 
     return (

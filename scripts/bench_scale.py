@@ -57,6 +57,13 @@ QUERIES = [
     # d2 datapoint needs a name-perturbed replica).
     "dash_mule_hubs",            # two rank surfaces + median split
     "dash_centrality_convergence",  # 3 unrolled PR rounds
+    # round-16: the RP truncation audit (3 unrolled message-passing
+    # rounds over the shared edge projection) + the composed ring-hub
+    # trend (ring CC + PR/RP chains + lag over the rings x weeks
+    # rollup — the heaviest composition on the surface, so its 10x
+    # ratio is the one worth recording)
+    "dash_rp_convergence",
+    "dash_ring_hub_trend",
 ]
 
 

@@ -2387,6 +2387,60 @@ def test_ngram_containment_catches_asymmetric_subset(spark):
     assert jac[(1, 2)] < CONTAINMENT_MIN
 
 
+def test_containment_global_finds_mid_document_quotes(spark):
+    """r16: the prefix-filter containment join has EXACT recall — a
+    doc quoted in the MIDDLE of another (different 4-token prefix) is
+    invisible to the bucket-blocked op and surfaced here. Planted:
+    A quoted mid-B (containment_a 1.0, different prefix — bucket op
+    misses, global op finds), D ⊂ E sharing the prefix (both ops
+    find, value-identical), C diverges (excluded by both). Boundary:
+    F is exactly 80%-contained in G (raw ratio == CONTAINMENT_MIN) —
+    the probe budget's rounding slack must keep it."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        CONTAINMENT_MIN,
+        dedup_containment_global,
+        dedup_ngram_containment,
+    )
+
+    quoted = "alpha beta gamma delta one two three four five"
+    rows = [
+        (1, quoted),
+        # B wraps the quote in UNRELATED lead-in text: different
+        # 4-token prefix, every gram of A still present
+        (2, "intro words come first here " + quoted + " trailing text "
+            "apple banana cherry durian elderberry fig grape"),
+        (3, "alpha beta gamma delta zz yy xx ww vv uu tt ss rr qq pp"),
+        # D ⊂ E with the SAME prefix: both ops must agree on values
+        (4, "red orange yellow green blue indigo violet"),
+        (5, "red orange yellow green blue indigo violet pink brown "
+            "black white cyan magenta teal olive navy maroon"),
+        # F: 12 tokens -> 10 grams; the 8 over w01..w10 are in G, the
+        # 2 crossing into qqa/qqb are not -> containment exactly 0.8
+        (6, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 qqa qqb"),
+        (7, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 "
+            "w14 w15 w16 w17 w18"),
+    ]
+    t = {"documents": spark.createDataFrame(rows, "doc_id long, text string")}
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup_containment_global(t).collect()
+    }
+    bucketed = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_containment(t).collect()
+    }
+    # the mid-document quote: found globally, missed by the bucket op
+    assert (1, 2) in got and got[(1, 2)][0] == 1.0
+    assert (1, 2) not in bucketed
+    # the shared-prefix subset: both find it, same values
+    assert (4, 5) in got and (4, 5) in bucketed
+    assert got[(4, 5)][0] == 1.0 and got[(4, 5)][1] < CONTAINMENT_MIN
+    # divergent doc excluded everywhere
+    assert not any(3 in p for p in got)
+    # exact-boundary pair kept (8/10 = 0.8 == MIN after rounding)
+    assert (6, 7) in got and got[(6, 7)][0] == CONTAINMENT_MIN
+
+
 def test_containment_apply_drops_contained_keeps_container(spark):
     """r15: the containment-apply drop rule on a planted chain —
     A ⊂ B (strict: drop A, keep B), C == C' mutual near-equal (keep

@@ -1018,3 +1018,17 @@ def test_round16_ops_plan_shapes(spark):
         "lag window lost its ring partition"
     )
     assert "partial_count" in tr  # the rollup aggregates before the lag
+
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        TESTDATA_TABLES,
+        table,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        dedup_containment_global,
+    )
+
+    t = {n: table(spark, SF_SMALL, n) for n in TESTDATA_TABLES}
+    gc = _plan(dedup_containment_global(t))
+    assert "CartesianProduct" not in gc, "probe join must stay gram-keyed"
+    assert "windowspecdefinition(doc_id" in gc  # per-doc probe ranking
+    assert "array_intersect" in gc  # the exact verify on candidates
