@@ -754,6 +754,49 @@ def queries() -> dict[str, QueryFn]:
 
     q["streaming_containment_gate"] = _stream_containment_gate
 
+    # rows-only (r16): the EXACT-RECALL containment gate — per-batch
+    # rarest-gram probes against the published posting list (the
+    # dedup_containment_global prefix-filter theorem at ingest);
+    # catches the mid-document quote the bucketed gate admits, pinned
+    # both arrival orders + restart idempotence in
+    # tests/test_streaming_windows.py
+    def _stream_containment_gate_global(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+            _INCR_HWM_FRACTION,
+            build_corpus_index,
+        )
+        from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+            containment_gate_global_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cont_gate_g_stream_")
+        docs = table(spark, sf_dir, "documents")
+        h = docs.agg(
+            F.floor(F.max("doc_id") * _INCR_HWM_FRACTION).cast("long")
+        ).first()[0]
+        build_corpus_index(
+            {"documents": docs.filter(F.col("doc_id") <= h)},
+            os.path.join(tmp, "index"),
+        )
+        src = os.path.join(tmp, "src")
+        docs.filter(F.col("doc_id") > h).write.mode("overwrite").parquet(src)
+        return containment_gate_global_stream(
+            spark,
+            src,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+            os.path.join(tmp, "index"),
+        )
+
+    q["streaming_containment_gate_global"] = _stream_containment_gate_global
+
     # rows-only (streaming MG state; no SQL analog): row-for-row
     # equality with the exact batch pass in the no-eviction regime and
     # the bounded-state eviction contract are both pinned in

@@ -474,6 +474,7 @@ UNTIMED: dict[str, set[str]] = {
         "streaming_card_testing",
         "streaming_centrality_maintained",
         "streaming_containment_gate",
+        "streaming_containment_gate_global",
         "streaming_curation",
         "streaming_cusum_monitor",
         "streaming_dau_wau",

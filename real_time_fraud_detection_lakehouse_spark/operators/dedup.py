@@ -1599,8 +1599,24 @@ def build_corpus_index(t: Frames, root: str) -> int:
         fp_col().alias("fp"),
     )
     grams = _gram_projection(t)
+    # the GLOBAL containment gate's surfaces (r16): the posting list
+    # (gram -> doc) and the corpus gram document frequencies. df is
+    # published base-only and read possibly-stale by design: it ranks
+    # probe CHOICE, and the prefix-filter recall theorem holds for
+    # ANY probe subset of the budget size — only postings must be
+    # complete (they fold as deltas like the other projections).
+    postings = grams.select("doc_id", F.explode("grams").alias("gram"))
+    gram_df = postings.groupBy("gram").agg(
+        F.count("*").cast("long").alias("df")
+    )
     return publish_tables(
-        {"corpus_fps": fps, "corpus_grams": grams}, root
+        {
+            "corpus_fps": fps,
+            "corpus_grams": grams,
+            "corpus_postings": postings,
+            "corpus_df": gram_df,
+        },
+        root,
     )
 
 
@@ -1635,7 +1651,13 @@ def update_corpus_index(t: Frames, root: str) -> int:
     grams = _gram_projection(t)
     return _fold_deltas(
         root,
-        lambda k: {f"corpus_fps_d{k}": fps, f"corpus_grams_d{k}": grams},
+        lambda k: {
+            f"corpus_fps_d{k}": fps,
+            f"corpus_grams_d{k}": grams,
+            f"corpus_postings_d{k}": grams.select(
+                "doc_id", F.explode("grams").alias("gram")
+            ),
+        },
         f"no corpus index at {root} — build_corpus_index first",
     )
 
@@ -1662,6 +1684,112 @@ def corpus_ingest_cycle(spark, arrivals: DataFrame, root: str) -> DataFrame:
     update_corpus_index({"documents": kept}, root)
     return kept.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _read_corpus_postings(spark, root: str):
+    """(postings, gram_df) for the GLOBAL containment gate: postings
+    as base ∪ folded deltas (must be COMPLETE — recall rides on
+    them), df base-only (possibly stale relative to deltas, by
+    design: it only ranks probe choice, and the prefix-filter
+    theorem holds for any probe subset of the budget size; grams
+    unseen at the last full build read df 0 = rarest, optimal). A
+    store built before the postings tables existed raises
+    FileNotFoundError — rebuild with ``build_corpus_index``."""
+    from functools import reduce
+
+    from real_time_fraud_detection_lakehouse_spark.sources.snapshots import (
+        read_published,
+    )
+
+    idx = read_published(spark, root)
+    if "corpus_postings" not in idx or "corpus_df" not in idx:
+        raise FileNotFoundError(
+            f"corpus index at {root!r} predates the postings/df tables — "
+            "re-run build_corpus_index"
+        )
+    parts = [
+        df
+        for name, df in sorted(idx.items())
+        if name == "corpus_postings" or name.startswith("corpus_postings_d")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts), idx["corpus_df"]
+
+
+def containment_gate_global(spark, arrivals: DataFrame, root: str) -> DataFrame:
+    """Gate one arrival batch against the standing corpus with the
+    EXACT-RECALL containment discipline (r16): an arrival is REJECTED
+    iff its gram set is >= CONTAINMENT_MIN contained in ANY corpus
+    document — wherever the quote sits (the bucketed
+    ``containment_gate_stream`` misses mid-document quotes; this gate
+    cannot, by the ``dedup_containment_global`` prefix-filter
+    theorem). ``arrivals`` carries (doc_id, text, ...); returns
+    (doc_id, admitted, matched_doc) with matched_doc the smallest
+    containing corpus doc for rejections, NULL for admissions.
+
+    Per-batch cost is ARRIVAL-proportional: arrival grams explode to
+    O(batch x doc length) rows; probe choice ranks them against the
+    published df (left join, df 0 for unseen grams — no corpus
+    recompute); the probe⋈postings join touches df(gram) postings per
+    probe (rarest-first bounds the fan-out); the exact verify joins
+    the candidates back to the published gram arrays,
+    ``containment_gate_cond`` — one definition with the bucketed
+    gate, so the two gates CANNOT drift on what contained means."""
+    postings, gram_df = _read_corpus_postings(spark, root)
+    _fps, idx_grams = _read_corpus_index(spark, root)
+
+    stage1 = gram_cols()
+    arr = (
+        arrivals.select("doc_id", stage1["th"].alias("th"))
+        .select("doc_id", grams_from_th("th").alias("grams"))
+    )
+    exploded = arr.select(
+        F.col("doc_id").alias("a_id"),
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    )
+    ranked = exploded.join(gram_df, "gram", "left").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("a_id").orderBy(
+                F.coalesce(F.col("df"), F.lit(0)), F.col("gram")
+            )
+        ),
+    )
+    probes = ranked.filter(
+        F.col("rk")
+        <= F.floor(
+            F.col("n") * F.lit(1 - CONTAINMENT_MIN + _CONTAINMENT_ROUND_SLACK)
+        )
+        + 1
+    ).select("a_id", "gram")
+    cand = (
+        probes.join(
+            postings.select(F.col("doc_id").alias("m_id"), "gram"), "gram"
+        )
+        .select("a_id", "m_id")
+        .distinct()
+    )
+    blocked = (
+        cand.join(arr.select(F.col("doc_id").alias("a_id"), "grams"), "a_id")
+        .join(
+            idx_grams.select(
+                F.col("doc_id").alias("m_id"), F.col("grams").alias("c_grams")
+            ),
+            "m_id",
+        )
+        .filter(containment_gate_cond(F.col("grams"), F.col("c_grams")))
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.min("m_id").alias("matched_doc"))
+    )
+    return (
+        arrivals.select("doc_id")
+        .join(blocked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_doc").isNull().alias("admitted"),
+            "matched_doc",
+        )
     )
 
 

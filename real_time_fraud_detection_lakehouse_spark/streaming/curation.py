@@ -555,3 +555,53 @@ def containment_gate_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+def containment_gate_global_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    index_root: str,
+) -> DataFrame:
+    """The EXACT-RECALL containment gate AT INGEST (r16): every
+    micro-batch of arriving documents is gated by
+    ``operators.dedup.containment_gate_global`` — rarest-gram probes
+    against the published posting list, exact verify against the
+    published gram arrays — and the per-arrival decisions land
+    idempotently under ``batch_id=<N>`` (the fuzzy-entity-gate
+    scaffold). Where ``containment_gate_stream`` blocks on the
+    4-token-prefix bucket (and so admits a doc quoted MID-corpus-doc),
+    this gate's recall is the prefix-filter theorem: any arrival
+    >= CONTAINMENT_MIN contained in ANY corpus document is rejected,
+    wherever the quote sits. Decisions only — admissions are not
+    folded into the index here (the nightly pass's job, the bucketed
+    gate's same deferral). Returns (doc_id, admitted, matched_doc,
+    batch_id).
+
+    Scale design: per-batch cost is arrival-proportional (probe
+    ranking over the batch's exploded grams; df and postings are
+    published standing surfaces, never recomputed); the posting join
+    fans out df(gram) per probe with probes chosen from the df tail;
+    no stream state at all — the scaffold's idempotent partition
+    overwrite is the exactly-once story."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        containment_gate_global,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.batchsink import (
+        run_partitioned_foreach_stream,
+        write_batch_partition,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _emit(batch, batch_id: int) -> None:
+        write_batch_partition(
+            containment_gate_global(spark, batch, index_root),
+            out_path,
+            batch_id,
+        )
+
+    return run_partitioned_foreach_stream(
+        spark, stream, _emit, out_path, checkpoint_dir,
+        "doc_id long, admitted boolean, matched_doc long, batch_id long",
+    )

@@ -1546,7 +1546,14 @@ def test_incremental_maintained_agrees_with_recompute_twin(spark, frames, tmp_pa
     root = str(tmp_path / "corpus_index")
     group = build_corpus_index({"documents": docs.filter(F.col("doc_id") <= h)}, root)
     assert group == 1
-    assert set(read_published(spark, root)) == {"corpus_fps", "corpus_grams"}
+    # r16: the index additionally publishes the global containment
+    # gate's posting/df surfaces
+    assert set(read_published(spark, root)) == {
+        "corpus_fps",
+        "corpus_grams",
+        "corpus_postings",
+        "corpus_df",
+    }
 
     maintained = docs_dedup_incremental_maintained(
         spark, docs.filter(F.col("doc_id") > h), root

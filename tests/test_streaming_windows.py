@@ -738,6 +738,92 @@ def test_streaming_containment_gate_matches_batch_both_orders(spark, tmp_path):
     assert gated == [], "re-indexed gate must drop the peer-contained class"
 
 
+def test_streaming_containment_gate_global_exact_recall(spark, tmp_path):
+    """r16: the exact-recall containment gate at ingest — the planted
+    mid-document quote (different 4-token prefix) that the BUCKETED
+    gate admits is rejected here (the dedup_containment_global
+    prefix-filter theorem applied per batch), under both arrival
+    orders; decisions match the batch global op's corpus-containment
+    drops exactly; restart is idempotent."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        build_corpus_index,
+        containment_gate_global,
+        dedup_containment_global,
+    )
+    from real_time_fraud_detection_lakehouse_spark.streaming.curation import (
+        INGEST_BASE,
+        containment_gate_global_stream,
+        containment_gate_stream,
+    )
+
+    quoted = "alpha beta gamma delta one two three four five"
+    rows = [
+        # corpus doc 1 wraps the quote MID-document
+        (1, "intro words come first here " + quoted + " trailing text "
+            "apple banana cherry durian elderberry fig grape"),
+        (2, "old00 old01 old02 old03 old04 old05 old06 old07 old08 "
+            "old09 old10 old11"),
+        # arrivals: 13 = the quote (contained mid-doc-1), 14 fresh,
+        # 15 CONTAINS corpus 2 (corpus-side containment — admitted)
+        (13, quoted),
+        (14, " ".join(f"new{i:02d}" for i in range(25))),
+        (15, "old00 old01 old02 old03 old04 old05 old06 old07 old08 "
+             "old09 old10 old11 extra words trail behind here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.lit("en").alias("lang"), F.lit("web").alias("source"),
+        "text",
+    ).withColumn("n_chars", F.length("text"))
+
+    root = str(tmp_path / "gidx")
+    build_corpus_index({"documents": docs.filter(F.col("doc_id") <= 12)}, root)
+    arrivals = docs.filter(F.col("doc_id") > 12)
+
+    # the batch anchor: corpus-containment drops from the global op
+    gpairs = dedup_containment_global({"documents": docs}).collect()
+    expected_drop = {
+        p["doc_b"]
+        for p in gpairs
+        if p["doc_a"] <= 12 and p["doc_b"] > 12 and p["containment_b"] >= 0.8
+    }
+    assert expected_drop == {13}  # fixture sanity: the mid-doc quote
+
+    for tag in ("fwd", "rev"):
+        src = str(tmp_path / f"gsrc_{tag}")
+        order = F.col("doc_id").asc() if tag == "fwd" else F.col("doc_id").desc()
+        arrivals.orderBy(order).coalesce(1).write.parquet(src)
+        out = containment_gate_global_stream(
+            spark, src, str(tmp_path / f"gout_{tag}"),
+            str(tmp_path / f"gckpt_{tag}"), root,
+        )
+        got = {r["doc_id"]: (r["admitted"], r["matched_doc"]) for r in out.collect()}
+        assert got == {13: (False, 1), 14: (True, None), 15: (True, None)}, (
+            tag, got,
+        )
+
+    # the bucketed gate ADMITS the mid-document quote — the recall
+    # gap this gate closes (both gates share containment_gate_cond)
+    bsrc = str(tmp_path / "bsrc")
+    arrivals.withColumn(
+        "ingest_ts",
+        F.lit(INGEST_BASE).cast("timestamp")
+        + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+    ).coalesce(1).write.parquet(bsrc)
+    bucketed = containment_gate_stream(
+        spark, bsrc, str(tmp_path / "bout"), str(tmp_path / "bckpt"), root
+    )
+    assert 13 in {r["doc_id"] for r in bucketed.collect()}
+
+    # restart idempotence: same checkpoint, no new input
+    again = containment_gate_global_stream(
+        spark, str(tmp_path / "gsrc_fwd"), str(tmp_path / "gout_fwd"),
+        str(tmp_path / "gckpt_fwd"), root,
+    )
+    assert {r["doc_id"]: (r["admitted"], r["matched_doc"]) for r in again.collect()} == {
+        13: (False, 1), 14: (True, None), 15: (True, None),
+    }
+
+
 def test_streaming_incremental_dedup_restart_is_idempotent(spark, tmp_path):
     """Exactly-once on checkpoint reuse for the ingest gate: a re-run
     against the same source + checkpoint + index emits nothing new —
