@@ -233,8 +233,9 @@ DIRECT = [
     "docs_dedup_containment_apply",
     # round-16: the exact-recall prefix-filter containment join
     # (rarest-gram probes vs the posting list; the all-pairs relation
-    # from a bounded plan)
+    # from a bounded plan) + its actionable apply twin
     "dedup_containment_global",
+    "docs_dedup_containment_global_apply",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

@@ -347,7 +347,16 @@ def docs_dedup_containment_apply(t: Frames) -> DataFrame:
     LEFT ANTI join of ``docs_dedup_apply``, un-hinted under the
     module broadcast policy (drop lists scale with the corpus — AQE
     sizes the join at runtime)."""
-    pairs = dedup_ngram_containment(t)
+    return _containment_apply(t, dedup_ngram_containment(t))
+
+
+def _containment_apply(t: Frames, pairs: DataFrame) -> DataFrame:
+    """The containment drop rule over any (doc_a, doc_b,
+    containment_a, containment_b) pair stream — factored so the
+    bucketed and GLOBAL apply ops share one decision definition (the
+    contained side loses; mutual pairs keep the min doc_id; greedy,
+    not transitive-closure — the registered op's docstring carries
+    the argument)."""
     drops = (
         pairs.filter(
             (F.col("containment_a") >= CONTAINMENT_MIN)
@@ -487,6 +496,35 @@ def dedup_containment_global(t: Frames) -> DataFrame:
             >= CONTAINMENT_MIN
         )
     )
+
+
+@_register("docs_dedup_containment_global_apply", None)  # SQL bound below
+def docs_dedup_containment_global_apply(t: Frames) -> DataFrame:
+    """Apply the GLOBAL containment decision (r16): the corpus minus
+    every document substantially contained in another — the
+    actionable twin of ``dedup_containment_global`` the way
+    ``docs_dedup_containment_apply`` is the bucketed op's. Identical
+    drop rule (shared ``_containment_apply``: contained side loses,
+    mutual pairs keep the min id, greedy not transitive); the only
+    difference is the pair stream underneath — the exact-recall
+    prefix-filter join, so a document quoted MID-corpus-doc (invisible
+    to the bucketed apply) is dropped here. The survivor-set delta vs
+    the bucketed apply is exactly the mid-document classes, pinned in
+    tests/test_llm_ops.py.
+
+    Scale design: the drop list is a projection of the prefix-filter
+    pair stream (keyed end to end, never all-pairs); the subtraction
+    is the same un-hinted LEFT ANTI join (AQE sizes it)."""
+    return _containment_apply(t, dedup_containment_global(t))
+
+
+DEDUP_OPS["docs_dedup_containment_global_apply"] = (
+    docs_dedup_containment_global_apply,
+    _CONTAINMENT_APPLY_ORACLE.format(
+        containment_pairs=DEDUP_OPS["dedup_containment_global"][1],
+        MIN=CONTAINMENT_MIN,
+    ),
+)
 
 
 # --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------

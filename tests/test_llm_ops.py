@@ -2448,6 +2448,43 @@ def test_containment_global_finds_mid_document_quotes(spark):
     assert (6, 7) in got and got[(6, 7)][0] == CONTAINMENT_MIN
 
 
+def test_containment_global_apply_drops_mid_document_class(spark):
+    """r16: the global apply's survivor delta vs the bucketed apply is
+    exactly the mid-document containment class — doc 1 (quoted mid-2,
+    different prefix) survives the bucketed apply and is dropped by
+    the global one; every other decision agrees (shared drop rule)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_dedup_containment_apply,
+        docs_dedup_containment_global_apply,
+    )
+
+    quoted = "alpha beta gamma delta one two three four five"
+    rows = [
+        (1, quoted),
+        (2, "intro words come first here " + quoted + " trailing text "
+            "apple banana cherry durian elderberry fig grape"),
+        # same-prefix subset: BOTH applies drop the contained doc 4
+        (4, "red orange yellow green blue indigo violet"),
+        (5, "red orange yellow green blue indigo violet pink brown "
+            "black white cyan magenta teal olive navy maroon"),
+        (6, " ".join(f"new{i:02d}" for i in range(25))),  # untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.lit("en").alias("lang"), F.lit("web").alias("source"),
+        "text",
+    ).withColumn("n_chars", F.length("text"))
+    t = {"documents": docs}
+    bucketed = {r["doc_id"] for r in docs_dedup_containment_apply(t).collect()}
+    global_ = {
+        r["doc_id"] for r in docs_dedup_containment_global_apply(t).collect()
+    }
+    assert bucketed == {1, 2, 5, 6}  # misses the mid-doc quote
+    assert global_ == {2, 5, 6}      # catches it
+    assert bucketed - global_ == {1}
+
+
 def test_containment_apply_drops_contained_keeps_container(spark):
     """r15: the containment-apply drop rule on a planted chain —
     A ⊂ B (strict: drop A, keep B), C == C' mutual near-equal (keep
