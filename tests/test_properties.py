@@ -654,3 +654,57 @@ def test_star_contracted_closure_equals_plain_closure(pairs):
     )
     duck.close()
     assert contracted == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_prefix_filter_matches_brute_force(spark, token_lists):
+    """r16: the prefix-filter recall theorem under adversarial random
+    corpora — tiny token alphabet (forced gram collisions), repeated
+    tokens, sub-3-token docs, boundary-grazing ratios. The bounded
+    plan (rarest-gram probes ⋈ postings + exact verify) must emit
+    EXACTLY the brute-force all-pairs relation computed from the same
+    gram projection; any missed pair falsifies the probe-budget
+    argument, any extra pair the verify."""
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        CONTAINMENT_MIN,
+        _gram_projection,
+        dedup_containment_global,
+    )
+
+    rows = [
+        (i, " ".join(f"t{tok}" for tok in toks))
+        for i, toks in enumerate(token_lists)
+    ]
+    t = {"documents": spark.createDataFrame(rows, "doc_id long, text string")}
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup_containment_global(t).collect()
+    }
+
+    docs = _gram_projection(t).select("doc_id", "grams")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.size("ga") > 0) & (F.size("gb") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(inter.cast("double") / F.size("ga")).alias("ca"),
+            dround(inter.cast("double") / F.size("gb")).alias("cb"),
+        )
+        .filter(F.greatest(F.col("ca"), F.col("cb")) >= CONTAINMENT_MIN)
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"]): (r["ca"], r["cb"]) for r in brute.collect()
+    }
+    assert got == expected
