@@ -236,6 +236,7 @@ DIRECT = [
     # from a bounded plan) + its actionable apply twin
     "dedup_containment_global",
     "docs_dedup_containment_global_apply",
+    "docs_containment_by_source",
 ]
 
 #: phase 3 re-opens a fresh session every N timed entries: session

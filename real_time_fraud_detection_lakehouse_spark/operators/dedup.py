@@ -527,6 +527,86 @@ DEDUP_OPS["docs_dedup_containment_global_apply"] = (
 )
 
 
+@_register("docs_containment_by_source", None)  # SQL bound below
+def docs_containment_by_source(t: Frames) -> DataFrame:
+    """Cross-source containment rollup (r16): for every DIRECTED
+    source pair, how many containment relations point that way —
+    contained_src is the source of the doc that lives >=
+    CONTAINMENT_MIN inside the other — with the count and the mean
+    containment ratio. The provenance question the pair stream alone
+    doesn't answer: which source WRAPS which (a crawl that inlines a
+    reference corpus shows up as (reference -> crawl) mass), the
+    per-source planning signal for dedup budget and mix weights.
+    Each surfaced pair contributes its contained side(s): a mutual
+    pair (both >= MIN) counts once in each direction.
+
+    Scale design: a projection + two broadcastable doc->source
+    join-backs over the bounded prefix-filter pair stream
+    (``dedup_containment_global`` — never all-pairs), folded to the
+    O(sources²) rollup with map-side partials."""
+    pairs = dedup_containment_global(t)
+    src = t["documents"].select("doc_id", "source")
+    directed = (
+        pairs.filter(F.col("containment_a") >= CONTAINMENT_MIN)
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            F.col("containment_a").alias("containment"),
+        )
+        .unionByName(
+            pairs.filter(F.col("containment_b") >= CONTAINMENT_MIN).select(
+                F.col("doc_b").alias("contained_id"),
+                F.col("doc_a").alias("container_id"),
+                F.col("containment_b").alias("containment"),
+            )
+        )
+    )
+    return (
+        directed.join(
+            src.select(
+                F.col("doc_id").alias("contained_id"),
+                F.col("source").alias("contained_src"),
+            ),
+            "contained_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("container_id"),
+                F.col("source").alias("container_src"),
+            ),
+            "container_id",
+        )
+        .groupBy("contained_src", "container_src")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            dround(F.avg("containment")).alias("avg_containment"),
+        )
+    )
+
+
+DEDUP_OPS["docs_containment_by_source"] = (
+    docs_containment_by_source,
+    f"""
+    WITH cpairs AS ({DEDUP_OPS["dedup_containment_global"][1]}),
+    directed AS (
+      SELECT doc_a AS contained_id, doc_b AS container_id,
+             containment_a AS containment
+      FROM cpairs WHERE containment_a >= {CONTAINMENT_MIN}
+      UNION ALL
+      SELECT doc_b, doc_a, containment_b
+      FROM cpairs WHERE containment_b >= {CONTAINMENT_MIN}
+    )
+    SELECT a.source AS contained_src, b.source AS container_src,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {dround_sql('AVG(d.containment)')} AS avg_containment
+    FROM directed d
+    JOIN documents a ON a.doc_id = d.contained_id
+    JOIN documents b ON b.doc_id = d.container_id
+    GROUP BY 1, 2
+    """,
+)
+
+
 # --- corpus-gram analytics: cross-source overlap + per-doc novelty ----------
 @_register(
     "docs_cross_overlap",

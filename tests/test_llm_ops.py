@@ -2485,6 +2485,39 @@ def test_containment_global_apply_drops_mid_document_class(spark):
     assert bucketed - global_ == {1}
 
 
+def test_containment_by_source_directionality(spark):
+    """r16: the cross-source rollup is DIRECTED — contained_src is
+    the source of the doc living inside the other. Planted: a wiki
+    doc quoted mid-web-doc yields exactly (wiki -> web); a mutual
+    near-equal pair across sources counts once in EACH direction."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        docs_containment_by_source,
+    )
+
+    quoted = "alpha beta gamma delta one two three four five"
+    near = " ".join(f"m{i:02d}" for i in range(20))
+    rows = [
+        (1, "wiki", quoted),
+        (2, "web", "intro words come first here " + quoted + " trailing "
+            "text apple banana cherry durian elderberry fig grape"),
+        (3, "wiki", near),
+        (4, "web", near + " tail"),  # mutual: both sides >= 0.8
+        (5, "web", " ".join(f"z{i:02d}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string").select(
+        "doc_id", F.lit("en").alias("lang"), "source", "text"
+    ).withColumn("n_chars", F.length("text"))
+    got = {
+        (r["contained_src"], r["container_src"]): r["n_pairs"]
+        for r in docs_containment_by_source({"documents": docs}).collect()
+    }
+    assert got[("wiki", "web")] == 2  # the quote + the mutual one way
+    assert got[("web", "wiki")] == 1  # the mutual, other direction
+    assert set(got) == {("wiki", "web"), ("web", "wiki")}
+
+
 def test_containment_apply_drops_contained_keeps_container(spark):
     """r15: the containment-apply drop rule on a planted chain —
     A ⊂ B (strict: drop A, keep B), C == C' mutual near-equal (keep
