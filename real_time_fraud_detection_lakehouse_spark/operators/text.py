@@ -1482,7 +1482,10 @@ bpe_train_stats: dict[str, int] = {"rounds": 0, "merges": 0}
 def _fold_merge(inner, left: str, right: str):
     """One merge rule applied to a symbol array as an ``aggregate``
     fold: join adjacent (left, right) left-to-right non-overlapping —
-    exactly the sequential BPE application rule."""
+    exactly the sequential BPE application rule. Interpreted per
+    element (higher-order functions never enter whole-stage codegen) —
+    kept only as the fallback for corpora whose alphabet contains the
+    ``_BPE_SEP`` sentinel; the hot path is :func:`_replace_merge`."""
     merged = left + right
     return F.aggregate(
         inner,
@@ -1493,6 +1496,51 @@ def _fold_merge(inner, left: str, right: str):
             & (x == F.lit(right)),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+#: sentinel for the delimited-string symbol encoding (r16): symbol
+#: arrays ride as one string, "\x1f\x1f" between symbols and at both
+#: ends, so a merge rule becomes ONE codegen'd string ``replace`` —
+#: guide §4.1: the interpreted aggregate-fold chain above was the
+#: trainer's entire cost (each fold re-builds the accumulator array
+#: per element). The unit separator never occurs in the synthetic
+#: corpora; every entry point still GUARDS on it and falls back to the
+#: exact fold path, so semantics are input-independent.
+_BPE_SEP = "\x1f"
+_BPE_SEP2 = _BPE_SEP * 2
+
+
+def _sep_join(syms_col):
+    """array<string> symbols -> delimited string ("\\x1f\\x1f" runs
+    between symbols and at the ends; symbols must not contain the
+    sentinel — callers guard)."""
+    return F.concat(
+        F.lit(_BPE_SEP2), F.array_join(syms_col, _BPE_SEP2), F.lit(_BPE_SEP2)
+    )
+
+
+def _sep_split(s_col):
+    """Delimited string -> array<string> symbols (inverse of
+    :func:`_sep_join`)."""
+    return F.filter(F.split(s_col, _BPE_SEP2), lambda x: x != "")
+
+
+def _replace_merge(s_col, left: str, right: str):
+    """One merge rule over the delimited-string encoding as a single
+    codegen'd ``replace``: the pattern "\\x1f<l>\\x1f\\x1f<r>\\x1f" can
+    only match a full adjacent symbol pair (separator runs are exactly
+    two sentinels, symbols contain none, and the single flanking
+    sentinel forces l/r to be whole symbols), and ``replace`` scans
+    left-to-right non-overlapping — exactly the sequential BPE rule
+    the aggregate fold implements. The replacement keeps the flanking
+    sentinels, so the run-length invariant survives chained rules.
+    Equivalence with the fold path is property-pinned against the
+    pure-Python reference in tests/test_properties.py."""
+    return F.replace(
+        s_col,
+        F.lit(_BPE_SEP + left + _BPE_SEP2 + right + _BPE_SEP),
+        F.lit(_BPE_SEP + left + right + _BPE_SEP),
     )
 
 
@@ -1594,35 +1642,47 @@ def bpe_train(
     test_properties.py.
     """
     toks = _tokens_col()
-    words = (
+    seed_syms = F.concat(
+        # seed segmentation: characters + end-of-word marker
+        F.expr("filter(split(word, ''), x -> x <> '')"),
+        F.array(F.lit(BPE_EOW)),
+    )
+    word_counts = (
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
-        .select(
-            # seed segmentation: characters + end-of-word marker
-            F.concat(
-                F.expr("filter(split(word, ''), x -> x <> '')"),
-                F.array(F.lit(BPE_EOW)),
-            ).alias("syms"),
-            "wc",
-        )
         .localCheckpoint(eager=False)
     )
     # starting vocabulary (distinct single characters + EOW): one
     # alphabet-sized collect, needed for the merged-token collision guard
     vocab = {
-        r["s"] for r in words.select(F.explode("syms").alias("s")).distinct().collect()
+        r["s"]
+        for r in word_counts.select(F.explode(seed_syms).alias("s"))
+        .distinct()
+        .collect()
     }
+    # hot path (r16): carry the symbols as ONE delimited string so each
+    # merge rule is a codegen'd replace instead of an interpreted
+    # aggregate fold (measured 11.4 s -> see OPTIMIZATION_r16.md). The
+    # sentinel can only collide with a corpus whose alphabet contains
+    # "\x1f" — vocab is already collected, so the guard is free; merged
+    # tokens are concatenations of seed symbols and cannot introduce it.
+    fast = all(_BPE_SEP not in s for s in vocab)
+    words = word_counts.select(
+        (_sep_join(seed_syms) if fast else seed_syms).alias("s" if fast else "syms"),
+        "wc",
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
+        syms = _sep_split(F.col("s")) if fast else F.col("syms")
         pairs = F.when(
-            F.size("syms") >= 2,
+            F.size(syms) >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.size("syms") - 1),
+                F.sequence(F.lit(1), F.size(syms) - 1),
                 lambda i: F.struct(
-                    F.element_at(F.col("syms"), i).alias("l"),
-                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
@@ -1640,12 +1700,19 @@ def bpe_train(
         accepted = _accept_batch(
             cand, min(batch, n_merges - len(merges)), vocab, mode
         )
-        col = F.col("syms")
+        col = F.col("s") if fast else F.col("syms")
         for left, right, cnt in accepted:
             merges.append((len(merges), left, right, left + right, cnt))
             vocab.add(left + right)
-            col = _fold_merge(col, left, right)
-        words = words.select(col.alias("syms"), "wc").localCheckpoint(eager=False)
+            col = (
+                _replace_merge(col, left, right)
+                if fast
+                else _fold_merge(col, left, right)
+            )
+        out_name = "s" if fast else "syms"
+        words = words.select(col.alias(out_name), "wc").localCheckpoint(
+            eager=False
+        )
     bpe_train_stats.update(rounds=rounds, merges=len(merges))
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -1658,9 +1725,17 @@ def bpe_apply(merges: list[tuple[str, str]], word_col):
     the encode side of the trainer, as one nested column expression
     (merge count is small and fixed, so expression depth is bounded).
     ``word_col`` may be a column name or a Column (e.g. a higher-order
-    lambda variable — see text_bpe_tokenize)."""
+    lambda variable — see text_bpe_tokenize).
+
+    r16: the hot path chains codegen'd string replaces over the
+    delimited encoding (:func:`_replace_merge`); rows whose word
+    contains the sentinel take the exact interpreted fold branch
+    (CaseWhen evaluates branches lazily per row, so clean corpora
+    never pay for it). A merge LIST containing the sentinel can only
+    come from a sentinel-bearing corpus — then the whole expression
+    stays on the fold path."""
     col = F.col(word_col) if isinstance(word_col, str) else word_col
-    syms = F.concat(
+    seed = F.concat(
         F.filter(F.split(col, ""), lambda x: x != ""),
         F.array(F.lit(BPE_EOW)),
     )
@@ -1668,9 +1743,15 @@ def bpe_apply(merges: list[tuple[str, str]], word_col):
     # _fold_merge is a closure FACTORY, not default args: a default arg
     # would change the lambda's arity and PySpark binds lambda params
     # positionally (the minhash_signatures seed bug class)
+    slow = seed
     for left, right in merges:
-        syms = _fold_merge(syms, left, right)
-    return syms
+        slow = _fold_merge(slow, left, right)
+    if any(_BPE_SEP in left or _BPE_SEP in right for left, right in merges):
+        return slow
+    s = _sep_join(seed)
+    for left, right in merges:
+        s = _replace_merge(s, left, right)
+    return F.when(col.contains(_BPE_SEP), slow).otherwise(_sep_split(s))
 
 
 @_register("text_bpe_merges", None)
