@@ -481,7 +481,10 @@ def _assign_nearest(emb: DataFrame, cent_rows: list) -> DataFrame:
 
 
 def kmeans_lloyd(
-    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    keep_v: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over (vec_id, v: array<double>).
     Init: centroids = the vectors of the k smallest vec_ids (pure
@@ -558,6 +561,11 @@ def kmeans_lloyd(
             .select("cluster_id", F.coalesce("c_new", "c_prev").alias("c"))
             .localCheckpoint(eager=True)
         )
+    if keep_v:
+        # the assignment already carries the vector through the Arrow
+        # kernel — callers that need (cluster_id, v) together (semdedup)
+        # read it here instead of re-joining the embedding table
+        return assigned.select("vec_id", "cluster_id", "v")
     return assigned.select("vec_id", "cluster_id", "sq_dist")
 
 
@@ -604,40 +612,62 @@ def semdedup(
     with it, so every duplicate group keeps exactly its lowest id.
     Returns (vec_id, cluster_id, is_kept).
 
-    Scale design: the only all-pairs work is per-cluster (a
-    cluster_id equi-join with vec_a < vec_b) — at 100 TB you raise k
-    so mean cluster size n/k stays bounded, which bounds the join
-    fan-out per key; the clustering itself is the broadcast-centroid
-    Lloyd loop (kmeans_lloyd) whose big side never shuffles. Pair
-    scoring is JVM-side zip_with/aggregate — no Python in the loop.
+    Scale design: the only all-pairs work is per-cluster — at 100 TB
+    you raise k so mean cluster size n/k stays bounded, which bounds
+    the per-group cost; the clustering itself is the
+    broadcast-centroid Lloyd loop (kmeans_lloyd) whose big side never
+    shuffles. Pair scoring (r16) is a per-cluster Arrow kernel — one
+    BLAS Gram matrix per group instead of m²/2 interpreted
+    zip_with/aggregate folds (guide §4.2; the previous JVM form cost
+    ~m²·d interpreted lambda evaluations per cluster). Boundary
+    decisions stay bit-identical to the fold form: any pair whose
+    scaled cosine lands within 1e-3 of the floor(·1e6+0.5) boundary is
+    re-derived with the exact sequential summation order the JVM fold
+    (and the brute-force pytest reference) uses — BLAS-vs-fold
+    summation differs by ≲1e-13 in cosine, far inside that band, so
+    off-band decisions agree by construction and in-band ones by
+    recomputation.
     """
-    base = emb.select("vec_id", "v").withColumn(
-        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    thr = float(threshold)
+
+    def _find_dups(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+        pdf = pdf.sort_values("vec_id")
+        vecs = pdf["v"].tolist()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.asarray(vecs, dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (X @ X.T) / np.outer(nrm, nrm)
+            scaled = cos * 1e6 + 0.5
+            dup = np.triu(np.floor(scaled) / 1e6 > thr, k=1)
+            band = np.abs(scaled - np.rint(scaled)) < 1e-3
+        for i, j in zip(*np.nonzero(np.triu(band, k=1))):
+            a, b = vecs[i], vecs[j]
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            d = dot / (math.sqrt(na) * math.sqrt(nb))
+            dup[i, j] = (math.floor(d * 1e6 + 0.5) / 1e6) > thr
+        return pd.DataFrame({"vec_id": ids[dup.any(axis=0)]})
+
+    clustered = kmeans_lloyd(emb, k=k, iters=iters, keep_v=True)
+    dup_ids = clustered.groupBy("cluster_id").applyInPandas(
+        _find_dups, "vec_id long"
     )
-    assigned = kmeans_lloyd(emb, k=k, iters=iters).select("vec_id", "cluster_id")
-    clustered = assigned.join(base, "vec_id").localCheckpoint(eager=False)
-    a = clustered.select(
-        F.col("cluster_id").alias("ca"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = clustered.select(
-        F.col("cluster_id").alias("cb"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dup_pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(
-            dround(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-            > threshold
-        )
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(dup_pairs.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
+    return clustered.join(
+        dup_ids.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select(
         "vec_id",
         "cluster_id",
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
