@@ -1063,6 +1063,66 @@ def connected_components(
     return labels
 
 
+def connected_components_contracted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **kwargs,
+) -> DataFrame:
+    """ONE star-contraction round, then propagation CC over the
+    contracted graph, labels composed back — the Spark twin of the
+    d2 ORACLE's contraction pre-pass (r16 optimization; exactness
+    argument above ``_FUZZY_CANONICAL_D2_ORACLE``): every node
+    collapses to min(self, min neighbor); the component's true
+    minimum maps to itself (all its neighbors are larger), inter-star
+    edges survive, so the contracted graph has the same components
+    with the same minimum labels. A label with NO contracted edge is
+    a whole component collapsed into one star — its minimum IS the
+    label, hence the COALESCE. Same (node, component) contract as
+    :func:`connected_components`; property-pinned equal on random
+    graphs in tests/test_properties.py.
+
+    Why (guide §2.4 — remove shuffles outright): propagation CC
+    shuffles the FULL edge list once per round (plus the pointer
+    jump). On dense similarity graphs — the d<=2 pair stream carries
+    ~260 edges per node at sf0.1 — one contraction round costs one
+    keyed min + two label-attach joins over the edge list, and
+    collapses the graph so far that the remaining CC rounds run over
+    a near-empty contracted edge set: ~1 edge-list-scale pass total
+    instead of ~rounds. On sparse graphs the contraction is one extra
+    pass — callers choose per graph shape; the dense-pair
+    canonicalizations here are exactly the win case."""
+    und = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionAll(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .localCheckpoint(eager=True)
+    )
+    star = (
+        und.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    # attach each endpoint's star label; AQE sizes the label side from
+    # runtime stats (O(nodes) rows — broadcast when it fits, shuffle
+    # join at graph scales where it cannot)
+    sa = star.select("a", F.col("lab").alias("la"))
+    sb = star.select(F.col("a").alias("b"), F.col("lab").alias("lb"))
+    cedges = (
+        und.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("csrc"), F.col("lb").alias("cdst"))
+        .distinct()
+    )
+    comp = connected_components(cedges, src="csrc", dst="cdst", **kwargs)
+    return star.join(
+        comp.withColumnRenamed("node", "lab"), "lab", "left"
+    ).select(
+        F.col("a").alias("node"),
+        F.coalesce("component", "lab").alias("component"),
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -2194,6 +2254,61 @@ def docs_exact_substr_dedup(t: Frames) -> DataFrame:
 
 
 # --- edit-distance similarity join via deletion neighborhoods (round 12) ----
+def _fastss_verified_pairs(
+    names: DataFrame, variants: DataFrame, max_d: int
+) -> DataFrame:
+    """Candidate-then-verify for the FastSS family (r16 restructure —
+    guide §2.3 "shuffle keys and metadata instead of payloads"):
+
+    - the variant equi-join carries (xxhash64(variant), custkey) ONLY —
+      8+8 bytes per row instead of variant + name strings (~5x fewer
+      shuffle bytes), and the join compares longs. Hash collisions can
+      only ADD candidates, never drop one (equal variants hash equal),
+      and every added candidate dies at the exact verify below, so the
+      result set is provably unchanged;
+    - candidates go DISTINCT on the id pair BEFORE the levenshtein
+      verify, so the kernel runs once per candidate pair instead of
+      once per shared variant (a d<=1 pair shares ~L variants);
+    - names re-attach by custkey (AQE broadcasts the dim-sized side),
+      and the verify uses the THRESHOLD form of levenshtein — the DP
+      explores the |i-j| <= max_d band and early-exits, O(L·d) instead
+      of O(L²), returning -1 above the bound (one evaluation yields
+      both the filter and the distance column).
+
+    Returns (custkey_a, custkey_b, distance) with distance <= max_d —
+    bit-identical to verifying inside the variant join; recall is the
+    FastSS shared-variant implication, unchanged."""
+    vh = variants.select(
+        F.xxhash64("variant").alias("vh"), F.col("entity_id").alias("k")
+    )
+    cand = (
+        vh.alias("a")
+        .join(vh.alias("b"), "vh")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("custkey_a"), F.col("b.k").alias("custkey_b"))
+        .distinct()
+    )
+    na = names.select(
+        F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a")
+    )
+    nb = names.select(
+        F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        cand.join(na, "custkey_a")
+        .join(nb, "custkey_b")
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein("name_a", "name_b", max_d).alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+        .select(
+            "custkey_a", "custkey_b", F.col("distance").cast("long").alias("distance")
+        )
+    )
+
+
 @_register(
     "dedup_fuzzy_names",
     """
@@ -2231,38 +2346,14 @@ def dedup_fuzzy_names(t: Frames) -> DataFrame:
     corpora (all strings equal) degrade to the exact-dup group-size
     class, the same skew profile as ``dedup_exact``; generalizes to
     distance k via k-deletion neighborhoods. No window, no driver
-    loop. Catalyst pushes the levenshtein verify INTO the variant
-    join condition (ahead of the written distinct-then-filter order)
-    — the right trade: the ~ns kernel runs per variant collision but
-    prunes non-matches BEFORE the distinct's shuffle, and the
-    aggregate then keeps one row per surviving pair."""
+    loop. r16: candidates and verification run through
+    :func:`_fastss_verified_pairs` — the variant join carries hashed
+    keys instead of strings and the levenshtein verify runs once per
+    DISTINCT candidate pair in threshold form (provably the same
+    result set; rationale on the helper)."""
     names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
-    variants = deletion_variants(names, "c_custkey", "c_name").select(
-        F.col("entity_id").alias("c_custkey"),
-        F.col("name").alias("c_name"),
-        "variant",
-    )
-    a = variants.select(
-        "variant",
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-    )
-    b = variants.select(
-        "variant",
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-    )
-    return (
-        a.join(b, "variant")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .select("custkey_a", "custkey_b", "name_a", "name_b")
-        .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select(
-            "custkey_a",
-            "custkey_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
-        )
+    return _fastss_verified_pairs(
+        names, deletion_variants(names, "c_custkey", "c_name"), 1
     )
 
 
@@ -2329,36 +2420,17 @@ def dedup_fuzzy_names_d2(t: Frames) -> DataFrame:
     The ORACLE is the all-pairs quadratic form (fine at sf0.01's 1.5k
     names); the Spark plan is the production shape — at 10⁹ names the
     fan-out is ~L²/2 rows keyed on near-unique variants vs 10¹⁸
-    all-pairs comparisons. Catalyst pushes the levenshtein verify
-    INTO the variant join condition (ahead of the written
-    distinct-then-filter order) — the right trade: the ~ns kernel
-    runs once per variant collision but prunes non-matching
-    candidates BEFORE the distinct's shuffle, and the pair aggregate
-    then keeps one row per surviving pair however many of the O(L²)
-    variants it shares (plan captured in PLANS.md)."""
+    all-pairs comparisons. r16: candidates and verification run
+    through :func:`_fastss_verified_pairs` — the variant join carries
+    hashed keys instead of strings, the id-pair DISTINCT collapses the
+    O(L²) shared variants per true pair BEFORE any levenshtein runs,
+    and the verify is the threshold form, once per candidate pair
+    (provably the same result set; rationale on the helper — a d<=2
+    pair shares up to ~L² variants, so this is ~L² fewer kernel
+    evaluations per pair; plan captured in plans/r16/)."""
     names = spread_small_input(t["customer"]).select("c_custkey", "c_name")
-    variants = deletion_variants2(names, "c_custkey", "c_name")
-    a = variants.select(
-        "variant",
-        F.col("entity_id").alias("custkey_a"),
-        F.col("name").alias("name_a"),
-    )
-    b = variants.select(
-        "variant",
-        F.col("entity_id").alias("custkey_b"),
-        F.col("name").alias("name_b"),
-    )
-    return (
-        a.join(b, "variant")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .select("custkey_a", "custkey_b", "name_a", "name_b")
-        .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
-        .select(
-            "custkey_a",
-            "custkey_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
-        )
+    return _fastss_verified_pairs(
+        names, deletion_variants2(names, "c_custkey", "c_name"), 2
     )
 
 
@@ -2408,7 +2480,9 @@ def dedup_fuzzy_canonical(t: Frames) -> DataFrame:
     rows), deliberately not run at sf0.1 (the Spark side is the
     scalable plan; the oracle defines semantics)."""
     pairs = dedup_fuzzy_names(t).select("custkey_a", "custkey_b")
-    comp = connected_components(pairs, src="custkey_a", dst="custkey_b")
+    comp = connected_components_contracted(
+        pairs, src="custkey_a", dst="custkey_b"
+    )
     w = Window.partitionBy("component")
     return comp.select(
         F.col("node").alias("c_custkey"),
@@ -2528,7 +2602,9 @@ def dedup_fuzzy_canonical_d2(t: Frames) -> DataFrame:
         .select("custkey_a", "custkey_b")
         .localCheckpoint(eager=False)
     )
-    comp = connected_components(pairs, src="custkey_a", dst="custkey_b")
+    comp = connected_components_contracted(
+        pairs, src="custkey_a", dst="custkey_b"
+    )
     members = comp.select(
         F.col("node").alias("c_custkey"),
         F.col("component").alias("canonical_custkey"),

@@ -861,11 +861,16 @@ def _ring_pair_frame(g, min_links: int) -> DataFrame:
 _RING_SHARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _ring_shared(g) -> dict[str, DataFrame]:
-    """The shared (pairs, comp) intermediate for the strong-support
-    ring family: ``pairs`` = hub-capped strong pair stream, ``comp`` =
-    (cc_num, ring_id) membership from min-label CC — both persisted so
-    the four dashboards materialize them ONCE per medallion."""
+def _ring_shared(g, with_comp: bool = True) -> dict[str, DataFrame]:
+    """The shared intermediate for the ring family: ``pairs_all`` =
+    hub-capped pair stream at the BASE support floor (persisted —
+    r16: the pair self-join is computed once for dash_fraud_ring_pairs
+    AND the strong family), ``pairs`` = the strong-support subset (a
+    lazy filter over the persisted base — HAVING n >= 7 ≡ n >= 5 AND
+    n >= 7, so rows are identical to a fresh strong-support build),
+    ``comp`` = (cc_num, ring_id) membership from min-label CC over the
+    strong subset (persisted). ``with_comp=False`` consumers (the pair
+    screen) never trigger the CC iterations."""
     from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
         connected_components,
     )
@@ -873,28 +878,36 @@ def _ring_shared(g) -> dict[str, DataFrame]:
     tx = g["transactions"]
     cached = _RING_SHARED.get(tx)
     if cached is None:
-        pairs = _ring_pair_frame(g, RING_STRONG_SUPPORT).persist()
-        comp = (
-            connected_components(pairs, src="card_a", dst="card_b")
-            .select(
-                F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
-            )
-            .persist()
-        )
-        cached = {"pairs": pairs, "comp": comp}
+        pairs_all = _ring_pair_frame(g, RING_SUPPORT).persist()
+        cached = {
+            "pairs_all": pairs_all,
+            "pairs": pairs_all.filter(
+                F.col("n_links") >= RING_STRONG_SUPPORT
+            ),
+        }
         _RING_SHARED[tx] = cached
         # release the CacheManager blocks when the keying medallion is
         # collected — the WeakKeyDictionary only drops OUR entry; the
         # JVM-side cache needs the explicit unpersist (r15 advice). The
         # callback must not (and does not) close over ``tx``.
-        weakref.finalize(tx, _ring_shared_release, pairs, comp)
+        weakref.finalize(tx, _ring_shared_release, pairs_all)
+    if with_comp and "comp" not in cached:
+        comp = (
+            connected_components(cached["pairs"], src="card_a", dst="card_b")
+            .select(
+                F.col("node").alias("cc_num"), F.col("component").alias("ring_id")
+            )
+            .persist()
+        )
+        cached["comp"] = comp
+        weakref.finalize(tx, _ring_shared_release, comp)
     return cached
 
 
-def _ring_shared_release(pairs: DataFrame, comp: DataFrame) -> None:
+def _ring_shared_release(*frames: DataFrame) -> None:
     try:
-        pairs.unpersist()
-        comp.unpersist()
+        for f in frames:
+            f.unpersist()
     except Exception:
         pass  # session already stopped — nothing left to free
 
@@ -923,8 +936,12 @@ def dash_fraud_ring_pairs(g) -> DataFrame:
     is bounded by a constant of the analyst's choosing, never by the
     busiest merchant in 100 TB). The support floor then prunes the
     pair tail before anything downstream touches it. No window, no
-    driver-side anything."""
-    return _ring_pair_frame(g, RING_SUPPORT)
+    driver-side anything. r16: reads the session-shared persisted
+    base pair stream (``_ring_shared``) — the same frame the strong
+    family filters — so the (merchant, day) self-join is computed
+    once per medallion, not once here and once for the rings;
+    ``with_comp=False`` keeps the CC iterations out of this screen."""
+    return _ring_shared(g, with_comp=False)["pairs_all"]
 
 
 #: bound in __spark_entry__ (needs WITH RECURSIVE — the

@@ -66,6 +66,7 @@ import re
 import shutil
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -480,10 +481,23 @@ def publish_tables(dfs: dict[str, DataFrame], root: str) -> int:
     for name in dfs:
         _validate_table_name(name)
     with _store_lock(root, "publish_tables", wait=True):
-        pinned = {
-            name: snapshot_write(df, os.path.join(root, name))
-            for name, df in dfs.items()
-        }
+        # The per-table writes are independent Spark actions on
+        # DISJOINT table directories — submit them concurrently so the
+        # scheduler back-fills each write's task tail with the next
+        # table's tasks (guide §2.6) instead of idling the cluster
+        # between five sequential jobs. Claim races cannot happen:
+        # each thread touches its own <root>/<name> version dir. The
+        # manifest still commits strictly AFTER every write returns,
+        # so the all-old-or-all-new crash contract is unchanged.
+        names = list(dfs)
+        with ThreadPoolExecutor(max_workers=min(len(names), 5)) as pool:
+            versions = list(
+                pool.map(
+                    lambda n: snapshot_write(dfs[n], os.path.join(root, n)),
+                    names,
+                )
+            )
+        pinned = dict(zip(names, versions))
         return _commit_manifest(root, pinned)
 
 

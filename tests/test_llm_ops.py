@@ -293,6 +293,46 @@ def test_connected_components_star_high_diameter():
     assert via_flag == want
 
 
+def test_connected_components_contracted_equals_propagation(spark):
+    """r16: the contraction pre-pass variant (one star round, CC over
+    the contracted graph, labels composed back — the d2 ORACLE's trick
+    on the Spark side) returns the identical (node, component) map as
+    plain propagation on chains, cliques, disjoint pieces and seeded
+    random graphs — including the star-internal case where a whole
+    component collapses into one star (no contracted edge: the
+    COALESCE branch)."""
+    import random
+
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        connected_components,
+        connected_components_contracted,
+    )
+
+    graphs = [
+        [(10, 20), (20, 30), (30, 40), (100, 200)],  # chain + pair
+        [(1, 2), (1, 3), (2, 3)],  # one star-collapsed clique
+        [(i, i + 1) for i in range(15)],  # longer chain
+    ]
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        graphs.append(
+            [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+        )
+    for g in graphs:
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in g if a != b], ["src", "dst"]
+        )
+        plain = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        contracted = {
+            r["node"]: r["component"]
+            for r in connected_components_contracted(edges).collect()
+        }
+        assert contracted == plain, g
+
+
 def test_text_chunks_overlap_invariant(spark):
     """Consecutive chunks of a long doc overlap by chunk-stride tokens
     and reconstruct the original token sequence."""

@@ -391,6 +391,13 @@ def test_ring_shared_intermediate_equals_recompute(spark):
     assert {tuple(r) for r in s1["pairs"].collect()} == {
         tuple(r) for r in fresh_pairs.collect()
     }
+    # r16: the base-support pair screen reads the same persisted
+    # intermediate (strong = filter of base); pin it against a fresh
+    # base-support build too
+    fresh_base = dash._ring_pair_frame(g, dash.RING_SUPPORT)
+    assert {tuple(r) for r in s1["pairs_all"].collect()} == {
+        tuple(r) for r in fresh_base.collect()
+    }
 
 
 def test_centrality_fixed_round_truncation_is_measured(spark):
