@@ -2032,6 +2032,37 @@ def dash_mule_hubs(
     hash-checks end to end — medians computed over the ROUNDED
     columns in both engines, so the boundary comparisons agree
     bit-for-bit."""
+    if edges is None and seed is None:
+        # Session-shared persisted hub surface (r16, guide §5 "reused
+        # AND expensive to recompute"): three timed screens consume
+        # this exact frame (this one, dash_ring_hub_exposure,
+        # dash_ring_hub_trend), and each recomputation walks BOTH
+        # unrolled graph chains (2-round PR + 2-round RP, ~8 keyed
+        # joins/aggs over the edge projection) plus the median split —
+        # while the RESULT is a filtered O(merchants) surface, tiny to
+        # pin. The r16 negative result on sharing the (edges, seed)
+        # INPUTS (COVERAGE.md: 21.1 s → 35.3 s, persist barrier beats
+        # the cheap re-collapse) is the opposite profile: cheap to
+        # recompute, mid-plan barrier. The _RING_SHARED discipline
+        # applies — weak-keyed on the medallion, compute-on-miss IS the
+        # fallback, finalizer unpersists the CacheManager blocks.
+        # Override consumers (maintained-graph monitors) bypass the
+        # share entirely.
+        tx = g["transactions"]
+        cached = _HUB_SHARED.get(tx)
+        if cached is None:
+            cached = _mule_hubs_fresh(g, None, None).persist()
+            _HUB_SHARED[tx] = cached
+            weakref.finalize(tx, _ring_shared_release, cached)
+        return cached
+    return _mule_hubs_fresh(g, edges, seed)
+
+
+_HUB_SHARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _mule_hubs_fresh(g, edges, seed) -> DataFrame:
+    """The un-shared mule-hub build (see ``dash_mule_hubs``)."""
     cent = dash_merchant_centrality(g, edges).select(
         "merchant", "n_cards", "centrality"
     )

@@ -400,6 +400,34 @@ def test_ring_shared_intermediate_equals_recompute(spark):
     }
 
 
+def test_mule_hub_shared_surface_equals_recompute(spark):
+    """r16: dash_mule_hubs / dash_ring_hub_exposure /
+    dash_ring_hub_trend read ONE session-shared persisted hub surface
+    (the _RING_SHARED discipline applied to the expensive PR×RP
+    conjunction). Pin (a) the share is per-medallion, (b) the shared
+    frame is row-identical to the un-shared build (compute-on-miss IS
+    the fallback), and (c) override consumers bypass the share."""
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    h1 = dash.dash_mule_hubs(g)
+    h2 = dash.dash_mule_hubs(gold_frames(spark, SF_SMALL))
+    assert h1 is h2  # same persisted object per medallion
+
+    fresh = dash._mule_hubs_fresh(g, None, None)
+    assert {tuple(r) for r in h1.collect()} == {
+        tuple(r) for r in fresh.collect()
+    }
+
+    # an edges override must NOT hit (or populate) the shared surface
+    edges = g["transactions"].select("cc_num", "merchant").distinct()
+    h_override = dash.dash_mule_hubs(g, edges=edges)
+    assert h_override is not h1
+    assert {tuple(r) for r in h_override.collect()} == {
+        tuple(r) for r in h1.collect()
+    }
+
+
 def test_centrality_fixed_round_truncation_is_measured(spark):
     """r15 (r14 verdict #8): dash_merchant_centrality truncates the
     power iteration at 2 rounds; dash_centrality_convergence makes
