@@ -1176,17 +1176,35 @@ def docs_token_budget_report(t: Frames) -> DataFrame:
     produces). The number a training run sizes its step count and
     data-parallel sharding from.
 
-    Scale design: one keyed agg with map-side partials over the
-    corpus_to_batches output (epochs × survivors rows); everything
-    else is per-group arithmetic. Oracle nests the packing oracle
-    which nests the curate oracle — the full three-stage composition
-    is hash-checked as one artifact."""
+    Scale design (r16, guide §1.2 "don't compute things you throw
+    away"): the report's per-epoch COUNT/SUM do not depend on the
+    packing columns at all — corpus_to_batches emits exactly one row
+    per (survivor, epoch) and n_tokens rides through from the survivor
+    set unchanged, so grouping its output by epoch is identical to
+    aggregating the survivor set once and fanning the single row out
+    over the epoch sequence. That drops the two packing windows, the
+    offsets join and the epoch-fanned shuffle from this entry's plan
+    (the oracle still nests the packing oracle; the aggregation over
+    it is equal by the one-row-per-(doc, epoch) invariant above).
+    Everything else is per-group arithmetic. Oracle nests the packing
+    oracle which nests the curate oracle — the full three-stage
+    composition is hash-checked as one artifact."""
     from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
 
-    packed = corpus_to_batches(t)
-    per = packed.groupBy("epoch").agg(
+    survivors = docs_curate_pipeline(t).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+    base = survivors.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    # n_docs > 0 guard: a grouped agg over an EMPTY packed table emits
+    # no rows, while a global agg emits one — filter restores exact
+    # empty-corpus equivalence
+    per = base.filter(F.col("n_docs") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+        "n_docs",
+        "total_tokens",
     )
     n_seq = F.floor((F.col("total_tokens") + (SEQ_LEN - 1)) / SEQ_LEN).cast("long")
     return per.select(

@@ -2234,21 +2234,31 @@ def docs_exact_substr_dedup(t: Frames) -> DataFrame:
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
     )
     toks = _tokens()
-    spans = F.coalesce(
-        F.col("spans"), F.array().cast("array<struct<span_start:int,span_end:int>>")
-    )
+    # r16 fast path (guide §1.2 — per-task work): the indexed
+    # filter×exists lambda is interpreted per TOKEN; affected docs are
+    # the small duplicated sliver, so gate it behind a CASE on the
+    # left-join miss — unaffected docs (no spans row) take the codegen
+    # array_join(toks) branch, which is literally what the lambda
+    # reduces to when the span array is empty (kept = toks, removed =
+    # 0). CASE WHEN evaluates branches lazily per row, so the
+    # interpreted path now runs only over flagged docs.
     kept = F.filter(
         toks,
         lambda x, i: ~F.exists(
-            spans, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+            F.col("spans"), lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
         ),
     )
+    has_spans = F.col("spans").isNotNull()
     return (
         docs.join(F.broadcast(spans_arr), "doc_id", "left")
         .select(
             "doc_id",
-            F.array_join(kept, " ").alias("clean_text"),
-            (F.size(toks) - F.size(kept)).cast("int").alias("n_tokens_removed"),
+            F.when(has_spans, F.array_join(kept, " "))
+            .otherwise(F.array_join(toks, " "))
+            .alias("clean_text"),
+            F.when(has_spans, (F.size(toks) - F.size(kept)).cast("int"))
+            .otherwise(F.lit(0).cast("int"))
+            .alias("n_tokens_removed"),
         )
     )
 

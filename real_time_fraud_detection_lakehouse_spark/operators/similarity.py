@@ -285,34 +285,96 @@ def embedding_cosine_pairs(
         .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     if ivf:
-        base = base.withColumn("bucket", ivf_bucket(F.col("v"), DEDUP_SIGN_BITS))
-        a = base.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("v").alias("va"),
-            F.col("norm").alias("na"),
+        # r16 (guide §4.2 — the semdedup Gram-kernel precedent): the
+        # per-candidate zip_with/aggregate fold in the join condition
+        # was evaluated TWICE per pair (condition + projection) as
+        # interpreted lambdas. One cogrouped Arrow kernel per probe
+        # bucket computes the same candidates (a's probe keys × b's
+        # home bucket, vec_a < vec_b — each pair matches on exactly
+        # one XOR offset, so no duplicates) with one BLAS Gram matrix.
+        # Decisions and values stay bit-identical to the fold form:
+        # any pair whose scaled cosine lands within 1e-3 of the
+        # floor(·1e6+0.5) boundary is re-derived with the exact
+        # sequential summation the JVM fold uses (BLAS-vs-fold differs
+        # by ≲1e-13, far inside the band).
+        thr = float(threshold)
+
+        def _bucket_pairs(adf, bdf):
+            import math
+
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {
+                    "vec_a": np.empty(0, dtype=np.int64),
+                    "vec_b": np.empty(0, dtype=np.int64),
+                    "cosine_sim": np.empty(0, dtype=np.float64),
+                }
+            )
+            if len(adf) == 0 or len(bdf) == 0:
+                return empty
+            va = adf["v"].tolist()
+            vb = bdf["v"].tolist()
+            ida = adf["vec_id"].to_numpy(dtype=np.int64)
+            idb = bdf["vec_id"].to_numpy(dtype=np.int64)
+            A = np.asarray(va, dtype=np.float64)
+            B = np.asarray(vb, dtype=np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            lt = ida[:, None] < idb[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (A @ B.T) / np.outer(na, nb)
+                scaled = cos * 1e6 + 0.5
+                sim = np.floor(scaled) / 1e6
+                band = np.abs(scaled - np.rint(scaled)) < 1e-3
+            for i, j in zip(*np.nonzero(band & lt)):
+                x, y = va[i], vb[j]
+                dot = 0.0
+                sa = 0.0
+                sb = 0.0
+                for p, q in zip(x, y):
+                    dot += p * q
+                    sa += p * p
+                    sb += q * q
+                d = dot / (math.sqrt(sa) * math.sqrt(sb))
+                sim[i, j] = math.floor(d * 1e6 + 0.5) / 1e6
+            with np.errstate(invalid="ignore"):
+                keep = lt & (sim > thr)
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame(
+                {
+                    "vec_a": ida[ii],
+                    "vec_b": idb[jj],
+                    "cosine_sim": sim[ii, jj],
+                }
+            )
+
+        bucketed = base.withColumn("bucket", ivf_bucket(F.col("v"), DEDUP_SIGN_BITS))
+        a = bucketed.select(
+            "vec_id",
+            "v",
             F.explode(
                 F.array(
                     *[F.col("bucket").bitwiseXOR(F.lit(o)) for o in _IVF_PROBE_OFFSETS]
                 )
-            ).alias("probe"),
+            ).alias("pk"),
         )
-        b = base.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("v").alias("vb"),
-            F.col("norm").alias("nb"),
-            F.col("bucket").alias("bucket_b"),
+        b = bucketed.select("vec_id", "v", F.col("bucket").alias("pk"))
+        return (
+            a.groupBy("pk")
+            .cogroup(b.groupBy("pk"))
+            .applyInPandas(
+                _bucket_pairs, "vec_a long, vec_b long, cosine_sim double"
+            )
         )
-        joined = a.join(
-            b, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
-        )
-    else:
-        a = base.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-        )
-        b = base.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-        )
-        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
     sims = joined.select(
         "vec_a",
         "vec_b",

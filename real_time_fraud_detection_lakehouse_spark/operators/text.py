@@ -357,7 +357,15 @@ def text_tfidf_topk(t: Frames) -> DataFrame:
 
     docs = t["documents"]
     terms = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH dfreq and the scoring join: lazily checkpoint it so
+    # the corpus explode+agg runs once instead of once per consumer
+    # (r16 — the docs_unigram_logprob tok/model idiom; the before plan
+    # in plans/r16/ shows two full explode→agg chains)
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # tf already holds one row per (doc, term): document frequency is a
     # plain count over it — no second explode, no distinct shuffle
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -2497,8 +2497,22 @@ def q_min_cost_supplier(t: Frames) -> DataFrame:
     division noise cannot flip the min-equality between engines (both
     engines apply the identical rounding at the same point); top-100 is
     TakeOrderedAndProject."""
+    # r16 (guide §3.2 — reduce the big side before shuffling it): the
+    # p_size filter lands on the PART side only, so the lineitem agg
+    # used to shuffle every part's lines and the window dropped ~80%
+    # of them afterwards. A semi-join on the filtered part keys prunes
+    # lineitem BEFORE the (l_partkey, l_suppkey) exchange; the per-part
+    # window min is partkey-local, so removing whole partkeys cannot
+    # change any surviving row — the final inner join applied the same
+    # cut anyway.
+    small_parts = t["part"].filter(F.col("p_size") <= 10).select("p_partkey", "p_brand")
     costs = (
         t["lineitem"]
+        .join(
+            small_parts.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(_r4(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_cost"))
     )
@@ -2506,7 +2520,6 @@ def q_min_cost_supplier(t: Frames) -> DataFrame:
     best = costs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
         F.col("unit_cost") == F.col("min_cost")
     )
-    small_parts = t["part"].filter(F.col("p_size") <= 10).select("p_partkey", "p_brand")
     supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
     nat = t["nation"].select("n_nationkey", "n_name")
     return (
@@ -3633,18 +3646,45 @@ _BASKET_PAIRS_SQL = """
 """
 
 
+def _basket_sets(lines: DataFrame) -> DataFrame:
+    """One row per order with its DISTINCT part set — the shared
+    surface under pairs, per-item order counts and the order total
+    (r16, guide §2.3 "aggregate before you shuffle" / §2.4 "remove
+    shuffles outright"): collect_set is a keyed aggregation with
+    map-side partials, so the basket projection crosses the wire once,
+    already deduplicated, instead of riding a self-join whose pair
+    fan-out then needs a 3-column DISTINCT exchange. Null orderkeys
+    are dropped up front — the old equi-join never matched them, and
+    COUNT(DISTINCT l_orderkey) ignores them, so the filter preserves
+    both semantics exactly."""
+    return (
+        lines.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+
+
 def _basket_pair_counts(lines: DataFrame) -> DataFrame:
     """Supported distinct-pair counts (n_ab ≥ 2) from a
     (l_orderkey, l_partkey) projection — the Spark half of
-    ``_BASKET_PAIRS_SQL``."""
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, "l_orderkey")
+    ``_BASKET_PAIRS_SQL``.
+
+    r16 restructure: pairs explode from the per-order distinct part
+    set (:func:`_basket_sets`). A set member pair (a < b) is exactly a
+    DISTINCT (l_orderkey, part_a, part_b) triple of the old self-join
+    — same pair stream by construction — but the plan drops from
+    scan×2 + broadcast build + pair-stream DISTINCT exchange + count
+    exchange to scan×1 + one keyed set agg + the count exchange
+    (plans/r16/q_market_basket_pairs_{before,after}.txt). Fan-out is
+    still bounded by max basket size (B² per order pre-filter)."""
+    sets_ = _basket_sets(lines)
+    pairs = (
+        sets_.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
-        .select("l_orderkey", "part_a", "part_b")
-        .distinct()
-        .groupBy("part_a", "part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
@@ -3709,12 +3749,23 @@ def q_basket_rules(t: Frames) -> DataFrame:
     pair tail; the basket total rides the 1-row broadcast crossJoin.
     The shape is PMI's exactly — association mining and collocation
     mining are the same plan over different pair streams."""
+    # r16: per-item order counts and the order total read the SAME
+    # per-order distinct-set surface the pair stream explodes from
+    # (identical exchange subtree → one shuffle of lineitem feeds all
+    # three, instead of three independent distinct-aggregations of it):
+    # n_item = COUNT(DISTINCT l_orderkey) per part ≡ number of sets
+    # containing the part (sets are per-order and deduplicated);
+    # n = COUNT(DISTINCT l_orderkey) ≡ number of sets (nulls dropped in
+    # _basket_sets exactly as countDistinct drops them).
     lines = t["lineitem"].select("l_orderkey", "l_partkey")
+    sets_ = _basket_sets(lines)
     pc = _basket_pair_counts(lines)
-    item = lines.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_item")
+    item = (
+        sets_.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n_item"))
     )
-    tot = lines.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    tot = sets_.agg(F.count("*").cast("double").alias("n"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
     return (
