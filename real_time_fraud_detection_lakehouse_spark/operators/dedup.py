@@ -2488,9 +2488,18 @@ def dedup_fuzzy_canonical(t: Frames) -> DataFrame:
     ORACLE's recursive closure is O(nodes x component) and quadratic
     on a giant component — fine at the driver's sf0.01 (2.25M reach
     rows), deliberately not run at sf0.1 (the Spark side is the
-    scalable plan; the oracle defines semantics)."""
+    scalable plan; the oracle defines semantics).
+
+    r16 session 3: PLAIN propagation CC here, contracted CC only on
+    the d2 twin — measured per graph shape exactly as the contraction
+    docstring prescribes: on the SPARSE d1 graph (262k pairs at
+    sf0.1) plain CC min 3.01 s vs contracted 3.37 s (the contraction
+    is one extra edge-list pass that doesn't pay off), while on the
+    dense d2 graph (4M pairs) contracted wins 8.6 s vs 15.1 s.
+    Output identical either way (equality pinned on random graphs,
+    tests/test_properties.py / test_llm_ops.py)."""
     pairs = dedup_fuzzy_names(t).select("custkey_a", "custkey_b")
-    comp = connected_components_contracted(
+    comp = connected_components(
         pairs, src="custkey_a", dst="custkey_b"
     )
     w = Window.partitionBy("component")
