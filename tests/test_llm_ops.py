@@ -2598,6 +2598,39 @@ def test_containment_by_source_directionality(spark):
     assert set(got) == {("wiki", "web"), ("web", "wiki")}
 
 
+def test_containment_global_shared_surface_equals_recompute(spark):
+    """r17 (r16 verdict #3): the three global-containment entries read
+    ONE session-shared persisted pair stream (the _HUB_SHARED
+    discipline). Pin (a) the share is per-documents-frame —
+    core.catalog.table() memoization makes every entry over one
+    testdata dir hit the same cached object, (b) the shared frame is
+    row-identical to the un-shared build (compute-on-miss IS the
+    fallback), and (c) a different documents frame gets its own
+    entry, never a stale one."""
+    from real_time_fraud_detection_lakehouse_spark.core.catalog import (
+        TESTDATA_TABLES,
+        table,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.dedup import (
+        _containment_global_build,
+        dedup_containment_global,
+    )
+
+    t = {name: table(spark, SF_SMALL, name) for name in TESTDATA_TABLES}
+    s1 = dedup_containment_global(t)
+    s2 = dedup_containment_global(
+        {name: table(spark, SF_SMALL, name) for name in TESTDATA_TABLES}
+    )
+    assert s1 is s2  # same persisted object per documents frame
+
+    fresh = _containment_global_build(t)
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in fresh.collect()}
+
+    other = t["documents"].limit(3)
+    s3 = dedup_containment_global({**t, "documents": other})
+    assert s3 is not s1
+
+
 def test_containment_apply_drops_contained_keeps_container(spark):
     """r15: the containment-apply drop rule on a planted chain —
     A ⊂ B (strict: drop A, keep B), C == C' mutual near-equal (keep
