@@ -1138,30 +1138,41 @@ def connected_components_contracted(
     Why (guide §2.4 — remove shuffles outright): propagation CC
     shuffles the FULL edge list once per round (plus the pointer
     jump). On dense similarity graphs — the d<=2 pair stream carries
-    ~260 edges per node at sf0.1 — one contraction round costs one
-    keyed min + two label-attach joins over the edge list, and
+    ~260 edges per node at sf0.1 — one contraction round costs two
+    keyed mins + two label-attach joins over the edge list, and
     collapses the graph so far that the remaining CC rounds run over
     a near-empty contracted edge set: ~1 edge-list-scale pass total
     instead of ~rounds. On sparse graphs the contraction is one extra
     pass — callers choose per graph shape; the dense-pair
-    canonicalizations here are exactly the win case."""
-    und = (
-        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
-        .unionAll(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
-        .localCheckpoint(eager=True)
+    canonicalizations here are exactly the win case.
+
+    r17: the contraction reads the DIRECTED edge list throughout
+    instead of materializing the 2|E|-row undirected union — star
+    labels come from two half-aggregations (min dst per src ∪ min src
+    per dst covers every node's full neighborhood), label attach runs
+    over |E| rows, and the contracted edge set keeps one direction per
+    inter-star edge (propagation CC unions directions itself, so
+    connectivity — hence components and minimum labels — is
+    unchanged; equality stays property-pinned on random graphs).
+    Measured 8.1 → 6.9 s on canonical_d2 at sf0.1, interleaved A/B."""
+    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint(
+        eager=False
     )
+    n1 = e.select(F.col("a").alias("node"), F.col("b").alias("mn"))
+    n2 = e.select(F.col("b").alias("node"), F.col("a").alias("mn"))
     star = (
-        und.groupBy("a")
-        .agg(F.least(F.min("b"), F.first("a")).alias("lab"))
+        n1.unionByName(n2)
+        .groupBy("node")
+        .agg(F.least(F.min("mn"), F.first("node")).alias("lab"))
         .localCheckpoint(eager=True)
     )
     # attach each endpoint's star label; AQE sizes the label side from
     # runtime stats (O(nodes) rows — broadcast when it fits, shuffle
     # join at graph scales where it cannot)
-    sa = star.select("a", F.col("lab").alias("la"))
-    sb = star.select(F.col("a").alias("b"), F.col("lab").alias("lb"))
+    sa = star.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    sb = star.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
     cedges = (
-        und.join(sa, "a")
+        e.join(sa, "a")
         .join(sb, "b")
         .filter(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("csrc"), F.col("lb").alias("cdst"))
@@ -1169,10 +1180,14 @@ def connected_components_contracted(
     )
     comp = connected_components(cedges, src="csrc", dst="cdst", **kwargs)
     return star.join(
-        comp.withColumnRenamed("node", "lab"), "lab", "left"
+        comp.withColumnRenamed("node", "lab").withColumnRenamed(
+            "component", "croot"
+        ),
+        "lab",
+        "left",
     ).select(
-        F.col("a").alias("node"),
-        F.coalesce("component", "lab").alias("component"),
+        "node",
+        F.coalesce("croot", "lab").alias("component"),
     )
 
 
@@ -2340,10 +2355,17 @@ def _fastss_verified_pairs(
 
     Returns (custkey_a, custkey_b, distance) with distance <= max_d —
     bit-identical to verifying inside the variant join; recall is the
-    FastSS shared-variant implication, unchanged."""
+    FastSS shared-variant implication, unchanged.
+
+    r17: ``vh`` is lazily localCheckpointed — both join sides consume
+    it, and without the checkpoint each side re-ran the variant
+    explode (an interpreted higher-order transform over every name:
+    the plan showed TWO Generate nodes). One materialization of the
+    (8+8)-byte rows now feeds the broadcast build AND the probe side
+    (measured 6.2 → 4.4 s on names_d2 at sf0.1, interleaved A/B)."""
     vh = variants.select(
         F.xxhash64("variant").alias("vh"), F.col("entity_id").alias("k")
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         vh.alias("a")
         .join(vh.alias("b"), "vh")
