@@ -76,22 +76,38 @@ def docs_corpus_build(t: Frames) -> DataFrame:
     )
     kept = _elect_best(t, clusters).select("doc_id")
     split = _split_assign(t, clusters).select("doc_id", "split")
-    # feeds the train pack AND the final left join-back — materialize
-    # the three-stage pipeline once (the _gram_projection idiom)
+    # r17 (guide §2.4, r16 verdict #6): the pack runs over the FULL
+    # survivor set with train-conditional sums instead of a train
+    # subset joined back by doc_id — the former plan paid the bucket
+    # exchanges (totals agg + pack window) plus a doc_id SMJ of both
+    # sides for the join-back. The join-back disappears (plan: 12 → 8
+    # Exchanges, plans/r17/docs_corpus_build_*.txt): a test row keeps
+    # NULL seq columns via the when() gate, and a train row's
+    # conditional running sum equals the train-only running sum
+    # (test rows contribute NULL → 0 to the sum and doc_id ties are
+    # impossible), so every value is provably unchanged. A
+    # repartition("bucket") before the checkpoint was tried and
+    # reverted: Spark 4's LogicalRDD scan reports UnknownPartitioning,
+    # so downstream consumers re-exchange regardless and the extra
+    # shuffle buys nothing.
+    is_train = F.col("split") == "train"
     survivors = (
-        curated.join(kept, "doc_id").join(split, "doc_id").localCheckpoint(eager=False)
-    )
-
-    train = (
-        survivors.filter(F.col("split") == "train")
+        curated.join(kept, "doc_id")
+        .join(split, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
+            "split",
             F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         )
         .withColumn("bucket", F.substring("shuffle_key", 1, _C2B_PREFIX))
+        .localCheckpoint(eager=False)
     )
-    totals = train.groupBy("bucket").agg(F.sum("n_tokens").alias("btotal"))
+    totals = (
+        survivors.filter(is_train)
+        .groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btotal"))
+    )
     # ≤ 16**_C2B_PREFIX rows: the single-partition window is over the
     # fixed-cardinality totals table, never the corpus
     w_off = Window.orderBy("bucket").rowsBetween(
@@ -105,22 +121,26 @@ def docs_corpus_build(t: Frames) -> DataFrame:
         .orderBy("shuffle_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = (
-        train.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            (
-                F.col("boffset") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
-            ).alias("cum_before"),
-        )
-        .select(
-            "doc_id",
-            F.floor(F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
-            (F.col("cum_before") % SEQ_LEN).cast("int").alias("seq_offset"),
-        )
+    cum_before = (
+        F.col("boffset")
+        + F.sum(F.when(is_train, F.col("n_tokens"))).over(w_in)
+        - F.col("n_tokens")
     )
-    return survivors.join(packed, "doc_id", "left").select(
-        "doc_id", "n_tokens", "split", "seq_id", "seq_offset"
+    # left join: a bucket with no train rows has no offsets row; its
+    # (all-test) rows keep NULL seq columns through the when() gate
+    return (
+        survivors.join(F.broadcast(offsets), "bucket", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "split",
+            F.when(is_train, F.floor(cum_before / SEQ_LEN).cast("long")).alias(
+                "seq_id"
+            ),
+            F.when(is_train, (cum_before % SEQ_LEN).cast("int")).alias(
+                "seq_offset"
+            ),
+        )
     )
 
 

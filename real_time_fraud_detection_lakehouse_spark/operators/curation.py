@@ -1104,6 +1104,12 @@ def corpus_to_batches(t: Frames) -> DataFrame:
             ).alias("shuffle_key"),
         )
         .withColumn("bucket", F.substring("shuffle_key", 1, _C2B_PREFIX))
+        # note (r17, measured): pre-partitioning by (epoch, bucket)
+        # before this checkpoint does NOT save the downstream
+        # exchanges — Spark 4's LogicalRDD scan reports
+        # UnknownPartitioning, so the totals agg and cumsum window
+        # re-exchange regardless; the extra repartition was tried and
+        # reverted (plans/r17/corpus_to_batches_*.txt)
         .localCheckpoint(eager=False)  # feeds totals AND the cumsum side
     )
     totals = shuf.groupBy("epoch", "bucket").agg(F.sum("n_tokens").alias("btotal"))

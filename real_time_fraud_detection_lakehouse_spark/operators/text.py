@@ -360,7 +360,12 @@ def text_tfidf_topk(t: Frames) -> DataFrame:
     # tf feeds BOTH dfreq and the scoring join: lazily checkpoint it so
     # the corpus explode+agg runs once instead of once per consumer
     # (r16 — the docs_unigram_logprob tok/model idiom; the before plan
-    # in plans/r16/ shows two full explode→agg chains)
+    # in plans/r16/ shows two full explode→agg chains).
+    # Robustness trade (r16 advice): localCheckpoint truncates lineage
+    # WITHOUT reliable storage — losing an executor that holds these
+    # blocks mid-job fails the job instead of recomputing. Right for
+    # the single-node bench/driver posture; on preemptible multi-node
+    # clusters prefer persist() or a reliable checkpoint dir.
     tf = (
         terms.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))

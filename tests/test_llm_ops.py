@@ -112,6 +112,48 @@ def test_ivf_dedup_recall_on_planted_near_dups(spark, frames):
     assert len(approx & exact) / len(exact) >= 0.95
 
 
+def test_token_budget_report_equals_groupby_over_packing(spark, frames):
+    """r17 (r16 verdict #7): docs_token_budget_report no longer
+    executes the packing plan — it aggregates the survivor set once
+    and fans the row out per epoch, which is equal to grouping
+    corpus_to_batches output by epoch ONLY while packing emits exactly
+    one row per (survivor, epoch) with n_tokens riding through. Guard
+    that invariant here so a future packing change fails in tests, not
+    at the driver."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.operators.curation import (
+        corpus_to_batches,
+        docs_token_budget_report,
+    )
+    from real_time_fraud_detection_lakehouse_spark.operators.text import SEQ_LEN
+    from real_time_fraud_detection_lakehouse_spark.sources.transactions import dround
+
+    packed = corpus_to_batches(frames)
+    n_seq = F.floor((F.col("total_tokens") + (SEQ_LEN - 1)) / SEQ_LEN).cast("long")
+    via_packing = (
+        packed.groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "epoch",
+            "n_docs",
+            "total_tokens",
+            n_seq.alias("n_sequences"),
+            (n_seq * SEQ_LEN - F.col("total_tokens")).cast("int").alias("tail_padding"),
+            dround(F.col("total_tokens") * 1.0 / F.col("n_docs")).alias(
+                "avg_doc_tokens"
+            ),
+        )
+    )
+    report = docs_token_budget_report(frames)
+    got = {tuple(r) for r in report.collect()}
+    want = {tuple(r) for r in via_packing.collect()}
+    assert got == want, "report drifted from groupBy(epoch) over corpus_to_batches"
+
+
 def test_gram_kernels_block_size_equivalence():
     """r17 (r16 verdict #5): the IVF-bucket and semdedup Arrow kernels
     chunk their Gram matmuls into fixed row blocks to bound per-task
