@@ -39,6 +39,12 @@ DEFAULT_CONF: dict[str, str] = {
     # the sf0.1 silver table (min-of-3: 1.13 s vs 1.19 s) at 18%
     # smaller files; at 100 TB the byte saving is read/shuffle I/O.
     "spark.sql.parquet.compression.codec": "zstd",
+    # r17: zstd level 1 instead of parquet-java's default 3 — measured
+    # on the full silver+gold write path at sf0.1 (min-of-3,
+    # scripts/exp_etl_codec.py): snappy 3.96 s / 12.3 MB, zstd:3
+    # 4.32 s / 9.1 MB, zstd:1 3.99 s / 9.3 MB. Level 1 keeps ~97% of
+    # the level-3 byte saving at snappy's write speed.
+    "spark.hadoop.parquet.compression.codec.zstd.level": "1",
     # testdata events.parquet uses TIMESTAMP(NANOS) which Spark cannot
     # represent; read as int64 nanos and convert in the catalog reader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
