@@ -819,6 +819,12 @@ def main() -> None:
         share_build_detail: dict[str, dict[str, float]] = {}
         for family, first_consumer in (
             ("ring", lambda: registry["dash_fraud_rings"][0](mat_s)),
+            # r17: the PR/RP score surfaces (5 consumer screens) —
+            # timed BEFORE hub, whose build composes them, so each
+            # family's build lands on its own line and "hub" reports
+            # the incremental conjunction cost given warm PR/RP
+            ("pr", lambda: registry["dash_merchant_centrality"][0](mat_s)),
+            ("rp", lambda: registry["dash_merchant_risk_propagation"][0](mat_s)),
             ("hub", lambda: registry["dash_mule_hubs"][0](mat_s)),
             ("containment", lambda: ops["dedup_containment_global"][0](frames_s)),
         ):

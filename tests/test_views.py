@@ -428,6 +428,47 @@ def test_mule_hub_shared_surface_equals_recompute(spark):
     }
 
 
+def test_pr_rp_shared_surfaces_equal_recompute(spark):
+    """r17: the five PR/RP screens read session-shared persisted score
+    surfaces (production + audit depths built once — see _PR_SHARED /
+    _RP_SHARED). Pin (a) the share is per-medallion, (b) every
+    screen's shared-path output is row-identical to the un-shared
+    build (the edges/seed-override path, which bypasses the share and
+    runs the original per-screen recurrence), and (c) the override
+    path does not populate the share with override-shaped frames."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_lakehouse_spark.plans import dashboards as dash
+
+    g = gold_frames(spark, SF_SMALL)
+    s1 = dash._pr_shared_surfaces(g, want_cards=True)
+    s2 = dash._pr_shared_surfaces(gold_frames(spark, SF_SMALL))
+    assert s1["m"] is s2["m"]
+    assert dash._rp_shared_surface(g) is dash._rp_shared_surface(
+        gold_frames(spark, SF_SMALL)
+    )
+
+    edges = g["transactions"].select("cc_num", "merchant").distinct()
+    seed = g["transactions"].groupBy("merchant").agg(
+        F.avg(F.col("is_fraud").cast("double")).alias("risk0")
+    )
+    checks = [
+        (dash.dash_merchant_centrality(g),
+         dash.dash_merchant_centrality(g, edges=edges)),
+        (dash.dash_centrality_convergence(g),
+         dash.dash_centrality_convergence(g, edges=edges)),
+        (dash.dash_card_hubs(g), dash.dash_card_hubs(g, edges=edges)),
+        (dash.dash_merchant_risk_propagation(g),
+         dash.dash_merchant_risk_propagation(g, edges=edges, seed=seed)),
+        (dash.dash_rp_convergence(g),
+         dash.dash_rp_convergence(g, edges=edges, seed=seed)),
+    ]
+    for shared, fresh in checks:
+        assert {tuple(r) for r in shared.collect()} == {
+            tuple(r) for r in fresh.collect()
+        }
+
+
 def test_centrality_fixed_round_truncation_is_measured(spark):
     """r15 (r14 verdict #8): dash_merchant_centrality truncates the
     power iteration at 2 rounds; dash_centrality_convergence makes
