@@ -44,108 +44,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: them, so every one of this round's 50 slots buys a hash-checked green;
 #: rows-only impl changes are re-verified in pytest instead (noted below).
 #:
-#: Round 16 fronts, in priority order (executes the r15 verdict's #1
-#: rotation: ledger after r15, judge-recomputed — 50 r15-green, 50
-#: r14, 49 r13, 49 r12, nothing older; the 49 r12-green entries are
-#: the oldest cohort and fill the tail):
-#: (a) FIRST driver rows for the NEW r16 oracled ops:
-#:     dash_rp_convergence (round-2 vs round-3 risk propagation with
-#:     per-merchant lift movement — the r15 verdict's #7, the LAST
-#:     fixed-round choice in the graph family measured; observed ZERO
-#:     movement at dround(4) at sf0.001 AND sf0.01, band pinned in
-#:     tests/test_views.py) and dash_ring_hub_trend (per-ring
-#:     per-week mule-hub share with lag delta — verdict #8; the
-#:     composed oracle chains ring CC + PR/RP + hub conjunction) —
-#:     both validate_driver-green at sf0.001 AND sf0.01 in-round;
-#: (b) the 5 r15 POST-CLOSE ops' first driver rows (the
-#:     q_events_dau_wau precedent): dedup_ngram_containment,
-#:     dash_score_gain, docs_dedup_containment_apply, dash_card_hubs,
-#:     dash_ring_hub_exposure;
-#: (c) the 9 impl-changed entries: the 7 named by the r15 verdict
-#:     (dash_merchant_centrality, docs_gopher_rules, the four ring
-#:     dashboards — which additionally gained the r16
-#:     weakref.finalize unpersist of the shared intermediate —
-#:     dash_merchant_risk_propagation, whose round machinery is now
-#:     the shared _rp_risk_frames/_rp_ctes) plus the 2 r16 impl
-#:     changes (dash_mule_hubs and dash_centrality_convergence:
-#:     maintained-graph override params + oracle CTE names derived
-#:     from the round constants per the r15 advice);
-#: (d) the 34 OLDEST r12-cohort entries in CORRECTNESS_r12 insertion
-#:     order. 2 + 5 + 9 + 34 = exactly 50. The remaining 15
-#:     r12-cohort entries (q_dominant_suppliers onward) LEAD the r17
-#:     front.
-#: r16 POST-CLOSE oracled op (registered + oracled after the front
-#: was validated, validate_driver-green at sf0.001 AND sf0.01
-#: in-round; the r15 precedent — first driver rows in r17, timed
-#: already): dedup_containment_global (exact-recall prefix-filter
-#: containment join — the all-pairs oracle from a bounded plan).
-#: Together with the 15 remaining r12-cohort entries it LEADS the
-#: r17 front.
-#: Rows-only r16 changes hold no front slots per the r8 rule:
-#: streaming_centrality_maintained (NEW: the maintained bipartite
-#: graph — all four PR/RP screens pinned equal to batch across a
-#: mid-stream fold in tests/test_streaming.py),
-#: streaming_containment_gate (NEW: admissions == batch
-#: containment-apply survivors among arrivals modulo the documented
-#: peer deferral, both arrival orders + deferral closure in
-#: tests/test_streaming_windows.py), streaming_fuzzy_entity_gate_d2
-#: (NEW: anchored to the oracled d2 block/keeper sets + a planted
-#: two-batch d2 chain in tests/test_streaming.py).
+#: Round 17 fronts, in priority order (executes the r16 verdict's #8
+#: rotation; ledger after r16 — 50 r16-green, 48 r15, 46 r14, 46 r13,
+#: 15 r12 — the 15 r12-green entries are the oldest cohort):
+#: (a) the r16 post-close op's FIRST driver row, as queued by the r16
+#:     front note: dedup_containment_global (this round additionally
+#:     the builder of the shared containment pair stream);
+#: (b) the r17 impl-changed oracled entries, so every optimization
+#:     this round lands a fresh hash-green row: the two containment
+#:     share consumers (docs_dedup_containment_global_apply,
+#:     docs_containment_by_source — now read the persisted pair
+#:     stream), the four fuzzy entries over _fastss_verified_pairs
+#:     (checkpointed variant projection; canonical_d2 additionally
+#:     the directed-edge contraction), dedup_embedding_cosine_ivf
+#:     (block-chunked Arrow kernel), docs_corpus_build (conditional-
+#:     sum pack, join-back removed). All validate_driver-green at
+#:     sf0.001 AND sf0.01 in-round. dedup_semantic also changed
+#:     (chunked kernel) but is rows-only — no slot per the r8 rule;
+#:     re-verified in pytest (kernel bit-equality pin) instead.
+#: (c) the 15 remaining r12-cohort entries (q_dominant_suppliers
+#:     onward, CORRECTNESS_r12 insertion order);
+#: (d) the OLDEST r13-cohort entries in CORRECTNESS_r13 insertion
+#:     order, filling to exactly 50 (dedup_embedding_cosine_ivf is
+#:     r13-cohort and already fronted in (b)).
+#: 1 + 8 + 15 + 26 = exactly 50.
 _DRIVER_FRONT = [
-    # (a) new r16 oracled ops, first driver rows
-    "dash_rp_convergence",
-    "dash_ring_hub_trend",
-    # (b) r15 post-close ops, first driver rows
-    "dedup_ngram_containment",
-    "dash_score_gain",
-    "docs_dedup_containment_apply",
-    "dash_card_hubs",
-    "dash_ring_hub_exposure",
-    # (c) impl-changed entries (r15 verdict list + r16 changes)
-    "dash_merchant_centrality",
-    "docs_gopher_rules",
-    "dash_fraud_rings",
-    "dash_fraud_ring_stats",
-    "dash_ring_evolution",
-    "dash_ring_triangles",
-    "dash_merchant_risk_propagation",
-    "dash_mule_hubs",
-    "dash_centrality_convergence",
-    # (d) the 34 oldest r12-cohort entries (CORRECTNESS_r12 order)
-    "q_events_json",
-    "q_epoch_roundtrip",
-    "gold_dim_customer",
-    "latest_metrics",
-    "q_distinct_pairs",
-    "q_median_quantity",
-    "text_top_ngrams_mg",
-    "docs_lm_perplexity",
-    "q_customer_rfm",
-    "docs_sample_to_budget",
-    "q_revenue_concentration",
-    "q_user_overlap_exact",
-    "docs_sample_epochs",
-    "q_events_dau_wau",
-    "text_zipf_fit",
+    # (a) r16 post-close op, first driver row
+    "dedup_containment_global",
+    # (b) r17 impl-changed oracled entries
+    "docs_dedup_containment_global_apply",
+    "docs_containment_by_source",
     "dedup_fuzzy_names",
-    "q_orders_benford",
-    "q_market_basket_pairs",
-    "text_collocations_pmi",
-    "q_basket_rules",
-    "q_referential_integrity",
     "dedup_fuzzy_canonical",
-    "dash_benford_by_fraud",
-    "docs_curate_pipeline",
-    "corpus_to_batches",
-    "docs_token_budget_report",
-    "docs_unigram_logprob",
-    "q_local_supplier_volume",
-    "q_market_share",
-    "q_product_profit",
-    "q_parts_supplier_relationship",
-    "q_important_inventory",
-    "q_returned_item_customers",
-    "q_disjunctive_revenue",
+    "dedup_fuzzy_names_d2",
+    "dedup_fuzzy_canonical_d2",
+    "dedup_embedding_cosine_ivf",
+    "docs_corpus_build",
+    # (c) the 15 remaining r12-cohort entries (CORRECTNESS_r12 order)
+    "q_dominant_suppliers",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_brand_revenue_share",
+    "q_top_supplier_revenue",
+    "q_small_qty_revenue",
+    "q_shipping_priority",
+    "q_nation_trade_volume",
+    "q_large_volume_customers",
+    "q_suppliers_kept_waiting",
+    "q_min_cost_supplier",
+    "q_customers_without_orders",
+    "q_parts_ordered",
+    "q_selective_revenue",
+    "q_cube_returnflag_status",
+    # (d) the 26 oldest r13-cohort entries (CORRECTNESS_r13 order)
+    "q_revenue_anomaly_mad",
+    "dash_fraud_ring_pairs",
+    "q_asof_click_purchase",
+    "q_grouping_sets_priority",
+    "q_customer_order_gaps",
+    "q_pivot_status_by_priority",
+    "q_supplier_order_volume",
+    "q_distinct_users",
+    "q_quantity_quantiles",
+    "q_events_hourly_window",
+    "q_user_sessions",
+    "q_order_count_distribution",
+    "q_price_histogram",
+    "q_rolling_7d_spend",
+    "q_price_rank_distribution",
+    "q_user_retention_cohorts",
+    "q_funnel_conversion",
+    "q_revenue_anomaly_zscore",
+    "q_salted_skew_agg",
+    "q_weighted_sample",
+    "q_salted_join_parts",
+    "text_tfidf_topk",
+    "text_top_ngrams",
+    "docs_pack_sequences",
+    "embedding_label_centroids",
+    "sql_daily_summary",
 ]
 
 
