@@ -21,7 +21,15 @@ def spark():
     spark = get_spark(
         "tests",
         master="local[4]",
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            # r17: the session JVM serves the WHOLE suite (~870 tests,
+            # thousands of broadcasts + the session-shared persisted
+            # surfaces); the 1g default heap OOM'd at suite tail
+            # (TorrentBroadcast blockify, java heap space). Local mode:
+            # driver heap is the only heap.
+            "spark.driver.memory": "6g",
+        },
     )
     yield spark
 
